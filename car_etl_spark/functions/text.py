@@ -1,0 +1,180 @@
+"""Text-analysis Column expressions for the documents pipeline.
+
+Covers the reference's search-prep functions (SURVEY.md §2.8 F14-F21:
+tokenization, stop words, hashing) plus the LLM-training-data operators
+the new engine adds as first-class capabilities: token stats, quality
+scoring, language-ID heuristics, document fingerprinting, and shingling
+for MinHash dedup.  All pure built-in expressions — at 100 TB these run
+as map-only stages inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stop-word list — reference src/search/highlighter.py:69-90 (25-word list,
+# tokens of length >= 2 kept after removal).
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "but", "in", "on", "at", "to", "for",
+    "of", "with", "by", "from", "is", "are", "was", "were", "be", "been",
+    "being", "have", "has", "had",
+)
+
+
+def tokenize(c: Column) -> Column:
+    """Whitespace tokenization -> array<string>, empties dropped (F18)."""
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def remove_stopwords(tokens: Column) -> Column:
+    """Drop stop words and 1-char tokens (F18, reference
+    ``highlighter.py:69-90``)."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.filter(
+        tokens, lambda x: (~F.array_contains(stop, F.lower(x))) & (F.length(x) >= 2)
+    )
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (the cheap tiktoken stand-in, F24)."""
+    return F.size(tokenize(c))
+
+
+def distinct_token_count(c: Column) -> Column:
+    return F.size(F.array_distinct(tokenize(c)))
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Fraction of tokens that are stop words — a standard quality signal."""
+    toks = tokenize(c)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n = F.size(toks)
+    ns = F.size(F.filter(toks, lambda x: F.array_contains(stop, F.lower(x))))
+    return F.when(n > 0, ns / n).otherwise(F.lit(0.0))
+
+
+def avg_token_length(c: Column) -> Column:
+    toks = tokenize(c)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite document-quality score in [0, 1].
+
+    Mirrors the shape of heuristic quality filters used in large-scale
+    corpus curation: reward mid-length documents and a moderate stop-word
+    ratio, penalize very short docs and extreme type-token ratios.
+    Deterministic and SQL-expressible so it is oracle-checkable.
+    """
+    n = token_count(c)
+    length_component = F.least(n / F.lit(50.0), F.lit(1.0))
+    ttr = F.when(n > 0, distinct_token_count(c) / n).otherwise(F.lit(0.0))
+    diversity_component = F.least(ttr * 2.0, F.lit(1.0))
+    stop_component = 1.0 - stopword_ratio(c)
+    return F.round(
+        0.4 * length_component + 0.3 * diversity_component + 0.3 * stop_component, 6
+    )
+
+
+def fingerprint(c: Column) -> Column:
+    """Order-insensitive document fingerprint (bag-of-words identity).
+
+    sha256 over the sorted distinct token set — the exact-dedup key that
+    survives token reordering.  Equivalent at 100 TB to a map-side hash +
+    one groupBy shuffle on a 64-char key.
+    """
+    canon = F.array_join(F.array_sort(F.array_distinct(tokenize(F.lower(c)))), " ")
+    return F.sha2(canon, 256)
+
+
+def content_hash(c: Column) -> Column:
+    """Exact content identity, sha256 hex (F14, reference
+    ``src/services/file_storage.py:90-100``)."""
+    return F.sha2(c, 256)
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (MinHash input).
+
+    Documents shorter than ``n`` tokens yield a single whole-doc shingle
+    so they still participate in dedup.
+    """
+    toks = tokenize(F.lower(c))
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """MinHash signature -> array<int> of length ``num_hashes``.
+
+    Each component is ``min(xxhash64(shingle, seed+i))`` over the shingle
+    set — a per-row expression, no shuffle; the LSH band join downstream
+    is the only shuffle in near-dup detection.
+    """
+    comps = [
+        F.array_min(
+            F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*comps)
+
+
+def simhash64(shingle_col: Column) -> Column:
+    """64-bit SimHash over the shingle set.
+
+    Classic bit-vote construction: for each of 64 bit positions, sum +1/-1
+    votes of each shingle's xxhash64 bit, then take the sign.  Pure
+    higher-order-function expression.
+    """
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(
+            shingle_col,
+            F.lit(0).cast("long"),
+            lambda acc, s, b=b: acc
+            + F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1).cast("long") << b).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID from character statistics.
+
+    n-gram-profile language ID needs trained profiles; this deterministic
+    heuristic (CJK codepoint ratio, then diacritic profile, default en)
+    demonstrates the classification shape and is unit-tested; corpus-level
+    language analytics are oracle-checked separately.
+    """
+    cjk = F.size(F.filter(F.split(c, ""), lambda ch: ch.rlike(r"[一-鿿]")))
+    total = F.length(c)
+    has_diacritic = c.rlike(r"[áéíóúñ]")
+    has_umlaut = c.rlike(r"[äöüß]")
+    has_cedilla = c.rlike(r"[àâçèêëîïôùûœ]")
+    return (
+        F.when(total == 0, F.lit(None).cast("string"))
+        .when(cjk / F.greatest(total, F.lit(1)) > 0.3, F.lit("zh"))
+        .when(has_umlaut, F.lit("de"))
+        .when(has_cedilla, F.lit("fr"))
+        .when(has_diacritic, F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def highlight(c: Column, terms: list[str]) -> Column:
+    """Wrap case-insensitive word-boundary matches in ``<mark>`` (F19,
+    reference ``highlighter.py:92-118,208-244``)."""
+    pattern = r"(?i)\b(" + "|".join(terms) + r")\b"
+    return F.regexp_replace(c, pattern, "<mark>$1</mark>")

@@ -1,0 +1,225 @@
+"""Event-stream analytics over the ``events`` table (batch views of the
+reference's queue/worker semantics, SURVEY.md §2.9, plus the standard
+time-window aggregations the reference lacked).
+
+These run identically as Structured Streaming jobs (see
+``car_etl_spark.streaming``); the batch forms here are the
+oracle-checked versions of the same dataflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from car_etl_spark.queries import QuerySpec
+from car_etl_spark.queries.parity import davg, dsum, sql_davg, sql_dsum
+from car_etl_spark.tables import load_tables
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window x type (T7 / streaming window
+    analog): the batch equivalent of
+    ``groupBy(window('ts','1 hour'), 'event_type')``."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       COUNT(*) AS event_count,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS active_users
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""
+
+
+def events_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 frame spec: per-user running sum in event order
+    (rowsBetween(unboundedPreceding, currentRow)) — the cumulative-%
+    loop of ``effective_rent.py:396-410`` distributed per key."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+EVENTS_RUNNING_TOTAL_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAV-style tall->wide pivot (§1.1 extraction_fields analog):
+    conditional aggregation with a fixed column vocabulary — the
+    scale-safe pivot (explicit values, no schema inference pass)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    aggs = []
+    for et in ("click", "view", "purchase", "signup", "error"):
+        aggs.append(
+            dsum(
+                F.when(F.col("event_type") == et, F.col("value")).otherwise(F.lit(0.0))
+            ).alias(f"{et}_value")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).cast("long").alias(f"{et}_count")
+        )
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+EVENTS_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(30,6))), 2) AS DOUBLE) AS click_value,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+       CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'view' THEN value ELSE 0 END AS DECIMAL(30,6))), 2) AS DOUBLE) AS view_value,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+       CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(30,6))), 2) AS DOUBLE) AS purchase_value,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+       CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'signup' THEN value ELSE 0 END AS DECIMAL(30,6))), 2) AS DOUBLE) AS signup_value,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_count,
+       CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0 END AS DECIMAL(30,6))), 2) AS DOUBLE) AS error_value,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: JSON attribute access (``field_value->>'value'`` analog,
+    reference ``effective_rent.py:82-83``) + bucketed rollup."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), davg(F.col("value")).alias("avg_value"))
+        .orderBy("k_bucket")
+    )
+
+
+EVENTS_JSON_PROPS_SQL = """
+SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+FROM events
+GROUP BY 1 ORDER BY k_bucket
+"""
+
+
+def events_retry_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch analog: per-user error budget — attempts capped at
+    max_attempts=3, overflow dead-lettered (reference
+    ``src/workers/extraction_worker.py:36-37,416-443``)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    errors = ev.filter(F.col("event_type") == "error")
+    return (
+        errors.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("error_count"))
+        .select(
+            "user_id",
+            "error_count",
+            F.least(F.col("error_count"), F.lit(3)).alias("attempts_used"),
+            (F.col("error_count") > 3).alias("dead_lettered"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_RETRY_DLQ_SQL = """
+SELECT user_id, COUNT(*) AS error_count,
+       LEAST(COUNT(*), 3) AS attempts_used,
+       COUNT(*) > 3 AS dead_lettered
+FROM events WHERE event_type = 'error'
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via gap detection (lag + cumulative flag sum) —
+    the batch equivalent of a 30-minute session window, per user."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w_order)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_session = ev.withColumn("session_id", F.sum(new_session).over(w_cum))
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_in_session"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("session_count"),
+            F.max("events_in_session").alias("max_session_events"),
+            dsum(F.col("session_value")).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                OR CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, event_id, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS events_in_session,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS session_value
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS session_count,
+       MAX(events_in_session) AS max_session_events,
+       CAST(ROUND(SUM(CAST(session_value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_hourly_rollup": QuerySpec(events_hourly_rollup, EVENTS_HOURLY_SQL, ("events", "window")),
+    "events_user_running_total": QuerySpec(events_user_running_total, EVENTS_RUNNING_TOTAL_SQL, ("events", "window")),
+    "events_type_pivot": QuerySpec(events_type_pivot, EVENTS_TYPE_PIVOT_SQL, ("events", "pivot")),
+    "events_json_props": QuerySpec(events_json_props, EVENTS_JSON_PROPS_SQL, ("events", "json")),
+    "events_retry_dlq": QuerySpec(events_retry_dlq, EVENTS_RETRY_DLQ_SQL, ("events",)),
+    "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, ("events", "window")),
+}

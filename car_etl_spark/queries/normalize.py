@@ -1,0 +1,289 @@
+"""Normalizer-roundtrip queries — oracle checks for the F1-F9 library.
+
+Each query manufactures messy formatted strings *inside the query* from
+numeric/date base columns (deterministically, keyed by row id), runs the
+Column-expression normalizers from
+``car_etl_spark.functions.normalizers``, and emits the normalized
+values.  The DuckDB oracle builds the same strings and applies the same
+normalization in SQL, so both engines round-trip identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import normalizers as N
+from car_etl_spark.queries import QuerySpec
+from car_etl_spark.tables import load_tables
+
+
+def currency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: ``$x`` / ``(x)`` accounting negatives / padded / null-words."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    s = F.round("o_totalprice", 2).cast("string")
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.concat(F.lit("$"), s))
+        .when(F.col("o_orderkey") % 4 == 1, F.concat(F.lit("("), s, F.lit(")")))
+        .when(F.col("o_orderkey") % 4 == 2, F.concat(F.lit("  $ "), s, F.lit(" ")))
+        .otherwise(F.lit("n/a"))
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            raw.alias("raw_value"),
+            F.round(N.normalize_currency(raw), 2).alias("normalized"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+CURRENCY_ROUNDTRIP_SQL = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE
+           WHEN o_orderkey % 4 = 0 THEN '$' || CAST(ROUND(o_totalprice, 2) AS VARCHAR)
+           WHEN o_orderkey % 4 = 1 THEN '(' || CAST(ROUND(o_totalprice, 2) AS VARCHAR) || ')'
+           WHEN o_orderkey % 4 = 2 THEN '  $ ' || CAST(ROUND(o_totalprice, 2) AS VARCHAR) || ' '
+           ELSE 'n/a'
+         END AS raw_value
+  FROM orders
+), cleaned AS (
+  SELECT o_orderkey, raw_value,
+         regexp_replace(TRIM(raw_value), '[$, \t\n]', '', 'g') AS c
+  FROM src
+)
+SELECT o_orderkey, raw_value,
+       ROUND(TRY_CAST(
+         CASE WHEN LOWER(TRIM(raw_value)) IN ('null','none','n/a','') THEN NULL
+              WHEN c LIKE '(%' AND c LIKE '%)' THEN '-' || SUBSTRING(c, 2, LENGTH(c) - 2)
+              ELSE c END AS DOUBLE), 2) AS normalized
+FROM cleaned
+ORDER BY o_orderkey
+"""
+
+
+def date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: four input formats -> ISO; null-words -> NULL."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    d = F.col("o_orderdate")
+    raw = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 5 == 1, F.date_format(d, "MM/dd/yyyy"))
+        .when(F.col("o_orderkey") % 5 == 2, F.date_format(d, "M/d/yyyy"))
+        .when(F.col("o_orderkey") % 5 == 3, F.date_format(d, "MM-dd-yyyy"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            raw.alias("raw_value"),
+            N.normalize_date_str(raw).alias("normalized_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+DATE_ROUNDTRIP_SQL = """
+SELECT o_orderkey,
+       CASE
+         WHEN o_orderkey % 5 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+         WHEN o_orderkey % 5 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+         WHEN o_orderkey % 5 = 2 THEN strftime(o_orderdate, '%-m/%-d/%Y')
+         WHEN o_orderkey % 5 = 3 THEN strftime(o_orderdate, '%m-%d-%Y')
+         ELSE 'none'
+       END AS raw_value,
+       CASE WHEN o_orderkey % 5 = 4 THEN NULL
+            ELSE strftime(o_orderdate, '%Y-%m-%d') END AS normalized_date
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def percent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: ``"7%"`` == ``0.07`` == ``7``; out-of-range -> NULL."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    pct100 = F.round(F.col("l_discount") * 100, 4).cast("string")
+    frac = F.round("l_discount", 4).cast("string")
+    raw = (
+        F.when(key % 4 == 0, F.concat(pct100, F.lit("%")))
+        .when(key % 4 == 1, frac)
+        .when(key % 4 == 2, pct100)
+        .otherwise(F.lit("750%"))  # 7.5 > 5 -> NULL per clamp rule
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            raw.alias("raw_value"),
+            F.round(N.normalize_percent(raw), 6).alias("normalized_pct"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+PERCENT_ROUNDTRIP_SQL = """
+WITH src AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE
+           WHEN (l_orderkey * 10 + l_linenumber) % 4 = 0
+             THEN CAST(ROUND(l_discount * 100, 4) AS VARCHAR) || '%'
+           WHEN (l_orderkey * 10 + l_linenumber) % 4 = 1
+             THEN CAST(ROUND(l_discount, 4) AS VARCHAR)
+           WHEN (l_orderkey * 10 + l_linenumber) % 4 = 2
+             THEN CAST(ROUND(l_discount * 100, 4) AS VARCHAR)
+           ELSE '750%'
+         END AS raw_value
+  FROM lineitem
+), parsed AS (
+  SELECT l_orderkey, l_linenumber, raw_value,
+         TRY_CAST(regexp_replace(TRIM(raw_value), '[,%]', '', 'g') AS DOUBLE) AS num
+  FROM src
+), scaled AS (
+  SELECT l_orderkey, l_linenumber, raw_value,
+         CASE WHEN num > 1.0 THEN num / 100.0 ELSE num END AS sc
+  FROM parsed
+)
+SELECT l_orderkey, l_linenumber, raw_value,
+       ROUND(CASE WHEN sc >= 0 AND sc <= 5 THEN sc END, 6) AS normalized_pct
+FROM scaled
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def boolean_enum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7: truthy/falsy vocabulary + case-insensitive enum matching."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    words = ["yes", "No", "TRUE", "off", "enabled", "not required", "maybe", "1", "0"]
+    bool_raw = F.element_at(
+        F.array(*[F.lit(w) for w in words]), (F.col("c_custkey") % 9 + 1).cast("int")
+    )
+    seg_raw = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.initcap(F.lower("c_mktsegment")))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    allowed = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return (
+        cust.select(
+            "c_custkey",
+            bool_raw.alias("bool_raw"),
+            N.normalize_boolean(bool_raw).alias("normalized_bool"),
+            seg_raw.alias("seg_raw"),
+            N.normalize_enum(seg_raw, allowed).alias("normalized_segment"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+BOOLEAN_ENUM_ROUNDTRIP_SQL = """
+WITH src AS (
+  SELECT c_custkey,
+         (['yes','No','TRUE','off','enabled','not required','maybe','1','0'])[
+           CAST(c_custkey % 9 AS INT) + 1] AS bool_raw,
+         CASE WHEN c_custkey % 3 = 0 THEN LOWER(c_mktsegment)
+              WHEN c_custkey % 3 = 1 THEN UPPER(SUBSTRING(LOWER(c_mktsegment),1,1)) ||
+                                          SUBSTRING(LOWER(c_mktsegment),2)
+              ELSE c_mktsegment END AS seg_raw
+  FROM customer
+)
+SELECT c_custkey, bool_raw,
+       CASE WHEN LOWER(TRIM(bool_raw)) IN ('true','yes','y','1','on','enabled','required') THEN TRUE
+            WHEN LOWER(TRIM(bool_raw)) IN ('false','no','n','0','off','disabled','not required') THEN FALSE
+            ELSE NULL END AS normalized_bool,
+       seg_raw,
+       CASE LOWER(TRIM(seg_raw))
+            WHEN 'automobile' THEN 'AUTOMOBILE'
+            WHEN 'building' THEN 'BUILDING'
+            WHEN 'furniture' THEN 'FURNITURE'
+            WHEN 'household' THEN 'HOUSEHOLD'
+            WHEN 'machinery' THEN 'MACHINERY'
+            ELSE NULL END AS normalized_segment
+FROM src
+ORDER BY c_custkey
+"""
+
+
+def extract_numeric_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: the effective-rent lenient parser — keep digits+dots, default
+    0.0 (``src/services/effective_rent.py:49-67``).  Note its documented
+    quirk: ``(1,200)`` parses positive here, unlike F2."""
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    s = F.round("o_totalprice", 2).cast("string")
+    raw = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.concat(F.lit("$"), s, F.lit("/mo")))
+        .when(F.col("o_orderkey") % 3 == 1, F.concat(F.lit("("), s, F.lit(")")))
+        .otherwise(F.lit("no rent"))
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            raw.alias("raw_value"),
+            F.round(N.extract_numeric(raw), 2).alias("numeric_value"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+EXTRACT_NUMERIC_SQL = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN '$' || CAST(ROUND(o_totalprice,2) AS VARCHAR) || '/mo'
+              WHEN o_orderkey % 3 = 1 THEN '(' || CAST(ROUND(o_totalprice,2) AS VARCHAR) || ')'
+              ELSE 'no rent' END AS raw_value
+  FROM orders
+)
+SELECT o_orderkey, raw_value,
+       ROUND(COALESCE(TRY_CAST(regexp_replace(raw_value, '[^0-9.]', '', 'g') AS DOUBLE), 0.0), 2)
+         AS numeric_value
+FROM src
+ORDER BY o_orderkey
+"""
+
+
+def integer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: comma-separated integers, float-string truncation, null-words."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    size1000 = (F.col("p_size") * 1000).cast("string")
+    raw = (
+        F.when(F.col("p_partkey") % 4 == 0, F.concat(F.col("p_size").cast("string"), F.lit(",000")))
+        .when(F.col("p_partkey") % 4 == 1, F.concat(size1000, F.lit(".0")))
+        .when(F.col("p_partkey") % 4 == 2, F.concat(size1000, F.lit(".9")))
+        .otherwise(F.lit("n/a"))
+    )
+    return (
+        part.select(
+            "p_partkey",
+            raw.alias("raw_value"),
+            N.normalize_integer(raw).alias("normalized_int"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+INTEGER_ROUNDTRIP_SQL = """
+WITH src AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 4 = 0 THEN CAST(p_size AS VARCHAR) || ',000'
+              WHEN p_partkey % 4 = 1 THEN CAST(p_size * 1000 AS VARCHAR) || '.0'
+              WHEN p_partkey % 4 = 2 THEN CAST(p_size * 1000 AS VARCHAR) || '.9'
+              ELSE 'n/a' END AS raw_value
+  FROM part
+)
+SELECT p_partkey, raw_value,
+       CAST(TRUNC(TRY_CAST(regexp_replace(TRIM(raw_value), '[, \t]', '', 'g') AS DOUBLE)) AS BIGINT)
+         AS normalized_int
+FROM src
+ORDER BY p_partkey
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "normalize_currency_roundtrip": QuerySpec(currency_roundtrip, CURRENCY_ROUNDTRIP_SQL, ("normalize",)),
+    "normalize_date_roundtrip": QuerySpec(date_roundtrip, DATE_ROUNDTRIP_SQL, ("normalize",)),
+    "normalize_percent_roundtrip": QuerySpec(percent_roundtrip, PERCENT_ROUNDTRIP_SQL, ("normalize",)),
+    "normalize_boolean_enum": QuerySpec(boolean_enum_roundtrip, BOOLEAN_ENUM_ROUNDTRIP_SQL, ("normalize",)),
+    "extract_numeric_lenient": QuerySpec(extract_numeric_lenient, EXTRACT_NUMERIC_SQL, ("normalize",)),
+    "normalize_integer_roundtrip": QuerySpec(integer_roundtrip, INTEGER_ROUNDTRIP_SQL, ("normalize",)),
+}

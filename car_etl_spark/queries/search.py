@@ -1,0 +1,122 @@
+"""Hybrid search: RRF fusion of a keyword leg and a vector leg.
+
+The reference's flagship read path (SURVEY.md §3.1): two scored scans ->
+rank each leg -> full-outer join on id -> RRF score ``Σ 1/(k+rank)``
+(k=60, reference ``src/search/hybrid.py:232-258``) -> top-k.  The
+reference fused in Python dicts; here the whole thing is one DataFrame
+DAG, so at 100 TB both legs scan in parallel and fusion is a join on the
+(tiny) candidate sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import text as T
+from car_etl_spark.functions import vectors as V
+from car_etl_spark.queries import QuerySpec
+from car_etl_spark.tables import load_tables
+
+RRF_K = 60  # reference src/search/hybrid.py:45
+FETCH_LIMIT = 30  # 2x the final limit, reference hybrid.py:205-206
+FINAL_LIMIT = 15
+QUERY_TERMS = ("spark", "vector", "merge")
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/F23/W1/U1: RRF fusion, k=60, fetch 2x per leg, top-15.
+
+    Keyword leg: tf scoring over documents.  Vector leg: cosine to the
+    query embedding (vec_id 0) joined back to doc ids.  Each leg is
+    rank-limited before the fusion join, so the full-outer join runs on
+    O(limit) rows regardless of corpus size.
+    """
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs, emb = t["documents"], t["embeddings"]
+
+    from car_etl_spark.queries.textops import keyword_scores
+
+    kw_leg = (
+        keyword_scores(docs, QUERY_TERMS, "doc_id")
+        .withColumnRenamed("score", "kw_score")
+        .filter(F.col("kw_score") > 0)
+        .orderBy(F.desc("kw_score"), F.asc("doc_id"))
+        .limit(FETCH_LIMIT)
+        .withColumn(
+            "kw_rank",
+            F.row_number().over(Window.orderBy(F.desc("kw_score"), F.asc("doc_id"))).cast("long"),
+        )
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
+    vec_leg = (
+        emb.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("vec_score"))
+        .orderBy(F.desc("vec_score"), F.asc("doc_id"))
+        .limit(FETCH_LIMIT)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("vec_score"), F.asc("doc_id"))).cast("long"),
+        )
+    )
+
+    fused = kw_leg.join(vec_leg, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+        8,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            rrf.alias("rrf_score"),
+            F.coalesce(F.col("kw_rank"), F.lit(0)).cast("long").alias("kw_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("vec_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(FINAL_LIMIT)
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), kw_scored AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x = 'spark'))
+         + len(list_filter(toks, x -> x = 'vector'))
+         + len(list_filter(toks, x -> x = 'merge')) AS kw_score
+  FROM tok
+), kw_leg AS (
+  SELECT doc_id, kw_score,
+         ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id ASC) AS kw_rank
+  FROM (SELECT * FROM kw_scored WHERE kw_score > 0
+        ORDER BY kw_score DESC, doc_id ASC LIMIT {FETCH_LIMIT})
+), q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]), 6) AS vec_score
+  FROM embeddings, q
+), vec_leg AS (
+  SELECT doc_id, vec_score,
+         ROW_NUMBER() OVER (ORDER BY vec_score DESC, doc_id ASC) AS vec_rank
+  FROM (SELECT * FROM vec_scored ORDER BY vec_score DESC, doc_id ASC LIMIT {FETCH_LIMIT})
+)
+SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({RRF_K} + k.kw_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + v.vec_rank), 0.0), 8) AS rrf_score,
+       COALESCE(k.kw_rank, 0) AS kw_rank,
+       COALESCE(v.vec_rank, 0) AS vec_rank
+FROM kw_leg k FULL OUTER JOIN vec_leg v ON k.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {FINAL_LIMIT}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "hybrid_rrf_search": QuerySpec(hybrid_rrf_search, HYBRID_RRF_SQL, ("search", "rrf")),
+}

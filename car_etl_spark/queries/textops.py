@@ -1,0 +1,312 @@
+"""Text-analysis + dedup queries over the ``documents`` table.
+
+The LLM-training-data operators (BASELINE.json north star): token
+statistics, quality scoring, stop-word profiling, fingerprint dedup,
+keyword (tf) search.  All pure column expressions; at 100 TB each is a
+map stage plus at most one key-hash shuffle.
+
+Structural rule learned the hard way: higher-order array expressions
+are *staged* — tokenize once into a column, derive counts in the next
+projection, and only ever filter/sort on plain derived columns.  Deep
+HOF trees inlined into filter/sort predicates evaluate pathologically
+slowly (>100x) and would be recomputed per consumer anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import text as T
+from car_etl_spark.queries import QuerySpec
+from car_etl_spark.tables import load_tables
+
+_STOP_SQL_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+def _stop_count(toks: Column) -> Column:
+    stop = F.array(*[F.lit(w) for w in T.STOPWORDS])
+    return F.size(F.filter(toks, lambda x: F.array_contains(stop, F.lower(x))))
+
+
+def _tokenized(docs: DataFrame, *keep: str) -> DataFrame:
+    """Stage 1: tokenize once; everything downstream reads the column."""
+    return docs.select(*keep, T.tokenize(F.col("text")).alias("toks"))
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language (token counting — the
+    whitespace half of F24; group rollup A3)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    m = _tokenized(docs, "lang", "n_chars").select(
+        "lang",
+        "n_chars",
+        F.size("toks").alias("tok"),
+        F.size(F.array_distinct("toks")).alias("dtok"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("tok").alias("total_tokens"),
+            F.round(F.avg("tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("dtok"), 4).alias("avg_distinct_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_TOKEN_STATS_SQL = """
+WITH tok AS (
+  SELECT lang, n_chars,
+         len(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS tok,
+         len(list_distinct(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''))) AS dtok
+  FROM documents
+)
+SELECT lang, COUNT(*) AS doc_count,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(tok), 4) AS avg_tokens,
+       ROUND(AVG(dtok), 4) AS avg_distinct_tokens,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM tok GROUP BY lang ORDER BY lang
+"""
+
+
+def _quality_metrics(docs: DataFrame, *keep: str) -> DataFrame:
+    """Staged token counts -> (n, dn, ns, sw, length_c, div_c)."""
+    m = _tokenized(docs, *keep).select(
+        *keep,
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("dn"),
+        _stop_count(F.col("toks")).alias("ns"),
+    )
+    sw = F.when(F.col("n") > 0, F.col("ns").cast("double") / F.col("n")).otherwise(0.0)
+    ttr = F.when(F.col("n") > 0, F.col("dn").cast("double") / F.col("n")).otherwise(0.0)
+    return m.select(
+        *keep,
+        "n",
+        sw.alias("sw"),
+        F.least(F.col("n") / 50.0, F.lit(1.0)).alias("length_c"),
+        F.least(ttr * 2.0, F.lit(1.0)).alias("div_c"),
+    )
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length/diversity/stop-word composite."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    r = _quality_metrics(docs, "doc_id", "lang")
+    return r.select(
+        "doc_id",
+        "lang",
+        F.col("n").cast("long").alias("token_count"),
+        F.round("sw", 6).alias("stopword_ratio"),
+        F.round(0.4 * F.col("length_c") + 0.3 * F.col("div_c") + 0.3 * (1.0 - F.col("sw")), 6).alias(
+            "quality_score"
+        ),
+    ).orderBy("doc_id")
+
+
+DOC_QUALITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, len(toks) AS n,
+         len(list_distinct(toks)) AS dn,
+         len(list_filter(toks, x -> list_contains([{_STOP_SQL_LIST}], LOWER(x)))) AS ns
+  FROM tok
+), r AS (
+  SELECT doc_id, lang, n AS token_count,
+         CASE WHEN n > 0 THEN CAST(ns AS DOUBLE) / n ELSE 0.0 END AS sw,
+         LEAST(n / 50.0, 1.0) AS length_c,
+         LEAST(CASE WHEN n > 0 THEN CAST(dn AS DOUBLE) / n ELSE 0.0 END * 2.0, 1.0) AS div_c
+  FROM m
+)
+SELECT doc_id, lang, token_count,
+       ROUND(sw, 6) AS stopword_ratio,
+       ROUND(0.4 * length_c + 0.3 * div_c + 0.3 * (1.0 - sw), 6) AS quality_score
+FROM r ORDER BY doc_id
+"""
+
+
+def _fingerprinted(docs: DataFrame, *keep: str) -> DataFrame:
+    toked = _tokenized(docs, *keep)
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(F.transform(F.col("toks"), F.lower))), " "
+    )
+    return toked.select(*keep, F.sha2(canon, 256).alias("fp"))
+
+
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup: sha256 over the sorted distinct
+    token set, grouped; groups with >1 member are duplicate clusters.
+    The exact-dedup building block (map + one shuffle on a 64-char key;
+    at 100 TB this is the canonical first dedup pass)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        _fingerprinted(docs, "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .orderBy("fp")
+    )
+
+
+DOC_FINGERPRINT_DEDUP_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         sha256(array_to_string(
+           list_sort(list_distinct(
+             list_transform(
+               list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+               x -> LOWER(x)))),
+           ' ')) AS fp
+  FROM documents
+)
+SELECT fp, COUNT(*) AS dup_count,
+       MIN(doc_id) AS keep_doc_id, MAX(doc_id) AS max_doc_id
+FROM fp GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
+"""
+
+
+def doc_exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-first: drop every doc whose fingerprint was seen
+    on a lower doc_id (the (tenant_id, file_hash) ingest anti-join J6,
+    reference ``020_documents.sql:31``) — survivor count per source."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_fp = _fingerprinted(docs, "doc_id", "source")
+    keep = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = with_fp.join(keep, ["fp", "doc_id"], "left_semi")
+    return (
+        survivors.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
+        .orderBy("source")
+    )
+
+
+DOC_EXACT_DEDUP_SQL = """
+WITH fp AS (
+  SELECT doc_id, source,
+         sha256(array_to_string(
+           list_sort(list_distinct(
+             list_transform(
+               list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+               x -> LOWER(x)))),
+           ' ')) AS fp
+  FROM documents
+), keep AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp
+)
+SELECT f.source, COUNT(*) AS kept_docs
+FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id
+GROUP BY f.source ORDER BY f.source
+"""
+
+
+def keyword_scores(docs: DataFrame, terms: tuple[str, ...], *keep: str) -> DataFrame:
+    """Shared keyword-leg builder: staged tf scoring over tokens."""
+    toked = docs.select(*keep, T.tokenize(F.lower(F.col("text"))).alias("toks"))
+
+    def _tf(term: str):
+        # One-arg lambda only — a second parameter would be bound to the
+        # array index by Spark's HOF calling convention.
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    per_term = toked.select(
+        *keep, *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
+    )
+    score = None
+    for i in range(len(terms)):
+        c = F.col(f"tf_{i}")
+        score = c if score is None else score + c
+    return per_term.select(*keep, score.cast("long").alias("score"))
+
+
+def doc_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword (term-frequency) search — the posting-list FTS scoring
+    approximation (F20/F21, reference ``044_keyword_search.sql:68-101``):
+    score = total occurrences of the query terms, top-20."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = keyword_scores(docs, ("spark", "join", "window"), "doc_id", "lang")
+    return (
+        scored.filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+DOC_KEYWORD_SEARCH_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> x = 'spark'))
+         + len(list_filter(toks, x -> x = 'join'))
+         + len(list_filter(toks, x -> x = 'window')) AS score
+  FROM tok
+)
+SELECT doc_id, lang, score FROM scored
+WHERE score > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def doc_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-word / quality profile per source (corpus-curation rollup)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    r = _quality_metrics(docs, "source")
+    q = F.round(0.4 * F.col("length_c") + 0.3 * F.col("div_c") + 0.3 * (1.0 - F.col("sw")), 6)
+    return (
+        r.select("source", "sw", q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.avg("sw"), 6).alias("avg_stopword_ratio"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_STOPWORD_PROFILE_SQL = f"""
+WITH tok AS (
+  SELECT source,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT source, len(toks) AS n,
+         len(list_distinct(toks)) AS dn,
+         len(list_filter(toks, x -> list_contains([{_STOP_SQL_LIST}], LOWER(x)))) AS ns
+  FROM tok
+), r AS (
+  SELECT source,
+         CASE WHEN n > 0 THEN CAST(ns AS DOUBLE) / n ELSE 0.0 END AS sw,
+         ROUND(0.4 * LEAST(n / 50.0, 1.0)
+               + 0.3 * LEAST(CASE WHEN n > 0 THEN CAST(dn AS DOUBLE) / n ELSE 0.0 END * 2.0, 1.0)
+               + 0.3 * (1.0 - CASE WHEN n > 0 THEN CAST(ns AS DOUBLE) / n ELSE 0.0 END), 6) AS q
+  FROM m
+)
+SELECT source, COUNT(*) AS doc_count,
+       ROUND(AVG(sw), 6) AS avg_stopword_ratio,
+       ROUND(AVG(q), 6) AS avg_quality
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL, ("text",)),
+    "doc_quality_scores": QuerySpec(doc_quality_scores, DOC_QUALITY_SQL, ("text",)),
+    "doc_fingerprint_dedup": QuerySpec(doc_fingerprint_dedup, DOC_FINGERPRINT_DEDUP_SQL, ("dedup",)),
+    "doc_exact_dedup_keep_first": QuerySpec(doc_exact_dedup_keep_first, DOC_EXACT_DEDUP_SQL, ("dedup",)),
+    "doc_keyword_search": QuerySpec(doc_keyword_search, DOC_KEYWORD_SEARCH_SQL, ("search",)),
+    "doc_stopword_profile": QuerySpec(doc_stopword_profile, DOC_STOPWORD_PROFILE_SQL, ("text",)),
+}

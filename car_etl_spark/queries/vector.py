@@ -1,0 +1,148 @@
+"""Vector-search queries over the ``embeddings`` table.
+
+Exact brute-force cosine top-k is the oracle-checkable baseline
+(SURVEY.md §4.2.1; reference pgvector scan
+``042_match_function.sql:35-46``).  The scale path (LSH bucketing) lives
+in ``car_etl_spark.operators.similarity`` and is checked rows-only.
+
+The query vector is taken deterministically from the table itself
+(vec_id 0) and broadcast — the production shape for "embed the query,
+scan the corpus" where the corpus side is the only large input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import vectors as V
+from car_etl_spark.queries import QuerySpec
+from car_etl_spark.tables import load_tables
+
+
+def _query_vec(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+
+def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/F22: exact cosine top-k (k=20).  TakeOrderedAndProject after a
+    map-only similarity projection — no shuffle beyond the final top-k."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = _query_vec(emb)
+    sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+VECTOR_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]), 6) AS cosine_sim
+FROM embeddings, q
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 20
+"""
+
+
+def vector_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label vote: top-50 neighbors -> votes per label (the
+    classification read-path over ANN results)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = _query_vec(emb)
+    sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
+    top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(50)
+    )
+    return (
+        top.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("votes"), F.round(F.avg("s"), 6).alias("avg_sim"))
+        .orderBy(F.desc("votes"), F.asc("label"))
+    )
+
+
+VECTOR_KNN_LABEL_VOTE_SQL = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+top AS (
+  SELECT vec_id, label,
+         ROUND(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]), 6) AS s
+  FROM embeddings, q
+  WHERE vec_id <> 0
+  ORDER BY s DESC, vec_id ASC
+  LIMIT 50
+)
+SELECT label, COUNT(*) AS votes, ROUND(AVG(s), 6) AS avg_sim
+FROM top GROUP BY label ORDER BY votes DESC, label ASC
+"""
+
+
+def vector_label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus similarity rollup per label — the 'cluster quality'
+    scan (one pass, map-side partial agg)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = _query_vec(emb)
+    sim = V.cosine_similarity(F.col("embedding"), F.col("qvec"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("label", sim.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), 6).alias("avg_sim"),
+            F.round(F.max("s"), 6).alias("max_sim"),
+            F.round(F.min("s"), 6).alias("min_sim"),
+        )
+        .orderBy("label")
+    )
+
+
+VECTOR_LABEL_SIMILARITY_SQL = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[])), 6) AS avg_sim,
+       ROUND(MAX(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[])), 6) AS max_sim,
+       ROUND(MIN(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[])), 6) AS min_sim
+FROM embeddings, q
+GROUP BY label ORDER BY label
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm statistics per label — embedding-hygiene check (catches
+    unnormalized or degenerate vectors before they poison ANN)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    nrm = V.norm(F.col("embedding"))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT label,
+       ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+       ROUND(MIN(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+       ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "vector_topk": QuerySpec(vector_topk, VECTOR_TOPK_SQL, ("vector", "topk")),
+    "vector_knn_label_vote": QuerySpec(vector_knn_label_vote, VECTOR_KNN_LABEL_VOTE_SQL, ("vector",)),
+    "vector_label_similarity": QuerySpec(vector_label_similarity, VECTOR_LABEL_SIMILARITY_SQL, ("vector",)),
+    "embedding_norms": QuerySpec(embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
+}

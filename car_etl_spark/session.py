@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same settings are
+what we would ship on a multi-executor cluster:
+
+- AQE on (runtime partition coalescing, skew-join splitting) so plans
+  re-optimize when real data sizes diverge from estimates — essential at
+  100 TB where static `shuffle.partitions` is always wrong for someone.
+- Arrow-enabled so any Pandas-UDF boundary pays one columnar batch
+  transfer instead of per-row pickling.
+- UTC session timezone so temporal results are deployment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime (mutable) confs to an existing session.
+
+    Used both by :func:`get_spark` and on driver-owned sessions we did not
+    create (the verify harness passes its own session into the entry
+    point).  Only runtime-settable confs belong here.
+    """
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark
+        # rejects; read as long and convert in load_tables.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # 10 MB default is conservative; dims (region/nation/part/supplier)
+        # comfortably broadcast far beyond it on real executors.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Driver session may pin some confs; never fail a query on tuning.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "car-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return tune_session(builder.getOrCreate())

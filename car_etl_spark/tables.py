@@ -1,0 +1,68 @@
+"""Table catalog over the driver's parquet test tables.
+
+``load_tables`` is the single scan entry point (SURVEY.md §2.1 S1): every
+query goes through it, which is where a production deployment would hang
+tenant isolation (SURVEY.md §1 "Tenancy": a mandatory
+``filter(tenant_id == ...)`` mirroring the reference's RLS,
+reference ``supabase/migrations/020_documents.sql:51-60``) and
+partition-pruning predicates.  Reads are plain ``spark.read.parquet`` so
+Catalyst keeps projection/filter pushdown (`PushedFilters` in explain).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_etl_spark.session import tune_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins: even at
+# 100 TB fact scale these stay O(MB) (regions/nations are bounded; parts
+# and suppliers grow slowly relative to facts).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    names: tuple[str, ...] = TABLES,
+    tenant_id: str | None = None,
+) -> dict[str, DataFrame]:
+    """Load the named parquet tables as DataFrames.
+
+    ``tenant_id`` is the secure-scan hook: when set, every table that has
+    a ``tenant_id`` column is filtered before anything else sees it.
+    """
+    tune_session(spark)
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate to
+            # micros exactly as DuckDB does when reading the same file.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if tenant_id is not None and "tenant_id" in df.columns:
+            df = df.filter(df["tenant_id"] == tenant_id)
+        out[name] = df
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=(name,))[name]
