@@ -119,35 +119,43 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42)
     set — a per-row expression, no shuffle; the LSH band join downstream
     is the only shuffle in near-dup detection.
     """
-    comps = [
-        F.array_min(
-            F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+    def _comp(i: int):
+        # One-arg lambda only: a second parameter would be bound to the
+        # array index by Spark's HOF convention, collapsing all hash
+        # functions into one.
+        return F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed + i)))
         )
-        for i in range(num_hashes)
-    ]
-    return F.array(*comps)
+
+    return F.array(*[_comp(i) for i in range(num_hashes)])
 
 
-def simhash64(shingle_col: Column) -> Column:
-    """64-bit SimHash over the shingle set.
+def simhash64_agg(exploded, id_cols: list[str], shingle_col: str = "shingle"):
+    """64-bit SimHash via exploded bit-vote aggregation.
 
-    Classic bit-vote construction: for each of 64 bit positions, sum +1/-1
-    votes of each shingle's xxhash64 bit, then take the sign.  Pure
-    higher-order-function expression.
+    Input: one row per (doc, shingle).  Classic construction: per bit
+    position, sum +1/-1 votes of each shingle-hash bit, take the sign.
+    Shaped as explode -> groupBy(id) with 64 scalar aggregates — one
+    shuffle, codegen-friendly (a 64-way nested array expression instead
+    compiles pathologically).
+
+    Returns a DataFrame with id_cols + ``simhash`` (long).
     """
-    bits = []
+    h = F.xxhash64(F.col(shingle_col))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    voted = exploded.groupBy(*id_cols).agg(*votes)
+    sim = None
     for b in range(64):
-        vote = F.aggregate(
-            shingle_col,
-            F.lit(0).cast("long"),
-            lambda acc, s, b=b: acc
-            + F.when(F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bits.append(F.when(vote > 0, F.lit(1).cast("long") << b).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+        bit = F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return voted.select(*id_cols, sim.alias("simhash"))
 
 
 def lang_id(c: Column) -> Column:

@@ -1,0 +1,270 @@
+"""Near-duplicate detection and similarity search at scale.
+
+The LLM-training-data dedup stack (BASELINE.json north star), all
+Spark-native:
+
+- **MinHash + LSH** for text near-dup: per-row signature (no shuffle),
+  band-bucket join (the only shuffle), exact-Jaccard verification on
+  candidates only.  The 100 TB path — candidate count scales with the
+  number of true near-dups, not |corpus|^2.
+- **SimHash** 64-bit fingerprints + Hamming-distance candidate pairs.
+- **Exact n-gram / token-set Jaccard** within blocks — the oracle-checkable
+  ground truth used to validate LSH recall.
+- **Embedding near-dup**: random-hyperplane (signed projection) buckets +
+  exact cosine verification — ANN-style scale path for dense vectors.
+
+Everything is deterministic: hash functions are seeded ``xxhash64``;
+hyperplanes come from a fixed-seed generator, so results are stable
+across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import text as T
+from car_etl_spark.functions import vectors as V
+
+DEFAULT_NUM_HASHES = 48
+DEFAULT_BANDS = 12  # 12 bands x 4 rows: ~0.5 jaccard threshold knee
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3, *keep: str) -> DataFrame:
+    return docs.select(*keep, T.shingles(F.col(text_col), n).alias("shingles"))
+
+
+def with_minhash(shingled: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, *keep: str) -> DataFrame:
+    """Add a MinHash signature column (array<long>, length num_hashes).
+
+    Map-only: each signature component is min(xxhash64(shingle, seed_i))
+    over the row's shingle set.
+    """
+    return shingled.select(
+        *keep, "shingles", T.minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_index, band_hash).
+
+    The band join is the single shuffle of the whole dedup; its key space
+    (band hash) is uniform, so no skew at scale.  Returns distinct
+    candidate id pairs (a < b).
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        segment = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(F.concat_ws("_", *[
+                segment.getItem(i).cast("string") for i in range(rows_per_band)
+            ])).alias("bucket"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(a_set: Column, b_set: Column) -> Column:
+    """Exact Jaccard over two array-sets (assumed distinct elements)."""
+    inter = F.size(F.array_intersect(a_set, b_set))
+    union = F.size(F.array_union(a_set, b_set))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Full MinHash-LSH dedup: signatures -> band join -> exact verify.
+
+    Output: (id_a, id_b, jaccard) for candidate pairs whose *exact*
+    shingle Jaccard clears the threshold — LSH chooses candidates,
+    verification keeps precision at 1.0 (recall is the LSH knob).
+    """
+    shingled = with_shingles(docs, text_col, shingle_n, id_col)
+    sigs = with_minhash(shingled, num_hashes, id_col)
+    candidates = lsh_candidate_pairs(sigs.select(id_col, "sig"), id_col, bands, num_hashes)
+    sh_a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text", *keep: str) -> DataFrame:
+    """64-bit SimHash per document: explode shingles -> bit-vote agg
+    (one shuffle on the id key)."""
+    shingled = with_shingles(docs, text_col, 3, *keep)
+    exploded = shingled.select(*keep, F.explode("shingles").alias("shingle"))
+    return T.simhash64_agg(exploded, list(keep), "shingle")
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    segments: int = 8,
+) -> DataFrame:
+    """SimHash near-dup via pigeonhole segment blocking.
+
+    Split the 64-bit hash into ``segments`` equal pieces and block on
+    exact segment equality: pigeonhole guarantees recall for Hamming
+    distance < segments, and stays a strong probabilistic filter well
+    beyond (flips must hit every segment to evade).  More segments =
+    higher recall at higher candidate volume; 8x8-bit suits text
+    near-dup (empirically hamming <= 18 for ~90% token overlap), 4x16
+    suits strict dedup.  Exact Hamming verify keeps precision.
+    """
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    seg_bits = 64 // segments
+    mask = (1 << seg_bits) - 1
+    seg_cols = [
+        F.struct(
+            F.lit(i).alias("seg"),
+            F.shiftrightunsigned(F.col("simhash"), i * seg_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("val"),
+        )
+        for i in range(segments)
+    ]
+    blocked = fp.select(
+        id_col, "simhash", F.explode(F.array(*seg_cols)).alias("s")
+    ).select(id_col, "simhash", F.col("s.seg").alias("seg"), F.col("s.val").alias("val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def embedding_lsh_bands(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 8,
+    bits_per_band: int = 4,
+    seed: int = 42,
+    *keep: str,
+) -> DataFrame:
+    """Banded random-hyperplane LSH: one (band, bucket) row per band.
+
+    Per-band collision prob for cosine s is ``(1 - acos(s)/pi)^bits``;
+    recall is ``1 - (1 - p)^bands``.  Tune bits_per_band UP for
+    high-threshold dedup (0.9 -> 8 bands x 4 bits ~ 0.998 recall) and
+    DOWN for low-threshold similarity joins.  Output explodes |emb| x
+    bands rows — the band join downstream is the only shuffle.
+    """
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)
+    band_structs = []
+    for bi in range(bands):
+        bits = []
+        for j in range(bits_per_band):
+            plane = planes[bi * bits_per_band + j]
+            proj = V.dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+            bits.append(
+                F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        bucket = bits[0]
+        for c in bits[1:]:
+            bucket = bucket.bitwiseOR(c)
+        band_structs.append(
+            F.struct(F.lit(bi).alias("band"), bucket.alias("bucket"))
+        )
+    return emb.select(
+        *keep, vec_col, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(*keep, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    bands: int = 8,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """Embedding near-dup: banded hyperplane bucket join, then exact
+    cosine verification of candidates (precision 1.0; recall set by the
+    band/bits configuration)."""
+    banded = embedding_lsh_bands(emb, vec_col, dim, bands, bits_per_band, 42, id_col)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "bucket", F.col(vec_col).alias("va")
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band", "bucket", F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("va").alias("va"), F.col("vb").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,142 @@
+"""Near-dup dedup queries over ``documents``/``embeddings``.
+
+LSH-based operators are checked rows-only (seeded xxhash64 has no DuckDB
+twin); each has an exact blocked companion query that IS oracle-checked,
+validating the same similarity math end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import text as T
+from car_etl_spark.operators import similarity as S
+from car_etl_spark.queries import QuerySpec
+from car_etl_spark.tables import load_tables
+
+
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(48) + LSH(12 bands) near-dup with exact-Jaccard verify at
+    0.5 — the scale path for text dedup (SURVEY.md §7.3.9)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return S.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup, 8-segment blocking, Hamming <= 12."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return S.simhash_near_duplicates(
+        docs, "text", "doc_id", max_hamming=12, segments=8
+    ).orderBy("id_a", "id_b")
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity pairs via banded random-hyperplane LSH + exact
+    verify.  The synthetic embeddings have no true near-dups (max
+    pairwise cosine ~0.47), so the query runs at a low threshold with a
+    low-bits banding; the 0.9-threshold configuration is exercised with
+    planted duplicates in tests/test_similarity.py."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return S.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.3, bands=8, bits_per_band=2
+    ).orderBy("id_a", "id_b")
+
+
+def token_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard within modulo blocks — the oracle-checked
+    ground truth for the LSH text-dedup math (n-gram Jaccard dedup,
+    1-gram form).  Blocking bounds the quadratic pair space exactly like
+    the entity similarity join (J4)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toked = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 25).alias("block"),
+        F.array_distinct(T.tokenize(F.lower(F.col("text")))).alias("tokset"),
+    )
+    par = spark.sparkContext.defaultParallelism * 2
+    a = toked.repartition(par, "doc_id").alias("a")
+    b = toked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = S.exact_jaccard(F.col("a.tokset"), F.col("b.tokset"))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+TOKEN_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id, doc_id % 25 AS block,
+         list_distinct(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> ''))
+           AS tokset
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(a.tokset || b.tokset)) > 0
+              THEN CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                   / len(list_distinct(a.tokset || b.tokset))
+              ELSE 1.0 END AS jaccard
+  FROM tok a JOIN tok b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM pairs WHERE ROUND(jaccard, 6) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def embedding_neardup_exact_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup within label blocks — oracle ground truth
+    for the hyperplane-LSH variant."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    par = spark.sparkContext.defaultParallelism * 2
+    a = emb.repartition(par, "vec_id").alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    from car_etl_spark.functions import vectors as V
+
+    sim = F.round(V.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+EMBEDDING_NEARDUP_EXACT_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "minhash_lsh_neardup": QuerySpec(minhash_lsh_neardup, None, ("dedup", "lsh")),
+    "simhash_neardup": QuerySpec(simhash_neardup, None, ("dedup", "lsh")),
+    "embedding_neardup_lsh": QuerySpec(embedding_neardup_lsh, None, ("dedup", "ann")),
+    "token_jaccard_blocked": QuerySpec(token_jaccard_blocked, TOKEN_JACCARD_SQL, ("dedup",)),
+    "embedding_neardup_exact_block": QuerySpec(
+        embedding_neardup_exact_block, EMBEDDING_NEARDUP_EXACT_SQL, ("dedup",)
+    ),
+}

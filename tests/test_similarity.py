@@ -1,0 +1,82 @@
+"""Planted-duplicate tests for the LSH dedup operators: recall at the
+thresholds the production configuration targets (the sf tables contain
+no true near-dups, so recall is validated here)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from car_etl_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """60 base docs + 20 near-duplicates (90% token overlap)."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(60):
+        toks = [rng.choice(vocab) for _ in range(80)]
+        rows.append((i, " ".join(toks)))
+    for j in range(20):
+        base_id, base_text = rows[j]
+        toks = base_text.split()
+        for _ in range(6):  # ~8% perturbation
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        rows.append((1000 + base_id, " ".join(toks)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_pairs(spark, planted_docs):
+    result = S.minhash_near_duplicates(planted_docs, "text", "doc_id", threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in result.collect()}
+    planted = {(j, 1000 + j) for j in range(20)}
+    found = planted & pairs
+    # 3-gram shingle jaccard of a 8%-perturbed doc is ~0.6-0.75; MinHash
+    # 12x4 banding at that similarity has >99% per-pair recall.
+    assert len(found) >= 18, f"recall too low: {len(found)}/20"
+    # precision: every reported pair must clear the exact threshold
+    assert result.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+def test_simhash_finds_planted_pairs(spark, planted_docs):
+    # Planted pairs measure hamming 9-18 vs 19+ for random pairs; the
+    # 8-segment blocking must surface most of the <=18 band.
+    result = S.simhash_near_duplicates(
+        planted_docs, "text", "doc_id", max_hamming=18, segments=8
+    )
+    pairs = {(r.id_a, r.id_b) for r in result.collect()}
+    planted = {(j, 1000 + j) for j in range(20)}
+    assert len(planted & pairs) >= 14, f"recall too low: {len(planted & pairs)}/20"
+    # precision guard: no random pair (hamming >= 19) may appear
+    assert result.filter(F.col("hamming") > 18).count() == 0
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    """40 random unit-ish vectors + 10 noisy copies (cosine ~0.99)."""
+    rng = random.Random(11)
+    rows = []
+    base = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        base.append(v)
+        rows.append((i, v))
+    for j in range(10):
+        v = [x + rng.gauss(0, 0.05) for x in base[j]]
+        rows.append((1000 + j, v))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_lsh_finds_planted_pairs(spark, planted_vectors):
+    result = S.embedding_near_duplicates(
+        planted_vectors, "vec_id", "embedding", threshold=0.9, bands=8, bits_per_band=4
+    )
+    pairs = {(r.id_a, r.id_b) for r in result.collect()}
+    planted = {(j, 1000 + j) for j in range(10)}
+    assert len(planted & pairs) >= 9, f"recall too low: {len(planted & pairs)}/10"
+    for r in result.collect():
+        assert r.cosine_sim >= 0.9

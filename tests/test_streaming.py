@@ -1,0 +1,98 @@
+"""Structured Streaming tests (SURVEY.md §2.9): batch/stream parity for
+the windowed aggregations, watermark dedup, and the retry/DLQ worker."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from car_etl_spark.streaming import jobs
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def checkpoint_dir():
+    d = tempfile.mkdtemp(prefix="car-etl-ckpt-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def events_dir():
+    """Streaming file source wants a directory: stage events.parquet."""
+    d = tempfile.mkdtemp(prefix="car-etl-events-")
+    shutil.copy(os.path.join(SF_SMALL, "events.parquet"), d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hourly_window_matches_batch(spark, checkpoint_dir, events_dir):
+    """availableNow stream output == the same aggregation run in batch.
+
+    Complete-mode memory sink holds the final state of every window;
+    the batch equivalent is a plain groupBy over the same data.
+    """
+    stream = jobs.events_stream(spark, events_dir)
+    windowed = jobs.hourly_windowed_counts(stream)
+    jobs.run_available_now(windowed, checkpoint_dir, "hourly_sink", "complete")
+    got = {
+        (r["hour_start"], r["event_type"]): (r["event_count"], r["total_value"])
+        for r in spark.table("hourly_sink").collect()
+    }
+
+    from car_etl_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    expected = {
+        (r["hour_start"], r["event_type"]): (r["event_count"], r["total_value"])
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_dedup_within_watermark(spark, checkpoint_dir, events_dir):
+    stream = jobs.events_stream(spark, events_dir)
+    deduped = jobs.dedup_within_watermark(stream).select("event_id")
+    jobs.run_available_now(deduped, checkpoint_dir, "dedup_sink", "append")
+    ids = [r.event_id for r in spark.table("dedup_sink").collect()]
+    assert len(ids) == len(set(ids))
+    assert len(ids) == 1000  # sf0.001 events are unique already
+
+
+def test_queue_worker_retry_dlq(spark, checkpoint_dir, events_dir):
+    """Users with more than MAX_ATTEMPTS error events dead-letter; the
+    stream-side result must match the batch error counts."""
+    stream = jobs.events_stream(spark, events_dir)
+    worker = jobs.QueueWorker()
+    jobs.run_foreach_batch(stream, checkpoint_dir, worker.process_batch)
+
+    from car_etl_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+    batch_errors = {
+        r["user_id"]: r["cnt"]
+        for r in ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for uid, cnt in batch_errors.items():
+        assert worker.attempts.get(uid, 0) == cnt
+    expected_dlq = {u for u, c in batch_errors.items() if c > jobs.MAX_ATTEMPTS}
+    assert worker.dead_lettered == expected_dlq
+    total_events = ev.count()
+    assert worker.completed == total_events - sum(batch_errors.values())
