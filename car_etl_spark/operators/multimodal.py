@@ -1,0 +1,182 @@
+"""Multimodal columns: binary payloads + typed metadata (north-star
+requirement; reference analog is the document ingest path §2.1 S2/S3).
+
+Design: media are opaque ``binary`` columns with a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages.  The imaging libraries are not in
+this container, so the *decode kernel* is stubbed (deterministic fake
+derived from the byte content, or NotImplementedError when
+``strict=True``) — the Spark-side contract (schema, batch shape,
+partitioning) is real and tested.
+
+Ingest mirrors S2: binaryFile source -> magic-byte validation -> sha256
+-> (tenant, hash) anti-join dedup (reference
+``src/services/file_validator.py:65-131``, ``020_documents.sql:31``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Magic-byte whitelist — reference src/services/file_validator.py:65-131.
+MAGIC_BYTES = {
+    "application/pdf": b"%PDF",
+    "image/png": b"\x89PNG",
+    "image/jpeg": b"\xff\xd8\xff",
+    "application/zip": b"PK\x03\x04",
+}
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("content", BinaryType()),
+        StructField("mime_type", StringType()),
+        StructField("file_size_bytes", LongType()),
+        StructField("file_hash", StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("mime_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", IntegerType()),
+        StructField("feature_hash", StringType()),
+    ]
+)
+
+
+def detect_mime(content_col) -> "F.Column":
+    """Magic-byte dispatch as a when-chain (F30-adjacent; JVM-side)."""
+    expr = None
+    for mime, magic in MAGIC_BYTES.items():
+        hexpat = magic.hex()
+        cond = F.lower(F.hex(F.substring(content_col, 1, len(magic)))) == hexpat.lower()
+        expr = F.when(cond, F.lit(mime)) if expr is None else expr.when(cond, F.lit(mime))
+    return expr.otherwise(F.lit("application/octet-stream"))
+
+
+def ingest_binary_dir(spark: SparkSession, path: str, tenant_id: str = "t0") -> DataFrame:
+    """S2: binaryFile scan -> validate -> hash.  Dedup is a separate
+    anti-join step so re-ingest of the same content is idempotent."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.col("path"),
+        F.col("content"),
+        detect_mime(F.col("content")).alias("mime_type"),
+        F.col("length").alias("file_size_bytes"),
+        F.sha2(F.col("content"), 256).alias("file_hash"),
+        F.lit(tenant_id).alias("tenant_id"),
+    ).filter(F.col("file_size_bytes") > 0)
+
+
+def dedup_against_existing(
+    incoming: DataFrame, existing: DataFrame | None
+) -> DataFrame:
+    """J6: drop rows whose (tenant_id, file_hash) already exists
+    (reference unique constraint ``020_documents.sql:31``) and
+    first-wins within the batch itself."""
+    batch_deduped = incoming.dropDuplicates(["tenant_id", "file_hash"])
+    if existing is None:
+        return batch_deduped
+    return batch_deduped.join(
+        existing.select("tenant_id", "file_hash"),
+        ["tenant_id", "file_hash"],
+        "left_anti",
+    )
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decoder: derives plausible
+    dimensions/stats from the byte content."""
+    h = hashlib.sha256(content or b"").digest()
+    width = 64 + h[0] * 8
+    height = 64 + h[1] * 8
+    mean_luma = h[2]
+    return width, height, mean_luma
+
+
+def extract_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    ``strict=True`` raises NotImplementedError where a real decoder
+    (PIL/libvips — not in this container) would run; the default uses
+    the deterministic fake so the full pipeline is testable.  Swap
+    ``_fake_decode`` for the real kernel without touching the dataflow.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row["content"]
+                if strict:
+                    raise NotImplementedError(
+                        "real image decode requires PIL/libvips (not in container)"
+                    )
+                width, height, luma = _fake_decode(content)
+                rows.append(
+                    {
+                        "path": row["path"],
+                        "mime_type": row["mime_type"],
+                        "width": width,
+                        "height": height,
+                        "mean_luma": luma,
+                        "feature_hash": hashlib.sha256(content or b"").hexdigest()[:16],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling plumbing for video-shaped binaries: one output row
+    per sampled 'frame' (byte window stand-in).  Real decoder slots into
+    the same mapInPandas contract; output explodes rows per input —
+    the UDTF shape (§2.10)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                for i, start in enumerate(range(0, len(content), every_n_bytes)):
+                    window = bytes(content[start : start + every_n_bytes])
+                    rows.append(
+                        {
+                            "path": row["path"],
+                            "frame_index": i,
+                            "frame_hash": hashlib.sha256(window).hexdigest()[:16],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)

@@ -34,9 +34,11 @@ def build_registry() -> dict[str, QuerySpec]:
     from car_etl_spark.queries import (
         analytics,
         dedup,
+        eav,
         entity,
         eventsq,
         normalize,
+        rag,
         relational,
         search,
         textops,
@@ -44,7 +46,7 @@ def build_registry() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup):
+    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag):
         for name, spec in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name: {name}")

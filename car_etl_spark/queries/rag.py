@@ -1,0 +1,127 @@
+"""RAG-dataflow queries: token-budget context fold and citation
+validation (SURVEY.md §3.2, F16/F24/F25/U4) — oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from car_etl_spark.operators import rag as R
+from car_etl_spark.queries import QuerySpec
+from car_etl_spark.queries.textops import keyword_scores
+from car_etl_spark.tables import load_tables
+
+
+def rag_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25: retrieve by keyword score, rank, greedily keep chunks while
+    cumulative whitespace-token count stays within the 6000-token budget
+    (reference ``context_builder.py:22-50``)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = keyword_scores(docs, ("spark", "data", "join"), "doc_id", "text").filter(
+        F.col("score") > 0
+    )
+    from car_etl_spark.functions import text as T
+
+    with_tokens = scored.select(
+        "doc_id", "score", T.token_count(F.col("text")).cast("long").alias("token_count")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = with_tokens.withColumn("rank", F.row_number().over(w).cast("long"))
+    kept = R.token_budget_fold(ranked, budget=R.CONTEXT_TOKEN_BUDGET)
+    return kept.select(
+        "rank", "doc_id", "score", "token_count", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    ).orderBy("rank")
+
+
+RAG_CONTEXT_BUDGET_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks,
+         len(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS token_count
+  FROM documents
+), scored AS (
+  SELECT doc_id, token_count,
+         len(list_filter(toks, x -> x = 'spark'))
+         + len(list_filter(toks, x -> x = 'data'))
+         + len(list_filter(toks, x -> x = 'join')) AS score
+  FROM tok
+), ranked AS (
+  SELECT doc_id, score, token_count,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored WHERE score > 0
+), folded AS (
+  SELECT rank, doc_id, score, token_count,
+         SUM(token_count) OVER (ORDER BY rank ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM ranked
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score, CAST(token_count AS BIGINT) AS token_count,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM folded WHERE cum_tokens <= 6000
+ORDER BY rank
+"""
+
+
+def rag_citation_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/U4: synthesize answers carrying ``[DOC:id:PAGE:n]`` tags,
+    regex-extract the tags, validate each against the retrieved
+    (doc, page) set — one of the two tags per answer is deliberately
+    outside the retrieved set (reference ``citations.py:31-61``)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    answers = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("answer_id"),
+        F.concat(
+            F.lit("Rent is stated in [DOC:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":PAGE:1] and disputed by [DOC:"),
+            (F.col("doc_id") + 100000).cast("string"),
+            F.lit(":PAGE:2]."),
+        ).alias("answer"),
+    )
+    retrieved = docs.select("doc_id", F.lit(1).cast("long").alias("page"))
+    cits = R.extract_citations(answers)
+    validated = R.validate_citations(cits, retrieved)
+    return (
+        validated.groupBy("answer_id")
+        .agg(
+            F.count(F.lit(1)).alias("citation_count"),
+            F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).cast("long").alias("valid_count"),
+            (F.sum(F.when(F.col("is_valid"), 0).otherwise(1)) == 0).alias("fully_cited"),
+        )
+        .orderBy("answer_id")
+    )
+
+
+RAG_CITATION_SQL = """
+WITH answers AS (
+  SELECT doc_id AS answer_id,
+         'Rent is stated in [DOC:' || CAST(doc_id AS VARCHAR) ||
+         ':PAGE:1] and disputed by [DOC:' || CAST(doc_id + 100000 AS VARCHAR) ||
+         ':PAGE:2].' AS answer
+  FROM documents WHERE doc_id % 7 = 0
+), tags AS (
+  SELECT answer_id, unnest(regexp_extract_all(answer, '\\[DOC:(\\d+):PAGE:(\\d+)\\]')) AS citation
+  FROM answers
+), parsed AS (
+  SELECT answer_id,
+         CAST(regexp_extract(citation, '\\[DOC:(\\d+):PAGE:(\\d+)\\]', 1) AS BIGINT) AS cited_doc,
+         CAST(regexp_extract(citation, '\\[DOC:(\\d+):PAGE:(\\d+)\\]', 2) AS BIGINT) AS cited_page
+  FROM tags
+), retrieved AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS page FROM documents
+)
+SELECT answer_id,
+       COUNT(*) AS citation_count,
+       CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS valid_count,
+       SUM(CASE WHEN r.doc_id IS NOT NULL THEN 0 ELSE 1 END) = 0 AS fully_cited
+FROM parsed p
+LEFT JOIN retrieved r ON p.cited_doc = r.doc_id AND p.cited_page = r.page
+GROUP BY answer_id
+ORDER BY answer_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "rag_context_budget": QuerySpec(rag_context_budget, RAG_CONTEXT_BUDGET_SQL, ("rag",)),
+    "rag_citation_validation": QuerySpec(rag_citation_validation, RAG_CITATION_SQL, ("rag",)),
+}

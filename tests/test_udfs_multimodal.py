@@ -1,0 +1,137 @@
+"""Tests for the UDF boundary layer (X1-X9) and multimodal operators:
+determinism, batch shapes, ingest validation + dedup."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import udfs
+from car_etl_spark.operators import multimodal as M
+
+
+def test_embed_text_deterministic_unit_norm(spark):
+    df = spark.createDataFrame([("hello world",), ("hello world",), ("other",)], ["text"])
+    rows = df.select(udfs.embed_text(F.col("text")).alias("e")).collect()
+    assert len(rows[0].e) == udfs.EMBED_DIM
+    assert rows[0].e == rows[1].e  # deterministic
+    assert rows[0].e != rows[2].e
+    norm = sum(x * x for x in rows[0].e) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+
+
+def test_embed_then_cosine_topk_pipeline(spark):
+    """Embedding UDF output feeds the vector ops directly (X4 -> O1)."""
+    from car_etl_spark.functions import vectors as V
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} about spark") for i in range(20)], ["doc_id", "text"]
+    )
+    emb = docs.select("doc_id", udfs.embed_text(F.col("text")).alias("embedding"))
+    q = emb.filter(F.col("doc_id") == 0).select(F.col("embedding").alias("qvec"))
+    top = (
+        emb.crossJoin(F.broadcast(q))
+        .select("doc_id", V.cosine_similarity(F.col("embedding"), F.col("qvec")).alias("s"))
+        .orderBy(F.desc("s"))
+        .limit(1)
+        .collect()
+    )
+    assert top[0].doc_id == 0 and abs(top[0].s - 1.0) < 1e-6
+
+
+def test_llm_extract_fields_shape(spark):
+    df = spark.createDataFrame([("acme lease for tenant",)], ["text"])
+    [row] = df.select(udfs.llm_extract_fields(F.col("text")).alias("j")).collect()
+    import json
+
+    result = json.loads(row.j)
+    assert set(result) == {"fields", "document_type", "overall_confidence"}
+    assert result["fields"]["tenant_name"]["value"] == "Acme Holdings"
+    assert 0 <= result["overall_confidence"] < 1  # never exactly 1.0
+
+
+def test_detect_document_type(spark):
+    df = spark.createDataFrame(
+        [("monthly rent roll for building",), ("lease agreement",), ("operating statement noi",)],
+        ["text"],
+    )
+    got = [r.t for r in df.select(udfs.detect_document_type(F.col("text")).alias("t")).collect()]
+    assert got == ["rent_roll", "lease", "financial_statement"]
+
+
+def test_redact_pii_mask_and_hash(spark):
+    df = spark.createDataFrame(
+        [("mail bob@example.com or call 555-123-4567 ssn 123-45-6789",)], ["text"]
+    )
+    [masked] = df.select(udfs.redact_pii(F.col("text"), "mask").alias("r")).collect()
+    assert "[EMAIL]" in masked.r and "[SSN]" in masked.r and "[PHONE]" in masked.r
+    assert "bob@example.com" not in masked.r
+    [hashed] = df.select(udfs.redact_pii(F.col("text"), "hash").alias("r")).collect()
+    assert "[EMAIL:" in hashed.r and "bob@example.com" not in hashed.r
+    [untouched] = df.select(udfs.redact_pii(F.col("text"), "none").alias("r")).collect()
+    assert "bob@example.com" in untouched.r
+
+
+@pytest.fixture(scope="module")
+def media_dir():
+    d = tempfile.mkdtemp(prefix="car-etl-media-")
+    files = {
+        "doc1.pdf": b"%PDF-1.7 fake body " + b"x" * 400,
+        "img1.png": b"\x89PNG\r\n\x1a\n" + bytes(range(256)),
+        "img2.jpg": b"\xff\xd8\xff\xe0" + b"jpegdata" * 50,
+        "dup.pdf": b"%PDF-1.7 fake body " + b"x" * 400,  # same content as doc1
+        "junk.bin": b"\x00\x01\x02 unknown",
+    }
+    for name, content in files.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(content)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_binary_ingest_detects_mime_and_hashes(spark, media_dir):
+    media = M.ingest_binary_dir(spark, media_dir)
+    rows = {os.path.basename(r.path): r for r in media.collect()}
+    assert rows["doc1.pdf"].mime_type == "application/pdf"
+    assert rows["img1.png"].mime_type == "image/png"
+    assert rows["img2.jpg"].mime_type == "image/jpeg"
+    assert rows["junk.bin"].mime_type == "application/octet-stream"
+    assert rows["doc1.pdf"].file_hash == rows["dup.pdf"].file_hash
+    assert len(rows["doc1.pdf"].file_hash) == 64
+
+
+def test_binary_ingest_dedup(spark, media_dir):
+    media = M.ingest_binary_dir(spark, media_dir)
+    deduped = M.dedup_against_existing(media, existing=None)
+    # duplicate content collapses to one row
+    assert deduped.count() == media.count() - 1
+    # re-ingesting against the existing set drops everything
+    again = M.dedup_against_existing(media, existing=deduped)
+    assert again.count() == 0
+
+
+def test_image_features_mapinpandas(spark, media_dir):
+    media = M.ingest_binary_dir(spark, media_dir).filter(
+        F.col("mime_type").startswith("image/")
+    )
+    feats = M.extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 2
+    assert feats.schema == M.IMAGE_FEATURES_SCHEMA
+    for r in rows:
+        assert r.width >= 64 and r.height >= 64 and 0 <= r.mean_luma <= 255
+    # strict mode surfaces the unimplemented real decoder
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        M.extract_image_features(media, strict=True).collect()
+
+
+def test_sample_frames_explodes_rows(spark, media_dir):
+    media = M.ingest_binary_dir(spark, media_dir).filter(F.col("mime_type") == "image/png")
+    frames = M.sample_frames(media, every_n_bytes=64)
+    rows = frames.collect()
+    assert len(rows) == 5  # 264 bytes -> ceil(264/64) windows
+    assert [r.frame_index for r in sorted(rows, key=lambda r: r.frame_index)] == [0, 1, 2, 3, 4]
