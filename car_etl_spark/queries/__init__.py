@@ -33,6 +33,7 @@ class QuerySpec:
 def build_registry() -> dict[str, QuerySpec]:
     from car_etl_spark.queries import (
         analytics,
+        confidenceq,
         dedup,
         eav,
         entity,
@@ -46,7 +47,7 @@ def build_registry() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag):
+    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq):
         for name, spec in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name: {name}")
