@@ -66,3 +66,18 @@ def sql_davg(expr: str, scale: int = 4) -> str:
 
 def sql_drow(expr: str, scale: int = 2) -> str:
     return f"CAST(ROUND(CAST({expr} AS {SQL_DEC}), {scale}) AS DOUBLE)"
+
+
+def rnd(c: Column, scale: int = 6) -> Column:
+    """Engine-portable rounding for doubles that are bit-identical across
+    engines but may sit ON a rounding tie (e.g. ratios of small
+    integers): floor(x * 10^s + 0.5) / 10^s is pure IEEE double
+    arithmetic, so both engines compute the identical result where their
+    native ROUNDs tie-break differently."""
+    factor = float(10**scale)
+    return F.floor(c * factor + 0.5) / factor
+
+
+def sql_rnd(expr: str, scale: int = 6) -> str:
+    factor = float(10**scale)
+    return f"(FLOOR(({expr}) * {factor} + 0.5) / {factor})"
