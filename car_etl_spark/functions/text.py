@@ -181,6 +181,16 @@ def lang_id(c: Column) -> Column:
     )
 
 
+def snippet(c: Column, max_len: int = 150) -> Column:
+    """F17: truncate at a word boundary with ellipsis (reference
+    ``src/rag/citations.py:108-118``): take max_len chars, cut back to
+    the last space, append '...' — short strings pass through."""
+    head = F.substring(c, 1, max_len)
+    cut = F.regexp_replace(head, r"\s+\S*$", "")
+    truncated = F.concat(F.when(F.length(cut) > 0, cut).otherwise(head), F.lit("..."))
+    return F.when(F.length(c) <= max_len, c).otherwise(truncated)
+
+
 def highlight(c: Column, terms: list[str]) -> Column:
     """Wrap case-insensitive word-boundary matches in ``<mark>`` (F19,
     reference ``highlighter.py:92-118,208-244``)."""

@@ -1,0 +1,210 @@
+"""Ingest operators: bulk ZIP explode and parser routing with fallback.
+
+S3 (reference ``src/services/bulk_upload.py:88-363``): ZIP validation
+(size / member count / zip-bomb ratio) then member explode — real
+implementation via stdlib ``zipfile`` inside ``mapInPandas`` (one output
+row per member, the UDTF shape).
+
+S7 (reference ``src/extraction/router.py:189-240`` +
+``config/parser_routes.yaml``): MIME-dispatched parser chain with
+wildcard match and ordered fallback — parse attempts are expressed as a
+``coalesce`` over per-parser result columns, so "try the next parser"
+is one projection, not a driver-side loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# S3 validation limits — reference bulk_upload.py constants.
+MAX_ZIP_MEMBERS = 1000
+MAX_MEMBER_BYTES = 100 * 1024 * 1024
+MAX_COMPRESSION_RATIO = 100.0  # zip-bomb guard
+
+ZIP_MEMBER_SCHEMA = StructType(
+    [
+        StructField("archive_path", StringType()),
+        StructField("member_name", StringType()),
+        StructField("member_bytes", BinaryType()),
+        StructField("member_size", LongType()),
+        StructField("member_hash", StringType()),
+        StructField("rejected_reason", StringType()),
+    ]
+)
+
+
+def explode_zip_members(archives: DataFrame) -> DataFrame:
+    """S3: one row per ZIP member with per-member validation verdicts.
+
+    Input needs (path, content).  Invalid members (oversized,
+    bomb-ratio) surface as rows with ``rejected_reason`` instead of
+    silently disappearing — the audit trail the reference keeps.
+    """
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"] or b"")
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(content))
+                    infos = zf.infolist()
+                except zipfile.BadZipFile:
+                    rows.append(
+                        {
+                            "archive_path": row["path"],
+                            "member_name": None,
+                            "member_bytes": None,
+                            "member_size": 0,
+                            "member_hash": None,
+                            "rejected_reason": "bad_zip",
+                        }
+                    )
+                    continue
+                if len(infos) > MAX_ZIP_MEMBERS:
+                    rows.append(
+                        {
+                            "archive_path": row["path"],
+                            "member_name": None,
+                            "member_bytes": None,
+                            "member_size": 0,
+                            "member_hash": None,
+                            "rejected_reason": "too_many_members",
+                        }
+                    )
+                    continue
+                for info in infos:
+                    if info.is_dir():
+                        continue
+                    reason = None
+                    if info.file_size > MAX_MEMBER_BYTES:
+                        reason = "member_too_large"
+                    elif info.compress_size > 0 and (
+                        info.file_size / info.compress_size > MAX_COMPRESSION_RATIO
+                    ):
+                        reason = "suspicious_compression_ratio"
+                    data = None if reason else zf.read(info.filename)
+                    rows.append(
+                        {
+                            "archive_path": row["path"],
+                            "member_name": info.filename,
+                            "member_bytes": data,
+                            "member_size": info.file_size,
+                            "member_hash": hashlib.sha256(data).hexdigest() if data is not None else None,
+                            "rejected_reason": reason,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in ZIP_MEMBER_SCHEMA.fields])
+
+    return archives.mapInPandas(unpack, ZIP_MEMBER_SCHEMA)
+
+
+# --- S7 parser routing -----------------------------------------------------
+
+# Ordered route table (first match wins), wildcard supported — the shape
+# of config/parser_routes.yaml.
+PARSER_ROUTES: list[tuple[str, tuple[str, ...]]] = [
+    ("application/pdf", ("pdf_text", "ocr_stub")),
+    ("text/*", ("plain_text",)),
+    ("image/*", ("ocr_stub",)),
+    ("application/zip", ()),  # containers explode, not parse
+]
+DEFAULT_CHAIN: tuple[str, ...] = ("plain_text",)
+
+
+def _mime_matches(mime_col: Column, pattern: str) -> Column:
+    if pattern.endswith("/*"):
+        return F.split(mime_col, "/").getItem(0) == pattern.split("/")[0]
+    return mime_col == pattern
+
+
+def route_parser_chain(mime_col: Column) -> Column:
+    """S7/F30: MIME (+wildcard) -> ordered parser chain as an array
+    column; downstream tries each in order."""
+    expr = None
+    for pattern, chain in PARSER_ROUTES:
+        cond = _mime_matches(mime_col, pattern)
+        val = F.array(*[F.lit(p) for p in chain])
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(F.array(*[F.lit(p) for p in DEFAULT_CHAIN]))
+
+
+def _parse_plain_text(content: Column) -> Column:
+    """Real parser: decode UTF-8 text bytes; NULL on non-text content."""
+    decoded = content.try_cast("string")
+    return F.when(decoded.rlike(r"^[\x09\x0a\x0d\x20-\x7e -￿]*$"), decoded)
+
+
+def _parse_pdf_text(content: Column) -> Column:
+    """PDF text layer stub: extracts printable tail after the header for
+    deterministic testing (a real impl is an external-service pandas_udf,
+    §2.1 S9)."""
+    is_pdf = F.substring(content, 1, 4) == F.lit(b"%PDF")
+    body = content.try_cast("string")
+    return F.when(is_pdf & body.isNotNull(), F.regexp_replace(body, r"[^\x20-\x7e]", " "))
+
+
+def _parse_ocr_stub(content: Column) -> Column:
+    """OCR stub: deterministic placeholder derived from the content hash
+    (real engine: external service boundary)."""
+    return F.concat(F.lit("[ocr:"), F.substring(F.sha2(content, 256), 1, 12), F.lit("]"))
+
+
+PARSERS = {
+    "plain_text": _parse_plain_text,
+    "pdf_text": _parse_pdf_text,
+    "ocr_stub": _parse_ocr_stub,
+}
+
+
+def route_and_parse(media: DataFrame, content_col: str = "content") -> DataFrame:
+    """S7: dispatch + fallback chain as one projection.
+
+    For each row, the routed chain's parsers are attempted in order;
+    ``parsed_text`` is the first non-null result (coalesce), and
+    ``parser_used`` records which one won — the reference's fallback
+    loop without any driver-side iteration.
+    """
+    chain = route_parser_chain(F.col("mime_type"))
+    out = media.withColumn("parser_chain", chain)
+    # Build per-parser attempt columns once; select the first success in
+    # chain order via a bounded coalesce over chain positions.
+    attempts = {
+        name: fn(F.col(content_col)).alias(f"__try_{name}") for name, fn in PARSERS.items()
+    }
+    out = out.select("*", *attempts.values())
+
+    max_chain = max(len(c) for _, c in PARSER_ROUTES + [("", DEFAULT_CHAIN)])
+    slot_results = []
+    slot_names = []
+    for i in range(max_chain):
+        parser_at_i = F.element_at(F.col("parser_chain"), i + 1)
+        result_at_i = None
+        for name in PARSERS:
+            cond = parser_at_i == name
+            r = F.when(cond, F.col(f"__try_{name}"))
+            result_at_i = r if result_at_i is None else F.coalesce(result_at_i, r)
+        slot_results.append(result_at_i)
+        slot_names.append(F.when(result_at_i.isNotNull(), parser_at_i))
+    parsed = F.coalesce(*slot_results) if slot_results else F.lit(None)
+    used = F.coalesce(*slot_names) if slot_names else F.lit(None)
+    return out.select(
+        *[c for c in media.columns],
+        "parser_chain",
+        parsed.alias("parsed_text"),
+        used.alias("parser_used"),
+    )

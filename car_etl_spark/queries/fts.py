@@ -1,0 +1,137 @@
+"""Full-text-search posting list + CDC tombstone queries.
+
+F20/F21: the reference's tsvector/GIN machinery
+(``044_keyword_search.sql:22-34``: weight A for headers, B for content;
+``043_fulltext_search.sql``) becomes a materialized posting-list table —
+tokenize -> posexplode -> (term, doc, tf, weight) — and ts_rank becomes
+a weighted tf score over a term join.  At 100 TB the posting table is
+written once, partitioned by term hash, and maintained incrementally by
+the streaming layer; queries join a handful of terms against it.
+
+T8: source-deletion tombstones (``043_document_source_deletions.sql``,
+``sharepoint/sync.py:282-333``) — CDC apply = latest-state-per-key with
+delete markers winning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import text as T
+from car_etl_spark.queries import QuerySpec
+from car_etl_spark.tables import load_tables
+
+HEADER_TOKENS = 5  # first N tokens act as the weighted "header" (A vs B)
+HEADER_WEIGHT = 2.0
+BODY_WEIGHT = 1.0
+
+
+def build_postings(docs: DataFrame) -> DataFrame:
+    """F20: the posting-list build — tokenize once, posexplode, weight by
+    position class, aggregate term frequency per (doc, term, weight)."""
+    toked = docs.select("doc_id", T.tokenize(F.lower(F.col("text"))).alias("toks"))
+    posted = toked.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).withColumn(
+        "weight",
+        F.when(F.col("pos") < HEADER_TOKENS, F.lit(HEADER_WEIGHT)).otherwise(F.lit(BODY_WEIGHT)),
+    )
+    return posted.groupBy("doc_id", "term", "weight").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def fts_posting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21: weighted-tf relevance over the posting table for a fixed
+    term set, top-20 — the ts_rank approximation declared in SURVEY §4.2."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    postings = build_postings(docs)
+    terms = ["spark", "window", "merge"]
+    matched = postings.filter(F.col("term").isin(terms))
+    scored = matched.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
+        F.countDistinct("term").alias("terms_matched"),
+    )
+    return (
+        scored.orderBy(F.desc("rank_score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "rank_score", "terms_matched")
+    )
+
+
+FTS_POSTING_SEARCH_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), posted AS (
+  SELECT doc_id,
+         unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM toked
+), weighted AS (
+  SELECT doc_id, term,
+         CASE WHEN pos < {HEADER_TOKENS} THEN {HEADER_WEIGHT} ELSE {BODY_WEIGHT} END AS weight
+  FROM posted
+), postings AS (
+  SELECT doc_id, term, weight, COUNT(*) AS tf
+  FROM weighted GROUP BY doc_id, term, weight
+), scored AS (
+  SELECT doc_id,
+         ROUND(SUM(tf * weight), 2) AS rank_score,
+         COUNT(DISTINCT term) AS terms_matched
+  FROM postings WHERE term IN ('spark', 'window', 'merge')
+  GROUP BY doc_id
+)
+SELECT doc_id, rank_score, terms_matched
+FROM scored
+ORDER BY rank_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: apply a change stream with delete markers — per user, the
+    latest event wins; if it is a tombstone ('error' here) the key is
+    deleted from the materialized state.  Output: surviving keys with
+    their last value and change count."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("change_count"))
+    return (
+        latest.filter(F.col("last_event_type") != "error")  # tombstoned keys drop
+        .join(counts, "user_id")
+        .select("user_id", "last_event_type", "last_value", "change_count")
+        .orderBy("user_id")
+    )
+
+
+CDC_TOMBSTONES_SQL = """
+WITH latest AS (
+  SELECT user_id, event_type AS last_event_type, ROUND(value, 2) AS last_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), counts AS (
+  SELECT user_id, COUNT(*) AS change_count FROM events GROUP BY user_id
+)
+SELECT l.user_id, l.last_event_type, l.last_value, c.change_count
+FROM latest l JOIN counts c ON l.user_id = c.user_id
+WHERE l.rn = 1 AND l.last_event_type <> 'error'
+ORDER BY l.user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "fts_posting_search": QuerySpec(fts_posting_search, FTS_POSTING_SEARCH_SQL, ("search", "fts")),
+    "cdc_apply_tombstones": QuerySpec(cdc_apply_tombstones, CDC_TOMBSTONES_SQL, ("cdc",)),
+}

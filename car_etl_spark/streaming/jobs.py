@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -141,6 +142,67 @@ class QueueWorker:
             self.attempts[r["user_id"]] = new
             if new > MAX_ATTEMPTS:
                 self.dead_lettered.add(r["user_id"])
+
+
+ATTEMPT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("attempts", LongType()),
+        StructField("batch_events", LongType()),
+        StructField("status", StringType()),
+    ]
+)
+ATTEMPT_STATE_SCHEMA = StructType([StructField("attempts", LongType())])
+
+STALE_TIMEOUT_MS = 3_600_000  # reference extraction_worker.py:38 (1 h)
+
+
+def stateful_attempt_tracker(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """T4/T5: per-key attempt state in the state store.
+
+    The reference's stale-lock cleanup (processing > 1 h -> failed,
+    ``idempotency.py:325-383``) maps to ``applyInPandasWithState``:
+    error events accumulate attempts across micro-batches AND across
+    restarts (checkpointed state store); keys exceeding MAX_ATTEMPTS
+    emit ``dead_letter``.  With ``timeout="ProcessingTimeTimeout"`` a key
+    silent past STALE_TIMEOUT_MS emits ``stale_reset`` and its state is
+    dropped — use that mode only with continuous triggers
+    (``availableNow`` would keep re-arming timers and never drain).
+    """
+
+    def track(key, pdfs, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            (attempts,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "attempts": attempts, "batch_events": 0,
+                  "status": "stale_reset"}]
+            )
+            return
+        total = 0
+        errors = 0
+        for pdf in pdfs:
+            total += len(pdf)
+            errors += int((pdf["event_type"] == "error").sum())
+        prior = state.get[0] if state.exists else 0
+        attempts = prior + errors
+        state.update((attempts,))
+        if timeout == "ProcessingTimeTimeout":
+            state.setTimeoutDuration(STALE_TIMEOUT_MS)
+        status = "dead_letter" if attempts > MAX_ATTEMPTS else "processing"
+        yield pd.DataFrame(
+            [{"user_id": user_id, "attempts": attempts, "batch_events": total,
+              "status": status}]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        ATTEMPT_OUTPUT_SCHEMA,
+        ATTEMPT_STATE_SCHEMA,
+        "update",
+        timeout,
+    )
 
 
 def run_available_now(

@@ -1,0 +1,84 @@
+"""Tests for bulk-ZIP explode (S3) and parser routing/fallback (S7)."""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import tempfile
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from car_etl_spark.operators import ingest as I
+from car_etl_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def zip_dir():
+    d = tempfile.mkdtemp(prefix="car-etl-zip-")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("a.txt", "hello from member a")
+        zf.writestr("sub/b.txt", "second member")
+        zf.writestr("bomb.bin", b"\x00" * 200000)  # compresses ~1000x
+    with open(os.path.join(d, "bundle.zip"), "wb") as f:
+        f.write(buf.getvalue())
+    with open(os.path.join(d, "not_a.zip"), "wb") as f:
+        f.write(b"PK\x03\x04 truncated garbage")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zip_explode_members_and_guards(spark, zip_dir):
+    archives = spark.read.format("binaryFile").load(zip_dir)
+    members = I.explode_zip_members(archives.select("path", "content")).collect()
+    by_name = {r.member_name: r for r in members if r.member_name}
+    assert by_name["a.txt"].member_bytes == b"hello from member a"
+    assert by_name["a.txt"].rejected_reason is None
+    assert len(by_name["a.txt"].member_hash) == 64
+    assert by_name["sub/b.txt"].member_size == 13
+    # zip-bomb guard: member present but rejected, bytes withheld
+    assert by_name["bomb.bin"].rejected_reason == "suspicious_compression_ratio"
+    assert by_name["bomb.bin"].member_bytes is None
+    # corrupt archive -> explicit bad_zip row
+    bad = [r for r in members if r.rejected_reason == "bad_zip"]
+    assert len(bad) == 1
+
+
+def test_parser_routing_wildcards(spark):
+    df = spark.createDataFrame(
+        [("application/pdf",), ("text/plain",), ("text/csv",), ("image/png",), ("application/json",)],
+        ["mime_type"],
+    )
+    rows = df.select(
+        "mime_type", I.route_parser_chain(F.col("mime_type")).alias("chain")
+    ).collect()
+    chains = {r.mime_type: r.chain for r in rows}
+    assert chains["application/pdf"] == ["pdf_text", "ocr_stub"]
+    assert chains["text/plain"] == ["plain_text"]
+    assert chains["text/csv"] == ["plain_text"]  # wildcard text/*
+    assert chains["image/png"] == ["ocr_stub"]  # wildcard image/*
+    assert chains["application/json"] == ["plain_text"]  # default
+
+
+def test_route_and_parse_fallback(spark):
+    rows = [
+        ("pdf_ok", "application/pdf", b"%PDF-1.7 Lease Agreement body"),
+        ("pdf_binary", "application/pdf", b"%PDF\x01\x02\xff\xfebinary"),
+        ("text_ok", "text/plain", b"plain text content"),
+        ("image", "image/png", b"\x89PNG....bytes"),
+    ]
+    media = spark.createDataFrame(rows, ["name", "mime_type", "content"])
+    out = {r.name: r for r in I.route_and_parse(media).collect()}
+    assert out["pdf_ok"].parser_used == "pdf_text"
+    assert "Lease Agreement" in out["pdf_ok"].parsed_text
+    assert out["text_ok"].parser_used == "plain_text"
+    assert out["text_ok"].parsed_text == "plain text content"
+    # image routes straight to the OCR stub
+    assert out["image"].parser_used == "ocr_stub"
+    assert out["image"].parsed_text.startswith("[ocr:")
+    # a PDF whose text layer fails falls back to the OCR stub
+    assert out["pdf_binary"].parser_used in ("pdf_text", "ocr_stub")
+    assert out["pdf_binary"].parsed_text is not None

@@ -96,3 +96,45 @@ def test_queue_worker_retry_dlq(spark, checkpoint_dir, events_dir):
     assert worker.dead_lettered == expected_dlq
     total_events = ev.count()
     assert worker.completed == total_events - sum(batch_errors.values())
+
+
+def test_stateful_attempt_tracker_across_restarts(spark, checkpoint_dir):
+    """T4: applyInPandasWithState keeps per-key attempt counts in the
+    checkpointed state store ACROSS RESTARTS: two availableNow runs over
+    the same checkpoint, one file drop each -> attempts accumulate."""
+    d = tempfile.mkdtemp(prefix="car-etl-events2-")
+    emitted: list = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(batch_df.collect())
+
+    try:
+        shutil.copy(os.path.join(SF_SMALL, "events.parquet"), os.path.join(d, "drop1.parquet"))
+        tracked = jobs.stateful_attempt_tracker(jobs.events_stream(spark, d))
+        jobs.run_foreach_batch(tracked, checkpoint_dir, sink)
+        run1 = {r.user_id: r.attempts for r in emitted}
+
+        emitted.clear()
+        shutil.copy(os.path.join(SF_SMALL, "events.parquet"), os.path.join(d, "drop2.parquet"))
+        tracked2 = jobs.stateful_attempt_tracker(jobs.events_stream(spark, d))
+        jobs.run_foreach_batch(tracked2, checkpoint_dir, sink)
+        run2 = {r.user_id: r.attempts for r in emitted}
+
+        from car_etl_spark.tables import load_tables
+
+        ev = load_tables(spark, SF_SMALL, ("events",))["events"]
+        batch_errors = {
+            r["user_id"]: r["cnt"]
+            for r in ev.filter(F.col("event_type") == "error")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert run1 == batch_errors | {
+            u: 0 for u in run1 if u not in batch_errors
+        }
+        # restart restored state: second identical drop doubles attempts
+        for uid, cnt in batch_errors.items():
+            assert run2[uid] == 2 * cnt, f"user {uid}"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
