@@ -38,9 +38,16 @@ HEADLINE = (
     # dedup + text analysis
     "doc_fingerprint_dedup",
     "doc_quality_scores",
+    "minhash_lsh_neardup",
+    # FTS posting-list search
+    "fts_posting_search",
+    # EAV pivot + versioning pipeline
+    "eav_pivot_effective_rent",
+    "versioned_extractions",
     # event-stream analytics
     "events_hourly_rollup",
     "events_sessionize",
+    "cdc_apply_tombstones",
 )
 
 

@@ -112,22 +112,11 @@ def shingles(c: Column, n: int = 3) -> Column:
     return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42) -> Column:
-    """MinHash signature -> array<int> of length ``num_hashes``.
-
-    Each component is ``min(xxhash64(shingle, seed+i))`` over the shingle
-    set — a per-row expression, no shuffle; the LSH band join downstream
-    is the only shuffle in near-dup detection.
-    """
-    def _comp(i: int):
-        # One-arg lambda only: a second parameter would be bound to the
-        # array index by Spark's HOF convention, collapsing all hash
-        # functions into one.
-        return F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed + i)))
-        )
-
-    return F.array(*[_comp(i) for i in range(num_hashes)])
+# NOTE: MinHash signatures are intentionally NOT offered as a per-row
+# array expression: N x array_min(transform(...)) higher-order functions
+# evaluate interpreted (never codegen) — measured ~50x slower than the
+# explode + min(xxhash64) aggregation in
+# car_etl_spark.operators.similarity.with_minhash.
 
 
 def simhash64_agg(exploded, id_cols: list[str], shingle_col: str = "shingle"):
