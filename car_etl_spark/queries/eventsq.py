@@ -223,3 +223,57 @@ QUERIES: dict[str, QuerySpec] = {
     "events_retry_dlq": QuerySpec(events_retry_dlq, EVENTS_RETRY_DLQ_SQL, ("events",)),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, ("events", "window")),
 }
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 batch form of the sliding window (1 h window, 30 min slide):
+    each event lands in two overlapping windows — explode the two
+    window starts, aggregate per (window_start, type).  Matches the
+    streaming `sliding_window_value` job expression-for-expression."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    half_hour = F.date_trunc("hour", F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+    starts = F.array(
+        F.date_trunc("hour", F.col("ts")),
+        half_hour + F.expr("INTERVAL 30 MINUTES"),
+    )
+    exploded = ev.select(
+        F.explode(F.array_distinct(starts)).alias("window_start"),
+        "event_type",
+        "value",
+        "ts",
+    ).filter(
+        (F.col("ts") >= F.col("window_start"))
+        & (F.col("ts") < F.col("window_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        exploded.groupBy(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+WITH starts AS (
+  SELECT event_type, value, ts, date_trunc('hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT event_type, value, ts,
+         date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE AS window_start
+  FROM events
+), dedup AS (
+  SELECT DISTINCT event_type, value, ts, window_start FROM starts
+  WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM dedup GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+QUERIES["events_sliding_window"] = QuerySpec(
+    events_sliding_window, EVENTS_SLIDING_SQL, ("events", "window")
+)

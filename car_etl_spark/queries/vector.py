@@ -146,3 +146,53 @@ QUERIES: dict[str, QuerySpec] = {
     "vector_label_similarity": QuerySpec(vector_label_similarity, VECTOR_LABEL_SIMILARITY_SQL, ("vector",)),
     "embedding_norms": QuerySpec(embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
 }
+
+
+def vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query retrieval: top-5 neighbors for each of 10 query
+    vectors in ONE job — the production batch-inference shape (queries
+    broadcast, corpus scanned once, per-query rank windows).  At 100 TB
+    this replaces 10 corpus scans with one."""
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+VECTOR_TOPK_BATCH_SQL = """
+WITH queries AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]), 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN queries q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine_sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+QUERIES["vector_topk_batch"] = QuerySpec(
+    vector_topk_batch, VECTOR_TOPK_BATCH_SQL, ("vector", "topk", "batch")
+)

@@ -97,3 +97,18 @@ def test_highlight_marks_terms(spark):
     # word boundary: the substring-match 'sparks' must NOT be wrapped
     assert "<mark>sparks</mark>" not in row.h and "<mark>spark</mark>s" not in row.h
     assert row.h == "The <mark>Spark</mark> engine sparks joy"
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox jumps",),
+            ("der schnelle braune Fuchs läuft über die Straße",),
+            ("le renard brun et rapide à côté de la forêt",),
+            ("el zorro marrón rápido corrió según la señal",),
+            ("这是一个中文句子用于测试语言识别",),
+        ],
+        ["t"],
+    )
+    got = [r.l for r in df.select(T.lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "de", "fr", "es", "zh"]
