@@ -1,0 +1,191 @@
+"""Service-level facade — the reference's HTTP surface as engine calls.
+
+A user of the reference platform interacts through a handful of routes
+(SURVEY.md §3); this module exposes the same operations over DataFrames
+so switching is mechanical:
+
+| Reference route | Here |
+|---|---|
+| ``POST /api/v1/search`` (mode=vector/keyword/hybrid, rerank) | :func:`search` |
+| ``POST /api/v1/ask`` (RAG with citations) | :func:`ask` |
+| ``GET /api/v1/effective-rent/summary`` | :func:`effective_rent_summary` |
+| ``GET /api/v1/effective-rent/by-property`` | :func:`effective_rent_by_group` |
+| ``GET /api/v1/effective-rent/concentration`` | :func:`concentration` |
+| document upload / bulk ZIP | ``operators.multimodal`` / ``operators.ingest`` |
+| entity match/merge | ``queries.entity`` / ``operators.resolution`` |
+
+Each function takes already-loaded DataFrames (corpus/embeddings/fields)
+— at scale these are the hot tables a service keeps registered — and
+returns a DataFrame, so results compose with further dataflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import text as T
+from car_etl_spark.functions import vectors as V
+from car_etl_spark.operators import rag as R
+from car_etl_spark.queries.parity import dsum_raw
+from car_etl_spark.queries.textops import keyword_scores
+
+RRF_K = 60
+SEARCH_RESULT_CAP = 100  # reference src/api/routes/search.py:65-70
+
+
+def _keyword_leg(corpus: DataFrame, terms: tuple[str, ...], fetch: int) -> DataFrame:
+    return (
+        keyword_scores(corpus, terms, "doc_id")
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(fetch)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"),
+        )
+    )
+
+
+def _vector_leg(embeddings: DataFrame, query_vec: Column, fetch: int) -> DataFrame:
+    q = embeddings.sparkSession.range(1).select(query_vec.alias("qvec"))
+    sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(fetch)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))).cast("long"),
+        )
+    )
+
+
+def search(
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    terms: tuple[str, ...],
+    query_vec: Column | None = None,
+    mode: str = "hybrid",
+    limit: int = 20,
+) -> DataFrame:
+    """The hybrid-search service (reference ``src/search/hybrid.py:59-96``):
+    mode dispatch, 2x over-fetch per leg, RRF fusion at k=60, capped."""
+    limit = min(limit, SEARCH_RESULT_CAP)
+    fetch = limit * 2  # reference hybrid.py:205-206
+    if mode == "keyword":
+        return _keyword_leg(corpus, terms, fetch).limit(limit)
+    if mode == "vector":
+        if query_vec is None:
+            raise ValueError("vector mode needs query_vec")
+        return _vector_leg(embeddings, query_vec, fetch).limit(limit)
+    if mode != "hybrid":
+        raise ValueError(f"unknown mode: {mode}")
+    kw = _keyword_leg(corpus, terms, fetch).select(
+        "doc_id", F.col("score").alias("kw_score"), F.col("rank").alias("kw_rank")
+    )
+    vec = _vector_leg(embeddings, query_vec, fetch).select(
+        "doc_id", F.col("score").alias("vec_score"), F.col("rank").alias("vec_rank")
+    )
+    fused = kw.join(vec, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+        8,
+    )
+    return (
+        fused.select("doc_id", rrf.alias("rrf_score"), "kw_rank", "vec_rank")
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
+def ask(
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    terms: tuple[str, ...],
+    query_vec: Column,
+    top_k: int = 20,
+    token_budget: int = R.CONTEXT_TOKEN_BUDGET,
+) -> DataFrame:
+    """The RAG route (reference ``src/rag/pipeline.py:49-116``):
+    retrieve -> token-budget fold -> stub generation -> citation
+    validation.  Returns one row: (answer, citation_count, fully_cited,
+    confidence) where confidence = mean retrieval similarity
+    (``pipeline.py:140-155``)."""
+    retrieved = search(corpus, embeddings, terms, query_vec, "hybrid", top_k)
+    with_tokens = retrieved.join(
+        corpus.select("doc_id", T.token_count(F.col("text")).cast("long").alias("token_count")),
+        "doc_id",
+    ).withColumn("rank", F.row_number().over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))))
+    context = R.token_budget_fold(with_tokens, budget=token_budget)
+    context = context.withColumn("page", F.lit(1).cast("long"))
+    answer = R.generate_stub(context, "doc_id", "page")
+    citations = R.extract_citations(answer)
+    validated = R.validate_citations(
+        citations, context.select("doc_id", "page")
+    )
+    confidence = context.agg(F.avg("rrf_score").alias("c")).select(
+        F.round("c", 6).alias("confidence")
+    )
+    summary = validated.agg(
+        F.first("answer").alias("answer"),
+        F.count(F.lit(1)).alias("citation_count"),
+        (F.sum(F.when(F.col("is_valid"), 0).otherwise(1)) == 0).alias("fully_cited"),
+    )
+    return summary.crossJoin(confidence)
+
+
+def effective_rent_summary(rents: DataFrame, rent_col: str = "revenue_raw") -> DataFrame:
+    """GET /effective-rent/summary (reference
+    ``effective_rent.py:225-289``): totals, highest/lowest/average."""
+    return rents.agg(
+        F.count(F.lit(1)).alias("tenant_count"),
+        F.round(F.sum(F.col(rent_col).cast("decimal(30,6)")), 2).cast("double").alias("total_monthly"),
+        F.round(F.sum((F.col(rent_col) * 12).cast("decimal(30,6)")), 2).cast("double").alias("total_annual"),
+        F.round(F.max(rent_col), 2).alias("highest"),
+        F.round(F.min(rent_col), 2).alias("lowest"),
+        F.round(F.sum(F.col(rent_col).cast("decimal(30,6)")).cast("double") / F.count(F.lit(1)), 2).alias("average"),
+    )
+
+
+def effective_rent_by_group(
+    rents: DataFrame, group_col: str, rent_col: str = "revenue_raw"
+) -> DataFrame:
+    """GET /effective-rent/by-property (``effective_rent.py:311-355``)."""
+    return (
+        rents.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("tenant_count"),
+            F.round(F.sum(F.col(rent_col).cast("decimal(30,6)")), 2).cast("double").alias("total_rent"),
+            F.round(
+                F.sum(F.col(rent_col).cast("decimal(30,6)")).cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_rent"),
+        )
+        .orderBy(F.desc("total_rent"), F.asc(group_col))
+    )
+
+
+def concentration(
+    rents: DataFrame, key_col: str, rent_col: str = "revenue_raw", top_n: int = 10
+) -> DataFrame:
+    """GET /effective-rent/concentration (``effective_rent.py:371-428``):
+    top-N share with cumulative percentages."""
+    total = rents.agg(dsum_raw(F.col(rent_col)).alias("portfolio_total"))
+    topk = (
+        rents.crossJoin(F.broadcast(total))
+        .orderBy(F.desc(rent_col), F.asc(key_col))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc(rent_col), F.asc(key_col))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return topk.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        key_col,
+        F.round(rent_col, 2).alias("rent"),
+        F.round(F.col(rent_col) / F.col("portfolio_total"), 6).alias("pct_of_total"),
+        F.round(F.sum(F.col(rent_col) / F.col("portfolio_total")).over(cum), 6).alias(
+            "cumulative_pct"
+        ),
+    )
