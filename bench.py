@@ -20,6 +20,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = (
+    # heavy dedup first: the 48-aggregate MinHash codegen is sensitive to
+    # accumulated JIT/session state from prior queries (measured 8s fresh
+    # vs up to 180s late in a busy session)
+    "minhash_lsh_neardup",
     # relational / analytics core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -38,7 +42,6 @@ HEADLINE = (
     # dedup + text analysis
     "doc_fingerprint_dedup",
     "doc_quality_scores",
-    "minhash_lsh_neardup",
     # FTS posting-list search
     "fts_posting_search",
     # EAV pivot + versioning pipeline
@@ -69,6 +72,7 @@ def main() -> None:
         t0 = time.perf_counter()
         n = spec.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

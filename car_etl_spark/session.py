@@ -66,6 +66,13 @@ def get_spark(
             str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Wide codegen'd aggregates (48-hash MinHash signatures) exceed
+        # HotSpot's huge-method JIT limit; without this flag they run
+        # interpreted with wildly variable latency (measured 8s-137s).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
