@@ -182,6 +182,13 @@ def snippet(c: Column, max_len: int = 150) -> Column:
 
 def highlight(c: Column, terms: list[str]) -> Column:
     """Wrap case-insensitive word-boundary matches in ``<mark>`` (F19,
-    reference ``highlighter.py:92-118,208-244``)."""
-    pattern = r"(?i)\b(" + "|".join(terms) + r")\b"
+    reference ``highlighter.py:92-118,208-244``).  Terms are
+    regex-escaped so 'c++' or 'a.b' match literally instead of breaking
+    (or silently widening) the alternation."""
+    import re
+
+    escaped = [re.escape(t) for t in terms if t]
+    if not escaped:
+        return c
+    pattern = r"(?i)\b(" + "|".join(escaped) + r")\b"
     return F.regexp_replace(c, pattern, "<mark>$1</mark>")

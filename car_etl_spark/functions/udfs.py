@@ -141,20 +141,36 @@ def redact_pii(c: Column, mode: str = "mask") -> Column:
     """X7: redaction modes mask/hash/none (reference
     ``src/extraction/redactor.py:21-103``).
 
-    mask: replace each match with ``[TYPE]``; hash: replace with
-    ``[TYPE:sha2-8]`` of the whole field; none: passthrough.
+    mask: replace each match with ``[TYPE]``; hash: replace each match
+    with ``[TYPE:sha2-8]`` of THAT MATCHED VALUE — so the same email in
+    two documents maps to the same pseudonym and two different emails in
+    one document get distinct pseudonyms (cross-document linkability,
+    matching the reference's per-value hashing); none: passthrough.
     """
     if mode == "none":
         return c
     out = c
     for name, pattern in PII_PATTERNS.items():
         if mode == "mask":
-            replacement = f"[{name}]"
-            out = F.regexp_replace(out, pattern, replacement)
-        else:  # hash mode: deterministic pseudonym per field content
-            token = F.concat(
-                F.lit(f"[{name}:"), F.substring(F.sha2(c, 256), 1, 8), F.lit("]")
+            out = F.regexp_replace(out, pattern, f"[{name}]")
+        else:  # hash mode: pseudonym per MATCHED VALUE, not per field
+            # split() yields the n+1 non-match segments, regexp_extract_all
+            # the n matches; interleave hashed matches back between the
+            # segments.  All JVM-side Column ops — no Python in the loop.
+            segs = F.split(out, pattern)
+            tokens = F.transform(
+                F.regexp_extract_all(out, F.lit(pattern), F.lit(0)),
+                lambda m: F.concat(
+                    F.lit(f"[{name}:"), F.substring(F.sha2(m, 256), 1, 8), F.lit("]")
+                ),
             )
-            # regexp_replace with a column replacement
-            out = F.regexp_replace(out, F.lit(pattern), token)
+            out = F.concat(
+                F.array_join(
+                    F.zip_with(
+                        F.slice(segs, 1, F.size(tokens)), tokens, lambda s, t: F.concat(s, t)
+                    ),
+                    "",
+                ),
+                F.element_at(segs, -1),
+            )
     return out

@@ -17,6 +17,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: join types for which salting preserves exact join semantics.  For
+#: right/full the exploded dim side would return each unmatched dim row
+#: ``num_salts`` times, so those are rejected rather than silently wrong.
+SALTABLE_JOINS = frozenset({"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"})
+
+
 def salted_join(
     skewed: DataFrame,
     dim: DataFrame,
@@ -27,18 +33,26 @@ def salted_join(
     """Join a skew-heavy fact side to a (small) dimension under salt.
 
     The dimension is exploded ``num_salts``x (cheap — it is the small
-    side); the fact side gets a deterministic pseudo-random salt from
-    xxhash64 of its whole row key + a monotonic discriminator, spreading
-    a hot key over ``num_salts`` partitions.  Result is identical to the
-    unsalted join.
+    side); the fact side gets a salt derived purely from row CONTENT
+    (xxhash64 over every fact column), so a task retry or an AQE
+    repartition re-derives the identical salt — never a function of
+    partition layout.  Identical rows share a salt, which is harmless:
+    the hot-key spread comes from payload diversity, which is exactly
+    what a skewed key has.  Result is identical to the unsalted join
+    for ``how`` in :data:`SALTABLE_JOINS`; right/full joins would
+    duplicate unmatched dim rows across salt replicas and are rejected.
     """
+    if how.replace("_", "").lower() not in {h.replace("_", "") for h in SALTABLE_JOINS}:
+        raise ValueError(
+            f"salted_join supports {sorted(SALTABLE_JOINS)} only; "
+            f"got how={how!r} (right/full would emit unmatched dim rows "
+            f"once per salt replica)"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("__salt")
     dim_salted = dim.select(F.col("*"), salts)
     fact_salted = skewed.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(num_salts)).cast(
-            "int"
-        ),
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)).cast("int"),
     )
     return fact_salted.join(dim_salted, [key, "__salt"], how).drop("__salt")
 

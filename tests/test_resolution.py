@@ -99,6 +99,18 @@ def test_highlight_marks_terms(spark):
     assert row.h == "The <mark>Spark</mark> engine sparks joy"
 
 
+def test_highlight_escapes_regex_metacharacters(spark):
+    df = spark.createDataFrame([("we love c++ and a.b here",)], ["t"])
+    [row] = df.select(T.highlight(F.col("t"), ["a.b"]).alias("h")).collect()
+    assert "<mark>a.b</mark>" in row.h
+    # the dot must be literal: 'and' (which matches /a.b/? no — 'a.b'
+    # unescaped would match 'a' + any + 'b') must not be marked
+    assert "<mark>and</mark>" not in row.h
+    # a term that is invalid regex unescaped must not break the whole call
+    [row2] = df.select(T.highlight(F.col("t"), ["c++", "love"]).alias("h")).collect()
+    assert "<mark>love</mark>" in row2.h
+
+
 def test_lang_id_heuristic(spark):
     df = spark.createDataFrame(
         [

@@ -31,6 +31,43 @@ def test_salted_join_equivalence(spark):
     assert plain == salted
 
 
+def test_salted_join_salt_is_content_derived(spark):
+    """The salt must be a pure function of row content: re-deriving it on
+    the same rows under a completely different partition layout yields
+    identical salts (the task-retry / AQE-repartition safety property)."""
+    fact = spark.range(5_000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
+    )
+
+    def salts_of(df):
+        salted = df.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(8)).cast("int"),
+        )
+        return {(r["k"], r["payload"]): r["__salt"] for r in salted.collect()}
+
+    a = salts_of(fact.repartition(32))
+    b = salts_of(fact.repartition(3, "payload"))
+    assert a == b
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    fact = spark.range(10).select(F.col("id").alias("k"))
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            S.salted_join(fact, dim, "k", how=how)
+
+
+def test_salted_left_join_equivalence(spark):
+    """Left join: unmatched fact rows survive exactly once."""
+    fact = spark.range(100).select((F.col("id") % 20).alias("k"), F.col("id").alias("p"))
+    dim = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 3).alias("d"))
+    plain = sorted(fact.join(dim, "k", "left").collect())
+    salted = sorted(S.salted_join(fact, dim, "k", num_salts=4, how="left").collect())
+    assert plain == salted
+
+
 def test_partitioned_write_prunes(spark):
     events = load_tables(spark, SF_SMALL, ("events",))["events"]
     d = tempfile.mkdtemp(prefix="car-etl-part-")

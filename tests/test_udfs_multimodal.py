@@ -76,6 +76,42 @@ def test_redact_pii_mask_and_hash(spark):
     assert "bob@example.com" in untouched.r
 
 
+def test_redact_pii_hash_is_per_matched_value(spark):
+    """Pseudonym linkability contract (reference redactor.py:21-103):
+    the SAME value maps to the SAME pseudonym across rows/documents, and
+    DIFFERENT values in one document get DIFFERENT pseudonyms."""
+    import re
+
+    df = spark.createDataFrame(
+        [
+            ("doc1", "from alice@ex.com to bob@ex.com"),
+            ("doc2", "reply-to alice@ex.com please"),
+        ],
+        ["doc", "text"],
+    )
+    rows = {
+        r.doc: r.r
+        for r in df.select("doc", udfs.redact_pii(F.col("text"), "hash").alias("r")).collect()
+    }
+    tok = re.compile(r"\[EMAIL:([0-9a-f]{8})\]")
+    doc1_tokens = tok.findall(rows["doc1"])
+    doc2_tokens = tok.findall(rows["doc2"])
+    assert len(doc1_tokens) == 2 and len(doc2_tokens) == 1
+    # two different emails in one document -> distinct pseudonyms
+    assert doc1_tokens[0] != doc1_tokens[1]
+    # same email across documents -> same pseudonym
+    assert doc1_tokens[0] == doc2_tokens[0]
+    # surrounding text survives reconstruction
+    assert rows["doc1"].startswith("from ") and " to " in rows["doc1"]
+    # rows with no PII pass through unchanged
+    [clean] = (
+        spark.createDataFrame([("nothing to see",)], ["text"])
+        .select(udfs.redact_pii(F.col("text"), "hash").alias("r"))
+        .collect()
+    )
+    assert clean.r == "nothing to see"
+
+
 @pytest.fixture(scope="module")
 def media_dir():
     d = tempfile.mkdtemp(prefix="car-etl-media-")
