@@ -29,10 +29,9 @@ HEADLINE = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "flagship_portfolio_rollup",
-    "latest_order_per_customer",
-    # normalization at volume
-    "normalize_currency_roundtrip",
-    "normalize_date_roundtrip",
+    "customer_order_versioning",
+    # normalization at volume (all roundtrips consolidated)
+    "normalize_roundtrips",
     # entity resolution (blocked similarity join)
     "entity_match_blocked",
     # search stack (the reference's published benchmark surface)
@@ -40,15 +39,17 @@ HEADLINE = (
     "vector_topk",
     "hybrid_rrf_search",
     # dedup + text analysis
-    "doc_fingerprint_dedup",
+    "doc_exact_dedup_stats",
     "doc_quality_scores",
     # FTS posting-list search
     "fts_posting_search",
     # EAV pivot + versioning pipeline
     "eav_pivot_effective_rent",
     "versioned_extractions",
+    # nested extracted-table explode
+    "extraction_tables_explode",
     # event-stream analytics
-    "events_hourly_rollup",
+    "events_time_windows",
     "events_sessionize",
     "cdc_apply_tombstones",
 )

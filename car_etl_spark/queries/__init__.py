@@ -38,6 +38,7 @@ def build_registry() -> dict[str, QuerySpec]:
         eav,
         entity,
         eventsq,
+        extraction,
         fts,
         misc,
         normalize,
@@ -49,7 +50,7 @@ def build_registry() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq, misc, fts):
+    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq, misc, fts, extraction):
         for name, spec in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name: {name}")

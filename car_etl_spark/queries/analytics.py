@@ -209,6 +209,38 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def customer_order_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 + A7 in one entry: is_current (latest order via row_number)
+    joined with MAX(version)+1 per customer — one registry slot, both
+    operators driver-checked.  Same grain (o_custkey), co-partitioned
+    join on the grouping key (no extra shuffle beyond the window's)."""
+    latest = latest_order_per_customer(spark, sf_dir)
+    nextv = next_version_per_customer(spark, sf_dir)
+    return latest.join(nextv, "o_custkey").orderBy("o_custkey")
+
+
+CUSTOMER_ORDER_VERSIONING_SQL = """
+WITH latest AS (
+  SELECT o_custkey,
+         o_orderkey AS latest_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate,
+         ROUND(o_totalprice, 2) AS latest_totalprice
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders)
+  WHERE rn = 1
+), nextv AS (
+  SELECT o_custkey, COUNT(*) AS current_versions,
+         MAX(o_orderkey) + 1 AS next_version_key
+  FROM orders GROUP BY o_custkey
+)
+SELECT latest.*, current_versions, next_version_key
+FROM latest JOIN nextv USING (o_custkey)
+ORDER BY o_custkey
+"""
+
+
 def effective_components_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: row-wise sum of coalesced components — the 6-component
     effective-rent composition (``effective_rent.py:151-169``) as pure
@@ -280,8 +312,9 @@ ORDER BY n_name
 QUERIES: dict[str, QuerySpec] = {
     "flagship_portfolio_rollup": QuerySpec(flagship_portfolio_rollup, FLAGSHIP_SQL, ("window", "topk")),
     "top5_concentration": QuerySpec(top5_concentration, TOP5_CONCENTRATION_SQL, ("agg",)),
-    "latest_order_per_customer": QuerySpec(latest_order_per_customer, LATEST_ORDER_SQL, ("window",)),
-    "next_version_per_customer": QuerySpec(next_version_per_customer, NEXT_VERSION_SQL, ("agg",)),
+    "customer_order_versioning": QuerySpec(
+        customer_order_versioning, CUSTOMER_ORDER_VERSIONING_SQL, ("window", "agg")
+    ),
     "effective_components_rowwise": QuerySpec(effective_components_rowwise, EFFECTIVE_COMPONENTS_SQL, ("project",)),
     "nation_rollup": QuerySpec(nation_rollup, NATION_ROLLUP_SQL, ("agg", "broadcast")),
 }

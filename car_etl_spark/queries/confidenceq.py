@@ -240,11 +240,41 @@ FROM cal ORDER BY orderkey
 """
 
 
+def om_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26+F27+F28+F29 in ONE oracle entry: consistency penalties,
+    marketing-aware field confidence, pro-forma warning flags, and
+    calibration variances joined on orderkey — the full OM validation
+    report a platform user reads, and one registry slot instead of four.
+    Every sub-expression is byte-identical to the round-1 queries."""
+    return (
+        om_consistency_checks(spark, sf_dir)
+        .join(om_field_confidence_scores(spark, sf_dir), "orderkey")
+        .join(pro_forma_validation_flags(spark, sf_dir), "orderkey")
+        .join(calibration_variances(spark, sf_dir), "orderkey")
+        .orderBy("orderkey")
+    )
+
+
+OM_VALIDATION_REPORT_SQL = f"""
+WITH consistency AS ({OM_CONSISTENCY_SQL}),
+field_conf AS ({OM_FIELD_CONFIDENCE_SQL}),
+pro_forma AS ({PRO_FORMA_SQL}),
+calibration AS ({CALIBRATION_SQL})
+SELECT consistency.*,
+       source_section, value_type, cap_rate_confidence,
+       rent_growth_assumption, rent_growth_warning, noi_uplift_warning,
+       occupancy_warning, warning_count,
+       closing_price, price_variance
+FROM consistency
+JOIN field_conf USING (orderkey)
+JOIN pro_forma USING (orderkey)
+JOIN calibration USING (orderkey)
+ORDER BY orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
-    "om_consistency_checks": QuerySpec(om_consistency_checks, OM_CONSISTENCY_SQL, ("confidence",)),
-    "om_field_confidence_scores": QuerySpec(
-        om_field_confidence_scores, OM_FIELD_CONFIDENCE_SQL, ("confidence",)
+    "om_validation_report": QuerySpec(
+        om_validation_report, OM_VALIDATION_REPORT_SQL, ("confidence",)
     ),
-    "pro_forma_validation_flags": QuerySpec(pro_forma_validation_flags, PRO_FORMA_SQL, ("confidence",)),
-    "calibration_variances": QuerySpec(calibration_variances, CALIBRATION_SQL, ("confidence",)),
 }

@@ -95,10 +95,20 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).cast("long").alias(f"{et}_count")
         )
-    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+    wide = ev.groupBy("user_id").agg(*aggs)
+    # Retry/DLQ queue stats (T5 batch analog, reference
+    # extraction_worker.py:36-37,416-443) ride on the same pivot:
+    # attempts capped at max_attempts=3, overflow dead-lettered.
+    return wide.select(
+        "*",
+        F.least(F.col("error_count"), F.lit(3)).alias("attempts_used"),
+        (F.col("error_count") > 3).alias("dead_lettered"),
+    ).orderBy("user_id")
 
 
 EVENTS_TYPE_PIVOT_SQL = """
+SELECT *, LEAST(error_count, 3) AS attempts_used, error_count > 3 AS dead_lettered
+FROM (
 SELECT user_id,
        CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(30,6))), 2) AS DOUBLE) AS click_value,
        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
@@ -110,7 +120,8 @@ SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_count,
        CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'error' THEN value ELSE 0 END AS DECIMAL(30,6))), 2) AS DOUBLE) AS error_value,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count
-FROM events GROUP BY user_id ORDER BY user_id
+FROM events GROUP BY user_id
+) ORDER BY user_id
 """
 
 
@@ -216,11 +227,9 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "events_hourly_rollup": QuerySpec(events_hourly_rollup, EVENTS_HOURLY_SQL, ("events", "window")),
     "events_user_running_total": QuerySpec(events_user_running_total, EVENTS_RUNNING_TOTAL_SQL, ("events", "window")),
     "events_type_pivot": QuerySpec(events_type_pivot, EVENTS_TYPE_PIVOT_SQL, ("events", "pivot")),
     "events_json_props": QuerySpec(events_json_props, EVENTS_JSON_PROPS_SQL, ("events", "json")),
-    "events_retry_dlq": QuerySpec(events_retry_dlq, EVENTS_RETRY_DLQ_SQL, ("events",)),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, ("events", "window")),
 }
 
@@ -255,15 +264,18 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE the dedup carries event_id: two distinct events sharing the same
+# (type, value, ts) must stay two rows, exactly like the Spark side's
+# per-event array_distinct over window starts.
 EVENTS_SLIDING_SQL = f"""
 WITH starts AS (
-  SELECT event_type, value, ts, date_trunc('hour', ts) AS window_start FROM events
+  SELECT event_id, event_type, value, ts, date_trunc('hour', ts) AS window_start FROM events
   UNION ALL
-  SELECT event_type, value, ts,
+  SELECT event_id, event_type, value, ts,
          date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE AS window_start
   FROM events
 ), dedup AS (
-  SELECT DISTINCT event_type, value, ts, window_start FROM starts
+  SELECT DISTINCT event_id, event_type, value, ts, window_start FROM starts
   WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
 )
 SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -274,6 +286,50 @@ FROM dedup GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
 
-QUERIES["events_sliding_window"] = QuerySpec(
-    events_sliding_window, EVENTS_SLIDING_SQL, ("events", "window")
+
+def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 in one entry: the tumbling 1-hour rollup and the sliding
+    (1 h window / 30 min slide) rollup union-tagged by window kind — both
+    streaming-window batch twins keep a driver correctness row in one
+    registry slot.  ``active_users`` (countDistinct) only applies to the
+    tumbling form; the sliding rows carry NULL."""
+    hourly = events_hourly_rollup(spark, sf_dir).select(
+        F.lit("tumbling_1h").alias("window_kind"),
+        F.col("hour_start").alias("window_start"),
+        "event_type",
+        F.col("event_count").alias("n"),
+        "total_value",
+        "active_users",
+    )
+    sliding = events_sliding_window(spark, sf_dir).select(
+        F.lit("sliding_1h_30m").alias("window_kind"),
+        "window_start",
+        "event_type",
+        "n",
+        "total_value",
+        F.lit(None).cast("long").alias("active_users"),
+    )
+    return hourly.unionByName(sliding).orderBy("window_kind", "window_start", "event_type")
+
+
+EVENTS_TIME_WINDOWS_SQL = f"""
+SELECT 'tumbling_1h' AS window_kind, hour_start AS window_start, event_type, n,
+       total_value, active_users
+FROM (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type,
+         COUNT(*) AS n,
+         {sql_dsum('value')} AS total_value,
+         COUNT(DISTINCT user_id) AS active_users
+  FROM events GROUP BY 1, 2
+)
+UNION ALL
+SELECT 'sliding_1h_30m' AS window_kind, window_start, event_type, n, total_value,
+       CAST(NULL AS BIGINT) AS active_users
+FROM ({EVENTS_SLIDING_SQL})
+ORDER BY window_kind, window_start, event_type
+"""
+
+QUERIES["events_time_windows"] = QuerySpec(
+    events_time_windows, EVENTS_TIME_WINDOWS_SQL, ("events", "window")
 )

@@ -279,11 +279,99 @@ ORDER BY p_partkey
 """
 
 
+def normalize_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F9 in ONE oracle entry: every normalizer roundtrip, tagged by
+    kind and unioned to a common (kind, key_id, raw_value, normalized)
+    string schema.
+
+    Consolidation note: round 1 registered each roundtrip separately;
+    the driver's correctness window is 50 entries, so the seven
+    sub-checks share one slot.  Each sub-query is unchanged — typed
+    outputs go through DECIMAL before the string cast so both engines
+    render identical text ("104949.50", never "104949.5").
+    """
+    def tag(df: DataFrame, kind: str, key, raw, norm) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"),
+            key.cast("long").alias("key_id"),
+            raw.alias("raw_value"),
+            norm.alias("normalized"),
+        )
+
+    cur = tag(
+        currency_roundtrip(spark, sf_dir), "currency", F.col("o_orderkey"),
+        F.col("raw_value"), F.col("normalized").cast("decimal(18,2)").cast("string"),
+    )
+    dat = tag(
+        date_roundtrip(spark, sf_dir), "date", F.col("o_orderkey"),
+        F.col("raw_value"), F.col("normalized_date"),
+    )
+    pct = tag(
+        percent_roundtrip(spark, sf_dir), "percent",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        F.col("raw_value"), F.col("normalized_pct").cast("decimal(18,6)").cast("string"),
+    )
+    be = boolean_enum_roundtrip(spark, sf_dir)
+    boo = tag(be, "boolean", F.col("c_custkey"), F.col("bool_raw"),
+              F.col("normalized_bool").cast("string"))
+    enu = tag(be, "enum", F.col("c_custkey"), F.col("seg_raw"), F.col("normalized_segment"))
+    num = tag(
+        extract_numeric_lenient(spark, sf_dir), "numeric_lenient", F.col("o_orderkey"),
+        F.col("raw_value"), F.col("numeric_value").cast("decimal(18,2)").cast("string"),
+    )
+    itg = tag(
+        integer_roundtrip(spark, sf_dir), "integer", F.col("p_partkey"),
+        F.col("raw_value"), F.col("normalized_int").cast("string"),
+    )
+    out = cur
+    for part in (dat, pct, boo, enu, num, itg):
+        out = out.unionByName(part)
+    return out.orderBy("kind", "key_id")
+
+
+def _tagged_sql(kind: str, key_expr: str, norm_expr: str, inner: str) -> str:
+    return (
+        f"SELECT '{kind}' AS kind, CAST({key_expr} AS BIGINT) AS key_id, "
+        f"raw_value, {norm_expr} AS normalized FROM ({inner}) t"
+    )
+
+
+NORMALIZE_ROUNDTRIPS_SQL = (
+    "SELECT kind, key_id, raw_value, normalized FROM (\n"
+    + "\nUNION ALL\n".join(
+        [
+            _tagged_sql(
+                "currency", "o_orderkey",
+                "CAST(CAST(normalized AS DECIMAL(18,2)) AS VARCHAR)", CURRENCY_ROUNDTRIP_SQL,
+            ),
+            _tagged_sql("date", "o_orderkey", "normalized_date", DATE_ROUNDTRIP_SQL),
+            _tagged_sql(
+                "percent", "l_orderkey * 10 + l_linenumber",
+                "CAST(CAST(normalized_pct AS DECIMAL(18,6)) AS VARCHAR)", PERCENT_ROUNDTRIP_SQL,
+            ),
+            _tagged_sql(
+                "boolean", "c_custkey",
+                "CAST(normalized_bool AS VARCHAR)",
+                BOOLEAN_ENUM_ROUNDTRIP_SQL.replace("SELECT c_custkey, bool_raw,",
+                                                   "SELECT c_custkey, bool_raw AS raw_value,"),
+            ),
+            _tagged_sql(
+                "enum", "c_custkey", "normalized_segment",
+                BOOLEAN_ENUM_ROUNDTRIP_SQL.replace("seg_raw,", "seg_raw AS raw_value,"),
+            ),
+            _tagged_sql(
+                "numeric_lenient", "o_orderkey",
+                "CAST(CAST(numeric_value AS DECIMAL(18,2)) AS VARCHAR)", EXTRACT_NUMERIC_SQL,
+            ),
+            _tagged_sql(
+                "integer", "p_partkey", "CAST(normalized_int AS VARCHAR)", INTEGER_ROUNDTRIP_SQL,
+            ),
+        ]
+    )
+    + "\n) ORDER BY kind, key_id"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
-    "normalize_currency_roundtrip": QuerySpec(currency_roundtrip, CURRENCY_ROUNDTRIP_SQL, ("normalize",)),
-    "normalize_date_roundtrip": QuerySpec(date_roundtrip, DATE_ROUNDTRIP_SQL, ("normalize",)),
-    "normalize_percent_roundtrip": QuerySpec(percent_roundtrip, PERCENT_ROUNDTRIP_SQL, ("normalize",)),
-    "normalize_boolean_enum": QuerySpec(boolean_enum_roundtrip, BOOLEAN_ENUM_ROUNDTRIP_SQL, ("normalize",)),
-    "extract_numeric_lenient": QuerySpec(extract_numeric_lenient, EXTRACT_NUMERIC_SQL, ("normalize",)),
-    "normalize_integer_roundtrip": QuerySpec(integer_roundtrip, INTEGER_ROUNDTRIP_SQL, ("normalize",)),
+    "normalize_roundtrips": QuerySpec(normalize_roundtrips, NORMALIZE_ROUNDTRIPS_SQL, ("normalize",)),
 }

@@ -221,6 +221,33 @@ ORDER BY c_custkey
 """
 
 
+def customers_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7/P8 in one entry: the left-semi (RLS EXISTS) branch and the
+    left-anti (ingest-dedup NOT EXISTS) branch union-tagged, so both
+    join operators keep a driver correctness row in one registry slot."""
+    semi = customers_with_orders(spark, sf_dir).select(
+        F.lit("has_urgent_orders").alias("presence"), "c_custkey", "c_name"
+    )
+    anti = customers_without_orders(spark, sf_dir).select(
+        F.lit("no_orders").alias("presence"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti).orderBy("presence", "c_custkey")
+
+
+CUSTOMERS_ORDER_PRESENCE_SQL = """
+SELECT 'has_urgent_orders' AS presence, c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'no_orders' AS presence, c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY presence, c_custkey
+"""
+
+
 def union_pending_retryable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5: union of two predicate branches with dedup — pending plus
     retryable-failed queue fetch (reference
@@ -336,8 +363,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, ("join", "topk")),
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL, ("join", "broadcast")),
     "order_priority_queue": QuerySpec(order_priority_queue, ORDER_PRIORITY_QUEUE_SQL, ("sort", "limit")),
-    "customers_with_orders": QuerySpec(customers_with_orders, CUSTOMERS_WITH_ORDERS_SQL, ("semi-join",)),
-    "customers_without_orders": QuerySpec(customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL, ("anti-join",)),
+    "customers_order_presence": QuerySpec(
+        customers_order_presence, CUSTOMERS_ORDER_PRESENCE_SQL, ("semi-join", "anti-join")
+    ),
     "union_pending_retryable": QuerySpec(union_pending_retryable, UNION_PENDING_RETRYABLE_SQL, ("set-op",)),
     "segment_distinct_counts": QuerySpec(segment_distinct_counts, SEGMENT_DISTINCT_COUNTS_SQL, ("agg",)),
     "weighted_avg_discount": QuerySpec(weighted_avg_discount, WEIGHTED_AVG_DISCOUNT_SQL, ("agg",)),

@@ -302,11 +302,141 @@ FROM r GROUP BY source ORDER BY source
 """
 
 
+def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics + stop-word/quality profile per (source, lang) —
+    the consolidated corpus-curation rollup (one registry slot for the
+    token-stats and stopword-profile operators; same staged-token plan,
+    finer grain covers both round-1 groupings)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    m = _tokenized(docs, "source", "lang", "n_chars").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("dn"),
+        _stop_count(F.col("toks")).alias("ns"),
+    )
+    sw = F.when(F.col("n") > 0, F.col("ns").cast("double") / F.col("n")).otherwise(0.0)
+    ttr = F.when(F.col("n") > 0, F.col("dn").cast("double") / F.col("n")).otherwise(0.0)
+    q = F.round(
+        0.4 * F.least(F.col("n") / 50.0, F.lit(1.0))
+        + 0.3 * F.least(ttr * 2.0, F.lit(1.0))
+        + 0.3 * (1.0 - sw),
+        6,
+    )
+    staged = m.select("source", "lang", "n_chars", "n", "dn", sw.alias("sw"), q.alias("q"))
+    return (
+        staged.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("n").alias("total_tokens"),
+            F.round(F.avg("n"), 4).alias("avg_tokens"),
+            F.round(F.avg("dn"), 4).alias("avg_distinct_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("sw"), 6).alias("avg_stopword_ratio"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+DOC_CORPUS_PROFILE_SQL = f"""
+WITH tok AS (
+  SELECT source, lang, n_chars,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT source, lang, n_chars, len(toks) AS n,
+         len(list_distinct(toks)) AS dn,
+         len(list_filter(toks, x -> list_contains([{_STOP_SQL_LIST}], LOWER(x)))) AS ns
+  FROM tok
+), r AS (
+  SELECT source, lang, n_chars, n, dn,
+         CASE WHEN n > 0 THEN CAST(ns AS DOUBLE) / n ELSE 0.0 END AS sw,
+         ROUND(0.4 * LEAST(n / 50.0, 1.0)
+               + 0.3 * LEAST(CASE WHEN n > 0 THEN CAST(dn AS DOUBLE) / n ELSE 0.0 END * 2.0, 1.0)
+               + 0.3 * (1.0 - CASE WHEN n > 0 THEN CAST(ns AS DOUBLE) / n ELSE 0.0 END), 6) AS q
+  FROM m
+)
+SELECT source, lang, COUNT(*) AS doc_count,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n), 4) AS avg_tokens,
+       ROUND(AVG(dn), 4) AS avg_distinct_tokens,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(sw), 6) AS avg_stopword_ratio,
+       ROUND(AVG(q), 6) AS avg_quality
+FROM r GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+def doc_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated exact-dedup report per source: total docs, keep-first
+    survivors, dropped duplicates, clusters led, and extra copies
+    absorbed — the fingerprint-cluster and keep-first-survivor operators
+    (J6 anti-join shape, reference ``020_documents.sql:31``) in one
+    entry.  Same plan as round 1's two queries: map-side sha256
+    fingerprint, one groupBy(fp) shuffle, one groupBy(source) rollup."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_fp = _fingerprinted(docs, "doc_id", "source")
+    clusters = with_fp.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+    totals = with_fp.groupBy("source").agg(F.count(F.lit(1)).alias("total_docs"))
+    keepers = (
+        with_fp.join(clusters, ["fp", "doc_id"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0)).cast("long").alias("dup_clusters_led"),
+            F.sum(F.col("dup_count") - 1).cast("long").alias("extra_copies"),
+        )
+    )
+    return (
+        totals.join(keepers, "source")
+        .select(
+            "source",
+            "total_docs",
+            "kept_docs",
+            (F.col("total_docs") - F.col("kept_docs")).alias("dropped_docs"),
+            "dup_clusters_led",
+            "extra_copies",
+        )
+        .orderBy("source")
+    )
+
+
+DOC_EXACT_DEDUP_STATS_SQL = """
+WITH fp AS (
+  SELECT doc_id, source,
+         sha256(array_to_string(
+           list_sort(list_distinct(
+             list_transform(
+               list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+               x -> LOWER(x)))),
+           ' ')) AS fp
+  FROM documents
+), clusters AS (
+  SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM fp GROUP BY fp
+), totals AS (
+  SELECT source, COUNT(*) AS total_docs FROM fp GROUP BY source
+), keepers AS (
+  SELECT f.source, COUNT(*) AS kept_docs,
+         CAST(SUM(CASE WHEN c.dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_clusters_led,
+         CAST(SUM(c.dup_count - 1) AS BIGINT) AS extra_copies
+  FROM fp f JOIN clusters c ON f.fp = c.fp AND f.doc_id = c.doc_id
+  GROUP BY f.source
+)
+SELECT t.source, t.total_docs, k.kept_docs,
+       t.total_docs - k.kept_docs AS dropped_docs,
+       k.dup_clusters_led, k.extra_copies
+FROM totals t JOIN keepers k ON t.source = k.source
+ORDER BY t.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
-    "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL, ("text",)),
+    "doc_corpus_profile": QuerySpec(doc_corpus_profile, DOC_CORPUS_PROFILE_SQL, ("text",)),
     "doc_quality_scores": QuerySpec(doc_quality_scores, DOC_QUALITY_SQL, ("text",)),
-    "doc_fingerprint_dedup": QuerySpec(doc_fingerprint_dedup, DOC_FINGERPRINT_DEDUP_SQL, ("dedup",)),
-    "doc_exact_dedup_keep_first": QuerySpec(doc_exact_dedup_keep_first, DOC_EXACT_DEDUP_SQL, ("dedup",)),
+    "doc_exact_dedup_stats": QuerySpec(doc_exact_dedup_stats, DOC_EXACT_DEDUP_STATS_SQL, ("dedup",)),
     "doc_keyword_search": QuerySpec(doc_keyword_search, DOC_KEYWORD_SEARCH_SQL, ("search",)),
-    "doc_stopword_profile": QuerySpec(doc_stopword_profile, DOC_STOPWORD_PROFILE_SQL, ("text",)),
 }

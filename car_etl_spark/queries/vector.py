@@ -140,11 +140,50 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def vector_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label similarity rollup + norm hygiene in ONE corpus pass —
+    the consolidated cluster-quality / embedding-hygiene scan (one
+    registry slot for round 1's label-similarity and norms queries;
+    map-side partial agg, single shuffle on label)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = _query_vec(emb)
+    sim = V.cosine_similarity(F.col("embedding"), F.col("qvec"))
+    nrm = V.norm(F.col("embedding"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("label", sim.alias("s"), nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), 6).alias("avg_sim"),
+            F.round(F.max("s"), 6).alias("max_sim"),
+            F.round(F.min("s"), 6).alias("min_sim"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+VECTOR_LABEL_PROFILE_SQL = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[])), 6) AS avg_sim,
+       ROUND(MAX(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[])), 6) AS max_sim,
+       ROUND(MIN(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[])), 6) AS min_sim,
+       ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+       ROUND(MIN(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+       ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+FROM embeddings, q
+GROUP BY label ORDER BY label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "vector_topk": QuerySpec(vector_topk, VECTOR_TOPK_SQL, ("vector", "topk")),
     "vector_knn_label_vote": QuerySpec(vector_knn_label_vote, VECTOR_KNN_LABEL_VOTE_SQL, ("vector",)),
-    "vector_label_similarity": QuerySpec(vector_label_similarity, VECTOR_LABEL_SIMILARITY_SQL, ("vector",)),
-    "embedding_norms": QuerySpec(embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
+    "vector_label_profile": QuerySpec(vector_label_profile, VECTOR_LABEL_PROFILE_SQL, ("vector",)),
 }
 
 

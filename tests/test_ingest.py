@@ -82,3 +82,46 @@ def test_route_and_parse_fallback(spark):
     # a PDF whose text layer fails falls back to the OCR stub
     assert out["pdf_binary"].parser_used in ("pdf_text", "ocr_stub")
     assert out["pdf_binary"].parsed_text is not None
+
+
+# ---------------------------------------------------------------------------
+# S8: nested extracted-table operator (ExtractedTable{headers, rows})
+
+
+def test_extracted_tables_explode_and_cell_access(spark):
+    from car_etl_spark.operators import extraction_tables as X
+
+    nested = spark.createDataFrame(
+        [
+            (
+                "ext1",
+                "rent_roll",
+                ["unit", "tenant", "rent"],
+                [["101", "Acme", "1200.00"], ["102", "Globex", "1350.50"]],
+                1,
+                0.95,
+            ),
+            ("ext2", "empty_sheet", ["a"], [], None, 1.0),
+            # different header vocabulary — cell() must resolve per row
+            ("ext3", "expenses", ["rent", "opex"], [["900.00", "50.00"]], 2, 1.0),
+        ],
+        f"extraction_id string, {X.EXTRACTED_TABLE_SCHEMA}",
+    )
+    child = X.explode_extracted_tables(nested, "extraction_id")
+    rows = child.select(
+        "extraction_id",
+        "table_name",
+        "row_index",
+        X.cell("rent").alias("rent"),
+        X.cell("tenant").alias("tenant"),
+        X.cell("missing_header").alias("absent"),
+    ).orderBy("extraction_id", "row_index").collect()
+    # empty rows array -> no child rows (ext2 disappears, like an empty sheet)
+    assert [r.extraction_id for r in rows] == ["ext1", "ext1", "ext3"]
+    assert [r.row_index for r in rows] == [0, 1, 0]
+    # header-aligned access follows each row's own vocabulary
+    assert [r.rent for r in rows] == ["1200.00", "1350.50", "900.00"]
+    assert [r.tenant for r in rows] == ["Acme", "Globex", None]
+    assert all(r.absent is None for r in rows)
+    # row_index is long (driver schema contract)
+    assert dict(child.dtypes)["row_index"] == "bigint"
