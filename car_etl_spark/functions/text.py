@@ -97,19 +97,34 @@ def content_hash(c: Column) -> Column:
     return F.sha2(c, 256)
 
 
-def shingles(c: Column, n: int = 3) -> Column:
-    """Word n-gram shingles -> array<string> (MinHash input).
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-STAGED token column.
+
+    ``toks`` must be a plain projected column, not an inline tokenize
+    expression: Catalyst does not CSE an expression referenced from
+    every slice of the transform, so inlining re-tokenizes the document
+    once per shingle (measured 7x slower on the sf0.1 corpus — the
+    module-docstring staging rule).
 
     Documents shorter than ``n`` tokens yield a single whole-doc shingle
     so they still participate in dedup.
     """
-    toks = tokenize(F.lower(c))
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (MinHash input).
+
+    Convenience single-expression form; prefer staging ``tokenize``
+    into its own projection and calling :func:`shingles_from_tokens`
+    (see that function's CSE note).
+    """
+    return shingles_from_tokens(tokenize(F.lower(c)), n)
 
 
 # NOTE: MinHash signatures are intentionally NOT offered as a per-row

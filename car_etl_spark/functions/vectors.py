@@ -31,3 +31,15 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 def cosine_distance(a: Column, b: Column) -> Column:
     return 1.0 - cosine_similarity(a, b)
+
+
+def literal_vector(values) -> Column:
+    """A query vector as ONE SQL literal expression.
+
+    Serving-path latency note: building the same array with 1536
+    ``F.lit`` calls costs 1536 py4j round-trips (~1 s of pure driver
+    overhead at reference embedding size); one ``F.expr`` string is a
+    single round-trip and parses JVM-side.  Constant-folds, so the
+    query-side norm in :func:`cosine_similarity` is computed once."""
+    body = ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in values)
+    return F.expr(f"array({body})")

