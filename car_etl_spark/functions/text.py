@@ -185,6 +185,49 @@ def lang_id(c: Column) -> Column:
     )
 
 
+# Minimal suffix-strip stemmer (F20 english-stemming approximation,
+# reference 044_keyword_search.sql:22-34), three ordered rules modeled
+# on Porter step 1a.  Engine-portable by construction: Java regex
+# (Spark) and RE2 (DuckDB) agree — RE2 has no lookbehind, so the
+# stem-length guards are lazy captures, never assertions.  The bare-s
+# rule requires a non-s before the suffix so 'class' is NOT stripped to
+# 'clas' ('classes' -> 'class' via the sses-rule -> consistent).  No
+# double-consonant recoding: 'running' -> 'runn' (self-consistent; the
+# ing-form recall against the bare form stays partial, as declared).
+STEM_RULES = (
+    (r"^(\w{3,}?)(ing|ies|ied|ed)$", 1),   # hopes'd'/carried/carrying
+    (r"^(\w{2,}?ss)(es)$", 1),             # classes -> class
+    (r"^(\w{2,}?[^s])(s)$", 1),            # runs -> run; class stays
+)
+
+
+def stem(c: Column) -> Column:
+    """Suffix-strip stem of a lowercase token: runs -> run,
+    classes -> class, carried -> carr.  Apply the SAME rule to query
+    terms (:func:`stem_py`) — matching is stem-to-stem."""
+    out = c
+    for pattern, _group in STEM_RULES:
+        out = F.regexp_replace(out, pattern, "$1")
+    return out
+
+
+def stem_py(token: str) -> str:
+    """The same rules for driver-side query terms."""
+    import re
+
+    for pattern, _group in STEM_RULES:
+        token = re.sub(pattern, r"\1", token)
+    return token
+
+
+def stem_sql(expr: str) -> str:
+    """The same rules as a DuckDB SQL expression over ``expr``."""
+    out = expr
+    for pattern, _group in STEM_RULES:
+        out = f"regexp_replace({out}, '{pattern}', '\\1')"
+    return out
+
+
 def snippet(c: Column, max_len: int = 150) -> Column:
     """F17: truncate at a word boundary with ellipsis (reference
     ``src/rag/citations.py:108-118``): take max_len chars, cut back to

@@ -1,0 +1,212 @@
+"""Connector CDC: versioned upsert, tombstones, delta-token protocol.
+
+The reference's SharePoint/Drive delta sync (S5/S6/T2/T8) has three
+invariants this module re-expresses Spark-first:
+
+1. **Immutability** — changed content NEVER updates a document row; a
+   new version is inserted with ``parent_id`` linking the chain and the
+   same content hash is a no-op
+   (``src/connectors/sharepoint/sync.py:228-280``: "Always INSERT,
+   never UPDATE").
+2. **Tombstones** — source deletions are logged to a separate
+   deletions table; the documents table is untouched and the "current"
+   view subtracts tombstoned sources
+   (``sharepoint/sync.py:282-333``, ``043_document_source_deletions``).
+3. **Delta tokens** — the incremental cursor persists per connector;
+   an invalidated token resets to a fresh start token and the sync
+   REPROCESSES everything, which is safe because unchanged hashes
+   no-op (``src/connectors/google_drive/sync.py:301-335``).
+
+Spark mapping: change feeds land as files; ``apply_change_batch`` is
+the ``foreachBatch`` body (pure DataFrame-in/DataFrame-out so it is
+batch-testable); the token store is driver-side control plane (tiny,
+per-connector) while all content diffing is distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: documents-table schema contract (version chain per source_path)
+DOC_COLUMNS = (
+    "doc_id", "source_path", "file_hash", "version", "parent_id", "is_current", "synced_at"
+)
+
+
+class TokenInvalidatedError(Exception):
+    """Raised by a change-feed reader when the saved delta token is no
+    longer accepted by the source (the Drive 'invalid token' case)."""
+
+
+class DeltaTokenStore:
+    """Per-connector delta-token persistence (T2).
+
+    The reference stores the token in the connector's config row; here a
+    JSON file under the connector's state dir plays that role.  The
+    token is CONTROL PLANE — one small value per connector — so
+    driver-side file I/O is the right altitude; offsets for the data
+    plane live in the streaming checkpoint.
+    """
+
+    def __init__(self, state_dir: str, connector_id: str) -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        self._path = os.path.join(state_dir, f"{connector_id}.token.json")
+
+    def load(self) -> str | None:
+        if not os.path.exists(self._path):
+            return None
+        with open(self._path) as f:
+            return json.load(f)["delta_token"]
+
+    def save(self, token: str) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"delta_token": token}, f)
+        os.replace(tmp, self._path)  # atomic: a crash never half-writes
+
+    def reset(self) -> None:
+        if os.path.exists(self._path):
+            os.remove(self._path)
+
+
+def apply_change_batch(changes: DataFrame, existing: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One CDC application: (new document versions, new tombstones).
+
+    ``changes``: (source_path, file_hash, change_type['upsert'|'delete'],
+    changed_at).  ``existing``: current documents table (DOC_COLUMNS).
+    Returns frames to APPEND — never rows to update (immutability).
+
+    - upsert with an unseen source_path  -> version 1, no parent
+    - upsert with a changed file_hash    -> version+1, parent = previous
+      current doc, and the caller demotes the previous version via
+      :func:`demote_superseded`
+    - upsert with the same file_hash     -> no-op (idempotent resync)
+    - delete of a known source_path      -> tombstone row (documents
+      table untouched)
+
+    All joins key on source_path — at scale both sides partition on it,
+    and the per-batch change set is small (broadcast side).
+    """
+    current = existing.filter(F.col("is_current")).select(
+        "source_path",
+        F.col("doc_id").alias("prev_doc_id"),
+        F.col("file_hash").alias("prev_hash"),
+        F.col("version").alias("prev_version"),
+    )
+    upserts = (
+        changes.filter(F.col("change_type") == "upsert")
+        .join(current, "source_path", "left")
+        .filter(F.col("prev_hash").isNull() | (F.col("prev_hash") != F.col("file_hash")))
+    )
+    new_versions = upserts.select(
+        # deterministic id: content-addressed (path, hash) — a retried
+        # batch regenerates the identical id, so replays cannot fork the
+        # version chain
+        F.sha2(F.concat_ws("|", "source_path", "file_hash"), 256).alias("doc_id"),
+        "source_path",
+        "file_hash",
+        (F.coalesce(F.col("prev_version"), F.lit(0)) + 1).alias("version"),
+        F.col("prev_doc_id").alias("parent_id"),
+        F.lit(True).alias("is_current"),
+        F.col("changed_at").alias("synced_at"),
+    )
+    tombstones = (
+        changes.filter(F.col("change_type") == "delete")
+        .join(current, "source_path", "inner")  # unknown paths: nothing to tombstone
+        .select(
+            "source_path",
+            F.col("prev_doc_id").alias("doc_id"),
+            F.col("changed_at").alias("deleted_at"),
+        )
+    )
+    return new_versions, tombstones
+
+
+def demote_superseded(existing: DataFrame, new_versions: DataFrame) -> DataFrame:
+    """Rewrite is_current on rows superseded by this batch.  The table
+    stays append-only in spirit — versions are never removed — but the
+    is_current flag is maintained like the reference's demote trigger
+    (``030_extractions.sql:84-105``)."""
+    superseded = new_versions.filter(F.col("parent_id").isNotNull()).select(
+        F.col("parent_id").alias("doc_id")
+    )
+    return existing.join(F.broadcast(superseded), "doc_id", "left_semi").withColumn(
+        "is_current", F.lit(False)
+    ).unionByName(existing.join(F.broadcast(superseded), "doc_id", "left_anti"))
+
+
+def current_documents(docs: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """The serving view (T8): current versions minus tombstoned sources
+    — delete markers win over any live version of that source."""
+    dead = tombstones.select("source_path").distinct()
+    return docs.filter(F.col("is_current")).join(dead, "source_path", "left_anti")
+
+
+class ConnectorSync:
+    """Driver loop for one connector: token protocol + batched CDC.
+
+    ``read_changes(token) -> (changes_df, next_token)`` abstracts the
+    source API (SharePoint delta query / Drive changes.list).  It must
+    raise :class:`TokenInvalidatedError` for a stale cursor, in which
+    case the sync resets to a FULL resync (token=None) exactly like the
+    reference (``google_drive/sync.py:318-330``) — correct because
+    unchanged content no-ops through ``apply_change_batch``.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str, connector_id: str) -> None:
+        self.spark = spark
+        self.tokens = DeltaTokenStore(state_dir, connector_id)
+        self.docs_path = os.path.join(state_dir, f"{connector_id}.docs.parquet")
+        self.tombstones_path = os.path.join(state_dir, f"{connector_id}.tombstones.parquet")
+
+    # -- state-table accessors -------------------------------------------
+    def docs(self) -> DataFrame:
+        if os.path.exists(self.docs_path):
+            return self.spark.read.parquet(self.docs_path)
+        return self.spark.createDataFrame(
+            [], "doc_id string, source_path string, file_hash string, version long, "
+                "parent_id string, is_current boolean, synced_at timestamp",
+        )
+
+    def tombstones(self) -> DataFrame:
+        if os.path.exists(self.tombstones_path):
+            return self.spark.read.parquet(self.tombstones_path)
+        return self.spark.createDataFrame(
+            [], "source_path string, doc_id string, deleted_at timestamp"
+        )
+
+    def current(self) -> DataFrame:
+        return current_documents(self.docs(), self.tombstones())
+
+    # -- sync ------------------------------------------------------------
+    def sync_once(self, read_changes) -> dict:
+        """One sync cycle; returns stats.  Token invalidation triggers
+        the full-resync path in-line (reset token, re-read from None)."""
+        token = self.tokens.load()
+        full_resync = False
+        try:
+            changes, next_token = read_changes(token)
+        except TokenInvalidatedError:
+            self.tokens.reset()
+            full_resync = True
+            changes, next_token = read_changes(None)
+
+        existing = self.docs()
+        new_versions, new_tombstones = apply_change_batch(changes, existing)
+        new_versions = new_versions.localCheckpoint(eager=True)  # sever lineage before overwrite
+
+        n_new = new_versions.count()
+        n_dead = new_tombstones.count()
+        if n_new:
+            updated = demote_superseded(existing, new_versions).unionByName(new_versions)
+            updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.docs_path)
+        if n_dead:
+            new_tombstones.localCheckpoint(eager=True).write.mode("append").parquet(
+                self.tombstones_path
+            )
+        self.tokens.save(next_token)
+        return {"new_versions": n_new, "tombstones": n_dead, "full_resync": full_resync}

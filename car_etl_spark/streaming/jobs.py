@@ -111,14 +111,14 @@ def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> Data
 
 
 class QueueWorker:
-    """T5: micro-batch queue processing with retry budget + DLQ.
+    """TEST SCAFFOLDING for the T5 retry/DLQ state transition.
 
-    Each micro-batch classifies items: non-error events complete;
-    error events consume an attempt.  Cumulative per-user attempt counts
-    persist across batches (worker state); users exceeding MAX_ATTEMPTS
-    dead-letter.  In production the sinks are tables and this runs under
-    ``foreachBatch`` with a checkpoint; the class keeps the state
-    transition pure so it is unit-testable.
+    The canonical implementation is :func:`stateful_attempt_tracker`
+    (applyInPandasWithState): state lives in the checkpointed state
+    store, distributed per key — this class keeps the same transition in
+    a driver dict purely so unit tests can assert it without a state
+    store, and must NOT be used where key cardinality is unbounded (the
+    aggregated collect() is a driver-memory ceiling).
     """
 
     def __init__(self) -> None:

@@ -138,3 +138,77 @@ def test_stateful_attempt_tracker_across_restarts(spark, checkpoint_dir):
             assert run2[uid] == 2 * cnt, f"user {uid}"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Connector CDC: versioned upsert + tombstones + delta-token protocol
+
+
+def _changes_df(spark, rows):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [(p, h, ct, datetime(2026, 1, 1, 0, 0, i)) for i, (p, h, ct) in enumerate(rows)],
+        "source_path string, file_hash string, change_type string, changed_at timestamp",
+    )
+
+
+def test_cdc_version_chain_and_idempotent_rehash(spark, tmp_path):
+    from car_etl_spark.streaming.cdc import ConnectorSync
+
+    sync = ConnectorSync(spark, str(tmp_path), "sp1")
+    sync.sync_once(lambda tok: (_changes_df(spark, [
+        ("sp:a", "h1", "upsert"), ("sp:b", "h2", "upsert")]), "tok1"))
+    # changed content -> NEW version linked to previous; same hash -> no-op
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [
+        ("sp:a", "h1b", "upsert"), ("sp:b", "h2", "upsert")]), "tok2"))
+    assert stats["new_versions"] == 1 and not stats["full_resync"]
+    docs = {(r.source_path, r.version): r for r in sync.docs().collect()}
+    assert len(docs) == 3  # a v1, a v2, b v1 — append-only
+    a1, a2 = docs[("sp:a", 1)], docs[("sp:a", 2)]
+    assert a2.parent_id == a1.doc_id and a2.is_current and not a1.is_current
+    assert docs[("sp:b", 1)].is_current
+    assert sync.tokens.load() == "tok2"
+
+
+def test_cdc_tombstone_wins_and_documents_untouched(spark, tmp_path):
+    from car_etl_spark.streaming.cdc import ConnectorSync
+
+    sync = ConnectorSync(spark, str(tmp_path), "sp2")
+    sync.sync_once(lambda tok: (_changes_df(spark, [
+        ("sp:a", "h1", "upsert"), ("sp:b", "h2", "upsert")]), "t1"))
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [("sp:b", "", "delete")]), "t2"))
+    assert stats["tombstones"] == 1
+    # documents table is immutable under deletion; the CURRENT view drops b
+    assert sync.docs().filter("source_path = 'sp:b'").count() == 1
+    current = {r.source_path for r in sync.current().collect()}
+    assert current == {"sp:a"}
+
+
+def test_cdc_token_invalidation_full_resync(spark, tmp_path):
+    from car_etl_spark.streaming.cdc import ConnectorSync, TokenInvalidatedError
+
+    sync = ConnectorSync(spark, str(tmp_path), "sp3")
+    sync.sync_once(lambda tok: (_changes_df(spark, [
+        ("sp:a", "h1", "upsert"), ("sp:b", "h2", "upsert")]), "t1"))
+    sync.sync_once(lambda tok: (_changes_df(spark, [("sp:b", "", "delete")]), "t2"))
+
+    def invalidated_then_full(tok):
+        if tok is not None:
+            raise TokenInvalidatedError(tok)
+        # full resync enumerates what the source has NOW: only a
+        return _changes_df(spark, [("sp:a", "h1", "upsert")]), "t3-fresh"
+
+    stats = sync.sync_once(invalidated_then_full)
+    assert stats["full_resync"] is True
+    # unchanged hash no-ops: the resync creates NO duplicate versions
+    assert stats["new_versions"] == 0
+    assert sync.docs().count() == 2
+    # tombstone still wins after the reset; fresh token persisted
+    assert {r.source_path for r in sync.current().collect()} == {"sp:a"}
+    assert sync.tokens.load() == "t3-fresh"
+    # a real change after the reset continues the version chain
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [("sp:a", "h1c", "upsert")]), "t4"))
+    assert stats["new_versions"] == 1
+    versions = {r.version for r in sync.docs().filter("source_path = 'sp:a'").collect()}
+    assert versions == {1, 2}
