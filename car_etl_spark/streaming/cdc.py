@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: documents-table schema contract (version chain per source_path)
@@ -73,40 +73,95 @@ class DeltaTokenStore:
             os.remove(self._path)
 
 
-def apply_change_batch(changes: DataFrame, existing: DataFrame) -> tuple[DataFrame, DataFrame]:
+def apply_change_batch(
+    changes: DataFrame, existing: DataFrame, tombstones: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """One CDC application: (new document versions, new tombstones).
 
     ``changes``: (source_path, file_hash, change_type['upsert'|'delete'],
     changed_at).  ``existing``: current documents table (DOC_COLUMNS).
-    Returns frames to APPEND — never rows to update (immutability).
+    ``tombstones``: prior deletion log (source_path, doc_id, deleted_at)
+    — needed so a delete→re-create cycle produces a NEW version instead
+    of no-oping against the tombstoned one.  Returns frames to APPEND —
+    never rows to update (immutability).
+
+    Multiple changes for one source_path within a batch are reduced to
+    the LATEST by changed_at first (delete wins a timestamp tie, like
+    the reference processing changes in feed order with deletions
+    logged last) — without this, two upserts in one batch would both
+    join the same prev row and fork the version chain at prev+1.
 
     - upsert with an unseen source_path  -> version 1, no parent
     - upsert with a changed file_hash    -> version+1, parent = previous
       current doc, and the caller demotes the previous version via
       :func:`demote_superseded`
     - upsert with the same file_hash     -> no-op (idempotent resync)
-    - delete of a known source_path      -> tombstone row (documents
-      table untouched)
+      UNLESS the current version is tombstoned: a re-created file gets
+      a fresh version so it reappears in the serving view (the
+      reference logs deletions per document_id —
+      ``043_document_source_deletions.sql`` UNIQUE(document_id,
+      source_type) — so a re-ingested document is never suppressed)
+    - delete of a known source_path      -> tombstone row keyed by the
+      deleted version's doc_id (documents table untouched)
 
     All joins key on source_path — at scale both sides partition on it,
     and the per-batch change set is small (broadcast side).
     """
+    changes = (
+        changes.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("source_path").orderBy(
+                    F.desc("changed_at"),
+                    # deterministic tie-break at equal timestamps: treat the
+                    # delete as the later event (feed emits deletions last)
+                    F.when(F.col("change_type") == "delete", 1).otherwise(0).desc(),
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    dead_ids = (
+        tombstones.select(F.col("doc_id").alias("prev_doc_id"), F.lit(True).alias("prev_dead"))
+        .distinct()
+        if tombstones is not None
+        else None
+    )
     current = existing.filter(F.col("is_current")).select(
         "source_path",
         F.col("doc_id").alias("prev_doc_id"),
         F.col("file_hash").alias("prev_hash"),
         F.col("version").alias("prev_version"),
     )
+    if dead_ids is not None:
+        current = current.join(F.broadcast(dead_ids), "prev_doc_id", "left")
+    else:
+        current = current.withColumn("prev_dead", F.lit(None).cast("boolean"))
     upserts = (
         changes.filter(F.col("change_type") == "upsert")
         .join(current, "source_path", "left")
-        .filter(F.col("prev_hash").isNull() | (F.col("prev_hash") != F.col("file_hash")))
+        .filter(
+            F.col("prev_hash").isNull()
+            | (F.col("prev_hash") != F.col("file_hash"))
+            | F.coalesce(F.col("prev_dead"), F.lit(False))  # re-create after delete
+        )
     )
     new_versions = upserts.select(
-        # deterministic id: content-addressed (path, hash) — a retried
-        # batch regenerates the identical id, so replays cannot fork the
-        # version chain
-        F.sha2(F.concat_ws("|", "source_path", "file_hash"), 256).alias("doc_id"),
+        # deterministic id: content-addressed (path, hash, version) — a
+        # retried batch re-derives the identical version from the same
+        # prev row and regenerates the identical id, so replays cannot
+        # fork the version chain; version in the hash keeps a same-hash
+        # re-create (after deletion) distinct from its tombstoned v1
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("source_path"),
+                F.col("file_hash"),
+                (F.coalesce(F.col("prev_version"), F.lit(0)) + 1).cast("string"),
+            ),
+            256,
+        ).alias("doc_id"),
         "source_path",
         "file_hash",
         (F.coalesce(F.col("prev_version"), F.lit(0)) + 1).alias("version"),
@@ -114,16 +169,17 @@ def apply_change_batch(changes: DataFrame, existing: DataFrame) -> tuple[DataFra
         F.lit(True).alias("is_current"),
         F.col("changed_at").alias("synced_at"),
     )
-    tombstones = (
+    new_tombstones = (
         changes.filter(F.col("change_type") == "delete")
         .join(current, "source_path", "inner")  # unknown paths: nothing to tombstone
+        .filter(~F.coalesce(F.col("prev_dead"), F.lit(False)))  # already dead: no duplicate log
         .select(
             "source_path",
             F.col("prev_doc_id").alias("doc_id"),
             F.col("changed_at").alias("deleted_at"),
         )
     )
-    return new_versions, tombstones
+    return new_versions, new_tombstones
 
 
 def demote_superseded(existing: DataFrame, new_versions: DataFrame) -> DataFrame:
@@ -140,10 +196,16 @@ def demote_superseded(existing: DataFrame, new_versions: DataFrame) -> DataFrame
 
 
 def current_documents(docs: DataFrame, tombstones: DataFrame) -> DataFrame:
-    """The serving view (T8): current versions minus tombstoned sources
-    — delete markers win over any live version of that source."""
-    dead = tombstones.select("source_path").distinct()
-    return docs.filter(F.col("is_current")).join(dead, "source_path", "left_anti")
+    """The serving view (T8): current versions minus tombstoned VERSIONS.
+
+    The tombstone names the exact doc_id that was deleted (as the
+    reference logs deletions per document_id,
+    ``043_document_source_deletions.sql``), so a file deleted and later
+    re-created — whose new version carries a fresh doc_id — reappears
+    here; an earlier anti-join on source_path hid re-created documents
+    forever."""
+    dead = tombstones.select("doc_id").distinct()
+    return docs.filter(F.col("is_current")).join(dead, "doc_id", "left_anti")
 
 
 class ConnectorSync:
@@ -196,7 +258,7 @@ class ConnectorSync:
             changes, next_token = read_changes(None)
 
         existing = self.docs()
-        new_versions, new_tombstones = apply_change_batch(changes, existing)
+        new_versions, new_tombstones = apply_change_batch(changes, existing, self.tombstones())
         new_versions = new_versions.localCheckpoint(eager=True)  # sever lineage before overwrite
 
         n_new = new_versions.count()
