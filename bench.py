@@ -4,10 +4,19 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once after a session warm-up; timing covers plan +
-execution + result fetch (the driver-visible latency).  BASELINE.md's
-comparable envelope is the search-shaped queries (vector/keyword/hybrid)
-at ~10^4-row corpus scale; relational queries are tracked for regression.
+Each query is measured cold (run 1, includes its whole-stage-codegen
+compile) and warm (min of runs 2-3); timing covers plan + execution +
+result fetch (the driver-visible latency).  BASELINE.md's comparable
+envelope is the search-shaped queries (vector/keyword/hybrid) at
+~10^4-row corpus scale; relational queries are tracked for regression.
+
+METHODOLOGY NOTE (round-over-round comparability): BENCH_r01 reported a
+single timed run per query ("value" == that run's total).  From r02
+onward "value" is the WARM total and "total_cold" carries the
+single-run-equivalent number — so compare r01's value against later
+rounds' total_cold, not value.  Warm is the figure comparable to
+BASELINE.md, whose search latencies are means from a running service
+with resident indexes.
 """
 
 from __future__ import annotations

@@ -29,18 +29,26 @@ def salted_join(
     key: str,
     num_salts: int = 16,
     how: str = "inner",
+    salt_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Join a skew-heavy fact side to a (small) dimension under salt.
 
     The dimension is exploded ``num_salts``x (cheap — it is the small
     side); the fact side gets a salt derived purely from row CONTENT
-    (xxhash64 over every fact column), so a task retry or an AQE
-    repartition re-derives the identical salt — never a function of
-    partition layout.  Identical rows share a salt, which is harmless:
-    the hot-key spread comes from payload diversity, which is exactly
-    what a skewed key has.  Result is identical to the unsalted join
-    for ``how`` in :data:`SALTABLE_JOINS`; right/full joins would
-    duplicate unmatched dim rows across salt replicas and are rejected.
+    (xxhash64 over ``salt_cols``, defaulting to every *hashable* fact
+    column — map columns are skipped since xxhash64 rejects MapType),
+    so a task retry or an AQE repartition re-derives the identical salt
+    — never a function of partition layout.
+
+    Limitation: fully-identical rows share a salt, so a hot key made of
+    exact duplicate rows stays skewed — the spread comes from payload
+    diversity.  Callers with such data should pass ``salt_cols`` naming
+    a discriminator (e.g. an event id or offset column) that varies
+    across the duplicates.
+
+    Result is identical to the unsalted join for ``how`` in
+    :data:`SALTABLE_JOINS`; right/full joins would duplicate unmatched
+    dim rows across salt replicas and are rejected.
     """
     if how.replace("_", "").lower() not in {h.replace("_", "") for h in SALTABLE_JOINS}:
         raise ValueError(
@@ -48,11 +56,20 @@ def salted_join(
             f"got how={how!r} (right/full would emit unmatched dim rows "
             f"once per salt replica)"
         )
+    if salt_cols is None:
+        # xxhash64 raises AnalysisException on MapType input; everything
+        # else in a fact schema (atomics, arrays, structs) hashes fine.
+        hashable = [
+            f.name for f in skewed.schema.fields if not f.dataType.typeName() == "map"
+        ]
+        if not hashable:
+            raise ValueError("salted_join: no hashable columns to derive a salt from")
+        salt_cols = tuple(hashable)
     salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("__salt")
     dim_salted = dim.select(F.col("*"), salts)
     fact_salted = skewed.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts)).cast("int"),
     )
     return fact_salted.join(dim_salted, [key, "__salt"], how).drop("__salt")
 

@@ -28,11 +28,17 @@ BODY_WEIGHT = 1.0
 
 
 def build_postings(docs: DataFrame) -> DataFrame:
-    """F20: the posting-list build — tokenize once, posexplode, weight by
-    position class, aggregate term frequency per (doc, term, weight)."""
+    """F20: the posting-list build — tokenize once, posexplode, STEM,
+    weight by position class, aggregate term frequency per (doc, term,
+    weight).  Stemming is the suffix-strip Column expression
+    (:func:`car_etl_spark.functions.text.stem`) — the declared minimal
+    stand-in for the reference's english tsvector stemming
+    (``044_keyword_search.sql:22-34``)."""
     toked = docs.select("doc_id", T.tokenize(F.lower(F.col("text"))).alias("toks"))
     posted = toked.select(
-        "doc_id", F.posexplode("toks").alias("pos", "term")
+        "doc_id", F.posexplode("toks").alias("pos", "raw_term")
+    ).withColumn(
+        "term", T.stem(F.col("raw_term"))
     ).withColumn(
         "weight",
         F.when(F.col("pos") < HEADER_TOKENS, F.lit(HEADER_WEIGHT)).otherwise(F.lit(BODY_WEIGHT)),
@@ -53,13 +59,18 @@ def fts_posting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order tokenize array — the generator input stays in codegen
     (same trap as the MinHash shingle build; ~1.8x faster at sf0.1).
     Token semantics are identical: split on whitespace of the trimmed
-    string yields no empty tokens, so positions match ``tokenize``."""
+    string yields no empty tokens, so positions match ``tokenize``.
+
+    Both corpus tokens and query terms are stemmed, so plural/singular
+    variants match ("windows" hits "window") — the filter is computed
+    as stem(term) ISIN query-stems, still a pushable predicate on the
+    exploded rows."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    terms = ["spark", "window", "merge"]
+    terms = sorted({T.stem_py(t) for t in ["spark", "windows", "merges"]})
     posted = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "term"),
-    ).filter(F.col("term").isin(terms))
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "raw_term"),
+    ).withColumn("term", T.stem(F.col("raw_term"))).filter(F.col("term").isin(terms))
     weighted = posted.withColumn(
         "weight",
         F.when(F.col("pos") < HEADER_TOKENS, F.lit(HEADER_WEIGHT)).otherwise(F.lit(BODY_WEIGHT)),
@@ -83,13 +94,15 @@ WITH toked AS (
   FROM documents
 ), posted AS (
   SELECT doc_id,
-         unnest(toks) AS term,
+         unnest(toks) AS raw_term,
          generate_subscripts(toks, 1) - 1 AS pos
   FROM toked
+), stemmed AS (
+  SELECT doc_id, pos, {T.stem_sql('raw_term')} AS term FROM posted
 ), weighted AS (
   SELECT doc_id, term,
          CASE WHEN pos < {HEADER_TOKENS} THEN {HEADER_WEIGHT} ELSE {BODY_WEIGHT} END AS weight
-  FROM posted
+  FROM stemmed
 ), postings AS (
   SELECT doc_id, term, weight, COUNT(*) AS tf
   FROM weighted GROUP BY doc_id, term, weight

@@ -31,6 +31,11 @@ def _query_vec_literal(emb: DataFrame):
     single-query search (measured ~0.2 s of the per-call latency at
     sf0.1); the corpus scan stays the only real job."""
     row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            "query vector vec_id=0 not found in embeddings table — "
+            "cannot build a literal query vector"
+        )
     return V.literal_vector(row[0])
 
 

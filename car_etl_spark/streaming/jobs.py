@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from car_etl_spark.session import tune_session
@@ -43,7 +44,9 @@ from car_etl_spark.session import tune_session
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false); cast to
+        # session-TZ TIMESTAMP (UTC, value-preserving) in events_stream
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -60,8 +63,9 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     micro-batches, mirroring connector delta-sync drops.
 
     ``maxFilesPerTrigger`` caps micro-batch size like the worker's
-    batch <= concurrency rule; nanos timestamps are converted exactly as
-    the batch path does.
+    batch <= concurrency rule; the no-tz parquet timestamp is cast to
+    TIMESTAMP exactly as the batch path (load_tables) does — value
+    preserving under the pinned UTC session timezone.
     """
     tune_session(spark)
     stream = (
@@ -69,7 +73,7 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_windowed_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -58,6 +58,15 @@ def load_tables(
             # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate to
             # micros exactly as DuckDB does when reading the same file.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Parquet timestamps without isAdjustedToUTC arrive as
+        # TIMESTAMP_NTZ, which rejects numeric casts and diverges from
+        # how every temporal expression here was written.  The session
+        # timezone is pinned UTC, so NTZ -> TIMESTAMP preserves every
+        # value exactly while restoring TIMESTAMP semantics (and matches
+        # DuckDB reading the same naive values in its UTC default).
+        ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
         if tenant_id is not None and "tenant_id" in df.columns:
             df = df.filter(df["tenant_id"] == tenant_id)
         out[name] = df

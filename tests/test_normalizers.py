@@ -139,3 +139,34 @@ def test_canonicalize_idempotent_property(spark, s):
     [once] = _apply(spark, N.canonicalize, [s])
     [twice] = _apply(spark, N.canonicalize, [once])
     assert once == twice
+
+
+def test_stemmer_column_python_duckdb_twins_agree(spark):
+    """The three stem() twins (Spark Column, Python, DuckDB SQL) must be
+    value-identical — the FTS posting build stems corpus-side in Spark
+    while the oracle stems in DuckDB and the query terms stem in
+    Python."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from car_etl_spark.functions import text as T
+
+    words = [
+        "windows", "window", "runs", "class", "classes", "carried",
+        "running", "merges", "bodies", "bus", "ss", "s", "goes", "trees",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    spark_out = {r.w: r.s for r in df.select("w", T.stem(F.col("w")).alias("s")).collect()}
+    assert spark_out == {w: T.stem_py(w) for w in words}
+    con = duckdb.connect()
+    duck_out = dict(
+        con.execute(f"SELECT w, {T.stem_sql('w')} AS s FROM (SELECT unnest(?) AS w)", [words])
+        .fetchall()
+    )
+    assert spark_out == duck_out
+    # the recall cases the stemmer exists for, and its guards
+    assert spark_out["windows"] == "window"
+    assert spark_out["runs"] == "run"
+    assert spark_out["classes"] == "class"
+    assert spark_out["class"] == "class"  # bare-s rule requires non-s before suffix
+    assert spark_out["bus"] == "bus"      # 2-char-stem minimum

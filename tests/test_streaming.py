@@ -212,3 +212,63 @@ def test_cdc_token_invalidation_full_resync(spark, tmp_path):
     assert stats["new_versions"] == 1
     versions = {r.version for r in sync.docs().filter("source_path = 'sp:a'").collect()}
     assert versions == {1, 2}
+
+
+def test_cdc_recreate_after_delete_reappears(spark, tmp_path):
+    """A file deleted then re-created — even with the SAME content hash —
+    must get a fresh version and reappear in the serving view (the
+    reference logs deletions per document_id, so a re-ingested document
+    is never suppressed — 043_document_source_deletions.sql)."""
+    from car_etl_spark.streaming.cdc import ConnectorSync
+
+    sync = ConnectorSync(spark, str(tmp_path), "sp4")
+    sync.sync_once(lambda tok: (_changes_df(spark, [("sp:a", "h1", "upsert")]), "t1"))
+    sync.sync_once(lambda tok: (_changes_df(spark, [("sp:a", "", "delete")]), "t2"))
+    assert sync.current().count() == 0
+    # re-create with the identical hash: NOT a no-op against the dead v1
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [("sp:a", "h1", "upsert")]), "t3"))
+    assert stats["new_versions"] == 1
+    docs = {r.version: r for r in sync.docs().filter("source_path = 'sp:a'").collect()}
+    assert set(docs) == {1, 2}
+    assert docs[1].doc_id != docs[2].doc_id  # same hash, distinct identity
+    assert {r.source_path for r in sync.current().collect()} == {"sp:a"}
+    # the resurrected doc is subsequently idempotent again
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [("sp:a", "h1", "upsert")]), "t4"))
+    assert stats["new_versions"] == 0
+
+
+def test_cdc_in_batch_dedup_no_forked_chain(spark, tmp_path):
+    """Two upserts for one source_path within a single batch must apply
+    only the LATEST (by changed_at) — not fork the version chain with
+    two prev+1 rows."""
+    from car_etl_spark.streaming.cdc import ConnectorSync
+
+    sync = ConnectorSync(spark, str(tmp_path), "sp5")
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [
+        ("sp:a", "h1", "upsert"), ("sp:a", "h2", "upsert")]), "t1"))
+    assert stats["new_versions"] == 1
+    rows = sync.docs().collect()
+    assert len(rows) == 1 and rows[0].file_hash == "h2" and rows[0].version == 1
+    # same shape against an EXISTING doc: exactly one v2, hash = latest
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [
+        ("sp:a", "h3", "upsert"), ("sp:a", "h4", "upsert")]), "t2"))
+    assert stats["new_versions"] == 1
+    current = sync.current().collect()
+    assert len(current) == 1 and current[0].file_hash == "h4" and current[0].version == 2
+
+
+def test_cdc_in_batch_upsert_then_delete(spark, tmp_path):
+    """upsert+delete for the same path in one batch: the later delete
+    wins; no duplicate tombstones accumulate for an already-dead path."""
+    from car_etl_spark.streaming.cdc import ConnectorSync
+
+    sync = ConnectorSync(spark, str(tmp_path), "sp6")
+    sync.sync_once(lambda tok: (_changes_df(spark, [("sp:a", "h1", "upsert")]), "t1"))
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [
+        ("sp:a", "h2", "upsert"), ("sp:a", "", "delete")]), "t2"))
+    assert stats["new_versions"] == 0 and stats["tombstones"] == 1
+    assert sync.current().count() == 0
+    # deleting an already-tombstoned path logs NOTHING new
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [("sp:a", "", "delete")]), "t3"))
+    assert stats["tombstones"] == 0
+    assert sync.tombstones().count() == 1
