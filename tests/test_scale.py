@@ -81,3 +81,82 @@ def test_partitioned_write_prunes(spark):
         assert "PartitionFilters: []" not in plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Feature-flag broadcast config
+
+
+def _flag_frames(spark, flags, overrides):
+    from car_etl_spark.operators.features import FLAGS_SCHEMA, OVERRIDES_SCHEMA
+
+    return (
+        spark.createDataFrame(flags or [], FLAGS_SCHEMA),
+        spark.createDataFrame(overrides or [], OVERRIDES_SCHEMA),
+    )
+
+
+def test_feature_flags_override_beats_default_and_fails_closed(spark):
+    from car_etl_spark.operators.features import FeatureFlags
+
+    ff = FeatureFlags(
+        spark,
+        lambda: _flag_frames(
+            spark,
+            [("new_parser", True), ("dark_mode", False)],
+            [("t1", "new_parser", False), ("t2", "dark_mode", True),
+             ("t3", "ghost_flag", True)],  # override for a flag not in the catalog
+        ),
+    )
+    assert ff.is_enabled("t9", "new_parser") is True      # default on
+    assert ff.is_enabled("t1", "new_parser") is False     # override off beats default
+    assert ff.is_enabled("t9", "dark_mode") is False      # default off
+    assert ff.is_enabled("t2", "dark_mode") is True       # override on
+    assert ff.is_enabled("t3", "ghost_flag") is False     # unknown flag: closed
+    assert ff.is_enabled("t9", "missing") is False        # missing flag: closed
+
+
+def test_feature_flags_ttl_rebroadcast_and_invalidate(spark):
+    from car_etl_spark.operators.features import FeatureFlags
+
+    state = {"enabled": False, "loads": 0, "now": 0.0}
+
+    def loader():
+        state["loads"] += 1
+        return _flag_frames(spark, [("f", state["enabled"])], [])
+
+    ff = FeatureFlags(spark, loader, ttl_seconds=60, clock=lambda: state["now"])
+    assert ff.is_enabled("t", "f") is False and state["loads"] == 1
+    state["enabled"] = True
+    state["now"] = 30.0                     # inside TTL: stale value served, no reload
+    assert ff.is_enabled("t", "f") is False and state["loads"] == 1
+    state["now"] = 61.0                     # past TTL: reload picks up the change
+    assert ff.is_enabled("t", "f") is True and state["loads"] == 2
+    state["enabled"] = False
+    ff.invalidate()                         # explicit invalidation forces reload now
+    assert ff.is_enabled("t", "f") is False and state["loads"] == 3
+
+
+def test_feature_flags_gate_is_broadcast_join(spark):
+    from car_etl_spark.operators.features import FeatureFlags
+
+    ff = FeatureFlags(
+        spark,
+        lambda: _flag_frames(
+            spark, [("beta", False)], [("t1", "beta", True), ("t2", "beta", False)]
+        ),
+    )
+    facts = spark.createDataFrame(
+        [("t1", 1), ("t2", 2), ("t3", 3), ("t1", 4)], "tenant_id string, v long"
+    )
+    gated = ff.gate(facts, "beta")
+    assert sorted((r.tenant_id, r.v) for r in gated.collect()) == [("t1", 1), ("t1", 4)]
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # flip the default: un-overridden tenants now pass
+    ff2 = FeatureFlags(
+        spark,
+        lambda: _flag_frames(spark, [("beta", True)], [("t2", "beta", False)]),
+    )
+    got = sorted((r.tenant_id, r.v) for r in ff2.gate(facts, "beta").collect())
+    assert got == [("t1", 1), ("t1", 4), ("t3", 3)]
