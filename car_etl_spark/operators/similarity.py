@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd  # annotation target for pandas_udf type inference
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -264,27 +265,59 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
-    centroid (argmax cosine via a window over the cross join with the
-    small broadcast centroid set).  Output: (id, vec, centroid_id).
+    centroid, MAP-ONLY.  Output: (id, vec, centroid_id).
+
+    Centroids are the coarse quantizer — control-plane small by
+    definition (10^1-10^3 rows) — so they are materialized once on the
+    driver and inlined into a per-row argmax.  The previous form
+    (crossJoin x num_centroids + row_number window) replicated every
+    fact row ``num_centroids`` times AND paid a full shuffle for the
+    per-id argmax; this computes the same assignment (ties -> lowest
+    centroid_id) with zero shuffle and zero row amplification, which is
+    the only shape that survives 100 TB.  Low dim stays in codegen via
+    an array-of-structs argmax; high dim (> :data:`EXPR_PROJECTION_MAX_DIM`)
+    runs one BLAS matmul per Arrow batch.
 
     At 100 TB the assignment is written once as a bucketed layout;
     queries then scan only the probed buckets.
     """
-    c = centroids.select(
-        F.col("centroid_id"), F.col("centroid_vec")
-    )
-    sim = V.cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
-    scored = emb.crossJoin(F.broadcast(c)).select(
-        id_col, vec_col, "centroid_id", sim.alias("__csim")
-    )
-    from pyspark.sql import Window
+    rows = centroids.select("centroid_id", "centroid_vec").collect()
+    if not rows:
+        raise ValueError("ivf_assign: empty centroid set")
+    cents = sorted((r.centroid_id, list(r.centroid_vec)) for r in rows)
+    dim = len(cents[0][1])
+    if dim <= EXPR_PROJECTION_MAX_DIM:
+        structs = [
+            F.struct(
+                V.cosine_similarity(F.col(vec_col), V.literal_vector(vec)).alias("s"),
+                F.lit(-cid).alias("nid"),  # max(-id) == min(id) on sim ties
+            )
+            for cid, vec in cents
+        ]
+        best = F.array_max(F.array(*structs))
+        return emb.select(id_col, vec_col).withColumn(
+            "centroid_id", (-best["nid"]).cast("long")
+        )
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__csim")
-    )
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray([v for _, v in cents], dtype="float64")  # (m, dim), id-sorted
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cids = np.asarray([cid for cid, _ in cents], dtype="int64")
+
+    @pandas_udf("long")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.vstack(vecs.to_numpy()).astype("float64")
+        denom = np.linalg.norm(mat, axis=1)[:, None] * cnorm[None, :]
+        sims = np.divide(mat @ cmat.T, denom, out=np.full((len(mat), len(cids)), -2.0),
+                         where=denom > 0)
+        # argmax returns the FIRST max -> lowest centroid_id wins ties
+        return pd.Series(cids[np.argmax(sims, axis=1)])
+
+    return emb.select(id_col, vec_col).withColumn("centroid_id", assign(F.col(vec_col)))
 
 
 def ivf_topk(
@@ -321,11 +354,21 @@ def ivf_topk(
         .limit(nprobe)
         .select("centroid_id")
     )
-    candidates = assigned.join(F.broadcast(probe), "centroid_id")
-    sim = F.round(V.cosine_similarity(F.col(vec_col), F.col("qvec")), 6)
+    candidates = assigned.join(F.broadcast(probe), "centroid_id").crossJoin(
+        F.broadcast(qdf)
+    )
+    # dim-aware exact scoring over the probed buckets (same split as the
+    # banding/verify paths: codegen HOF at low dim, Arrow kernel above).
+    # The branch must be STATIC — a `when` would still ship every row
+    # through the extracted Python-UDF projection node.
+    row = emb.select(vec_col).first()
+    dim = len(row[0]) if row is not None and row[0] is not None else 0
+    if dim <= EXPR_PROJECTION_MAX_DIM:
+        sim = V.cosine_similarity(F.col(vec_col), F.col("qvec"))
+    else:
+        sim = _cosine_pairs_pandas(F.col(vec_col), F.col("qvec"))
     return (
-        candidates.crossJoin(F.broadcast(qdf))
-        .select(id_col, sim.alias("cosine_sim"))
+        candidates.select(id_col, F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -334,6 +377,73 @@ def ivf_topk(
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+#: Above this dimensionality the projection moves from Column
+#: expressions to an Arrow-batched numpy matmul.  The expression form
+#: embeds bands*bits*dim literal nodes in the plan — measured 167 s of
+#: ANALYSIS time alone at dim=1536 (8x4 bands) vs ~0.1 s for the
+#: pandas_udf plan, and the interpreted HOF evaluation loses to BLAS by
+#: orders of magnitude at that width.  At <=128 dims the expression
+#: form stays (codegen-friendly, no Python worker in the plan).
+EXPR_PROJECTION_MAX_DIM = 128
+
+
+def _lsh_bands_pandas(
+    emb: DataFrame,
+    vec_col: str,
+    dim: int,
+    bands: int,
+    bits_per_band: int,
+    seed: int,
+    keep: tuple[str, ...],
+) -> DataFrame:
+    """High-dim banded projection: one vectorized matmul per Arrow batch.
+
+    Bit semantics are IDENTICAL to the expression path (bit j of band
+    bi set when planes[bi*bits+j] . v >= 0), pinned by a parity test —
+    the two paths produce byte-identical (band, bucket) assignments.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(_hyperplanes(dim, bands * bits_per_band, seed))  # (P, dim)
+    weights = (1 << np.arange(bits_per_band)).astype("int64")  # bit j -> 2^j
+
+    @pandas_udf("array<long>")
+    def band_buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(vecs.to_numpy()).astype("float64")  # (n, dim)
+        signs = (mat @ planes.T) >= 0.0  # (n, bands*bits)
+        per_band = signs.reshape(len(mat), bands, bits_per_band)
+        buckets = (per_band * weights).sum(axis=2).astype("int64")  # (n, bands)
+        return pd.Series(list(buckets))
+
+    return emb.select(
+        *keep, vec_col, F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket")
+    )
+
+
+def _cosine_pairs_pandas(a, b):
+    """Exact pairwise cosine as an Arrow-batched numpy kernel — the
+    high-dim twin of :func:`car_etl_spark.functions.vectors.cosine_similarity`
+    (same double-precision math; row-wise dot / norms per batch)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.vstack(va.to_numpy()).astype("float64")
+        mb = np.vstack(vb.to_numpy()).astype("float64")
+        dots = (ma * mb).sum(axis=1)
+        denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        out = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), np.nan)
+        return pd.Series(out)
+
+    return pair_cosine(a, b)
 
 
 def embedding_lsh_bands(
@@ -352,7 +462,15 @@ def embedding_lsh_bands(
     high-threshold dedup (0.9 -> 8 bands x 4 bits ~ 0.998 recall) and
     DOWN for low-threshold similarity joins.  Output explodes |emb| x
     bands rows — the band join downstream is the only shuffle.
+
+    Projection strategy is dim-aware: pure Column expressions up to
+    :data:`EXPR_PROJECTION_MAX_DIM` (whole-stage codegen, no Python in
+    the plan), Arrow-batched numpy matmul above it (at the reference's
+    1536-dim embeddings the expression plan alone takes minutes to
+    analyze; a batched BLAS matmul is the only shape that survives).
     """
+    if dim > EXPR_PROJECTION_MAX_DIM:
+        return _lsh_bands_pandas(emb, vec_col, dim, bands, bits_per_band, seed, keep)
     planes = _hyperplanes(dim, bands * bits_per_band, seed)
     band_structs = []
     for bi in range(bands):
@@ -387,23 +505,37 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding near-dup: banded hyperplane bucket join, then exact
     cosine verification of candidates (precision 1.0; recall set by the
-    band/bits configuration)."""
+    band/bits configuration).
+
+    Shuffle discipline: the band join and pair dedup move ONLY
+    (id, band, bucket) — at the reference's 1536-dim embeddings a
+    vector is ~12 KB, and carrying (va, vb) through the join + distinct
+    (the previous form) shuffled two payload vectors per candidate pair;
+    measured 398 s for 2k vectors / ~10^5 candidates vs ~9 s for the
+    id-only form.  Vectors re-attach afterwards via two joins against
+    the (narrow) source — at scale those co-partition on id.
+
+    The verify step is dim-aware like the banding: HOF cosine inside
+    codegen at low dim, Arrow-batched numpy above
+    :data:`EXPR_PROJECTION_MAX_DIM` (interpreted HOF evaluation is the
+    dominant cost at 1536 dims)."""
     banded = embedding_lsh_bands(emb, vec_col, dim, bands, bits_per_band, 42, id_col)
-    a = banded.select(
-        F.col(id_col).alias("id_a"), "band", "bucket", F.col(vec_col).alias("va")
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), "band", "bucket", F.col(vec_col).alias("vb")
-    )
-    return (
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.col("va").alias("va"), F.col("vb").alias("vb"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    if dim > EXPR_PROJECTION_MAX_DIM:
+        sim = _cosine_pairs_pandas(F.col("va"), F.col("vb"))
+    else:
+        sim = V.cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

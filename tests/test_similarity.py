@@ -113,3 +113,22 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         r.vec_id for r in S.ivf_topk(emb, qvec, k=10, num_centroids=16, nprobe=16).collect()
     ]
     assert full_probe == exact  # nprobe = num_centroids -> exact search
+
+
+def test_lsh_band_paths_identical(spark, planted_vectors):
+    """The expression path (dim<=128) and the Arrow/numpy path (high
+    dim) must assign byte-identical (band, bucket) per vector — the
+    method switch may never change results, only speed."""
+    expr_out = {
+        (r.vec_id, r.band): r.bucket
+        for r in S.embedding_lsh_bands(
+            planted_vectors, "embedding", 64, 8, 4, 42, "vec_id"
+        ).collect()
+    }
+    pandas_out = {
+        (r.vec_id, r.band): r.bucket
+        for r in S._lsh_bands_pandas(
+            planted_vectors, "embedding", 64, 8, 4, 42, ("vec_id",)
+        ).collect()
+    }
+    assert expr_out == pandas_out
