@@ -51,7 +51,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from car_etl_spark.queries.vector import _query_vec_literal
 
-    qlit = _query_vec_literal(emb)
+    qlit = _query_vec_literal(emb, cache_key=sf_dir)
     sim = F.round(V.cosine_similarity(F.col("embedding"), qlit), 6)
     vec_leg = (
         emb.select(F.col("vec_id").alias("doc_id"), sim.alias("vec_score"))
