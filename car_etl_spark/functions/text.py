@@ -41,6 +41,29 @@ def token_count(c: Column) -> Column:
     return F.size(tokenize(c))
 
 
+#: BPE-ish pretokenizer (the other half of F24): contraction suffixes,
+#: space-prefixed letter runs, 1-3-digit groups (cl100k-style number
+#: splitting), punctuation runs.  Deliberately restricted to the
+#: regex subset where Java (Spark) and RE2 (DuckDB) agree — no
+#: lookarounds, no unicode property classes — so the SAME pattern is
+#: the oracle twin.  Counts land within a few percent of a real BPE
+#: tokenizer on English text, which is what token-budget accounting
+#: needs; exact tiktoken parity stays a declared non-goal (the vocab
+#: merge table is model data, not engine logic).
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s]+"
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish token count over the lowercased text (F24)."""
+    return F.regexp_count(F.lower(c), F.lit(BPE_PRETOKEN_PATTERN))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    """DuckDB twin of :func:`bpe_token_count` (same pattern, RE2)."""
+    sql_pattern = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all(LOWER({expr}), '{sql_pattern}'))"
+
+
 def distinct_token_count(c: Column) -> Column:
     return F.size(F.array_distinct(tokenize(c)))
 

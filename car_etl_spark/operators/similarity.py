@@ -539,3 +539,77 @@ def embedding_near_duplicates(
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document sketch)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing sketch: per document, the DISTINCT minima of
+    k-token rolling hashes over every ``window``-length hash window.
+
+    Guarantee (the winnowing theorem): any shared token run of length
+    >= k + window - 1 between two documents contributes at least one
+    common fingerprint — the content-local min selection makes the
+    sketch robust to where the shared run sits in each document, which
+    positional/tiled sampling is not.
+
+    Plan shape (100 TB-safe, zero Python): posexplode tokens -> one
+    window sort per doc reused twice — ``lead`` chains assemble each
+    k-shingle in codegen (no per-row array slicing) and a rows-between
+    running ``min`` selects the winnowed hash — then DISTINCT collapses
+    to the sketch.  One shuffle (the per-doc sort); sketch size is
+    ~2/(window+1) of the shingle count.  Output: (id, fp).
+    """
+    from pyspark.sql import Window as W
+
+    toked = docs.select(id_col, T.tokenize(F.lower(F.col(text_col))).alias("__toks"))
+    posed = toked.select(id_col, F.posexplode("__toks").alias("pos", "tok"))
+    worder = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.lead("tok", i).over(worder) for i in range(1, k)]
+    shingled = posed.select(
+        id_col,
+        "pos",
+        F.xxhash64(F.concat_ws(" ", F.col("tok"), *parts)).alias("h"),
+        F.lead("tok", k - 1).over(worder).alias("__last"),
+    ).filter(F.col("__last").isNotNull())  # positions with a full k-shingle
+    wmin = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        shingled.select(id_col, F.min("h").over(wmin).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Cross-document content-overlap candidates from winnowing sketches
+    (the plagiarism/boilerplate-detection read path): self-join the
+    sketch table on fp, count shared fingerprints per pair.
+
+    Same scale discipline as the LSH paths: the join moves (id, fp)
+    only, pair volume is bounded by real shared content (not corpus^2),
+    and a downstream exact check can verify candidates.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, window)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

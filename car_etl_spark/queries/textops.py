@@ -308,10 +308,16 @@ def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-stats and stopword-profile operators; same staged-token plan,
     finer grain covers both round-1 groupings)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    m = _tokenized(docs, "source", "lang", "n_chars").select(
+    staged_in = docs.select(
+        "source", "lang", "n_chars",
+        T.tokenize(F.col("text")).alias("toks"),
+        T.bpe_token_count(F.col("text")).alias("bn"),
+    )
+    m = staged_in.select(
         "source",
         "lang",
         "n_chars",
+        "bn",
         F.size("toks").alias("n"),
         F.size(F.array_distinct("toks")).alias("dn"),
         _stop_count(F.col("toks")).alias("ns"),
@@ -324,13 +330,17 @@ def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (1.0 - sw),
         6,
     )
-    staged = m.select("source", "lang", "n_chars", "n", "dn", sw.alias("sw"), q.alias("q"))
+    staged = m.select(
+        "source", "lang", "n_chars", "n", "dn", "bn", sw.alias("sw"), q.alias("q")
+    )
     return (
         staged.groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).alias("doc_count"),
             F.sum("n").alias("total_tokens"),
+            F.sum("bn").cast("long").alias("total_bpe_tokens"),
             F.round(F.avg("n"), 4).alias("avg_tokens"),
+            F.round(F.avg("bn"), 4).alias("avg_bpe_tokens"),
             F.round(F.avg("dn"), 4).alias("avg_distinct_tokens"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
             F.round(F.avg("sw"), 6).alias("avg_stopword_ratio"),
@@ -343,15 +353,16 @@ def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_CORPUS_PROFILE_SQL = f"""
 WITH tok AS (
   SELECT source, lang, n_chars,
-         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks,
+         {T.bpe_token_count_sql('text')} AS bn
   FROM documents
 ), m AS (
-  SELECT source, lang, n_chars, len(toks) AS n,
+  SELECT source, lang, n_chars, bn, len(toks) AS n,
          len(list_distinct(toks)) AS dn,
          len(list_filter(toks, x -> list_contains([{_STOP_SQL_LIST}], LOWER(x)))) AS ns
   FROM tok
 ), r AS (
-  SELECT source, lang, n_chars, n, dn,
+  SELECT source, lang, n_chars, n, dn, bn,
          CASE WHEN n > 0 THEN CAST(ns AS DOUBLE) / n ELSE 0.0 END AS sw,
          ROUND(0.4 * LEAST(n / 50.0, 1.0)
                + 0.3 * LEAST(CASE WHEN n > 0 THEN CAST(dn AS DOUBLE) / n ELSE 0.0 END * 2.0, 1.0)
@@ -360,7 +371,9 @@ WITH tok AS (
 )
 SELECT source, lang, COUNT(*) AS doc_count,
        CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(bn) AS BIGINT) AS total_bpe_tokens,
        ROUND(AVG(n), 4) AS avg_tokens,
+       ROUND(AVG(bn), 4) AS avg_bpe_tokens,
        ROUND(AVG(dn), 4) AS avg_distinct_tokens,
        ROUND(AVG(n_chars), 4) AS avg_chars,
        ROUND(AVG(sw), 6) AS avg_stopword_ratio,

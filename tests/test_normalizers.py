@@ -170,3 +170,37 @@ def test_stemmer_column_python_duckdb_twins_agree(spark):
     assert spark_out["classes"] == "class"
     assert spark_out["class"] == "class"  # bare-s rule requires non-s before suffix
     assert spark_out["bus"] == "bus"      # 2-char-stem minimum
+
+
+def test_bpe_token_count_semantics_and_duckdb_twin(spark):
+    """BPE-ish pretokenizer: contractions split off, digit runs grouped
+    in threes, punctuation runs collapse; Spark and DuckDB twins agree
+    token-for-token."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from car_etl_spark.functions import text as T
+
+    texts = [
+        "it's a test",          # it + 's + a + test = 4
+        "hello world",          # 2
+        "12345 items",          # 123 + 45 + items = 3
+        "wait... what?!",       # wait + ... + what + ?! = 4
+        "we'll we've we'd",     # 3 x 2 = 6
+        "",                     # 0
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {r.t: r.n for r in df.select("t", T.bpe_token_count(F.col("t")).alias("n")).collect()}
+    assert got["it's a test"] == 4
+    assert got["hello world"] == 2
+    assert got["12345 items"] == 3
+    assert got["wait... what?!"] == 4
+    assert got["we'll we've we'd"] == 6
+    assert got[""] == 0
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            f"SELECT t, {T.bpe_token_count_sql('t')} FROM (SELECT unnest(?) AS t)", [texts]
+        ).fetchall()
+    )
+    assert {t: int(n) for t, n in duck.items()} == got

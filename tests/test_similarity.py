@@ -132,3 +132,42 @@ def test_lsh_band_paths_identical(spark, planted_vectors):
         ).collect()
     }
     assert expr_out == pandas_out
+
+
+def test_winnowing_detects_shared_run_and_skips_disjoint(spark):
+    """Winnowing theorem in practice: documents sharing a token run of
+    length >= k + window - 1 share at least one fingerprint regardless
+    of where the run sits; fully-disjoint documents share none."""
+    shared = " ".join(f"c{i}" for i in range(12))  # 12 shared tokens >= 5+4-1
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "x1 x2 x3 x4 x5 x6 " + shared),       # different offset
+            (3, " ".join(f"z{i}" for i in range(30))),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in S.winnow_match_pairs(docs, k=5, window=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_sketch_is_position_robust(spark):
+    """The same text shifted by unrelated prefixes yields overlapping
+    sketches (content-local minima), and the sketch is deterministic."""
+    body = " ".join(f"w{i % 17}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "p1 p2 p3 p4 p5 p6 p7 " + body)], ["doc_id", "text"]
+    )
+    fps = S.winnow_fingerprints(docs, k=5, window=4)
+    s1 = {r.fp for r in fps.filter("doc_id = 1").collect()}
+    s2 = {r.fp for r in fps.filter("doc_id = 2").collect()}
+    assert s1 and s2
+    overlap = len(s1 & s2) / len(s1)
+    assert overlap >= 0.8, f"sketch overlap {overlap}"
+    # determinism across materializations
+    again = {r.fp for r in S.winnow_fingerprints(docs, k=5, window=4).filter("doc_id = 1").collect()}
+    assert again == s1
