@@ -171,3 +171,34 @@ def test_winnowing_sketch_is_position_robust(spark):
     # determinism across materializations
     again = {r.fp for r in S.winnow_fingerprints(docs, k=5, window=4).filter("doc_id = 1").collect()}
     assert again == s1
+
+
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    """3 tight gaussian clusters, deliberately bad first-N seeds (all
+    from cluster 0): a few Lloyd steps must separate the clusters and
+    balance assignment counts."""
+    rng = random.Random(23)
+    centers = [[8.0 if d == c else 0.0 for d in range(8)] for c in range(3)]
+    rows = []
+    vid = 0
+    for c, ctr in enumerate(centers):
+        for _ in range(30):
+            rows.append((vid, [x + rng.gauss(0, 0.3) for x in ctr]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seeds = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    refined = S.kmeans_refine(emb, seeds, iterations=4)
+    assigned = S.ivf_assign(emb, refined)
+    sizes = {r.centroid_id: r.n for r in assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # seeds all came from cluster 0 (ids 0-2); refinement must still
+    # split the corpus into 3 comparable buckets
+    assert len(sizes) == 3 and all(20 <= n <= 40 for n in sizes.values()), sizes
+    # every cluster is pure: vectors 0-29 together, 30-59 together, ...
+    rows2 = assigned.select("vec_id", "centroid_id").collect()
+    by_centroid = {}
+    for r in rows2:
+        by_centroid.setdefault(r.centroid_id, set()).add(r.vec_id // 30)
+    assert all(len(members) == 1 for members in by_centroid.values()), by_centroid
