@@ -86,6 +86,18 @@ def main() -> None:
     # not first-call initialization.
     registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
+    # Measured scheduling floor: the wall time of a minimal one-task job
+    # on this session.  Sub-second query latencies bottom out here — the
+    # floor is context for reading the search-query numbers against
+    # BASELINE.md's in-process service latencies (it amortizes away at
+    # real scale, where a scan is thousands of tasks).
+    floor_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        floor_runs.append(time.perf_counter() - t0)
+    job_floor = round(min(floor_runs), 4)
+
     # Each query is measured three times: run 1 (cold) includes that
     # query's whole-stage-codegen compilation; warm = min of runs 2-3,
     # the serving-path latency — the number comparable to BASELINE.md,
@@ -122,6 +134,7 @@ def main() -> None:
         "queries": timings,
         "queries_cold": timings_cold,
         "total_cold": round(sum(timings_cold.values()), 4),
+        "job_floor_sec": job_floor,
         "mode": "warm_2nd_run (cold run reported alongside)",
         "sf": sf_value,
     }
