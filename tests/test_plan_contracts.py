@@ -1,0 +1,71 @@
+"""Physical-plan contracts for the headline queries.
+
+The plan audit in ARCHITECTURE.md §2 as REGRESSION TESTS: each contract
+pins a property that makes the query scale — filters reaching the
+parquet scan, dimension joins broadcasting, top-k compiling to
+TakeOrderedAndProject instead of a global sort, and hard bans on the
+two scale-killers (SortMergeJoin where a broadcast is intended,
+CartesianProduct anywhere).  Exchange counts are pinned as upper
+bounds: a refactor that silently adds a shuffle fails here long before
+it shows up in a 100 TB bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from car_etl_spark.queries import build_registry
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return build_registry()
+
+
+def _plan(spark, registry, name: str) -> str:
+    df = registry[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# (query, max_exchanges, must_contain, must_not_contain)
+CONTRACTS = [
+    # q1: scan -> partial agg -> 1 shuffle -> final agg -> 1 sort exchange
+    ("q1_pricing_summary", 2, ["PushedFilters: ["], []),
+    # q5: every dim join broadcasts; no sort-merge fallback
+    ("q5_local_supplier_volume", 7, ["BroadcastHashJoin", "PushedFilters: ["], ["SortMergeJoin"]),
+    # exact vector top-k: map-only + TakeOrderedAndProject, ZERO shuffles
+    ("vector_topk", 0, ["TakeOrderedAndProject"], ["Exchange"]),
+    # keyword search: one scan, zero shuffles
+    ("doc_keyword_search", 0, ["TakeOrderedAndProject"], ["Exchange"]),
+    # flagship: grand total via broadcast, top-k via TakeOrdered
+    ("flagship_portfolio_rollup", 9, ["BroadcastHashJoin", "TakeOrderedAndProject"],
+     ["SortMergeJoin"]),
+    # EAV pivot: conditional aggregation, bounded shuffles, broadcast vocab
+    ("eav_pivot_effective_rent", 3, ["BroadcastHashJoin"], ["SortMergeJoin"]),
+]
+
+
+@pytest.mark.parametrize("name,max_ex,need,forbid", CONTRACTS,
+                         ids=[c[0] for c in CONTRACTS])
+def test_plan_contract(spark, registry, name, max_ex, need, forbid):
+    plan = _plan(spark, registry, name)
+    n_ex = plan.count("Exchange")
+    assert n_ex <= max_ex, f"{name}: {n_ex} exchanges (contract: <= {max_ex})\n{plan[:3000]}"
+    for token in need:
+        assert token in plan, f"{name}: expected {token!r} in plan\n{plan[:3000]}"
+    for token in forbid:
+        assert token not in plan, f"{name}: forbidden {token!r} in plan\n{plan[:3000]}"
+
+
+def test_no_cartesian_products_anywhere(spark, registry):
+    """CartesianProduct is banned across the whole registry — every
+    intended cross join must be a broadcast of a tiny frame (which
+    compiles to BroadcastNestedLoopJoin), never a partitioned cartesian."""
+    offenders = []
+    for name, spec in registry.items():
+        plan = _plan(spark, registry, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
