@@ -1,0 +1,156 @@
+"""Incremental MinHash dedup: near-dup-check arriving documents against
+the whole corpus WITHOUT recomputing it.
+
+The batch dedup (`operators.similarity.minhash_near_duplicates`) is a
+full-corpus job; a 100 TB ingest pipeline cannot re-run it per drop.
+This module keeps the corpus as a SIGNATURE STORE — 48 longs per
+document, ~400 bytes/doc, 10^9 docs ≈ 0.4 TB — and processes each
+micro-batch as:
+
+1. signatures for the new docs only (explode + min-agg, one shuffle
+   over just the batch);
+2. LSH band join of the NEW signatures against store ∪ batch — so
+   new-vs-old and new-vs-new pairs surface, old-vs-old (already
+   reported in earlier batches) never re-emits;
+3. similarity from signature agreement — the MinHash estimator
+   (matching components / num_hashes is an unbiased estimate of the
+   true Jaccard), since the original shingle sets are not retained at
+   the store; exact verification is a downstream option for callers
+   that keep text access;
+4. append the new signatures to the store.
+
+Determinism: hashing is the same seeded xxhash64 as the batch path, so
+the UNION of candidate pairs over any batch split equals the batch
+job's candidate set on the full corpus — pinned by a test.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_etl_spark.operators import similarity as S
+
+
+def estimated_jaccard(sig_a, sig_b):
+    """MinHash similarity estimate: fraction of agreeing components."""
+    matches = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    )
+    return matches.cast("double") / F.size(sig_a)
+
+
+def dedup_batch(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = S.DEFAULT_NUM_HASHES,
+    bands: int = S.DEFAULT_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch: returns (near-dup pairs touching this batch,
+    this batch's signatures to append to the store).
+
+    Pure DataFrame-in/DataFrame-out so it is the ``foreachBatch`` body
+    AND batch-testable, like ``cdc.apply_change_batch``.
+    """
+    sigs_new = S.minhash_from_exploded(
+        S.exploded_shingle_rows(new_docs, text_col, shingle_n, id_col),
+        num_hashes,
+        id_col,
+    ).localCheckpoint(eager=True)  # computed once: banded twice + joined below
+    union = store_sigs.unionByName(sigs_new)
+
+    # band both sides; keep pairs with the NEW side on the left so
+    # store-vs-store pairs (already emitted in earlier batches) never
+    # reappear.  id inequality (not a<b) because new-vs-old pairs must
+    # survive regardless of id ordering; new-vs-new dedupes by a<b.
+    new_b = _banded(sigs_new, id_col, bands, num_hashes)
+    all_b = _banded(union, id_col, bands, num_hashes)
+    new_ids = sigs_new.select(F.col(id_col).alias("id_b"), F.lit(True).alias("__new_b"))
+    cand = (
+        new_b.alias("a")
+        .join(
+            all_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .join(F.broadcast(new_ids), "id_b", "left")
+        # canonical orientation: drop the mirrored copy of new-new pairs
+        .filter(~F.coalesce(F.col("__new_b"), F.lit(False)) | (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = union.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
+    sb = union.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(estimated_jaccard(F.col("__sa"), F.col("__sb")), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return pairs, sigs_new
+
+
+def _banded(sigs: DataFrame, id_col: str, bands: int, num_hashes: int) -> DataFrame:
+    """(id, band, bucket) rows — the banding half of
+    :func:`car_etl_spark.operators.similarity.lsh_candidate_pairs`,
+    exposed separately so the incremental join can band two DIFFERENT
+    sides (new vs store)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        segment = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        "_",
+                        *[segment.getItem(i).cast("string") for i in range(rows_per_band)],
+                    )
+                ).alias("bucket"),
+            )
+        )
+    return sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+class IncrementalDeduper:
+    """Driver harness for the signature store (parallel to
+    :class:`car_etl_spark.streaming.cdc.ConnectorSync`): parquet-backed
+    store, one :func:`dedup_batch` per drop.  At scale the store is a
+    bucketed table partitioned by band hash; here a plain parquet file
+    plays that role."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, **params) -> None:
+        self.spark = spark
+        self.params = params
+        self.sig_path = os.path.join(state_dir, "minhash_signatures.parquet")
+
+    def signatures(self) -> DataFrame:
+        if os.path.exists(self.sig_path):
+            return self.spark.read.parquet(self.sig_path)
+        n = self.params.get("num_hashes", S.DEFAULT_NUM_HASHES)
+        id_col = self.params.get("id_col", "doc_id")
+        return self.spark.createDataFrame([], f"{id_col} long, sig array<bigint>")
+
+    def process_batch(self, new_docs: DataFrame) -> DataFrame:
+        pairs, sigs_new = dedup_batch(new_docs, self.signatures(), **self.params)
+        pairs = pairs.localCheckpoint(eager=True)  # materialize BEFORE store append
+        sigs_new.write.mode("append").parquet(self.sig_path)
+        return pairs

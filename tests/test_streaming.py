@@ -272,3 +272,72 @@ def test_cdc_in_batch_upsert_then_delete(spark, tmp_path):
     stats = sync.sync_once(lambda tok: (_changes_df(spark, [("sp:a", "", "delete")]), "t3"))
     assert stats["tombstones"] == 0
     assert sync.tombstones().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup (signature store, no corpus recompute)
+
+
+def _dedup_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_incremental_dedup_finds_cross_batch_duplicates(spark, tmp_path):
+    """A near-copy arriving two batches after its original must be
+    flagged against the signature STORE — no recompute of old docs."""
+    import random
+
+    from car_etl_spark.streaming.incremental_dedup import IncrementalDeduper
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(150)]
+    base = " ".join(rng.choice(vocab) for _ in range(60))
+    other = [" ".join(rng.choice(vocab) for _ in range(60)) for _ in range(4)]
+    toks = base.split()
+    toks[3] = "zzz"  # ~2% perturbation -> high jaccard near-copy
+    near_copy = " ".join(toks)
+
+    d = IncrementalDeduper(spark, str(tmp_path), threshold=0.5)
+    p1 = d.process_batch(_dedup_docs(spark, [(1, base), (2, other[0])]))
+    assert p1.count() == 0
+    p2 = d.process_batch(_dedup_docs(spark, [(3, other[1]), (4, other[2])]))
+    assert p2.count() == 0
+    p3 = d.process_batch(_dedup_docs(spark, [(5, near_copy), (6, other[3])]))
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in p3.collect()}
+    assert (5, 1) in got, got  # new doc flagged against the stored original
+    assert got[(5, 1)] >= 0.5
+
+
+def test_incremental_candidates_equal_batch_candidates(spark, tmp_path):
+    """Determinism invariant: the union of candidate pairs over ANY
+    batch split equals the full-corpus batch LSH candidate set (same
+    seeded hashing; threshold 0 disables the estimate filter so raw
+    candidate sets compare)."""
+    import random
+
+    from car_etl_spark.operators import similarity as S
+    from car_etl_spark.streaming.incremental_dedup import IncrementalDeduper
+
+    rng = random.Random(9)
+    vocab = [f"t{i}" for i in range(80)]
+    docs = []
+    for i in range(12):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(40))))
+    for j in range(4):  # plant near-copies of docs 0-3
+        toks = docs[j][1].split()
+        toks[rng.randrange(len(toks))] = "q"
+        docs.append((100 + j, " ".join(toks)))
+
+    full = _dedup_docs(spark, docs)
+    sigs = S.minhash_from_exploded(S.exploded_shingle_rows(full))
+    batch_pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in S.lsh_candidate_pairs(sigs).collect()
+    }
+
+    d = IncrementalDeduper(spark, str(tmp_path), threshold=0.0)
+    inc_pairs = set()
+    for chunk in (docs[:5], docs[5:11], docs[11:]):
+        for r in d.process_batch(_dedup_docs(spark, chunk)).collect():
+            inc_pairs.add(tuple(sorted((r.id_a, r.id_b))))
+    assert inc_pairs == batch_pairs
