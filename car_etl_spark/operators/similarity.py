@@ -83,15 +83,26 @@ def minhash_from_exploded(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signatures (array<long>) from (id, sh) rows: groupBy(id)
-    with ``num_hashes`` plain ``min(xxhash64(sh, seed_i))`` aggregates —
-    every expression inside whole-stage codegen, one shuffle on the id.
-    (The per-row form — 48 ``array_min(transform(...))`` HOFs — is
-    interpreted, measured ~50x slower at sf0.1.)"""
+    with ``num_hashes`` min-aggregates — every expression inside
+    whole-stage codegen, one shuffle on the id.  (The per-row form —
+    48 ``array_min(transform(...))`` HOFs — is interpreted, measured
+    ~50x slower at sf0.1.)
+
+    The shingle STRING is hashed once, then the ``num_hashes`` family
+    members re-hash that 8-byte long with per-member seeds — hashing a
+    fixed-width long is far cheaper than re-walking a ~20-char string
+    48 times, and the generated aggregate method is small enough to JIT
+    instantly.  Measured at sf0.1 (interleaved, same session): cold
+    5.1 s -> 1.0 s, warm 0.83 s -> 0.77 s vs the per-seed string form.
+    Signature quality is unchanged: members collide only if the 64-bit
+    string hashes collide (~2^-64 per pair).
+    """
+    staged = exploded.select(id_col, F.xxhash64(F.col("sh")).alias("__h0"))
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(seed + i))).alias(f"__h{i}")
+        F.min(F.xxhash64(F.col("__h0"), F.lit(seed + i))).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
-    sigs = exploded.groupBy(id_col).agg(*aggs)
+    sigs = staged.groupBy(id_col).agg(*aggs)
     return sigs.select(
         id_col,
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
@@ -172,12 +183,32 @@ def minhash_near_duplicates(
     Output: (id_a, id_b, jaccard) for candidate pairs whose *exact*
     shingle Jaccard clears the threshold — LSH chooses candidates,
     verification keeps precision at 1.0 (recall is the LSH knob).
+
+    Verification cost discipline: shingle SETS (the interpreted-HOF
+    array build) are computed only for documents that appear in a
+    candidate pair — a semi-join against the materialized candidate ids
+    first — not for the whole corpus.  Candidates scale with true
+    near-dups, so at 100 TB this is the difference between re-shingling
+    petabytes and re-shingling the duplicates (at sf0.1 the wall is
+    unchanged — the extra job's scheduling floor offsets the saved
+    shingling — but the asymptotics flip at real corpus sizes).
     """
-    shingled = with_shingles(docs, text_col, shingle_n, id_col)
     sigs = minhash_from_exploded(
         exploded_shingle_rows(docs, text_col, shingle_n, id_col), num_hashes, id_col
     )
-    candidates = lsh_candidate_pairs(sigs, id_col, bands, num_hashes)
+    # materialize the (tiny) candidate set once — it feeds BOTH the
+    # verify join and the shingle semi-join below, and without this the
+    # signature+band-join subtree would execute twice
+    candidates = lsh_candidate_pairs(sigs, id_col, bands, num_hashes).localCheckpoint(
+        eager=True
+    )
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_needed = docs.join(cand_ids, id_col, "left_semi")
+    shingled = with_shingles(docs_needed, text_col, shingle_n, id_col)
     sh_a = shingled.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
