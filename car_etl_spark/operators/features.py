@@ -121,20 +121,28 @@ class FeatureFlags:
         Built as a broadcast join against the (tiny) enabled-tenant
         frame derived from the current snapshot — the fact side never
         shuffles, so this composes into any pipeline for free at scale.
-        Tenants without an override follow the flag default.
+        Tenants without an override follow the flag default.  Joined
+        columns use reserved ``__ff_`` names so a fact frame carrying
+        its own ``enabled`` column is neither ambiguous nor dropped.
+        Fails CLOSED like :meth:`is_enabled`: if the control-plane
+        reload errors, no rows pass (flag treated as disabled
+        everywhere) rather than killing the pipeline job.
         """
-        m = self.snapshot().value
+        try:
+            m = self.snapshot().value
+        except Exception:
+            return df.filter(F.lit(False))  # fail closed (service.py:125-128)
         default_on = m.get((None, flag_name), False)
         overridden = [
             (t, on) for (t, f), on in m.items() if f == flag_name and t is not None
         ]
         decided = self._spark.createDataFrame(
-            overridden or [], "tenant_id string, enabled boolean"
+            overridden or [], "__ff_tenant string, __ff_enabled boolean"
         )
         fact = df.join(
-            F.broadcast(decided.withColumnRenamed("tenant_id", "__ff_tenant")),
+            F.broadcast(decided),
             F.col(tenant_col) == F.col("__ff_tenant"),
             "left",
         )
-        keep = F.coalesce(F.col("enabled"), F.lit(default_on))
-        return fact.filter(keep).drop("__ff_tenant", "enabled")
+        keep = F.coalesce(F.col("__ff_enabled"), F.lit(default_on))
+        return fact.filter(keep).drop("__ff_tenant", "__ff_enabled")

@@ -56,22 +56,40 @@ def salted_join(
             f"got how={how!r} (right/full would emit unmatched dim rows "
             f"once per salt replica)"
         )
-    if salt_cols is None:
-        # xxhash64 raises AnalysisException on MapType input; everything
-        # else in a fact schema (atomics, arrays, structs) hashes fine.
-        hashable = [
-            f.name for f in skewed.schema.fields if not f.dataType.typeName() == "map"
-        ]
-        if not hashable:
-            raise ValueError("salted_join: no hashable columns to derive a salt from")
-        salt_cols = tuple(hashable)
     salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("__salt")
     dim_salted = dim.select(F.col("*"), salts)
     fact_salted = skewed.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts)).cast("int"),
+        "__salt", content_salt(skewed, num_salts, salt_cols)
     )
     return fact_salted.join(dim_salted, [key, "__salt"], how).drop("__salt")
+
+
+def _contains_map(dt) -> bool:
+    """True if the datatype contains a MapType at ANY nesting level —
+    xxhash64 rejects maps wherever they appear (a top-level typeName()
+    check misses array<map<...>> / struct fields)."""
+    name = dt.typeName()
+    if name == "map":
+        return True
+    if name == "array":
+        return _contains_map(dt.elementType)
+    if name == "struct":
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def content_salt(
+    df: DataFrame, num_salts: int, salt_cols: tuple[str, ...] | None = None
+) -> Column:
+    """The salt expression :func:`salted_join` applies to the fact side
+    — exposed so tests and callers derive salts through the SAME code
+    path as the join (a re-implemented copy can silently drift)."""
+    if salt_cols is None:
+        hashable = [f.name for f in df.schema.fields if not _contains_map(f.dataType)]
+        if not hashable:
+            raise ValueError("salted_join: no hashable columns to derive a salt from")
+        salt_cols = tuple(hashable)
+    return F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts)).cast("int")
 
 
 def write_partitioned(

@@ -122,6 +122,31 @@ def with_minhash(
     )
 
 
+def banded_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """(id, band, bucket) rows from MinHash signatures — the banding
+    half of :func:`lsh_candidate_pairs`, shared with the incremental
+    dedup so both sides of any band join are guaranteed to hash buckets
+    identically (the incremental==batch candidate-set invariant depends
+    on there being exactly ONE copy of this expression)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        segment = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(F.concat_ws("_", *[
+                segment.getItem(i).cast("string") for i in range(rows_per_band)
+            ])).alias("bucket"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -134,18 +159,7 @@ def lsh_candidate_pairs(
     (band hash) is uniform, so no skew at scale.  Returns distinct
     candidate id pairs (a < b).
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        segment = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(F.concat_ws("_", *[
-                segment.getItem(i).cast("string") for i in range(rows_per_band)
-            ])).alias("bucket"))
-        )
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = banded_signatures(sigs, id_col, bands, num_hashes)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -294,6 +308,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid, MAP-ONLY.  Output: (id, vec, centroid_id).
@@ -312,7 +327,11 @@ def ivf_assign(
     At 100 TB the assignment is written once as a bucketed layout;
     queries then scan only the probed buckets.
     """
-    rows = centroids.select("centroid_id", "centroid_vec").collect()
+    rows = (
+        centroid_rows
+        if centroid_rows is not None
+        else centroids.select("centroid_id", "centroid_vec").collect()
+    )
     if not rows:
         raise ValueError("ivf_assign: empty centroid set")
     cents = sorted((r.centroid_id, list(r.centroid_vec)) for r in rows)
@@ -341,11 +360,17 @@ def ivf_assign(
     def assign(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
-        mat = np.vstack(vecs.to_numpy()).astype("float64")
+        raw = vecs.to_numpy()
+        null_mask = vecs.isna().to_numpy()
+        mat = np.vstack(
+            [np.zeros(cmat.shape[1]) if m else v for m, v in zip(null_mask, raw)]
+        ).astype("float64")
         denom = np.linalg.norm(mat, axis=1)[:, None] * cnorm[None, :]
         sims = np.divide(mat @ cmat.T, denom, out=np.full((len(mat), len(cids)), -2.0),
                          where=denom > 0)
-        # argmax returns the FIRST max -> lowest centroid_id wins ties
+        # argmax returns the FIRST max -> lowest centroid_id wins ties;
+        # NULL/zero-norm vectors score -2 everywhere and land on the
+        # lowest id, same as the expression twin's null-struct ordering
         return pd.Series(cids[np.argmax(sims, axis=1)])
 
     return emb.select(id_col, vec_col).withColumn("centroid_id", assign(F.col(vec_col)))
@@ -431,7 +456,10 @@ def ivf_topk(
     )
     if refine_iterations > 0:
         centroids = kmeans_refine(emb, centroids, refine_iterations, id_col, vec_col)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    # ONE centroid collect serves the assignment kernel AND the dim
+    # probe for the scoring-path choice — no separate emb.first() job
+    centroid_rows = centroids.select("centroid_id", "centroid_vec").collect()
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, centroid_rows=centroid_rows)
 
     spark = emb.sparkSession
     qdf = spark.range(1).select(query_vec.alias("qvec"))
@@ -451,9 +479,9 @@ def ivf_topk(
     # dim-aware exact scoring over the probed buckets (same split as the
     # banding/verify paths: codegen HOF at low dim, Arrow kernel above).
     # The branch must be STATIC — a `when` would still ship every row
-    # through the extracted Python-UDF projection node.
-    row = emb.select(vec_col).first()
-    dim = len(row[0]) if row is not None and row[0] is not None else 0
+    # through the extracted Python-UDF projection node.  Dim comes from
+    # the already-collected centroids (same table), not an extra job.
+    dim = len(centroid_rows[0].centroid_vec) if centroid_rows else 0
     if dim <= EXPR_PROJECTION_MAX_DIM:
         sim = V.cosine_similarity(F.col(vec_col), F.col("qvec"))
     else:
@@ -505,10 +533,17 @@ def _lsh_bands_pandas(
     def band_buckets(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        mat = np.vstack(vecs.to_numpy()).astype("float64")  # (n, dim)
+        raw = vecs.to_numpy()
+        null_mask = vecs.isna().to_numpy()
+        mat = np.vstack(
+            [np.zeros(dim) if m else v for m, v in zip(null_mask, raw)]
+        ).astype("float64")  # (n, dim)
         signs = (mat @ planes.T) >= 0.0  # (n, bands*bits)
         per_band = signs.reshape(len(mat), bands, bits_per_band)
         buckets = (per_band * weights).sum(axis=2).astype("int64")  # (n, bands)
+        # NULL vector -> all-zero buckets, matching the expression twin
+        # (null projection falls through when()'s otherwise(0) per bit)
+        buckets[null_mask] = 0
         return pd.Series(list(buckets))
 
     return emb.select(
@@ -519,7 +554,14 @@ def _lsh_bands_pandas(
 def _cosine_pairs_pandas(a, b):
     """Exact pairwise cosine as an Arrow-batched numpy kernel — the
     high-dim twin of :func:`car_etl_spark.functions.vectors.cosine_similarity`
-    (same double-precision math; row-wise dot / norms per batch)."""
+    (same double-precision math; row-wise dot / norms per batch).
+
+    NULL semantics match the expression twin exactly: a zero-norm or
+    NULL vector yields SQL NULL, never NaN — Spark orders NaN ABOVE
+    every number and `NaN >= t` is true, so a NaN here would push
+    garbage rows into top-k results and threshold filters (the
+    expression form's `when(denom > 0, ...)` falls through to NULL,
+    which drops out of both)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -527,12 +569,17 @@ def _cosine_pairs_pandas(a, b):
     def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        ma = np.vstack(va.to_numpy()).astype("float64")
-        mb = np.vstack(vb.to_numpy()).astype("float64")
+        null_mask = va.isna().to_numpy() | vb.isna().to_numpy()
+        dim = len(next(v for v in va.to_numpy() if v is not None)) if (~null_mask).any() else 1
+        zero = np.zeros(dim)
+        ma = np.vstack([zero if m else v for m, v in zip(null_mask, va.to_numpy())]).astype("float64")
+        mb = np.vstack([zero if m else v for m, v in zip(null_mask, vb.to_numpy())]).astype("float64")
         dots = (ma * mb).sum(axis=1)
         denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        out = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), np.nan)
-        return pd.Series(out)
+        ok = (denom > 0) & ~null_mask
+        vals = np.divide(dots, denom, out=np.zeros(len(ma)), where=ok)
+        # nullable Float64 so masked entries arrive as SQL NULL through Arrow
+        return pd.Series(vals).astype("Float64").mask(~ok, pd.NA)
 
     return pair_cosine(a, b)
 
@@ -672,10 +719,20 @@ def winnow_fingerprints(
         F.lead("tok", k - 1).over(worder).alias("__last"),
     ).filter(F.col("__last").isNotNull())  # positions with a full k-shingle
     wmin = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    return (
-        shingled.select(id_col, F.min("h").over(wmin).alias("fp"))
-        .distinct()
+    wdoc = W.partitionBy(id_col)
+    # select minima of FULL windows only — partial trailing windows would
+    # emit tail-biased extra fingerprints beyond the winnowing spec; a
+    # document with fewer than `window` shingles keeps its single
+    # whole-document minimum (pos 0) so short docs still sketch
+    sel = shingled.select(
+        id_col,
+        "pos",
+        F.min("h").over(wmin).alias("fp"),
+        F.max("pos").over(wdoc).alias("__maxpos"),
     )
+    full = F.col("pos") <= F.col("__maxpos") - (window - 1)
+    short_doc = (F.col("__maxpos") < window - 1) & (F.col("pos") == 0)
+    return sel.filter(full | short_doc).select(id_col, "fp").distinct()
 
 
 def winnow_match_pairs(

@@ -44,7 +44,7 @@ def estimated_jaccard(sig_a, sig_b):
 
 def dedup_batch(
     new_docs: DataFrame,
-    store_sigs: DataFrame,
+    store_sigs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
@@ -63,14 +63,17 @@ def dedup_batch(
         num_hashes,
         id_col,
     ).localCheckpoint(eager=True)  # computed once: banded twice + joined below
-    union = store_sigs.unionByName(sigs_new)
+    # store_sigs None = empty store (first batch): the store schema —
+    # including the id column's TYPE — is defined by the signatures
+    # themselves, never assumed
+    union = sigs_new if store_sigs is None else store_sigs.unionByName(sigs_new)
 
     # band both sides; keep pairs with the NEW side on the left so
     # store-vs-store pairs (already emitted in earlier batches) never
     # reappear.  id inequality (not a<b) because new-vs-old pairs must
     # survive regardless of id ordering; new-vs-new dedupes by a<b.
-    new_b = _banded(sigs_new, id_col, bands, num_hashes)
-    all_b = _banded(union, id_col, bands, num_hashes)
+    new_b = S.banded_signatures(sigs_new, id_col, bands, num_hashes)
+    all_b = S.banded_signatures(union, id_col, bands, num_hashes)
     new_ids = sigs_new.select(F.col(id_col).alias("id_b"), F.lit(True).alias("__new_b"))
     cand = (
         new_b.alias("a")
@@ -105,31 +108,6 @@ def dedup_batch(
     return pairs, sigs_new
 
 
-def _banded(sigs: DataFrame, id_col: str, bands: int, num_hashes: int) -> DataFrame:
-    """(id, band, bucket) rows — the banding half of
-    :func:`car_etl_spark.operators.similarity.lsh_candidate_pairs`,
-    exposed separately so the incremental join can band two DIFFERENT
-    sides (new vs store)."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        segment = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        "_",
-                        *[segment.getItem(i).cast("string") for i in range(rows_per_band)],
-                    )
-                ).alias("bucket"),
-            )
-        )
-    return sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
-
-
 class IncrementalDeduper:
     """Driver harness for the signature store (parallel to
     :class:`car_etl_spark.streaming.cdc.ConnectorSync`): parquet-backed
@@ -142,12 +120,13 @@ class IncrementalDeduper:
         self.params = params
         self.sig_path = os.path.join(state_dir, "minhash_signatures.parquet")
 
-    def signatures(self) -> DataFrame:
+    def signatures(self) -> DataFrame | None:
+        """The store, or None before the first batch lands — the store
+        schema (in particular the id column's type) is fixed by the
+        first batch's signatures, never assumed here."""
         if os.path.exists(self.sig_path):
             return self.spark.read.parquet(self.sig_path)
-        n = self.params.get("num_hashes", S.DEFAULT_NUM_HASHES)
-        id_col = self.params.get("id_col", "doc_id")
-        return self.spark.createDataFrame([], f"{id_col} long, sig array<bigint>")
+        return None
 
     def process_batch(self, new_docs: DataFrame) -> DataFrame:
         pairs, sigs_new = dedup_batch(new_docs, self.signatures(), **self.params)

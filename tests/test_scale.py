@@ -39,11 +39,13 @@ def test_salted_join_salt_is_content_derived(spark):
         (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
     )
 
+    from car_etl_spark.operators.scale import content_salt
+
     def salts_of(df):
-        salted = df.withColumn(
-            "__salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(8)).cast("int"),
-        )
+        # derive through the SAME expression salted_join applies — a
+        # re-implemented copy here could silently drift from the code
+        # under test
+        salted = df.withColumn("__salt", content_salt(df, 8))
         return {(r["k"], r["payload"]): r["__salt"] for r in salted.collect()}
 
     a = salts_of(fact.repartition(32))
@@ -160,3 +162,41 @@ def test_feature_flags_gate_is_broadcast_join(spark):
     )
     got = sorted((r.tenant_id, r.v) for r in ff2.gate(facts, "beta").collect())
     assert got == [("t1", 1), ("t1", 4), ("t3", 3)]
+
+
+def test_salted_join_skips_nested_map_columns(spark):
+    """MapType at any nesting level must be excluded from the salt hash
+    (xxhash64 rejects nested maps too, not just top-level ones)."""
+    from car_etl_spark.operators.scale import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, [{"a": "b"}], 10), (2, [{"c": "d"}], 20), (1, [{"e": "f"}], 30)],
+        "k int, tags array<map<string,string>>, payload int",
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, label string")
+    got = sorted(
+        (r.k, r.payload, r.label) for r in salted_join(fact, dim, "k", 4).collect()
+    )
+    assert got == [(1, 10, "x"), (1, 30, "x"), (2, 20, "y")]
+
+
+def test_feature_flags_gate_tolerates_enabled_column_and_fails_closed(spark):
+    from car_etl_spark.operators.features import FeatureFlags
+
+    ff = FeatureFlags(
+        spark,
+        lambda: _flag_frames(spark, [("beta", False)], [("t1", "beta", True)]),
+    )
+    facts = spark.createDataFrame(
+        [("t1", 1, True), ("t2", 2, False)], "tenant_id string, v long, enabled boolean"
+    )
+    got = ff.gate(facts, "beta").collect()
+    # caller's own `enabled` column survives untouched
+    assert [(r.tenant_id, r.v, r.enabled) for r in got] == [("t1", 1, True)]
+
+    def broken_loader():
+        raise RuntimeError("control plane down")
+
+    dead = FeatureFlags(spark, broken_loader)
+    assert dead.is_enabled("t1", "beta") is False
+    assert dead.gate(facts, "beta").count() == 0  # closed, not crashed

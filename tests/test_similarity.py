@@ -202,3 +202,39 @@ def test_kmeans_refine_recovers_planted_clusters(spark):
     for r in rows2:
         by_centroid.setdefault(r.centroid_id, set()).add(r.vec_id // 30)
     assert all(len(members) == 1 for members in by_centroid.values()), by_centroid
+
+
+def test_highdim_cosine_null_semantics_match_expression_twin(spark):
+    """Zero-norm and NULL vectors must yield SQL NULL from the Arrow
+    kernel — NaN would sort ABOVE every real score and pass >= filters,
+    corrupting top-k and near-dup thresholds at high dim."""
+    from pyspark.sql import functions as F
+
+    from car_etl_spark.functions import vectors as V
+
+    rows = [
+        (1, [1.0, 2.0], [1.0, 2.0]),
+        (2, [1.0, 2.0], [0.0, 0.0]),   # zero-norm partner
+        (3, None, [1.0, 2.0]),          # NULL vector
+    ]
+    df = spark.createDataFrame(rows, "i long, va array<double>, vb array<double>")
+    pandas_out = {
+        r.i: r.c
+        for r in df.select(
+            "i", S._cosine_pairs_pandas(F.col("va"), F.col("vb")).alias("c")
+        ).collect()
+    }
+    expr_out = {
+        r.i: r.c
+        for r in df.select(
+            "i", V.cosine_similarity(F.col("va"), F.col("vb")).alias("c")
+        ).collect()
+    }
+    assert pandas_out[2] is None and expr_out[2] is None
+    assert pandas_out[3] is None and expr_out[3] is None
+    assert abs(pandas_out[1] - 1.0) < 1e-12 and abs(expr_out[1] - 1.0) < 1e-12
+    # and the filter behavior that motivated this: NULL drops out
+    kept = df.select(
+        "i", S._cosine_pairs_pandas(F.col("va"), F.col("vb")).alias("c")
+    ).filter(F.col("c") >= 0.5)
+    assert [r.i for r in kept.collect()] == [1]
