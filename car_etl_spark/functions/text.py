@@ -265,11 +265,23 @@ def highlight(c: Column, terms: list[str]) -> Column:
     """Wrap case-insensitive word-boundary matches in ``<mark>`` (F19,
     reference ``highlighter.py:92-118,208-244``).  Terms are
     regex-escaped so 'c++' or 'a.b' match literally instead of breaking
-    (or silently widening) the alternation."""
+    (or silently widening) the alternation.
+
+    Boundaries are per-term and CONDITIONAL: ``\\b`` needs a word-char
+    transition, so a bare ``\\b`` around a term that starts/ends with a
+    non-word character ('c++', '.net') can never match — such edges get
+    a lookaround boundary (not preceded/followed by a word char)
+    instead."""
     import re
 
-    escaped = [re.escape(t) for t in terms if t]
-    if not escaped:
+    def bounded(t: str) -> str:
+        esc = re.escape(t)
+        lead = r"\b" if re.match(r"\w", t) else r"(?<!\w)"
+        tail = r"\b" if re.search(r"\w$", t) else r"(?!\w)"
+        return lead + esc + tail
+
+    alts = [bounded(t) for t in terms if t]
+    if not alts:
         return c
-    pattern = r"(?i)\b(" + "|".join(escaped) + r")\b"
+    pattern = r"(?i)(" + "|".join(alts) + r")"
     return F.regexp_replace(c, pattern, "<mark>$1</mark>")

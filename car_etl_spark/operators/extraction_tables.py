@@ -48,7 +48,10 @@ def explode_extracted_tables(nested: DataFrame, *id_cols: str) -> DataFrame:
 
 def cell(header_name: str) -> Column:
     """Header-aligned cell access on an exploded frame: the cell under
-    ``header_name``, NULL when the header is absent.  Resolves position
-    from the ``headers`` array per row — no fixed vocabulary needed."""
+    ``header_name``, NULL when the header is absent OR the row is
+    ragged (fewer cells than the header position — parsers emit short
+    rows; under ANSI mode a plain element_at would kill the job on the
+    first one, so this uses try_element_at).  Resolves position from
+    the ``headers`` array per row — no fixed vocabulary needed."""
     pos = F.array_position(F.col("headers"), F.lit(header_name))
-    return F.when(pos > 0, F.element_at(F.col("cells"), pos.cast("int")))
+    return F.when(pos > 0, F.try_element_at(F.col("cells"), pos.cast("int")))

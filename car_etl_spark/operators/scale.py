@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 #: join types for which salting preserves exact join semantics.  For
 #: right/full the exploded dim side would return each unmatched dim row
 #: ``num_salts`` times, so those are rejected rather than silently wrong.
-SALTABLE_JOINS = frozenset({"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"})
+#: left_anti IS safe: a fact row with salt s is anti-retained iff no dim
+#: row matches (k, s), and the dim side carries EVERY salt for every key
+#: — equivalent to "k not in dim", identical to the unsalted anti join.
+SALTABLE_JOINS = frozenset(
+    {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+     "left_anti", "leftanti"}
+)
 
 
 def salted_join(

@@ -243,16 +243,61 @@ FROM cal ORDER BY orderkey
 def om_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F26+F27+F28+F29 in ONE oracle entry: consistency penalties,
     marketing-aware field confidence, pro-forma warning flags, and
-    calibration variances joined on orderkey — the full OM validation
-    report a platform user reads, and one registry slot instead of four.
-    Every sub-expression is byte-identical to the round-1 queries."""
-    return (
-        om_consistency_checks(spark, sf_dir)
-        .join(om_field_confidence_scores(spark, sf_dir), "orderkey")
-        .join(pro_forma_validation_flags(spark, sf_dir), "orderkey")
-        .join(calibration_variances(spark, sf_dir), "orderkey")
-        .orderBy("orderkey")
+    calibration variances — the full OM validation report a platform
+    user reads, and one registry slot instead of four.
+
+    ONE projection over ONE _om_fields scan: every output is a pure
+    column expression over the same per-orderkey fields, so the
+    previous four-sub-query composition paid 4 table scans + 3 shuffle
+    joins for what a single select produces byte-identically (the
+    sub-queries remain as the round-1 single-facet API)."""
+    om = _om_fields(spark, sf_dir)
+    k = F.col("orderkey")
+    cap_penalty = C.cap_rate_penalty(
+        F.col("noi_in_place"), F.col("asking_price"), F.col("stated_cap")
     )
+    dec = "decimal(12,6)"
+    conf = (
+        F.lit(0.9).cast(dec)
+        * C.source_reliability(F.col("source_section")).cast(dec)
+        * C.value_type_factor(F.col("value_type")).cast(dec)
+        * cap_penalty.cast(dec)
+    )
+    clamped = F.greatest(F.lit(0).cast(dec), F.least(F.lit(1).cast(dec), conf))
+    rent_growth = F.round((k % 9).cast("double") / 100.0, 2)
+    rent_w, noi_w, occ_w = C.pro_forma_warnings(
+        rent_growth, F.col("noi_in_place"), F.col("noi_pro_forma"), F.col("occupancy")
+    )
+    baseline = (
+        F.when(k % 11 == 0, F.lit(0.0))
+        .when(k % 13 == 0, F.lit(None))
+        .otherwise(drow(F.col("asking_price") * 0.97))
+    )
+    return om.select(
+        "orderkey",
+        F.round(cap_penalty, 2).alias("cap_rate_penalty"),
+        F.round(
+            C.price_psf_penalty(F.col("asking_price"), F.col("total_sf"), F.col("price_psf")), 2
+        ).alias("price_psf_penalty"),
+        F.round(C.occupancy_penalty(F.col("occupancy")), 2).alias("occupancy_penalty"),
+        F.round(
+            C.noi_growth_penalty(F.col("noi_in_place"), F.col("noi_pro_forma")), 2
+        ).alias("noi_growth_penalty"),
+        "source_section",
+        "value_type",
+        F.round(clamped, 6).cast("double").alias("cap_rate_confidence"),
+        rent_growth.alias("rent_growth_assumption"),
+        rent_w.alias("rent_growth_warning"),
+        noi_w.alias("noi_uplift_warning"),
+        occ_w.alias("occupancy_warning"),
+        (rent_w.cast("int") + noi_w.cast("int") + occ_w.cast("int")).cast("long").alias(
+            "warning_count"
+        ),
+        baseline.alias("closing_price"),
+        F.round(C.calibration_variance(F.col("asking_price"), baseline), 6).alias(
+            "price_variance"
+        ),
+    ).orderBy("orderkey")
 
 
 OM_VALIDATION_REPORT_SQL = f"""

@@ -147,34 +147,6 @@ GROUP BY 1 ORDER BY k_bucket
 """
 
 
-def events_retry_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 batch analog: per-user error budget — attempts capped at
-    max_attempts=3, overflow dead-lettered (reference
-    ``src/workers/extraction_worker.py:36-37,416-443``)."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    errors = ev.filter(F.col("event_type") == "error")
-    return (
-        errors.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("error_count"))
-        .select(
-            "user_id",
-            "error_count",
-            F.least(F.col("error_count"), F.lit(3)).alias("attempts_used"),
-            (F.col("error_count") > 3).alias("dead_lettered"),
-        )
-        .orderBy("user_id")
-    )
-
-
-EVENTS_RETRY_DLQ_SQL = """
-SELECT user_id, COUNT(*) AS error_count,
-       LEAST(COUNT(*), 3) AS attempts_used,
-       COUNT(*) > 3 AS dead_lettered
-FROM events WHERE event_type = 'error'
-GROUP BY user_id ORDER BY user_id
-"""
-
-
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows via gap detection (lag + cumulative flag sum) —
     the batch equivalent of a 30-minute session window, per user."""

@@ -51,6 +51,10 @@ def build_postings(docs: DataFrame) -> DataFrame:
 def fts_posting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21: weighted-tf relevance over the posting table for a fixed
     term set, top-20 — the ts_rank approximation declared in SURVEY §4.2.
+    (:func:`build_postings` is the F20 materialization twin of this
+    inline path: same tokenize/stem/weight semantics, used when the
+    posting table is PERSISTED and maintained incrementally rather than
+    derived per query.)
 
     The term predicate is applied BEFORE the posting aggregation (the
     index-scan equivalent: a GIN lookup never materializes the full
@@ -75,12 +79,15 @@ def fts_posting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in terms:
         c = F.col("raw_term").startswith(t)
         prefix_guard = c if prefix_guard is None else (prefix_guard | c)
+    # strip LEADING whitespace explicitly: trim()/TRIM remove spaces
+    # only, so text starting with a tab/newline would otherwise emit an
+    # empty token at pos 0 and shift every position by one relative to
+    # the oracle (which list_filters empties BEFORE numbering)
+    cleaned = F.regexp_replace(F.lower(F.col("text")), r"^\s+", "")
     posted = (
         docs.select(
             "doc_id",
-            F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
-                "pos", "raw_term"
-            ),
+            F.posexplode(F.split(cleaned, r"\s+")).alias("pos", "raw_term"),
         )
         .filter(prefix_guard)
         .withColumn("term", T.stem(F.col("raw_term")))

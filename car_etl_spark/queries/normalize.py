@@ -329,10 +329,16 @@ def normalize_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("kind", "key_id")
 
 
-def _tagged_sql(kind: str, key_expr: str, norm_expr: str, inner: str) -> str:
+def _tagged_sql(
+    kind: str, key_expr: str, norm_expr: str, inner: str, raw_expr: str = "raw_value"
+) -> str:
+    # raw_expr lets sub-queries exposing differently-named raw columns
+    # (bool_raw/seg_raw) be wrapped WITHOUT text surgery on the inner
+    # SQL — a str.replace() rewrite would silently no-op the moment the
+    # inner statement is reformatted
     return (
         f"SELECT '{kind}' AS kind, CAST({key_expr} AS BIGINT) AS key_id, "
-        f"raw_value, {norm_expr} AS normalized FROM ({inner}) t"
+        f"{raw_expr} AS raw_value, {norm_expr} AS normalized FROM ({inner}) t"
     )
 
 
@@ -352,12 +358,11 @@ NORMALIZE_ROUNDTRIPS_SQL = (
             _tagged_sql(
                 "boolean", "c_custkey",
                 "CAST(normalized_bool AS VARCHAR)",
-                BOOLEAN_ENUM_ROUNDTRIP_SQL.replace("SELECT c_custkey, bool_raw,",
-                                                   "SELECT c_custkey, bool_raw AS raw_value,"),
+                BOOLEAN_ENUM_ROUNDTRIP_SQL, raw_expr="bool_raw",
             ),
             _tagged_sql(
                 "enum", "c_custkey", "normalized_segment",
-                BOOLEAN_ENUM_ROUNDTRIP_SQL.replace("seg_raw,", "seg_raw AS raw_value,"),
+                BOOLEAN_ENUM_ROUNDTRIP_SQL, raw_expr="seg_raw",
             ),
             _tagged_sql(
                 "numeric_lenient", "o_orderkey",

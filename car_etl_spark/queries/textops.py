@@ -34,45 +34,6 @@ def _tokenized(docs: DataFrame, *keep: str) -> DataFrame:
     return docs.select(*keep, T.tokenize(F.col("text")).alias("toks"))
 
 
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token statistics per language (token counting — the
-    whitespace half of F24; group rollup A3)."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    m = _tokenized(docs, "lang", "n_chars").select(
-        "lang",
-        "n_chars",
-        F.size("toks").alias("tok"),
-        F.size(F.array_distinct("toks")).alias("dtok"),
-    )
-    return (
-        m.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            F.sum("tok").alias("total_tokens"),
-            F.round(F.avg("tok"), 4).alias("avg_tokens"),
-            F.round(F.avg("dtok"), 4).alias("avg_distinct_tokens"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        )
-        .orderBy("lang")
-    )
-
-
-DOC_TOKEN_STATS_SQL = """
-WITH tok AS (
-  SELECT lang, n_chars,
-         len(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS tok,
-         len(list_distinct(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''))) AS dtok
-  FROM documents
-)
-SELECT lang, COUNT(*) AS doc_count,
-       CAST(SUM(tok) AS BIGINT) AS total_tokens,
-       ROUND(AVG(tok), 4) AS avg_tokens,
-       ROUND(AVG(dtok), 4) AS avg_distinct_tokens,
-       ROUND(AVG(n_chars), 4) AS avg_chars
-FROM tok GROUP BY lang ORDER BY lang
-"""
-
-
 def _quality_metrics(docs: DataFrame, *keep: str) -> DataFrame:
     """Staged token counts -> (n, dn, ns, sw, length_c, div_c)."""
     m = _tokenized(docs, *keep).select(
@@ -139,76 +100,6 @@ def _fingerprinted(docs: DataFrame, *keep: str) -> DataFrame:
     return toked.select(*keep, F.sha2(canon, 256).alias("fp"))
 
 
-def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag-of-words fingerprint dedup: sha256 over the sorted distinct
-    token set, grouped; groups with >1 member are duplicate clusters.
-    The exact-dedup building block (map + one shuffle on a 64-char key;
-    at 100 TB this is the canonical first dedup pass)."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return (
-        _fingerprinted(docs, "doc_id")
-        .groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("dup_count"),
-            F.min("doc_id").alias("keep_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
-        )
-        .filter(F.col("dup_count") > 1)
-        .orderBy("fp")
-    )
-
-
-DOC_FINGERPRINT_DEDUP_SQL = """
-WITH fp AS (
-  SELECT doc_id,
-         sha256(array_to_string(
-           list_sort(list_distinct(
-             list_transform(
-               list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
-               x -> LOWER(x)))),
-           ' ')) AS fp
-  FROM documents
-)
-SELECT fp, COUNT(*) AS dup_count,
-       MIN(doc_id) AS keep_doc_id, MAX(doc_id) AS max_doc_id
-FROM fp GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
-"""
-
-
-def doc_exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup keep-first: drop every doc whose fingerprint was seen
-    on a lower doc_id (the (tenant_id, file_hash) ingest anti-join J6,
-    reference ``020_documents.sql:31``) — survivor count per source."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    with_fp = _fingerprinted(docs, "doc_id", "source")
-    keep = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    survivors = with_fp.join(keep, ["fp", "doc_id"], "left_semi")
-    return (
-        survivors.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("kept_docs"))
-        .orderBy("source")
-    )
-
-
-DOC_EXACT_DEDUP_SQL = """
-WITH fp AS (
-  SELECT doc_id, source,
-         sha256(array_to_string(
-           list_sort(list_distinct(
-             list_transform(
-               list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
-               x -> LOWER(x)))),
-           ' ')) AS fp
-  FROM documents
-), keep AS (
-  SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp
-)
-SELECT f.source, COUNT(*) AS kept_docs
-FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id
-GROUP BY f.source ORDER BY f.source
-"""
-
-
 def keyword_scores(docs: DataFrame, terms: tuple[str, ...], *keep: str) -> DataFrame:
     """Shared keyword-leg builder: term-frequency scoring via
     ``regexp_count`` with whitespace-boundary lookarounds.
@@ -257,48 +148,6 @@ SELECT doc_id, lang, score FROM scored
 WHERE score > 0
 ORDER BY score DESC, doc_id ASC
 LIMIT 20
-"""
-
-
-def doc_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stop-word / quality profile per source (corpus-curation rollup)."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    r = _quality_metrics(docs, "source")
-    q = F.round(0.4 * F.col("length_c") + 0.3 * F.col("div_c") + 0.3 * (1.0 - F.col("sw")), 6)
-    return (
-        r.select("source", "sw", q.alias("q"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            F.round(F.avg("sw"), 6).alias("avg_stopword_ratio"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
-        )
-        .orderBy("source")
-    )
-
-
-DOC_STOPWORD_PROFILE_SQL = f"""
-WITH tok AS (
-  SELECT source,
-         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks
-  FROM documents
-), m AS (
-  SELECT source, len(toks) AS n,
-         len(list_distinct(toks)) AS dn,
-         len(list_filter(toks, x -> list_contains([{_STOP_SQL_LIST}], LOWER(x)))) AS ns
-  FROM tok
-), r AS (
-  SELECT source,
-         CASE WHEN n > 0 THEN CAST(ns AS DOUBLE) / n ELSE 0.0 END AS sw,
-         ROUND(0.4 * LEAST(n / 50.0, 1.0)
-               + 0.3 * LEAST(CASE WHEN n > 0 THEN CAST(dn AS DOUBLE) / n ELSE 0.0 END * 2.0, 1.0)
-               + 0.3 * (1.0 - CASE WHEN n > 0 THEN CAST(ns AS DOUBLE) / n ELSE 0.0 END), 6) AS q
-  FROM m
-)
-SELECT source, COUNT(*) AS doc_count,
-       ROUND(AVG(sw), 6) AS avg_stopword_ratio,
-       ROUND(AVG(q), 6) AS avg_quality
-FROM r GROUP BY source ORDER BY source
 """
 
 

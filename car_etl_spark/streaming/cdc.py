@@ -128,6 +128,10 @@ def apply_change_batch(
         if tombstones is not None
         else None
     )
+    # NOTE: dead_ids is the full append-only deletion log — it grows
+    # without bound, so it must NOT be broadcast (the per-batch-small
+    # side here is `changes`, not the log); the join below stays
+    # unhinted and partitions on doc_id at scale.
     current = existing.filter(F.col("is_current")).select(
         "source_path",
         F.col("doc_id").alias("prev_doc_id"),
@@ -135,7 +139,7 @@ def apply_change_batch(
         F.col("version").alias("prev_version"),
     )
     if dead_ids is not None:
-        current = current.join(F.broadcast(dead_ids), "prev_doc_id", "left")
+        current = current.join(dead_ids, "prev_doc_id", "left")
     else:
         current = current.withColumn("prev_dead", F.lit(None).cast("boolean"))
     upserts = (
@@ -247,7 +251,14 @@ class ConnectorSync:
     # -- sync ------------------------------------------------------------
     def sync_once(self, read_changes) -> dict:
         """One sync cycle; returns stats.  Token invalidation triggers
-        the full-resync path in-line (reset token, re-read from None)."""
+        the full-resync path in-line (reset token, re-read from None).
+
+        A full resync enumerates what the source has NOW — files
+        deleted during the stale-token gap produce no 'delete' event,
+        so deletes are SYNTHESIZED for every current document whose
+        source_path is absent from the enumeration (unchanged-hash
+        no-ops make re-processing safe, but only reconciliation makes
+        disappearance safe)."""
         token = self.tokens.load()
         full_resync = False
         try:
@@ -256,6 +267,32 @@ class ConnectorSync:
             self.tokens.reset()
             full_resync = True
             changes, next_token = read_changes(None)
+            enumerated = changes.select("source_path").distinct()
+            vanished = (
+                self.docs()
+                .filter(F.col("is_current"))
+                .join(enumerated, "source_path", "left_anti")
+                .select("source_path")
+                .distinct()
+            )
+            # timestamp the synthesized deletes at the batch high-water
+            # mark (deterministic from the feed); empty enumeration
+            # falls back to the resync wall-clock
+            row = changes.agg(F.max("changed_at")).first()
+            if row is not None and row[0] is not None:
+                stamp = F.lit(row[0])
+            else:
+                from datetime import datetime, timezone
+
+                stamp = F.lit(datetime.now(timezone.utc).replace(tzinfo=None))
+            changes = changes.unionByName(
+                vanished.select(
+                    "source_path",
+                    F.lit("").alias("file_hash"),
+                    F.lit("delete").alias("change_type"),
+                    stamp.cast("timestamp").alias("changed_at"),
+                )
+            )
 
         existing = self.docs()
         new_versions, new_tombstones = apply_change_batch(changes, existing, self.tombstones())

@@ -20,7 +20,10 @@ def test_oracle_parity(spark, name, spec):
     assert result.spark_rows > 0 or name in ALLOW_EMPTY, f"{name}: empty result"
 
 
-ALLOW_EMPTY = {"customers_without_orders"}
+# every current registry entry must produce rows at sf0.001; the one
+# legitimately-empty round-1 query (customers_without_orders) is no
+# longer a registry entry
+ALLOW_EMPTY: set[str] = set()
 
 
 def test_registry_has_no_duplicate_functions():

@@ -109,6 +109,14 @@ def test_highlight_escapes_regex_metacharacters(spark):
     # a term that is invalid regex unescaped must not break the whole call
     [row2] = df.select(T.highlight(F.col("t"), ["c++", "love"]).alias("h")).collect()
     assert "<mark>love</mark>" in row2.h
+    # non-word-edged terms need lookaround boundaries: \b between '+'
+    # and space never matches, so a bare-\b pattern silently missed this
+    assert "<mark>c++</mark>" in row2.h
+    # ...but still bounded: 'c' inside another word must not match
+    df3 = spark.createDataFrame([("abc++x and c++ here",)], ["t"])
+    [row3] = df3.select(T.highlight(F.col("t"), ["c++"]).alias("h")).collect()
+    assert "<mark>c++</mark> here" in row3.h
+    assert "ab<mark>" not in row3.h  # 'abc++' left alone: 'c' is mid-word
 
 
 def test_lang_id_heuristic(spark):
