@@ -200,3 +200,13 @@ def test_feature_flags_gate_tolerates_enabled_column_and_fails_closed(spark):
     dead = FeatureFlags(spark, broken_loader)
     assert dead.is_enabled("t1", "beta") is False
     assert dead.gate(facts, "beta").count() == 0  # closed, not crashed
+
+
+def test_salted_left_anti_join_equivalence(spark):
+    """Anti join under salting: the dim side carries every salt for
+    every key, so (k, s) missing == k missing — identical result."""
+    fact = spark.range(100).select((F.col("id") % 20).alias("k"), F.col("id").alias("p"))
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    plain = sorted(fact.join(dim, "k", "left_anti").collect())
+    salted = sorted(S.salted_join(fact, dim, "k", num_salts=4, how="left_anti").collect())
+    assert plain == salted and len(plain) > 0

@@ -341,3 +341,33 @@ def test_incremental_candidates_equal_batch_candidates(spark, tmp_path):
         for r in d.process_batch(_dedup_docs(spark, chunk)).collect():
             inc_pairs.add(tuple(sorted((r.id_a, r.id_b))))
     assert inc_pairs == batch_pairs
+
+
+def test_cdc_full_resync_reconciles_gap_deletions(spark, tmp_path):
+    """A file deleted at the source while our delta token was stale
+    produces NO delete event; the full resync must synthesize one from
+    the enumeration (current docs absent from the re-listing) or the
+    ghost stays current forever."""
+    from car_etl_spark.streaming.cdc import ConnectorSync, TokenInvalidatedError
+
+    sync = ConnectorSync(spark, str(tmp_path), "sp7")
+    sync.sync_once(lambda tok: (_changes_df(spark, [
+        ("sp:a", "h1", "upsert"), ("sp:b", "h2", "upsert")]), "t1"))
+    assert {r.source_path for r in sync.current().collect()} == {"sp:a", "sp:b"}
+
+    # sp:b vanished during the stale-token gap: the fresh enumeration
+    # only contains sp:a, with no delete event for sp:b
+    def invalidated_then_full(tok):
+        if tok is not None:
+            raise TokenInvalidatedError(tok)
+        return _changes_df(spark, [("sp:a", "h1", "upsert")]), "t2-fresh"
+
+    stats = sync.sync_once(invalidated_then_full)
+    assert stats["full_resync"] is True
+    assert stats["new_versions"] == 0          # unchanged hash no-ops
+    assert stats["tombstones"] == 1            # synthesized for sp:b
+    assert {r.source_path for r in sync.current().collect()} == {"sp:a"}
+    # re-created later -> reappears (tombstone is doc_id-scoped)
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [("sp:b", "h2", "upsert")]), "t3"))
+    assert stats["new_versions"] == 1
+    assert {r.source_path for r in sync.current().collect()} == {"sp:a", "sp:b"}
