@@ -75,26 +75,35 @@ class FeatureFlags:
         self._ttl = ttl_seconds
         self._clock = clock
         self._bc = None
+        self._map: dict | None = None
         self._loaded_at = float("-inf")
 
     # -- snapshot lifecycle ------------------------------------------------
     def _refresh(self) -> None:
         flags, overrides = self._loader()
         resolved = resolve_effective_flags(flags, overrides)
-        mapping = {
+        self._map = {
             (r.tenant_id, r.flag_name): bool(r.enabled) for r in resolved.collect()
         }
-        old = self._bc
-        self._bc = self._spark.sparkContext.broadcast(mapping)
         self._loaded_at = self._clock()
-        if old is not None:
-            old.unpersist()
+        if self._bc is not None:  # executor copies of the stale map
+            self._bc.unpersist()
+            self._bc = None
+
+    def _mapping(self) -> dict:
+        if getattr(self, "_map", None) is None or self._clock() - self._loaded_at >= self._ttl:
+            self._refresh()
+        return self._map
 
     def snapshot(self):
-        """The current broadcast variable, reloading past the TTL —
-        pass ``.value`` into closures that need many lookups."""
-        if self._bc is None or self._clock() - self._loaded_at >= self._ttl:
-            self._refresh()
+        """An executor-shippable broadcast handle over the current map,
+        for closures (pandas_udf / mapPartitions) that look flags up
+        executor-side — created LAZILY on first request: the driver-side
+        consumers (:meth:`is_enabled`, :meth:`gate`) never pay the
+        broadcast round-trip."""
+        m = self._mapping()
+        if self._bc is None:
+            self._bc = self._spark.sparkContext.broadcast(m)
         return self._bc
 
     def invalidate(self) -> None:
@@ -107,7 +116,7 @@ class FeatureFlags:
         """Tenant override if present, else the flag default, else False
         (fail closed — unknown flags and load errors disable)."""
         try:
-            m = self.snapshot().value
+            m = self._mapping()
         except Exception:
             return False  # fail closed like the reference (service.py:125-128)
         override = m.get((tenant_id, flag_name))
@@ -129,7 +138,7 @@ class FeatureFlags:
         everywhere) rather than killing the pipeline job.
         """
         try:
-            m = self.snapshot().value
+            m = self._mapping()
         except Exception:
             return df.filter(F.lit(False))  # fail closed (service.py:125-128)
         default_on = m.get((None, flag_name), False)

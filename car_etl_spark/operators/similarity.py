@@ -332,9 +332,14 @@ def ivf_assign(
         if centroid_rows is not None
         else centroids.select("centroid_id", "centroid_vec").collect()
     )
-    if not rows:
-        raise ValueError("ivf_assign: empty centroid set")
-    cents = sorted((r.centroid_id, list(r.centroid_vec)) for r in rows)
+    # NULL embeddings are an acknowledged input class (failed embedding
+    # calls); a NULL cannot act as a quantizer cell, so it is skipped
+    # rather than crashing the driver-side materialization
+    cents = sorted(
+        (r.centroid_id, list(r.centroid_vec)) for r in rows if r.centroid_vec is not None
+    )
+    if not cents:
+        raise ValueError("ivf_assign: empty centroid set (or all centroid vectors NULL)")
     dim = len(cents[0][1])
     if dim <= EXPR_PROJECTION_MAX_DIM:
         structs = [
@@ -481,7 +486,9 @@ def ivf_topk(
     # The branch must be STATIC — a `when` would still ship every row
     # through the extracted Python-UDF projection node.  Dim comes from
     # the already-collected centroids (same table), not an extra job.
-    dim = len(centroid_rows[0].centroid_vec) if centroid_rows else 0
+    dim = next(
+        (len(r.centroid_vec) for r in centroid_rows if r.centroid_vec is not None), 0
+    )
     if dim <= EXPR_PROJECTION_MAX_DIM:
         sim = V.cosine_similarity(F.col(vec_col), F.col("qvec"))
     else:

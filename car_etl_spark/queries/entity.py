@@ -67,23 +67,24 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4/F12/F13: blocked similarity self-join with decision buckets.
 
     DUAL blocking keys, unioned: (mktsegment, all-but-last-2 name
-    prefix) and (mktsegment, all-but-first-2 name suffix).  A single
-    variable-length prefix key only ever pairs SAME-LENGTH names
-    (string equality between a 7- and an 8-char prefix is impossible),
-    so indel-similar names — the classic fuzzy-match case — were never
-    compared; the suffix key catches head-edits and length changes at
-    the front, the prefix key catches tail-edits.  Candidates are the
-    DISTINCT union of both equi-joins (each hash-joinable — an OR'd
-    join predicate would degrade to a per-segment nested loop).
+    prefix) and (mktsegment, FIXED last-6-chars tail).  A
+    variable-length affix key only ever pairs SAME-LENGTH names (string
+    equality between a 7- and an 8-char prefix is impossible), so the
+    prefix key alone never compared indel-similar names; the
+    fixed-length tail CAN match across different lengths, covering
+    head-edits and insertions/deletions anywhere before the last 6
+    characters.  Candidates are the deduped union of both equi-joins
+    (each hash-joinable — an OR'd join predicate would degrade to a
+    per-segment nested loop).
 
-    Block cardinality still grows with the corpus (prefix/suffix
-    blocking, not round 1's 25 fixed nation blocks, the judge's named
-    scale-killer): block size is bounded by the names sharing an
-    all-but-2-chars affix at ANY corpus size, so pair generation stays
-    ~|corpus|.  Edits in the MIDDLE of a name escape both keys by
-    design — bounded-block exact blocking cannot cover them; the
-    MinHash/LSH operators (operators/similarity) are the recall
-    extension for that.  Aggregated to per-(segment, decision) counts."""
+    Block-size scaling: prefix blocks are bounded by the names sharing
+    an all-but-2-chars prefix at any corpus size; tail blocks hold
+    ~|corpus| / alphabet^6 names, so the tail WIDTH is the knob that
+    must grow with the corpus (6 chars bounds blocks to ~10^3 at 10^9
+    entities over a digit-heavy alphabet).  Edits inside BOTH affixes
+    escape exact blocking by design — the MinHash/LSH operators
+    (operators/similarity) are the recall extension for that.
+    Aggregated to per-(segment, decision) counts."""
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
     norm = N.normalize_text(F.col("c_name"))
     canon = cust.select(
@@ -94,9 +95,11 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         # length() per pair measured 4x slower end-to-end).
         F.length(norm).alias("nlen"),
         F.substring(norm, 1, F.greatest(F.length(norm) - 2, F.lit(1))).alias("name_prefix"),
-        F.substring(
-            norm, F.least(F.lit(3), F.greatest(F.length(norm), F.lit(1))), F.lit(2_000_000_000)
-        ).alias("name_suffix"),
+        # right(norm, 6) spelled as substring so Spark and DuckDB share
+        # one formula (shorter names keep their whole string)
+        F.substring(norm, F.greatest(F.length(norm) - 5, F.lit(1)), F.lit(6)).alias(
+            "name_suffix"
+        ),
         F.round("c_acctbal", 0).alias("bal_bucket"),
     )
     # Pair generation is quadratic per block; the shuffle join on the
@@ -160,7 +163,7 @@ WITH canon AS (
 ), keyed AS (
   SELECT *,
          SUBSTRING(norm_name, 1, GREATEST(LENGTH(norm_name) - 2, 1)) AS name_prefix,
-         SUBSTRING(norm_name, LEAST(3, GREATEST(LENGTH(norm_name), 1)), 2000000000) AS name_suffix
+         SUBSTRING(norm_name, GREATEST(LENGTH(norm_name) - 5, 1), 6) AS name_suffix
   FROM canon
 ), cand AS (
   SELECT a.c_custkey AS ka, b.c_custkey AS kb, a.c_mktsegment AS segment,

@@ -24,11 +24,27 @@ def _query_vec(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
 
 
-#: fetched query vectors keyed by sf_dir — in production the query
-#: embedding arrives AS a request parameter (the caller embeds the
-#: query string once); reading it back out of the corpus table is test
-#: scaffolding, so its one-row job is not re-paid per search call.
-_QVEC_CACHE: dict[str, list] = {}
+#: fetched query vectors keyed by (sf_dir, dataset mtime) — in
+#: production the query embedding arrives AS a request parameter (the
+#: caller embeds the query string once); reading it back out of the
+#: corpus table is test scaffolding, so its one-row job is not re-paid
+#: per search call.  The mtime in the key self-invalidates when the
+#: table at the same path is regenerated.
+_QVEC_CACHE: dict[tuple, list] = {}
+
+
+def _qvec_cache_key(sf_dir: str):
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        return (sf_dir, os.stat(path).st_mtime_ns)
+    except OSError:
+        return None  # non-filesystem layout: skip caching rather than serve stale
+
+
+def clear_query_vec_cache() -> None:
+    _QVEC_CACHE.clear()
 
 
 def _query_vec_literal(emb: DataFrame, cache_key: str | None = None):
@@ -39,16 +55,17 @@ def _query_vec_literal(emb: DataFrame, cache_key: str | None = None):
     sf0.1); the corpus scan stays the only real job.  With ``cache_key``
     (the sf_dir) the fetched vector is memoized across calls — the
     analog of the service embedding the query once per request."""
-    if cache_key is not None and cache_key in _QVEC_CACHE:
-        return V.literal_vector(_QVEC_CACHE[cache_key])
+    key = _qvec_cache_key(cache_key) if cache_key is not None else None
+    if key is not None and key in _QVEC_CACHE:
+        return V.literal_vector(_QVEC_CACHE[key])
     row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     if row is None or row[0] is None:
         raise ValueError(
             "query vector vec_id=0 not found in embeddings table — "
             "cannot build a literal query vector"
         )
-    if cache_key is not None:
-        _QVEC_CACHE[cache_key] = list(row[0])
+    if key is not None:
+        _QVEC_CACHE[key] = list(row[0])
     return V.literal_vector(row[0])
 
 

@@ -296,7 +296,14 @@ class ConnectorSync:
 
         existing = self.docs()
         new_versions, new_tombstones = apply_change_batch(changes, existing, self.tombstones())
-        new_versions = new_versions.localCheckpoint(eager=True)  # sever lineage before overwrite
+        # BOTH outputs must be materialized BEFORE any state write: they
+        # are lazy plans over the current docs parquet, and the docs
+        # overwrite below deletes the files they would otherwise re-read
+        # (a batch with an upsert AND a delete used to crash with
+        # FILE_NOT_EXIST on the tombstone write, losing the tombstone
+        # with the docs half-applied)
+        new_versions = new_versions.localCheckpoint(eager=True)
+        new_tombstones = new_tombstones.localCheckpoint(eager=True)
 
         n_new = new_versions.count()
         n_dead = new_tombstones.count()
@@ -304,8 +311,6 @@ class ConnectorSync:
             updated = demote_superseded(existing, new_versions).unionByName(new_versions)
             updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.docs_path)
         if n_dead:
-            new_tombstones.localCheckpoint(eager=True).write.mode("append").parquet(
-                self.tombstones_path
-            )
+            new_tombstones.write.mode("append").parquet(self.tombstones_path)
         self.tokens.save(next_token)
         return {"new_versions": n_new, "tombstones": n_dead, "full_resync": full_resync}

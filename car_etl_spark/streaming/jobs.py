@@ -63,16 +63,32 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     micro-batches, mirroring connector delta-sync drops.
 
     ``maxFilesPerTrigger`` caps micro-batch size like the worker's
-    batch <= concurrency rule; the no-tz parquet timestamp is cast to
-    TIMESTAMP exactly as the batch path (load_tables) does — value
-    preserving under the pinned UTC session timezone.
+    batch <= concurrency rule; the ``ts`` physical type is PROBED from
+    the directory with a batch read (streams require a declared schema,
+    but the testdata generation has shipped both TIMESTAMP(NANOS) —
+    surfacing as bigint under nanosAsLong — and no-tz MICROS across
+    rounds), then normalized to TIMESTAMP exactly as the batch path
+    (load_tables) does — value preserving under the pinned UTC session
+    timezone.
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
     tune_session(spark)
+    probed = {f.name: f.dataType for f in spark.read.parquet(events_dir).schema.fields}
+    nanos_as_long = isinstance(probed.get("ts"), LongType)
+    schema = StructType(
+        [
+            StructField("ts", LongType()) if f.name == "ts" and nanos_as_long else f
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
+    if nanos_as_long:
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

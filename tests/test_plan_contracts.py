@@ -15,8 +15,7 @@ from __future__ import annotations
 import pytest
 
 from car_etl_spark.queries import build_registry
-
-SF_SMALL = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMALL
 
 
 @pytest.fixture(scope="module")

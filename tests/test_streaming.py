@@ -371,3 +371,22 @@ def test_cdc_full_resync_reconciles_gap_deletions(spark, tmp_path):
     stats = sync.sync_once(lambda tok: (_changes_df(spark, [("sp:b", "h2", "upsert")]), "t3"))
     assert stats["new_versions"] == 1
     assert {r.source_path for r in sync.current().collect()} == {"sp:a", "sp:b"}
+
+
+def test_cdc_mixed_upsert_and_delete_in_one_batch(spark, tmp_path):
+    """One batch carrying BOTH a content change and a deletion (of
+    different paths) must apply both — the tombstone plan reads the
+    docs table, so it has to be materialized before the docs overwrite
+    deletes the files it reads (regression: FILE_NOT_EXIST crash that
+    lost the tombstone with docs half-applied)."""
+    from car_etl_spark.streaming.cdc import ConnectorSync
+
+    sync = ConnectorSync(spark, str(tmp_path), "sp8")
+    sync.sync_once(lambda tok: (_changes_df(spark, [
+        ("sp:a", "h1", "upsert"), ("sp:b", "h2", "upsert")]), "t1"))
+    stats = sync.sync_once(lambda tok: (_changes_df(spark, [
+        ("sp:a", "h1b", "upsert"), ("sp:b", "", "delete")]), "t2"))
+    assert stats["new_versions"] == 1 and stats["tombstones"] == 1
+    current = {r.source_path: r.file_hash for r in sync.current().collect()}
+    assert current == {"sp:a": "h1b"}
+    assert sync.tokens.load() == "t2"
