@@ -135,7 +135,12 @@ class FeatureFlags:
         its own ``enabled`` column is neither ambiguous nor dropped.
         Fails CLOSED like :meth:`is_enabled`: if the control-plane
         reload errors, no rows pass (flag treated as disabled
-        everywhere) rather than killing the pipeline job.
+        everywhere) rather than killing the pipeline job.  Rows with a
+        NULL tenant also fail closed — an unattributable row can never
+        match an override (NULL equality), and letting it ride a
+        default-on flag would pass data no tenant owns through a
+        tenant-gated pipeline; consistent with the module's fail-closed
+        stance everywhere else.
         """
         try:
             m = self._mapping()
@@ -153,5 +158,7 @@ class FeatureFlags:
             F.col(tenant_col) == F.col("__ff_tenant"),
             "left",
         )
-        keep = F.coalesce(F.col("__ff_enabled"), F.lit(default_on))
+        keep = F.col(tenant_col).isNotNull() & F.coalesce(
+            F.col("__ff_enabled"), F.lit(default_on)
+        )
         return fact.filter(keep).drop("__ff_tenant", "__ff_enabled")

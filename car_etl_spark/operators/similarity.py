@@ -526,9 +526,14 @@ def _lsh_bands_pandas(
 ) -> DataFrame:
     """High-dim banded projection: one vectorized matmul per Arrow batch.
 
-    Bit semantics are IDENTICAL to the expression path (bit j of band
-    bi set when planes[bi*bits+j] . v >= 0), pinned by a parity test —
-    the two paths produce byte-identical (band, bucket) assignments.
+    Bit semantics match the expression path (bit j of band bi set when
+    planes[bi*bits+j] . v >= 0), pinned by a parity test — identical
+    (band, bucket) assignments on all tested inputs.  Caveat: numpy's
+    matmul sums in a different order than the Column-expression fold,
+    so a projection within an ulp of 0.0 could sign differently between
+    the paths.  Harmless while the path is selected statically by dim
+    for a whole call; if band assignments are ever PERSISTED and mixed
+    across paths, quantize the dots before the sign test.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf

@@ -54,7 +54,15 @@ def _query_vec_literal(emb: DataFrame, cache_key: str | None = None):
     single-query search (measured ~0.2 s of the per-call latency at
     sf0.1); the corpus scan stays the only real job.  With ``cache_key``
     (the sf_dir) the fetched vector is memoized across calls — the
-    analog of the service embedding the query once per request."""
+    analog of the service embedding the query once per request.
+
+    CONTRACT: when ``cache_key`` is passed, ``emb`` must be the raw,
+    UNFILTERED embeddings table loaded from that same sf_dir — the cache
+    key is (sf_dir, file mtime) and deliberately ignores the frame, so a
+    filtered/transformed frame (e.g. a tenant-scoped view) would be
+    served the unfiltered table's vector.  Callers with a derived frame
+    must pass ``cache_key=None`` (every current caller passes the raw
+    table)."""
     key = _qvec_cache_key(cache_key) if cache_key is not None else None
     if key is not None and key in _QVEC_CACHE:
         return V.literal_vector(_QVEC_CACHE[key])

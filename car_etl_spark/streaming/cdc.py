@@ -276,15 +276,23 @@ class ConnectorSync:
                 .distinct()
             )
             # timestamp the synthesized deletes at the batch high-water
-            # mark (deterministic from the feed); empty enumeration
-            # falls back to the resync wall-clock
+            # mark (deterministic from the feed); an EMPTY enumeration
+            # falls back to the state's own high-water mark (max
+            # synced_at of the docs being tombstoned) — never the wall
+            # clock, so a retried/replayed resync stamps identical
+            # tombstones.  The epoch literal is only reachable when the
+            # docs table is empty too, in which case `vanished` is empty
+            # and the stamp is never written.
             row = changes.agg(F.max("changed_at")).first()
             if row is not None and row[0] is not None:
                 stamp = F.lit(row[0])
             else:
-                from datetime import datetime, timezone
+                from datetime import datetime
 
-                stamp = F.lit(datetime.now(timezone.utc).replace(tzinfo=None))
+                hw = self.docs().agg(F.max("synced_at")).first()
+                stamp = F.lit(
+                    hw[0] if hw is not None and hw[0] is not None else datetime(1970, 1, 1)
+                )
             changes = changes.unionByName(
                 vanished.select(
                     "source_path",

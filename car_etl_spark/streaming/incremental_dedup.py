@@ -33,6 +33,21 @@ from pyspark.sql import functions as F
 
 from car_etl_spark.operators import similarity as S
 
+#: Version of the MinHash signature FAMILY persisted in the store.
+#: Bump whenever the hash construction changes (it did once: round 3
+#: moved from xxhash64(sh, seed+i) to min over xxhash64(xxhash64(sh),
+#: seed+i), silently changing every signature value) — a store written
+#: by one family band-joins garbage against signatures from another
+#: with no error, so the store records its family and the deduper
+#: REFUSES to mix instead of silently corrupting candidate sets.
+SIGNATURE_FAMILY_VERSION = 2
+
+
+class SignatureStoreVersionError(RuntimeError):
+    """Persisted signature store was written by a different MinHash
+    family than this code computes — rebuild the store (or run the
+    matching code version); mixing families yields garbage joins."""
+
 
 def estimated_jaccard(sig_a, sig_b):
     """MinHash similarity estimate: fraction of agreeing components."""
@@ -119,17 +134,63 @@ class IncrementalDeduper:
         self.spark = spark
         self.params = params
         self.sig_path = os.path.join(state_dir, "minhash_signatures.parquet")
+        self.meta_path = os.path.join(state_dir, "minhash_signatures.meta.json")
+
+    def _check_store_version(self) -> None:
+        """Refuse to band-join across MinHash families: the store
+        records the family version that wrote it (sidecar JSON — zero
+        scan cost), and a mismatch raises instead of silently mixing
+        incompatible signatures (see :data:`SIGNATURE_FAMILY_VERSION`).
+        A store with no sidecar predates versioning == family 1."""
+        import json
+
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                stored = json.load(f).get("sig_version")
+        elif os.path.exists(self.sig_path):
+            stored = 1  # pre-versioning store: the round-2 family
+        else:
+            return  # no store yet
+        if stored != SIGNATURE_FAMILY_VERSION:
+            raise SignatureStoreVersionError(
+                f"signature store at {self.sig_path} was written by MinHash "
+                f"family v{stored}; this code computes v{SIGNATURE_FAMILY_VERSION} "
+                "— rebuild the store before resuming incremental dedup"
+            )
+
+    def _write_store_meta(self) -> None:
+        import json
+
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"sig_version": SIGNATURE_FAMILY_VERSION}, f)
+        os.replace(tmp, self.meta_path)
 
     def signatures(self) -> DataFrame | None:
         """The store, or None before the first batch lands — the store
         schema (in particular the id column's type) is fixed by the
         first batch's signatures, never assumed here."""
+        self._check_store_version()
         if os.path.exists(self.sig_path):
             return self.spark.read.parquet(self.sig_path)
         return None
 
     def process_batch(self, new_docs: DataFrame) -> DataFrame:
-        pairs, sigs_new = dedup_batch(new_docs, self.signatures(), **self.params)
+        """One drop.  REPLAY-IDEMPOTENT: ids already in the store are
+        dropped before anything is computed, so a retried/replayed batch
+        appends nothing and re-emits nothing (the analog of the CDC
+        path's content-addressed no-op replays).  The store is id-keyed
+        and append-only — a changed document arriving under an EXISTING
+        id is treated as a replay and skipped; updates must come through
+        the CDC layer as new doc_ids (tombstone + re-create)."""
+        store = self.signatures()
+        id_col = self.params.get("id_col", "doc_id")
+        if store is not None:
+            new_docs = new_docs.join(
+                store.select(id_col).distinct(), id_col, "left_anti"
+            )
+        pairs, sigs_new = dedup_batch(new_docs, store, **self.params)
         pairs = pairs.localCheckpoint(eager=True)  # materialize BEFORE store append
         sigs_new.write.mode("append").parquet(self.sig_path)
+        self._write_store_meta()
         return pairs

@@ -210,3 +210,20 @@ def test_salted_left_anti_join_equivalence(spark):
     plain = sorted(fact.join(dim, "k", "left_anti").collect())
     salted = sorted(S.salted_join(fact, dim, "k", num_salts=4, how="left_anti").collect())
     assert plain == salted and len(plain) > 0
+
+
+def test_feature_flags_gate_null_tenant_fails_closed(spark):
+    """Rows with a NULL tenant are unattributable: they can never match
+    an override, and must NOT ride a default-on flag through a
+    tenant-gated pipeline — fail closed like the rest of the module."""
+    from car_etl_spark.operators.features import FeatureFlags
+
+    ff = FeatureFlags(
+        spark,
+        lambda: _flag_frames(spark, [("beta", True)], [("t2", "beta", False)]),
+    )
+    facts = spark.createDataFrame(
+        [("t1", 1), (None, 2), ("t2", 3)], "tenant_id string, v long"
+    )
+    got = sorted((r.tenant_id, r.v) for r in ff.gate(facts, "beta").collect())
+    assert got == [("t1", 1)]  # default-on passes t1; NULL and t2-off drop

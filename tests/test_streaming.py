@@ -390,3 +390,87 @@ def test_cdc_mixed_upsert_and_delete_in_one_batch(spark, tmp_path):
     current = {r.source_path: r.file_hash for r in sync.current().collect()}
     assert current == {"sp:a": "h1b"}
     assert sync.tokens.load() == "t2"
+
+
+def test_cdc_empty_enumeration_resync_stamps_deterministically(spark, tmp_path):
+    """Token invalidation with an EMPTY re-enumeration tombstones every
+    current doc — and a retried/replayed resync must stamp IDENTICAL
+    tombstone times (the stamp derives from state, never wall clock).
+    Proven by building two identical states and running the same empty
+    resync at different wall-clock moments."""
+    import time
+
+    from car_etl_spark.streaming.cdc import ConnectorSync, TokenInvalidatedError
+
+    def build(dirname):
+        sync = ConnectorSync(spark, str(tmp_path / dirname), "sp9")
+        sync.sync_once(lambda tok: (_changes_df(spark, [
+            ("sp:a", "h1", "upsert"), ("sp:b", "h2", "upsert")]), "t1"))
+        return sync
+
+    def empty_resync(tok):
+        if tok is not None:
+            raise TokenInvalidatedError(tok)
+        return _changes_df(spark, []), "t2-fresh"
+
+    s1, s2 = build("one"), build("two")
+    stats1 = s1.sync_once(empty_resync)
+    time.sleep(0.05)  # a wall-clock stamp would differ across this gap
+    stats2 = s2.sync_once(empty_resync)
+    assert stats1["tombstones"] == 2 and stats2["tombstones"] == 2
+    t1 = sorted((r.source_path, r.deleted_at) for r in s1.tombstones().collect())
+    t2 = sorted((r.source_path, r.deleted_at) for r in s2.tombstones().collect())
+    assert t1 == t2
+    assert s1.current().count() == 0
+
+
+def test_incremental_dedup_replayed_batch_is_noop(spark, tmp_path):
+    """A retried/replayed batch (same doc ids) must append NO duplicate
+    signatures to the store and re-emit NO pairs — replay idempotency,
+    parallel to the CDC path's content-addressed no-op replays."""
+    import random
+
+    from car_etl_spark.streaming.incremental_dedup import IncrementalDeduper
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(120)]
+    base = " ".join(rng.choice(vocab) for _ in range(50))
+    toks = base.split()
+    toks[2] = "zzz"
+    near = " ".join(toks)
+
+    d = IncrementalDeduper(spark, str(tmp_path), threshold=0.5)
+    d.process_batch(_dedup_docs(spark, [(1, base)]))
+    p2 = d.process_batch(_dedup_docs(spark, [(2, near)]))
+    assert {(r.id_a, r.id_b) for r in p2.collect()} == {(2, 1)}
+    n_sigs = d.signatures().count()
+
+    replay = d.process_batch(_dedup_docs(spark, [(2, near)]))  # redelivery
+    assert replay.count() == 0                                 # no re-emit
+    assert d.signatures().count() == n_sigs                    # no dup rows
+    # partial replay: only the genuinely-new doc processes
+    p3 = d.process_batch(_dedup_docs(spark, [(2, near), (3, base)]))
+    got = {(r.id_a, r.id_b) for r in p3.collect()}
+    assert got == {(3, 1), (3, 2)}
+    assert d.signatures().count() == n_sigs + 1
+
+
+def test_incremental_dedup_refuses_foreign_signature_family(spark, tmp_path):
+    """A store written by a different MinHash family must be REFUSED —
+    band-joining across families silently yields garbage candidates."""
+    import json
+
+    import pytest
+
+    from car_etl_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+        SignatureStoreVersionError,
+    )
+
+    d = IncrementalDeduper(spark, str(tmp_path), threshold=0.5)
+    d.process_batch(_dedup_docs(spark, [(1, "a b c d e f g")]))
+    # simulate a store written by an older family
+    with open(d.meta_path, "w") as f:
+        json.dump({"sig_version": 1}, f)
+    with pytest.raises(SignatureStoreVersionError):
+        d.process_batch(_dedup_docs(spark, [(2, "a b c d e f h")]))
