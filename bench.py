@@ -17,6 +17,17 @@ single-run-equivalent number — so compare r01's value against later
 rounds' total_cold, not value.  Warm is the figure comparable to
 BASELINE.md, whose search latencies are means from a running service
 with resident indexes.
+
+From r04 the search-shaped queries (vector/keyword/fts/hybrid) SERVE
+from persisted indexes (posting table bucketed by term, IVF layout
+partitioned by centroid — car_etl_spark/operators/indexing.py) with
+prepared per-session plans, mirroring the reference's GIN/HNSW
+index-resident serving: its published latencies exclude index build,
+so here index build + plan preparation land in the COLD run (first
+call builds the store; content-addressed, reused afterwards) and the
+WARM number is the comparable serving latency.  Correctness of the
+serving paths is oracle-gated like everything else, and the
+scan-twins (*_scan) keep the build-path forms green alongside.
 """
 
 from __future__ import annotations
@@ -42,6 +53,7 @@ HEADLINE = (
     # search stack (the reference's published benchmark surface)
     "doc_keyword_search",
     "vector_topk",
+    "vector_ivf_topk",
     "hybrid_rrf_search",
     # dedup + text analysis (minhash in natural position: the round-1
     # run-first crutch is gone — the 48-agg codegen variance was fixed by

@@ -1,0 +1,534 @@
+"""Materialized search indexes: the persisted posting table and IVF layout.
+
+The reference serves keyword search from a trigger-maintained GIN index
+(``supabase/migrations/044_keyword_search.sql:10-12,37-43``) and vector
+search from an HNSW index (``041_vector_index.sql:6-8``); its published
+latencies are index-resident numbers.  This module is the Spark-native
+equivalent: the posting list and the IVF coarse-quantized layout are
+WRITTEN ONCE as partitioned parquet, and queries join/probe the
+persisted layout instead of re-tokenizing / re-scanning the corpus per
+call.
+
+Layout contracts (the 100 TB design):
+
+- **PostingStore** — ``(doc_id, lang, raw_term, term, weight, tf, batch)``
+  partitioned by ``term_bucket = crc32(term) % NUM_BUCKETS``.  A k-term
+  query prunes to <= k partitions (``PartitionFilters`` in the plan) and
+  the term predicate pushes into the parquet scan.  CRC32 is the bucket
+  hash because Spark's ``crc32`` and Python's ``zlib.crc32`` agree, so
+  the query side computes its pruning buckets without a Spark job.
+  Incremental maintenance (the tsv-trigger analog,
+  ``044_keyword_search.sql:37-43``) is LSM-shaped: upserts/deletes
+  append batch-tagged delta rows + per-doc tombstones; the read path
+  merges base+delta and drops rows older than their doc's newest
+  tombstone; ``compact()`` folds everything back into the base.
+  Partition-level rewrite is NOT used because one changed document
+  touches nearly every term bucket — appends scale with the batch,
+  not the store.
+
+- **IvfStore** — embeddings assigned to Lloyd-refined centroids
+  (:func:`car_etl_spark.operators.similarity.kmeans_refine`), written
+  partitioned by ``centroid_id``; the (tiny) centroid table lands in
+  ``meta.json`` so probing is a driver-side numpy argsort with ZERO
+  Spark jobs.  A top-k query scans only the ``nprobe`` probed
+  partitions and rescrores them exactly.
+
+Index builds are content-addressed: the store path embeds a digest of
+(source path, source mtime, layout version, parameters), so a
+regenerated source table self-invalidates and concurrent builders
+converge on the same directory (tmp-build + atomic rename).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import text as T
+from car_etl_spark.functions import vectors as V
+
+POSTING_VERSION = 1
+IVF_VERSION = 2  # v2: meta carries per-cluster radii/counts for exact probing
+NUM_BUCKETS = 16
+
+#: first N token positions score as the "header" (weight A vs B,
+#: reference ``044_keyword_search.sql:22-34``) — MUST match
+#: car_etl_spark.queries.fts, pinned by test_indexing.
+HEADER_TOKENS = 5
+HEADER_WEIGHT = 2.0
+BODY_WEIGHT = 1.0
+
+
+def index_root() -> str:
+    """Where persisted indexes live: ``$CAR_ETL_INDEX_DIR`` or
+    ``<repo>/.cache/indexes`` (gitignored scratch, like a warehouse dir)."""
+    env = os.environ.get("CAR_ETL_INDEX_DIR")
+    if env:
+        return env
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(pkg_dir), ".cache", "indexes")
+
+
+def _source_digest(kind: str, version: int, source_path: str, params: str) -> str:
+    try:
+        mtime = os.stat(source_path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = f"{kind}|v{version}|{os.path.realpath(source_path)}|{mtime}|{params}"
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def term_bucket_col(term_col):
+    """Spark-side bucket id for a (stemmed) term column."""
+    return F.pmod(F.crc32(term_col.cast("string")), F.lit(NUM_BUCKETS)).cast("int")
+
+
+def term_bucket_py(term: str) -> int:
+    """Python twin of :func:`term_bucket_col` — same CRC32, same mod, so
+    query-side pruning needs no Spark job."""
+    return zlib.crc32(term.encode("utf-8")) % NUM_BUCKETS
+
+
+def build_posting_rows(docs: DataFrame) -> DataFrame:
+    """Tokenize the corpus ONCE into posting rows
+    ``(doc_id, lang, raw_term, term, weight, tf, term_bucket)``.
+
+    Token semantics are pinned to the query-side scan twins
+    (``queries/fts.py``/``queries/textops.py``): lowercase, strip
+    LEADING whitespace, split on ``\\s+`` (so positions match
+    ``tokenize()``), drop empty tokens, weight the first
+    :data:`HEADER_TOKENS` positions :data:`HEADER_WEIGHT`.  ``term`` is
+    the suffix-strip stem (:func:`car_etl_spark.functions.text.stem`);
+    ``raw_term`` is kept so unstemmed scoring
+    (``doc_keyword_search``-style term frequency) reads the same store.
+    The bucket is derived from the STEMMED term, so a raw-term query
+    prunes via ``term_bucket_py(stem_py(t))``.
+    """
+    cleaned = F.regexp_replace(F.lower(F.col("text")), r"^\s+", "")
+    posted = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.split(cleaned, r"\s+")).alias("pos", "raw_term"),
+        )
+        .filter(F.col("raw_term") != "")
+        .withColumn(
+            "weight",
+            F.when(F.col("pos") < HEADER_TOKENS, F.lit(HEADER_WEIGHT)).otherwise(
+                F.lit(BODY_WEIGHT)
+            ),
+        )
+    )
+    rolled = posted.groupBy("doc_id", "lang", "raw_term", "weight").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stemmed = rolled.withColumn("term", T.stem(F.col("raw_term")))
+    return stemmed.withColumn("term_bucket", term_bucket_col(F.col("term")))
+
+
+class PostingStore:
+    """Persisted posting table with LSM-style incremental maintenance.
+
+    Liveness rule: a posting row written at ``batch`` b is dead iff a
+    tombstone for its ``doc_id`` exists with tombstone batch > b.  An
+    upsert at batch b appends the doc's new rows (batch=b) AND a
+    tombstone (batch=b) — the tombstone kills every older row, the new
+    rows survive.  A delete appends only the tombstone.  Replayed
+    batches are no-ops (a ``_applied_<batch>`` sentinel short-circuits),
+    and the delta read path drops exact-duplicate rows so a half-applied
+    batch replay cannot double tf.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.base_dir = os.path.join(path, "base")
+        self.delta_dir = os.path.join(path, "delta")
+        self.tomb_dir = os.path.join(path, "tombstones")
+
+    # -- build -----------------------------------------------------------
+
+    def build(self, docs: DataFrame) -> None:
+        """Full (re)build of the base layout from the corpus."""
+        rows = build_posting_rows(docs).withColumn("batch", F.lit(0).cast("long"))
+        tmp = self.base_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            rows.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.base_dir, ignore_errors=True)
+        os.rename(tmp, self.base_dir)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        shutil.rmtree(self.tomb_dir, ignore_errors=True)
+
+    # -- incremental maintenance ----------------------------------------
+
+    def _sentinel(self, batch: int) -> str:
+        return os.path.join(self.path, f"_applied_{batch}")
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        upserts: DataFrame | None,
+        deleted_ids: list | None,
+        batch: int,
+    ) -> bool:
+        """Apply one micro-batch of changed/deleted documents.
+
+        ``upserts`` carries full current text for changed/new docs
+        (``doc_id, lang, text``); ``deleted_ids`` lists vanished docs.
+        Returns False if this batch was already applied (replay no-op —
+        the ``_applied_<batch>`` sentinel mirrors the CDC path's
+        content-addressed idempotency).  Appends scale with the batch,
+        never the store: a changed document touches nearly every term
+        bucket, so partition-level rewrite is the wrong maintenance
+        primitive here — delta appends + read-time tombstone merge is.
+        """
+        if batch <= 0:
+            raise ValueError("batch must be > 0 (0 is the base build)")
+        if os.path.exists(self._sentinel(batch)):
+            return False
+        tomb_parts = []
+        if upserts is not None:
+            rows = build_posting_rows(upserts).withColumn(
+                "batch", F.lit(batch).cast("long")
+            )
+            (
+                rows.repartition("term_bucket")
+                .write.mode("append")
+                .partitionBy("term_bucket")
+                .parquet(self.delta_dir)
+            )
+            tomb_parts.append(upserts.select("doc_id").distinct())
+        if deleted_ids:
+            id_type = (
+                upserts.schema["doc_id"].dataType
+                if upserts is not None
+                else spark.read.parquet(self.base_dir).schema["doc_id"].dataType
+            )
+            from pyspark.sql.types import StructField, StructType
+
+            tomb_parts.append(
+                spark.createDataFrame(
+                    [(d,) for d in deleted_ids],
+                    StructType([StructField("doc_id", id_type)]),
+                )
+            )
+        if tomb_parts:
+            tomb = tomb_parts[0]
+            for p in tomb_parts[1:]:
+                tomb = tomb.unionByName(p)
+            tomb = tomb.distinct().withColumn("batch", F.lit(batch).cast("long"))
+            tomb.coalesce(1).write.mode("append").parquet(self.tomb_dir)
+        with open(self._sentinel(batch), "w") as f:
+            f.write("applied")
+        return True
+
+    # -- read ------------------------------------------------------------
+
+    def _has_parquet(self, d: str) -> bool:
+        if not os.path.isdir(d):
+            return False
+        for root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """The current live posting view, optionally pruned to term
+        buckets (``PartitionFilters`` engage on the isin predicate).
+        With no deltas/tombstones (the freshly-built serving case) this
+        is a bare pruned base scan — zero merge overhead."""
+        df = spark.read.parquet(self.base_dir)
+        if buckets is not None:
+            df = df.filter(F.col("term_bucket").isin([int(b) for b in buckets]))
+        if self._has_parquet(self.delta_dir):
+            delta = spark.read.parquet(self.delta_dir)
+            if buckets is not None:
+                delta = delta.filter(F.col("term_bucket").isin([int(b) for b in buckets]))
+            # exact-duplicate drop: a replayed half-applied batch appends
+            # identical rows; (doc, raw_term, weight, batch) is unique
+            # within a correctly-applied batch, so this only removes
+            # replay artifacts
+            df = df.unionByName(delta.dropDuplicates(
+                ["doc_id", "raw_term", "weight", "batch"]
+            ))
+        if self._has_parquet(self.tomb_dir):
+            tomb = (
+                spark.read.parquet(self.tomb_dir)
+                .groupBy("doc_id")
+                .agg(F.max("batch").alias("__tb"))
+            )
+            df = (
+                df.join(F.broadcast(tomb), "doc_id", "left")
+                .filter(F.col("__tb").isNull() | (F.col("__tb") <= F.col("batch")))
+                .drop("__tb")
+            )
+        return df
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold deltas/tombstones into a fresh base (batch reset to 0)."""
+        live = self.read(spark).withColumn("batch", F.lit(0).cast("long"))
+        tmp = self.base_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            live.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(tmp)
+        )
+        old = self.base_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.base_dir, old)
+        os.rename(tmp, self.base_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        shutil.rmtree(self.tomb_dir, ignore_errors=True)
+        for f in os.listdir(self.path):
+            if f.startswith("_applied_"):
+                os.remove(os.path.join(self.path, f))
+
+
+#: in-process memo of built index paths — an os.stat-cheap staleness
+#: check happens inside the digest, so a hit needs no filesystem walk.
+_ENSURED: set[str] = set()
+
+
+def ensure_posting_index(spark: SparkSession, sf_dir: str) -> PostingStore:
+    """Build-if-missing and return the posting store for a corpus dir.
+
+    The store path is content-addressed on (documents.parquet path,
+    mtime, layout version, parameters); a rebuilt corpus gets a fresh
+    store automatically, and repeated calls cost one set lookup."""
+    source = os.path.join(sf_dir, "documents.parquet")
+    params = f"nb{NUM_BUCKETS}|h{HEADER_TOKENS}|{HEADER_WEIGHT}|{BODY_WEIGHT}"
+    digest = _source_digest("postings", POSTING_VERSION, source, params)
+    path = os.path.join(index_root(), f"postings-{digest}")
+    store = PostingStore(path)
+    if path in _ENSURED:
+        return store
+    if not store._has_parquet(store.base_dir):
+        from car_etl_spark.session import tune_session
+        from car_etl_spark.tables import load_tables
+
+        tune_session(spark)
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        os.makedirs(index_root(), exist_ok=True)
+        store.build(docs)
+    _ENSURED.add(path)
+    return store
+
+
+# ---------------------------------------------------------------------------
+# IVF layout
+
+
+class IvfStore:
+    """Persisted IVF layout: assignments partitioned by centroid_id +
+    driver-resident centroids in meta.json."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.assign_dir = os.path.join(path, "assignments")
+        self.meta_path = os.path.join(path, "meta.json")
+
+    def build(
+        self,
+        emb: DataFrame,
+        num_centroids: int = 16,
+        refine_iterations: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        keep: tuple[str, ...] = ("label",),
+    ) -> None:
+        from car_etl_spark.operators.similarity import ivf_assign, kmeans_refine
+
+        seeds = emb.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        )
+        centroids = (
+            kmeans_refine(emb, seeds, refine_iterations, id_col, vec_col)
+            if refine_iterations > 0
+            else seeds
+        )
+        rows = centroids.select("centroid_id", "centroid_vec").collect()
+        assigned = ivf_assign(
+            emb, centroids, id_col, vec_col, centroid_rows=rows, keep=keep
+        )
+        tmp = self.assign_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            assigned.repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.assign_dir, ignore_errors=True)
+        os.rename(tmp, self.assign_dir)
+        cents = sorted(
+            (int(r.centroid_id), [float(x) for x in r.centroid_vec])
+            for r in rows
+            if r.centroid_vec is not None
+        )
+        # per-cluster angular radius + member count: the control-plane
+        # statistics the exact-probe bound needs (one pass over the
+        # written layout; acos argument clamped against fp drift)
+        cent_df = assigned.sparkSession.createDataFrame(
+            [(cid, vec) for cid, vec in cents],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        sim = V.cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
+        stats = (
+            assigned.sparkSession.read.parquet(self.assign_dir)
+            .join(F.broadcast(cent_df), "centroid_id")
+            .groupBy("centroid_id")
+            .agg(
+                F.max(F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), sim))))
+                .alias("radius"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_id = {int(r.centroid_id): r for r in stats}
+        meta = {
+            "version": IVF_VERSION,
+            "num_centroids": num_centroids,
+            "refine_iterations": refine_iterations,
+            "dim": len(cents[0][1]) if cents else 0,
+            "centroid_ids": [c[0] for c in cents],
+            "centroids": [c[1] for c in cents],
+            # clusters can hold NULL-embedding rows only if every member
+            # is NULL (radius null) — treat as radius pi (never prunable)
+            "radii": [
+                float(by_id[c[0]].radius) if c[0] in by_id and by_id[c[0]].radius is not None
+                else 3.141593
+                for c in cents
+            ],
+            "counts": [int(by_id[c[0]].n) if c[0] in by_id else 0 for c in cents],
+        }
+        with open(self.meta_path, "w") as f:
+            json.dump(meta, f)
+
+    def meta(self) -> dict:
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def _centroid_angles(self, qvec: list[float]):
+        import numpy as np
+
+        m = self.meta()
+        cmat = np.asarray(m["centroids"], dtype="float64")
+        ids = np.asarray(m["centroid_ids"], dtype="int64")
+        q = np.asarray(qvec, dtype="float64")
+        denom = np.linalg.norm(cmat, axis=1) * np.linalg.norm(q)
+        sims = np.divide(
+            cmat @ q, denom, out=np.full(len(ids), -2.0), where=denom > 0
+        )
+        thetas = np.arccos(np.clip(sims, -1.0, 1.0))
+        return m, ids, sims, thetas
+
+    def probe_ids(self, qvec: list[float], nprobe: int) -> list[int]:
+        """The nprobe centroids nearest the query — pure driver-side
+        numpy over meta.json, no Spark job.  Ties break on lowest id
+        (matching :func:`similarity.ivf_topk`'s probe ordering)."""
+        import numpy as np
+
+        _m, ids, sims, _thetas = self._centroid_angles(qvec)
+        order = np.lexsort((ids, -sims))  # sim desc, id asc
+        return [int(i) for i in ids[order][:nprobe]]
+
+    def probe_ids_exact(self, qvec: list[float], k: int) -> list[int]:
+        """EXACT probe set via the cluster-radius triangle bound —
+        still zero Spark jobs, still driver-side numpy.
+
+        Every member x of cluster c satisfies
+        ``angle(q,x) >= angle(q,c) - radius_c`` (spherical triangle
+        inequality; cosine depends on directions only, so norms are
+        irrelevant), hence ``sim(q,x) <= cos(max(0, theta_c - r_c))``
+        =: ub_c, and symmetrically ``sim(q,x) >= cos(min(pi, theta_c +
+        r_c))`` =: lb_c.  Walking clusters by lb desc until cumulative
+        member count reaches k yields a certified lower bound L on the
+        true k-th best similarity; any cluster with ub_c < L cannot
+        contribute to the top-k and is pruned.  On well-clustered
+        corpora this probes a few partitions; on unclusterable (near-
+        random) data radii approach pi/2 and it degrades to the full
+        scan exactness requires.  A 1e-6 slack on L absorbs the 6-dp
+        output rounding at the k-th boundary."""
+        import numpy as np
+
+        m, ids, _sims, thetas = self._centroid_angles(qvec)
+        radii = np.asarray(m["radii"], dtype="float64")
+        counts = np.asarray(m["counts"], dtype="int64")
+        ub = np.cos(np.maximum(0.0, thetas - radii))
+        lb = np.cos(np.minimum(np.pi, thetas + radii))
+        order = np.argsort(-lb)
+        cum = np.cumsum(counts[order])
+        enough = np.searchsorted(cum, k)
+        if enough >= len(order):  # corpus smaller than k: scan all
+            return [int(i) for i in ids]
+        L = lb[order[enough]]
+        return [int(i) for i in ids[ub >= L - 1e-6]]
+
+    def probe_topk(
+        self,
+        spark: SparkSession,
+        qvec: list[float],
+        k: int = 20,
+        nprobe: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        extra_cols: tuple[str, ...] = ("label",),
+    ) -> DataFrame:
+        """Exact-rescored top-k over the probed partitions: ONE Spark
+        job, scanning only the probed fraction of the corpus
+        (``PartitionFilters`` on centroid_id).  ``nprobe=None`` (the
+        default) derives a CERTIFIED-exact probe set from the cluster
+        radii (:meth:`probe_ids_exact`); an integer nprobe is the
+        fixed-budget approximate mode (recall < 1 possible)."""
+        probes = (
+            self.probe_ids_exact(qvec, k)
+            if nprobe is None
+            else self.probe_ids(qvec, nprobe)
+        )
+        qlit = V.literal_vector(qvec)
+        sim = F.round(V.cosine_similarity(F.col(vec_col), qlit), 6)
+        return (
+            spark.read.parquet(self.assign_dir)
+            .filter(F.col("centroid_id").isin(probes))
+            .select(id_col, *extra_cols, sim.alias("cosine_sim"))
+            .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+            .limit(k)
+        )
+
+
+def ensure_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    num_centroids: int = 16,
+    refine_iterations: int = 2,
+) -> IvfStore:
+    source = os.path.join(sf_dir, "embeddings.parquet")
+    params = f"c{num_centroids}|r{refine_iterations}"
+    digest = _source_digest("ivf", IVF_VERSION, source, params)
+    path = os.path.join(index_root(), f"ivf-{digest}")
+    store = IvfStore(path)
+    if path in _ENSURED:
+        return store
+    if not os.path.exists(store.meta_path):
+        from car_etl_spark.session import tune_session
+        from car_etl_spark.tables import load_tables
+
+        tune_session(spark)
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        os.makedirs(index_root(), exist_ok=True)
+        store.build(emb, num_centroids, refine_iterations)
+    _ENSURED.add(path)
+    return store

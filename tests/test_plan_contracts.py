@@ -25,7 +25,15 @@ def registry():
 
 def _plan(spark, registry, name: str) -> str:
     df = registry[name].fn(spark, SF_SMALL)
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # a prepared (memoized) DataFrame may already be AQE-finalized from
+    # an earlier test's execution, in which case toString() prints BOTH
+    # the final and the initial plan — count contracts against the
+    # final section only
+    marker = "+- == Initial Plan =="
+    if marker in plan:
+        plan = plan.split(marker)[0]
+    return plan
 
 
 # (query, max_exchanges, must_contain, must_not_contain)
@@ -36,8 +44,20 @@ CONTRACTS = [
     ("q5_local_supplier_volume", 7, ["BroadcastHashJoin", "PushedFilters: ["], ["SortMergeJoin"]),
     # exact vector top-k: map-only + TakeOrderedAndProject, ZERO shuffles
     ("vector_topk", 0, ["TakeOrderedAndProject"], ["Exchange"]),
-    # keyword search: one scan, zero shuffles
-    ("doc_keyword_search", 0, ["TakeOrderedAndProject"], ["Exchange"]),
+    # IVF serving top-k: probed partitions only (PartitionFilters on the
+    # persisted layout), exact rescoring, zero shuffles
+    ("vector_ivf_topk", 0,
+     ["TakeOrderedAndProject", "PartitionFilters: [centroid_id"], ["Exchange"]),
+    # keyword search SERVING path: pruned posting-store scan (partition
+    # pruning on term_bucket + term predicate pushed into parquet), one
+    # aggregation exchange over only the matching posting rows
+    ("doc_keyword_search", 1,
+     ["TakeOrderedAndProject", "PartitionFilters: [term_bucket"], ["SortMergeJoin"]),
+    # keyword search BUILD-PATH twin: one corpus scan, zero shuffles
+    ("doc_keyword_scan", 0, ["TakeOrderedAndProject"], ["Exchange"]),
+    # FTS serving path: pruned store scan; sum + countDistinct agg pair
+    ("fts_posting_search", 2,
+     ["TakeOrderedAndProject", "PartitionFilters: [term_bucket"], ["SortMergeJoin"]),
     # flagship: grand total via broadcast, top-k via TakeOrdered
     ("flagship_portfolio_rollup", 9, ["BroadcastHashJoin", "TakeOrderedAndProject"],
      ["SortMergeJoin"]),
