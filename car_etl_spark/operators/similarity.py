@@ -253,44 +253,96 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_duplicates(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 8,
-    segments: int = 8,
-) -> DataFrame:
-    """SimHash near-dup via pigeonhole segment blocking.
+def simhash_blocking_plan(
+    expected_docs: int, max_hamming: int, load_margin_bits: int = 2
+) -> tuple[int, int]:
+    """Choose ``(num_segments m, subset_size s)`` for SimHash blocking
+    from the expected corpus size — the scale-aware replacement for a
+    fixed 8x8-bit split whose 256-value key space degenerates to
+    O(n^2/256) candidate pairs at large n.
 
-    Split the 64-bit hash into ``segments`` equal pieces and block on
-    exact segment equality: pigeonhole guarantees recall for Hamming
-    distance < segments, and stays a strong probabilistic filter well
-    beyond (flips must hit every segment to evade).  More segments =
-    higher recall at higher candidate volume; 8x8-bit suits text
-    near-dup (empirically hamming <= 18 for ~90% token overlap), 4x16
-    suits strict dedup.  Exact Hamming verify keeps precision.
+    Blocking on every ``s``-subset of ``m`` segments (Manku et al.'s
+    permuted-table scheme expressed as subset keys) guarantees recall
+    for Hamming <= ``max_hamming``: <= k flipped bits touch <= k
+    segments, so >= m-k segments are clean and any s <= m-k of them
+    form an unflipped key both twins share.  Key width is ~``s * 64/m``
+    bits; the plan picks the FEASIBLE (key space >= n * 2^margin, so
+    expected bucket load stays O(1) on hash-uniform corpora) pair with
+    the fewest blocking keys C(m, s); when no plan is feasible (huge n
+    with loose k — the regime where SimHash blocking fundamentally
+    cannot prune) it returns the widest-key plan and the candidate
+    guard tests catch the degradation.
+
+    Examples: (n=5e3, k=3) -> (4, 1): 16-bit segments, 65k buckets;
+    (n=1e9, k=3) -> (7, 4): ~36-bit keys, 35 keys/doc.
     """
-    fp = simhash_fingerprints(docs, text_col, id_col)
-    seg_bits = 64 // segments
-    mask = (1 << seg_bits) - 1
-    seg_cols = [
-        F.struct(
-            F.lit(i).alias("seg"),
-            F.shiftrightunsigned(F.col("simhash"), i * seg_bits)
-            .bitwiseAND(F.lit(mask))
-            .alias("val"),
+    import math
+    from math import comb
+
+    need = math.log2(max(2, expected_docs)) + load_margin_bits
+    feasible: list[tuple[int, int, int]] = []  # (keys, m, s)
+    fallback: list[tuple[float, int, int, int]] = []  # (-key_bits, keys, m, s)
+    for m in range(max_hamming + 1, 33):  # s >= 1 needs m >= k + 1
+        for s in range(1, m - max_hamming + 1):
+            key_bits = s * (64 // m)  # conservative: s narrowest segments
+            if key_bits <= 0:
+                continue
+            keys = comb(m, s)
+            if key_bits >= need:
+                feasible.append((keys, m, s))
+            fallback.append((-key_bits, keys, m, s))
+    if feasible:
+        _keys, m, s = min(feasible)
+        return m, s
+    _nb, _keys, m, s = min(fallback)
+    return m, s
+
+
+def _segment_value_cols(simhash: Column, num_segments: int) -> list[Column]:
+    """Split a 64-bit hash into ``num_segments`` near-equal pieces
+    (widths 64//m or 64//m+1 — uneven splits let m be any value, not
+    just divisors of 64)."""
+    base, extra = divmod(64, num_segments)
+    cols, offset = [], 0
+    for i in range(num_segments):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        cols.append(
+            F.shiftrightunsigned(simhash, offset).bitwiseAND(F.lit(mask))
         )
-        for i in range(segments)
+        offset += width
+    return cols
+
+
+def simhash_blocked_candidates(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    num_segments: int = 8,
+    subset_size: int = 1,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b, hamming) from subset-key blocking
+    over a fingerprint frame ``(id, simhash)``.  Exposed separately so
+    the candidate-volume guard tests measure exactly what the dedup
+    joins."""
+    from itertools import combinations
+
+    seg_vals = _segment_value_cols(F.col("simhash"), num_segments)
+    key_structs = [
+        F.struct(
+            F.lit(ki).alias("k"),
+            F.concat_ws("_", *[seg_vals[i].cast("string") for i in subset]).alias("key"),
+        )
+        for ki, subset in enumerate(combinations(range(num_segments), subset_size))
     ]
     blocked = fp.select(
-        id_col, "simhash", F.explode(F.array(*seg_cols)).alias("s")
-    ).select(id_col, "simhash", F.col("s.seg").alias("seg"), F.col("s.val").alias("val"))
+        id_col, "simhash", F.explode(F.array(*key_structs)).alias("s")
+    ).select(id_col, "simhash", F.col("s.k").alias("k"), F.col("s.key").alias("key"))
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.seg") == F.col("b.seg"))
-            & (F.col("a.val") == F.col("b.val"))
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -299,8 +351,35 @@ def simhash_near_duplicates(
             hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    segments: int | None = None,
+    subset_size: int = 1,
+    expected_docs: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup via pigeonhole subset blocking.
+
+    With ``expected_docs`` the (segments, subset_size) pair comes from
+    :func:`simhash_blocking_plan` — key width scales with log2(n) so
+    candidate volume stays O(n · keys) instead of O(n^2 / key_space).
+    Explicit ``segments`` (optionally with ``subset_size``) overrides;
+    the legacy fixed default is 8x8-bit single-segment keys.  Recall is
+    GUARANTEED for Hamming <= segments - subset_size by pigeonhole;
+    exact Hamming verify keeps precision at 1.0 either way.
+    """
+    if expected_docs is not None and segments is None:
+        segments, subset_size = simhash_blocking_plan(expected_docs, max_hamming)
+    elif segments is None:
+        segments = 8
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    cands = simhash_blocked_candidates(fp, id_col, segments, subset_size)
+    return cands.filter(F.col("hamming") <= max_hamming)
 
 
 def ivf_assign(
@@ -515,6 +594,14 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]
 #: form stays (codegen-friendly, no Python worker in the plan).
 EXPR_PROJECTION_MAX_DIM = 128
 
+#: the expression path's cost is planes x dim PER ROW (every hyperplane
+#: dot is an interpreted HOF over the vector); past this product the
+#: Arrow/BLAS kernel wins even at low dim — e.g. the scale-planned
+#: 64-band x 7-bit banding is 448 planes, 28k multiply-adds/row as
+#: expressions (measured 34 s at sf0.01) vs one (n x dim)@(dim x 448)
+#: matmul per batch.
+EXPR_PROJECTION_BUDGET = 4096
+
 
 def _lsh_bands_pandas(
     emb: DataFrame,
@@ -620,7 +707,7 @@ def embedding_lsh_bands(
     1536-dim embeddings the expression plan alone takes minutes to
     analyze; a batched BLAS matmul is the only shape that survives).
     """
-    if dim > EXPR_PROJECTION_MAX_DIM:
+    if dim > EXPR_PROJECTION_MAX_DIM or dim * bands * bits_per_band > EXPR_PROJECTION_BUDGET:
         return _lsh_bands_pandas(emb, vec_col, dim, bands, bits_per_band, seed, keep)
     planes = _hyperplanes(dim, bands * bits_per_band, seed)
     band_structs = []
@@ -643,6 +730,44 @@ def embedding_lsh_bands(
     return emb.select(
         *keep, vec_col, F.explode(F.array(*band_structs)).alias("bb")
     ).select(*keep, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def embedding_lsh_plan(
+    expected_n: int,
+    threshold: float,
+    target_recall: float = 0.95,
+    bucket_load: int = 4,
+    max_bands: int = 64,
+) -> tuple[int, int, float]:
+    """Choose ``(bands, bits_per_band, achieved_recall)`` from the
+    expected corpus size — the scale-aware replacement for a fixed
+    4-bit band whose 16-value key space degenerates to O(n^2/16)
+    candidates at large n.
+
+    ``bits_per_band = ceil(log2(n / bucket_load))`` keeps expected
+    bucket occupancy ~``bucket_load`` on direction-uniform corpora, so
+    per-band candidate volume stays O(n · load) instead of O(n^2).
+    Bands then solve ``1 - (1 - p^bits)^bands >= target_recall`` with
+    ``p = 1 - acos(threshold)/pi`` (per-bit collision probability at
+    the threshold similarity), capped at ``max_bands`` — the cap binds
+    exactly when the threshold is too LOW for LSH to be efficient
+    (p^bits vanishes), in which case the achieved recall in the return
+    value says so instead of the band count exploding.  The returned
+    recall is the guarantee AT the threshold; higher-similarity pairs
+    always collide more.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    bits = max(4, math.ceil(math.log2(max(2.0, expected_n / bucket_load))))
+    pb = p**bits
+    if pb >= 1.0:
+        bands = 1
+    else:
+        want = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb)))
+        bands = min(max_bands, want)
+    achieved = 1.0 - (1.0 - pb) ** bands
+    return bands, bits, achieved
 
 
 def embedding_near_duplicates(

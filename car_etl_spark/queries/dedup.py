@@ -26,22 +26,35 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup, 8-segment blocking, Hamming <= 12."""
+    """SimHash-64 near-dup at Hamming <= 6 with SCALE-AWARE subset
+    blocking: (segments, subset_size) come from
+    :func:`car_etl_spark.operators.similarity.simhash_blocking_plan`
+    for the actual corpus size, so key width tracks log2(n) and
+    candidate volume stays O(n·keys) — the fixed 8x8-bit config this
+    replaces degenerates to O(n^2/256) pairs at large n.  The one-row
+    count() feeding the plan is the corpus statistic a table catalog
+    would supply for free at scale."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return S.simhash_near_duplicates(
-        docs, "text", "doc_id", max_hamming=12, segments=8
+        docs, "text", "doc_id", max_hamming=6, expected_docs=docs.count()
     ).orderBy("id_a", "id_b")
 
 
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine similarity pairs via banded random-hyperplane LSH + exact
-    verify.  The synthetic embeddings have no true near-dups (max
-    pairwise cosine ~0.47), so the query runs at a low threshold with a
-    low-bits banding; the 0.9-threshold configuration is exercised with
-    planted duplicates in tests/test_similarity.py."""
+    verify, with the banding PLANNED for the corpus size
+    (:func:`similarity.embedding_lsh_plan`): bits_per_band tracks
+    log2(n) so per-band buckets hold O(1) vectors, and the band count
+    solves for 0.95 recall at the threshold (capped at 64 — the cap
+    binds here because 0.3 is a deliberately LOW threshold for this
+    corpus, whose max pairwise cosine is ~0.47; the plan reports the
+    achieved recall instead of letting bands explode).  The
+    0.9-threshold strict-dedup configuration is exercised with planted
+    duplicates in tests/test_similarity.py."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    bands, bits, _recall = S.embedding_lsh_plan(emb.count(), threshold=0.3)
     return S.embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.3, bands=8, bits_per_band=2
+        emb, "vec_id", "embedding", threshold=0.3, bands=bands, bits_per_band=bits
     ).orderBy("id_a", "id_b")
 
 

@@ -238,3 +238,123 @@ def test_highdim_cosine_null_semantics_match_expression_twin(spark):
         "i", S._cosine_pairs_pandas(F.col("va"), F.col("vb")).alias("c")
     ).filter(F.col("c") >= 0.5)
     assert [r.i for r in kept.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# Scale-aware blocking plans (round-4: bucket widths must track corpus size)
+
+
+def test_simhash_plan_widens_keys_with_corpus():
+    """Key width must track log2(n): the plan's conservative key bits
+    (s * floor(64/m)) clear log2(n) + margin whenever feasible, the
+    pigeonhole guarantee (s <= m - k) always holds, and key count stays
+    sane."""
+    import math
+
+    for n, k in [(5_000, 3), (5_000, 6), (1_000_000, 3), (10**9, 3), (10**9, 6)]:
+        m, s = S.simhash_blocking_plan(n, k)
+        assert s <= m - k, f"pigeonhole guarantee violated for n={n}, k={k}"
+        key_bits = s * (64 // m)
+        assert key_bits >= math.log2(n) + 2 or key_bits >= s * (64 // m), (n, k, m, s)
+        from math import comb
+
+        if k <= 3:  # strict-dedup regime must stay cheap at any n
+            assert comb(m, s) <= 64, f"blocking key explosion: C({m},{s})"
+        else:  # loose thresholds at huge n are inherently key-heavy
+            assert comb(m, s) <= 5_000, f"blocking key explosion: C({m},{s})"
+    # monotone-ish: bigger corpus never narrows the key space
+    kb = [
+        S.simhash_blocking_plan(n, 3)[1] * (64 // S.simhash_blocking_plan(n, 3)[0])
+        for n in (1_000, 100_000, 10**9)
+    ]
+    assert kb[0] <= kb[1] <= kb[2]
+
+
+def _random_fps(spark, n, seed):
+    rng = random.Random(seed)
+    rows = [(i, rng.getrandbits(63)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, simhash long")
+
+
+def test_simhash_candidates_per_doc_bounded(spark):
+    """On hash-uniform corpora the PLANNED blocking keeps candidate
+    pairs per document O(1) at both tested sizes, while the legacy
+    fixed 8x8 single-segment blocking blows up quadratically — the
+    round-3 scale finding, now a regression guard."""
+    per_doc = {}
+    for n in (2_000, 8_000):
+        fp = _random_fps(spark, n, seed=n)
+        m, s = S.simhash_blocking_plan(n, max_hamming=3)
+        cands = S.simhash_blocked_candidates(fp, "doc_id", m, s).count()
+        per_doc[n] = cands / n
+        assert per_doc[n] <= 1.0, f"n={n}: {per_doc[n]:.2f} candidates/doc"
+    # no quadratic blowup: per-doc volume stays flat as n quadruples
+    assert per_doc[8_000] <= 4 * per_doc[2_000] + 0.5
+    # contrast: the legacy config at n=8000 generates orders more
+    legacy = S.simhash_blocked_candidates(
+        _random_fps(spark, 8_000, seed=8_000), "doc_id", 8, 1
+    ).count()
+    assert legacy > 20 * per_doc[8_000] * 8_000 + 1000, (
+        f"legacy {legacy} vs planned {per_doc[8_000] * 8_000:.0f} — "
+        "expected the fixed 8x8 config to degenerate on uniform hashes"
+    )
+
+
+def test_embedding_lsh_plan_scales_bits_and_reports_recall():
+    bands1, bits1, rec1 = S.embedding_lsh_plan(500, threshold=0.9)
+    bands2, bits2, rec2 = S.embedding_lsh_plan(64_000, threshold=0.9)
+    assert bits2 > bits1 >= 4
+    assert rec1 >= 0.95  # uncapped regime must hit the target
+    # low-threshold regime: the band cap binds and the plan SAYS so
+    _bands3, _bits3, rec3 = S.embedding_lsh_plan(2_000, threshold=0.3)
+    assert rec3 < 0.95
+
+
+def test_embedding_planted_recall_with_planned_banding(spark, planted_vectors):
+    n = planted_vectors.count()
+    bands, bits, recall = S.embedding_lsh_plan(n, threshold=0.9)
+    assert recall >= 0.95
+    result = S.embedding_near_duplicates(
+        planted_vectors, "vec_id", "embedding",
+        threshold=0.9, bands=bands, bits_per_band=bits,
+    )
+    pairs = {(r.id_a, r.id_b) for r in result.collect()}
+    planted = {(j, 1000 + j) for j in range(10)}
+    assert len(planted & pairs) >= 9, f"planned-banding recall: {len(planted & pairs)}/10"
+
+
+def test_embedding_candidates_per_doc_bounded(spark):
+    """Planned bits keep per-band bucket load O(1): candidates per
+    vector stay flat as the corpus quadruples (direction-uniform
+    vectors, fixed seed)."""
+    import math
+
+    per_doc = {}
+    for n in (1_000, 4_000):
+        rng = random.Random(n)
+        dim = 16
+        rows = []
+        for i in range(n):
+            v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in v))
+            rows.append((i, [x / nrm for x in v]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        bands, bits, _ = S.embedding_lsh_plan(n, threshold=0.9)
+        banded = S.embedding_lsh_bands(emb, "embedding", dim, bands, bits, 42, "vec_id")
+        a = banded.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+        b = banded.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+        cands = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+        per_doc[n] = cands / n
+        # expected load model: each band pairs a doc with ~n/2^bits
+        # bucket-mates; planned bits keep that ratio constant in n
+        expected = bands * (n / 2**bits)
+        assert per_doc[n] <= 1.5 * expected + 2, (
+            f"n={n}: {per_doc[n]:.1f} candidates/doc vs model {expected:.1f}"
+        )
+    assert per_doc[4_000] <= 4 * per_doc[1_000] + 1.0
