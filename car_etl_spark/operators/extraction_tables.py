@@ -19,6 +19,10 @@ mapping per SURVEY.md §1.1:
 At 100 TB: building the nested column is one groupBy shuffle on the
 extraction key; the explode is a map-only stage; header-aligned access
 is pure Column expressions inside codegen.
+
+The bytes->sheets decode kernel feeding this model lives in
+:mod:`car_etl_spark.operators.spreadsheet` (real stdlib SpreadsheetML +
+zipped-CSV decoding, openpyxl when importable).
 """
 
 from __future__ import annotations
