@@ -82,12 +82,20 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|corpus| / alphabet^6 names, so the tail WIDTH is the knob that
     must grow with the corpus (6 chars bounds blocks to ~10^3 at 10^9
     entities over a digit-heavy alphabet).  Edits inside BOTH affixes
-    escape exact blocking by design — the MinHash/LSH operators
-    (operators/similarity) are the recall extension for that.
+    escape exact blocking by design — :func:`entity_match_lsh_extended`
+    unions MinHash/LSH candidates in for that recall class.
     Aggregated to per-(segment, decision) counts."""
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    canon = canonical_frame(cust)
+    pairs = affix_pairs(canon)
+    return score_pair_rollup(pairs)
+
+
+def canonical_frame(cust: DataFrame) -> DataFrame:
+    """The normalized match-prep frame shared by every candidate
+    generator (F10/F11 + precomputed lengths and affix keys)."""
     norm = N.normalize_text(F.col("c_name"))
-    canon = cust.select(
+    return cust.select(
         "c_custkey",
         "c_mktsegment",
         norm.alias("norm_name"),
@@ -102,34 +110,91 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("c_acctbal", 0).alias("bal_bucket"),
     )
-    # Pair generation is quadratic per block; the shuffle join on the
-    # block key spreads blocks across the cluster.
+
+
+def _pair_attrs(canon: DataFrame, join_cond) -> DataFrame:
     a = canon.alias("a")
     b = canon.alias("b")
+    return a.join(b, join_cond).select(
+        F.col("a.c_custkey").alias("ka"),
+        F.col("b.c_custkey").alias("kb"),
+        F.col("a.c_mktsegment").alias("segment"),
+        F.col("a.norm_name").alias("na"),
+        F.col("b.norm_name").alias("nb"),
+        F.col("a.nlen").alias("la"),
+        F.col("b.nlen").alias("lb"),
+        F.col("a.bal_bucket").alias("ba"),
+        F.col("b.bal_bucket").alias("bb"),
+    )
+
+
+def affix_pairs(canon: DataFrame) -> DataFrame:
+    """The dual affix-key candidate union (see
+    :func:`entity_match_blocked`'s docstring)."""
 
     def block_pairs(key: str):
-        return a.join(
-            b,
+        # Pair generation is quadratic per block; the shuffle join on
+        # the block key spreads blocks across the cluster.
+        return _pair_attrs(
+            canon,
             (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
             & (F.col(f"a.{key}") == F.col(f"b.{key}"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        ).select(
-            F.col("a.c_custkey").alias("ka"),
-            F.col("b.c_custkey").alias("kb"),
-            F.col("a.c_mktsegment").alias("segment"),
-            F.col("a.norm_name").alias("na"),
-            F.col("b.norm_name").alias("nb"),
-            F.col("a.nlen").alias("la"),
-            F.col("b.nlen").alias("lb"),
-            F.col("a.bal_bucket").alias("ba"),
-            F.col("b.bal_bucket").alias("bb"),
         )
 
-    pairs = (
+    return (
         block_pairs("name_prefix")
         .unionByName(block_pairs("name_suffix"))
         .dropDuplicates(["ka", "kb"])  # a pair may match both keys
     )
+
+
+def char_shingles(c, n: int = 3):
+    """Character n-grams of a (short) string as an array Column — the
+    name-scale shingle unit (token shingles are useless on 2-4 token
+    names).  Names are tens of chars, so the HOF array build stays
+    cheap; whole-string fallback for names shorter than n."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substr(c, i, F.lit(n)))
+
+
+def lsh_name_pairs(
+    canon: DataFrame, num_hashes: int = 24, bands: int = 12
+) -> DataFrame:
+    """MinHash/LSH candidates over character-shingled names — the
+    recall extension for edits inside BOTH affixes, which exact
+    affix blocking provably misses (see the planted middle-edit test).
+    12 bands x 2 rows puts the collision knee near shingle-Jaccard
+    ~0.3, comfortably below any pair the 0.80 decision threshold could
+    accept.  Same shape as the document dedup: signatures map-side,
+    ONE uniform band-key shuffle, candidates scale with true
+    near-dups.  Segment scoping (the reference's (tenant, entity_type)
+    block) applies at the attr join."""
+    from car_etl_spark.operators.similarity import (
+        lsh_candidate_pairs,
+        minhash_from_exploded,
+    )
+
+    exploded = canon.select(
+        "c_custkey", F.explode(char_shingles(F.col("norm_name"))).alias("sh")
+    )
+    sigs = minhash_from_exploded(exploded, num_hashes, "c_custkey")
+    cand = lsh_candidate_pairs(sigs, "c_custkey", bands, num_hashes).select(
+        F.col("id_a").alias("ka"), F.col("id_b").alias("kb")
+    )
+    attrs = _pair_attrs(
+        canon,
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    # candidates are tiny relative to the corpus: semi-restrict the
+    # quadratic attr join to LSH hits only (join on the pair key)
+    return cand.join(attrs, ["ka", "kb"])
+
+
+def scored_pairs(pairs: DataFrame) -> DataFrame:
+    """F12/F13: similarity scoring + decision thresholds on a candidate
+    frame — ONE expression set shared by every candidate generator."""
     la, lb = F.col("la"), F.col("lb")
     name_sim = (
         F.when((la == 0) & (lb == 0), F.lit(1.0))
@@ -138,12 +203,18 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bal_sim = F.when(F.col("ba") == F.col("bb"), 1.0).otherwise(0.0)
     weighted = F.round((0.5 * name_sim + 0.3 * bal_sim) / 0.8, 6)
+    return pairs.select(
+        "ka",
+        "kb",
+        F.col("segment"),
+        N.match_decision(weighted).alias("decision"),
+        weighted.alias("weighted_score"),
+    )
+
+
+def score_pair_rollup(pairs: DataFrame) -> DataFrame:
     return (
-        pairs.select(
-            F.col("segment"),
-            N.match_decision(weighted).alias("decision"),
-            weighted.alias("weighted_score"),
-        )
+        scored_pairs(pairs)
         .groupBy("segment", "decision")
         .agg(
             F.count(F.lit(1)).alias("pair_count"),
@@ -151,6 +222,39 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "decision")
     )
+
+
+def entity_match_lsh_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 recall extension: candidates = affix-key union ∪ MinHash/LSH
+    over character-shingled names, scored with the SAME F12/F13
+    expressions and rolled up like :func:`entity_match_blocked`.
+
+    Union can only ADD candidate pairs, so recall is a superset of the
+    affix query's; precision is unchanged (the decision thresholds do
+    the filtering).  Rows-only in the driver gate: the seeded-xxhash64
+    MinHash family has no DuckDB twin — the affix-only companion query
+    IS oracle-checked, and the planted middle-edit recall test pins
+    what the LSH leg adds.
+
+    Banding note: this corpus's names are TEMPLATE-generated
+    ("customer 000000123"), so ANY two same-segment names share ~0.75
+    char-shingle Jaccard — a knee below that degenerates to all-pairs
+    (measured: 15x the affix candidate volume at 12x2 banding).  The
+    registry configuration therefore pins the knee ABOVE the template
+    similarity (3 bands x 16 rows -> knee ~0.93), trading sub-0.93
+    recall for bounded candidates; on realistic name distributions
+    (the planted-twin tests) the operator default 12x2 applies.  The
+    general scale lesson: the LSH knee must sit above the corpus's
+    BACKGROUND similarity, or candidates are O(n^2) no matter how the
+    buckets are sized."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    canon = canonical_frame(cust)
+    pairs = (
+        affix_pairs(canon)
+        .unionByName(lsh_name_pairs(canon, num_hashes=48, bands=3))
+        .dropDuplicates(["ka", "kb"])
+    )
+    return score_pair_rollup(pairs)
 
 
 ENTITY_MATCH_BLOCKED_SQL = """
@@ -263,5 +367,8 @@ ORDER BY canonical_key
 QUERIES: dict[str, QuerySpec] = {
     "entity_canonicalize": QuerySpec(entity_canonicalize, ENTITY_CANONICALIZE_SQL, ("entity",)),
     "entity_match_blocked": QuerySpec(entity_match_blocked, ENTITY_MATCH_BLOCKED_SQL, ("entity", "similarity-join")),
+    "entity_match_lsh_extended": QuerySpec(
+        entity_match_lsh_extended, None, ("entity", "similarity-join", "lsh")
+    ),
     "entity_merge_repoint": QuerySpec(entity_merge_repoint, ENTITY_MERGE_REPOINT_SQL, ("entity", "merge")),
 }

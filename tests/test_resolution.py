@@ -132,3 +132,76 @@ def test_lang_id_heuristic(spark):
     )
     got = [r.l for r in df.select(T.lang_id(F.col("t")).alias("l")).collect()]
     assert got == ["en", "de", "fr", "es", "zh"]
+
+
+# ---------------------------------------------------------------------------
+# Round-4: LSH recall extension for the entity similarity join
+
+
+def _planted_customers(spark):
+    """Corporate names whose duplicate twins carry edits inside BOTH
+    affix regions — one edit in the middle (breaks the all-but-last-2
+    prefix key) and one inside the last 6 chars (breaks the fixed-tail
+    key) — so exact affix blocking PROVABLY cannot pair them, while
+    char-shingle similarity stays high."""
+    base = [
+        (1, "BUILDING", "acme holdings international corporation", 100.0),
+        (2, "BUILDING", "acme holdngs international corporaton", 100.0),   # twin of 1
+        (3, "MACHINERY", "pacific northwest property management", 200.0),
+        (4, "MACHINERY", "pacific nrthwest property managment", 200.0),    # twin of 3
+        (5, "BUILDING", "completely unrelated enterprises", 300.0),
+        (6, "MACHINERY", "zenith industrial logistics partners", 400.0),
+    ]
+    return spark.createDataFrame(
+        base, "c_custkey long, c_mktsegment string, c_name string, c_acctbal double"
+    )
+
+
+def test_affix_blocking_misses_double_affix_edits(spark):
+    from car_etl_spark.queries.entity import affix_pairs, canonical_frame
+
+    canon = canonical_frame(_planted_customers(spark))
+    pairs = {(r.ka, r.kb) for r in affix_pairs(canon).collect()}
+    assert (1, 2) not in pairs and (3, 4) not in pairs, (
+        "planted twins no longer escape the affix keys — "
+        "update the planted edits to keep this a real recall test"
+    )
+
+
+def test_lsh_union_recovers_planted_twins(spark):
+    from car_etl_spark.queries.entity import (
+        canonical_frame,
+        lsh_name_pairs,
+        scored_pairs,
+    )
+
+    canon = canonical_frame(_planted_customers(spark))
+    got = scored_pairs(lsh_name_pairs(canon)).collect()
+    by_pair = {(r.ka, r.kb): r for r in got}
+    assert (1, 2) in by_pair and (3, 4) in by_pair, f"LSH missed planted twins: {sorted(by_pair)}"
+    # the F12/F13 scoring puts the twins in a merge bucket, not 'different'
+    for k in [(1, 2), (3, 4)]:
+        assert by_pair[k].decision in ("auto_merge", "suggest_merge"), by_pair[k]
+    # precision guard: unrelated same-segment names never reach a merge bucket
+    for r in got:
+        if (r.ka, r.kb) not in [(1, 2), (3, 4)]:
+            assert r.decision == "different", r
+
+
+def test_extended_rollup_is_superset_of_affix_rollup(spark, tmp_path):
+    """The union can only add pairs: per-(segment, decision) counts of
+    the extended query dominate the affix-only query on the real
+    corpus."""
+    from car_etl_spark.queries.entity import entity_match_blocked, entity_match_lsh_extended
+    from tests.conftest import SF_SMALL
+
+    affix = {
+        (r.segment, r.decision): r.pair_count
+        for r in entity_match_blocked(spark, SF_SMALL).collect()
+    }
+    ext = {
+        (r.segment, r.decision): r.pair_count
+        for r in entity_match_lsh_extended(spark, SF_SMALL).collect()
+    }
+    for key, n in affix.items():
+        assert ext.get(key, 0) >= n, f"{key}: extended {ext.get(key)} < affix {n}"
