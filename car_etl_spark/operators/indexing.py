@@ -385,7 +385,16 @@ class IvfStore:
             [(cid, vec) for cid, vec in cents],
             "centroid_id long, centroid_vec array<double>",
         )
-        sim = V.cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
+        from car_etl_spark.operators.similarity import (
+            EXPR_PROJECTION_MAX_DIM,
+            _cosine_pairs_pandas,
+        )
+
+        dim0 = len(cents[0][1]) if cents else 0
+        if dim0 <= EXPR_PROJECTION_MAX_DIM:
+            sim = V.cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
+        else:
+            sim = _cosine_pairs_pandas(F.col(vec_col), F.col("centroid_vec"))
         stats = (
             assigned.sparkSession.read.parquet(self.assign_dir)
             .join(F.broadcast(cent_df), "centroid_id")
@@ -499,7 +508,18 @@ class IvfStore:
             else self.probe_ids(qvec, nprobe)
         )
         qlit = V.literal_vector(qvec)
-        sim = F.round(V.cosine_similarity(F.col(vec_col), qlit), 6)
+        # dim-aware rescoring kernel, same split as the similarity paths:
+        # codegen HOF cosine at low dim, Arrow/BLAS above the cutoff
+        # (interpreted HOF dominates at the reference's 1536 dims)
+        from car_etl_spark.operators.similarity import (
+            EXPR_PROJECTION_MAX_DIM,
+            _cosine_pairs_pandas,
+        )
+
+        if len(qvec) <= EXPR_PROJECTION_MAX_DIM:
+            sim = F.round(V.cosine_similarity(F.col(vec_col), qlit), 6)
+        else:
+            sim = F.round(_cosine_pairs_pandas(F.col(vec_col), qlit), 6)
         return (
             spark.read.parquet(self.assign_dir)
             .filter(F.col("centroid_id").isin(probes))

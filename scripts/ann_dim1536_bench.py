@@ -85,6 +85,38 @@ def main() -> None:
 
     recall_at_10 = len(set(approx_ids) & set(exact_ids)) / 10.0
 
+    # --- PERSISTED IVF serving path (round 4): build once, probe many ---
+    import shutil
+    import tempfile
+
+    from car_etl_spark.operators.indexing import IvfStore
+
+    idx_dir = tempfile.mkdtemp(prefix="ivf1536_")
+    store = IvfStore(os.path.join(idx_dir, "ivf"))
+    t0 = time.perf_counter()
+    store.build(emb, num_centroids=32, refine_iterations=2, keep=())
+    t_build = time.perf_counter() - t0
+
+    def probe(nprobe):
+        df = store.probe_topk(spark, list(qvec), k=10, nprobe=nprobe, extra_cols=())
+        return [r.vec_id for r in df.collect()]
+
+    # warm serving latency: min of 3 runs (first run pays plan analysis)
+    serving = {}
+    for label, npr in (("nprobe8", 8), ("exact_bound", None)):
+        runs, ids = [], None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ids = probe(npr)
+            runs.append(time.perf_counter() - t0)
+        serving[label] = {
+            "recall_at_10": len(set(ids) & set(exact_ids)) / 10.0,
+            "wall_warm_sec": round(min(runs), 2),
+            "wall_cold_sec": round(runs[0], 2),
+        }
+    probed_exact = store.probe_ids_exact(list(qvec), 10)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
     print(json.dumps({
         "dim": DIM, "n_vectors": N_BASE + N_DUPS,
         "lsh_neardup": {"recall_planted": recall, "pairs": len(pairs),
@@ -93,6 +125,12 @@ def main() -> None:
         "ivf_topk": {"recall_at_10": recall_at_10, "wall_sec": round(t_ivf, 2),
                       "config": "32 centroids, nprobe 8"},
         "bruteforce_topk_wall_sec": round(t_exact, 2),
+        "persisted_ivf": {
+            "build_wall_sec": round(t_build, 2),
+            "serving": serving,
+            "exact_bound_probe_partitions": f"{len(probed_exact)}/32",
+            "config": "32 centroids, 2 Lloyd iterations, partitioned layout",
+        },
     }))
     spark.stop()
 
