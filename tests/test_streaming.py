@@ -474,3 +474,123 @@ def test_incremental_dedup_refuses_foreign_signature_family(spark, tmp_path):
         json.dump({"sig_version": 1}, f)
     with pytest.raises(SignatureStoreVersionError):
         d.process_batch(_dedup_docs(spark, [(2, "a b c d e f h")]))
+
+
+# ---------------------------------------------------------------------------
+# Round-4: streaming posting-table maintenance (the tsv-trigger analog)
+
+
+def _write_change_file(spark, landing, name, rows):
+    """Land ONE parquet file (the file stream source does not recurse
+    into Spark's per-write output directories)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, op string, change_seq long"
+    )
+    tmp = tempfile.mkdtemp(prefix="chg_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(landing, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_posting_maintenance_matches_rebuild(spark, tmp_path):
+    """Docs flow through the change stream (one micro-batch per file);
+    the foreachBatch-maintained posting store equals a cold rebuild of
+    the final document state — including upsert-then-delete collapse
+    within one batch and re-adds across batches."""
+    import os
+
+    from car_etl_spark.operators.indexing import PostingStore
+    from car_etl_spark.streaming.posting_maintenance import run_posting_maintenance
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    store = PostingStore(str(tmp_path / "store"))
+    store.build(
+        spark.createDataFrame(
+            [(1, "en", "alpha beta gamma"), (2, "en", "spark windows merge")],
+            "doc_id long, lang string, text string",
+        )
+    )
+
+    # batch A: doc 2 changes, doc 3 arrives then is deleted IN the same
+    # batch (latest change wins -> never lands); doc 4 arrives
+    _write_change_file(spark, landing, "b0.parquet", [
+        (2, "en", "spark streaming checkpoint", "upsert", 10),
+        (3, "en", "should never land", "upsert", 11),
+        (3, "en", None, "delete", 12),
+        (4, "de", "der schnelle fuchs", "upsert", 13),
+    ])
+    # batch B: doc 1 deleted, doc 3 re-added
+    _write_change_file(spark, landing, "b1.parquet", [
+        (1, "en", None, "delete", 20),
+        (3, "en", "reborn document", "upsert", 21),
+    ])
+    run_posting_maintenance(spark, landing, store, str(tmp_path / "ckpt"))
+
+    rebuilt = PostingStore(str(tmp_path / "rebuild"))
+    rebuilt.build(
+        spark.createDataFrame(
+            [
+                (2, "en", "spark streaming checkpoint"),
+                (3, "en", "reborn document"),
+                (4, "de", "der schnelle fuchs"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+    )
+
+    def live(s):
+        return sorted(
+            tuple(r)
+            for r in s.read(spark)
+            .select("doc_id", "lang", "raw_term", "term", "weight", "tf")
+            .collect()
+        )
+
+    assert live(store) == live(rebuilt)
+
+    # a SECOND drain over the same landing dir + checkpoint is a no-op
+    # (offsets committed); and compaction preserves the served view
+    run_posting_maintenance(spark, landing, store, str(tmp_path / "ckpt"))
+    assert live(store) == live(rebuilt)
+    store.compact(spark)
+    assert live(store) == live(rebuilt)
+
+
+def test_streaming_posting_maintenance_serves_queries_fresh(spark, tmp_path):
+    """The serving read path (bucket-pruned) reflects maintenance
+    immediately: a term search before and after a doc change."""
+    import os
+
+    from car_etl_spark.functions.text import stem_py
+    from car_etl_spark.operators.indexing import PostingStore, term_bucket_py
+    from car_etl_spark.streaming.posting_maintenance import run_posting_maintenance
+    from pyspark.sql import functions as F
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    store = PostingStore(str(tmp_path / "store"))
+    store.build(
+        spark.createDataFrame(
+            [(1, "en", "nothing relevant here")],
+            "doc_id long, lang string, text string",
+        )
+    )
+
+    def search(term):
+        b = term_bucket_py(stem_py(term))
+        idx = store.read(spark, buckets=[b]).filter(F.col("term") == stem_py(term))
+        return {r.doc_id: r.tf for r in idx.select("doc_id", "tf").collect()}
+
+    assert search("spark") == {}
+    _write_change_file(spark, landing, "c0.parquet", [
+        (7, "en", "spark spark everywhere", "upsert", 1),
+    ])
+    run_posting_maintenance(spark, landing, store, str(tmp_path / "ckpt"))
+    assert search("spark") == {7: 2}
