@@ -65,8 +65,9 @@ HEADLINE = (
     "minhash_lsh_neardup",
     "doc_exact_dedup_stats",
     "doc_quality_scores",
-    # FTS posting-list search
+    # FTS posting-list search (suffix analyzer + full-Porter analyzer)
     "fts_posting_search",
+    "fts_porter_search",
     # EAV pivot + versioning pipeline
     "eav_pivot_effective_rent",
     "versioned_extractions",
@@ -110,6 +111,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     ensure_posting_index(spark, sf_dir)
+    ensure_posting_index(spark, sf_dir, analyzer="porter")
     ensure_ivf_index(spark, sf_dir)
     index_prep = round(time.perf_counter() - t0, 4)
     print(f"# index prep (posting + IVF stores): {index_prep:.3f}s", file=sys.stderr)

@@ -95,7 +95,7 @@ def term_bucket_py(term: str) -> int:
     return zlib.crc32(term.encode("utf-8")) % NUM_BUCKETS
 
 
-def build_posting_rows(docs: DataFrame) -> DataFrame:
+def build_posting_rows(docs: DataFrame, analyzer: str = "suffix") -> DataFrame:
     """Tokenize the corpus ONCE into posting rows
     ``(doc_id, lang, raw_term, term, weight, tf, term_bucket)``.
 
@@ -109,6 +109,14 @@ def build_posting_rows(docs: DataFrame) -> DataFrame:
     (``doc_keyword_search``-style term frequency) reads the same store.
     The bucket is derived from the STEMMED term, so a raw-term query
     prunes via ``term_bucket_py(stem_py(t))``.
+
+    ``analyzer`` picks the stemmer: ``"suffix"`` is the 3-rule
+    suffix-strip (:func:`car_etl_spark.functions.text.stem`);
+    ``"porter"`` is the full Porter (1980) algorithm
+    (:mod:`car_etl_spark.functions.porter`), the parity analyzer for
+    the reference's english tsvector stemming
+    (``044_keyword_search.sql:22-34``).  Both are pure Column
+    expressions; Porter stages one column per algorithm step.
     """
     cleaned = F.regexp_replace(F.lower(F.col("text")), r"^\s+", "")
     posted = (
@@ -128,7 +136,21 @@ def build_posting_rows(docs: DataFrame) -> DataFrame:
     rolled = posted.groupBy("doc_id", "lang", "raw_term", "weight").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    stemmed = rolled.withColumn("term", T.stem(F.col("raw_term")))
+    if analyzer == "porter":
+        from car_etl_spark.functions.porter import with_porter
+
+        # stem the DISTINCT vocabulary and broadcast it back: posting
+        # rows outnumber vocabulary by orders of magnitude (Heaps' law),
+        # and Porter's staged when-chains are ~1 ms/token under Java's
+        # backtracking regex engine — paying that per distinct term
+        # instead of per posting row is the difference between seconds
+        # and hours at corpus scale
+        vocab = with_porter(rolled.select("raw_term").distinct(), "raw_term", "term")
+        stemmed = rolled.join(F.broadcast(vocab), "raw_term")
+    elif analyzer == "suffix":
+        stemmed = rolled.withColumn("term", T.stem(F.col("raw_term")))
+    else:
+        raise ValueError(f"unknown analyzer: {analyzer!r}")
     return stemmed.withColumn("term_bucket", term_bucket_col(F.col("term")))
 
 
@@ -145,8 +167,9 @@ class PostingStore:
     batch replay cannot double tf.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, analyzer: str = "suffix"):
         self.path = path
+        self.analyzer = analyzer
         self.base_dir = os.path.join(path, "base")
         self.delta_dir = os.path.join(path, "delta")
         self.tomb_dir = os.path.join(path, "tombstones")
@@ -155,7 +178,9 @@ class PostingStore:
 
     def build(self, docs: DataFrame) -> None:
         """Full (re)build of the base layout from the corpus."""
-        rows = build_posting_rows(docs).withColumn("batch", F.lit(0).cast("long"))
+        rows = build_posting_rows(docs, self.analyzer).withColumn(
+            "batch", F.lit(0).cast("long")
+        )
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
@@ -198,7 +223,7 @@ class PostingStore:
             return False
         tomb_parts = []
         if upserts is not None:
-            rows = build_posting_rows(upserts).withColumn(
+            rows = build_posting_rows(upserts, self.analyzer).withColumn(
                 "batch", F.lit(batch).cast("long")
             )
             (
@@ -302,17 +327,20 @@ class PostingStore:
 _ENSURED: set[str] = set()
 
 
-def ensure_posting_index(spark: SparkSession, sf_dir: str) -> PostingStore:
+def ensure_posting_index(
+    spark: SparkSession, sf_dir: str, analyzer: str = "suffix"
+) -> PostingStore:
     """Build-if-missing and return the posting store for a corpus dir.
 
     The store path is content-addressed on (documents.parquet path,
-    mtime, layout version, parameters); a rebuilt corpus gets a fresh
+    mtime, layout version, parameters — including the analyzer, so the
+    suffix and porter stores coexist); a rebuilt corpus gets a fresh
     store automatically, and repeated calls cost one set lookup."""
     source = os.path.join(sf_dir, "documents.parquet")
-    params = f"nb{NUM_BUCKETS}|h{HEADER_TOKENS}|{HEADER_WEIGHT}|{BODY_WEIGHT}"
+    params = f"nb{NUM_BUCKETS}|h{HEADER_TOKENS}|{HEADER_WEIGHT}|{BODY_WEIGHT}|a:{analyzer}"
     digest = _source_digest("postings", POSTING_VERSION, source, params)
     path = os.path.join(index_root(), f"postings-{digest}")
-    store = PostingStore(path)
+    store = PostingStore(path, analyzer)
     if path in _ENSURED:
         return store
     if not store._has_parquet(store.base_dir):

@@ -90,6 +90,45 @@ def fts_posting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared(spark, "fts_posting_search", sf_dir, ("documents.parquet",), build)
 
 
+def fts_porter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20/F21 with the FULL Porter (1980) analyzer
+    (:mod:`car_etl_spark.functions.porter`) — the real-stemming parity
+    path for the reference's ``english`` tsvector configuration
+    (``044_keyword_search.sql:22-34``), closing the declared deviation
+    of the 3-rule suffix stemmer.  Porter conflates whole inflection
+    families the suffix rules cannot ("merges"/"merging"/"merged" all
+    stem to "merg"; suffix-stemming maps them to two different stems),
+    so this query's recall set is a strict superset of
+    :func:`fts_posting_search`'s wherever inflection differs.
+
+    Serving shape is identical: a dedicated porter posting store
+    (coexisting content-addressed with the suffix store), driver-side
+    query stemming via :func:`porter_py`, bucket pruning on the stemmed
+    term, weighted-tf scoring over the pruned partitions.  The oracle
+    twin re-derives the postings in DuckDB with the SAME algorithm
+    compiled to SQL (``porter_sql_stages``) — the tri-backend
+    equivalence is separately property-tested in ``tests/test_porter``."""
+    from car_etl_spark.functions.porter import porter_py
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir, analyzer="porter")
+        terms = sorted({porter_py(t) for t in FTS_QUERY_TERMS})
+        buckets = sorted({term_bucket_py(t) for t in terms})
+        idx = store.read(spark, buckets=buckets).filter(F.col("term").isin(terms))
+        scored = idx.groupBy("doc_id").agg(
+            F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
+            F.countDistinct("term").alias("terms_matched"),
+        )
+        return (
+            scored.orderBy(F.desc("rank_score"), F.asc("doc_id"))
+            .limit(20)
+            .select("doc_id", "rank_score", "terms_matched")
+        )
+
+    return prepared(spark, "fts_porter_search", sf_dir, ("documents.parquet",), build)
+
+
 def fts_posting_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21 BUILD-PATH TWIN: the same weighted-tf relevance derived from
     the raw corpus per call — the shape used before the posting table
@@ -186,6 +225,60 @@ LIMIT 20
 """
 
 
+def _porter_search_sql() -> str:
+    """The porter-analyzer oracle: identical posting derivation, with
+    the Porter steps compiled to SQL and staged through chained
+    subqueries (one per algorithm step, mirroring the Spark staging —
+    inlining would blow the expression up exponentially)."""
+    from car_etl_spark.functions.porter import (
+        porter_py,
+        porter_sql_guard,
+        porter_sql_stages,
+    )
+
+    terms = sorted({porter_py(t) for t in FTS_QUERY_TERMS})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    stages = porter_sql_stages("raw_term")
+    chain = "SELECT * FROM rolled"
+    for name, expr in stages:
+        chain = f"SELECT *, {expr} AS {name} FROM ({chain})"
+    guard = porter_sql_guard("raw_term", stages[-1][0])
+    # stem the ROLLED (doc, raw_term, weight) rows, not every token
+    # occurrence — same rollup-before-stem shape as build_posting_rows.
+    # Both CTEs are MATERIALIZED: without the barrier DuckDB flattens
+    # the aggregate subquery into the 8 chained porter projections and
+    # the expression tree inflates past any practical planning budget
+    # (observed: sub-second with barriers, hung without).
+    return f"""
+WITH rolled AS MATERIALIZED (
+  SELECT doc_id, raw_term, weight, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(toks) AS raw_term,
+           CASE WHEN generate_subscripts(toks, 1) - 1 < {HEADER_TOKENS} THEN {HEADER_WEIGHT} ELSE {BODY_WEIGHT} END AS weight
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+  )
+  GROUP BY doc_id, raw_term, weight
+), stemmed AS MATERIALIZED (
+  SELECT doc_id, weight, tf, {guard} AS term FROM ({chain})
+)
+SELECT doc_id,
+       ROUND(SUM(tf * weight), 2) AS rank_score,
+       COUNT(DISTINCT term) AS terms_matched
+FROM stemmed WHERE term IN ({in_list})
+GROUP BY doc_id
+ORDER BY rank_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+FTS_PORTER_SEARCH_SQL = _porter_search_sql()
+
+
 def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8: apply a change stream with delete markers — per user, the
     latest event wins; if it is a tombstone ('error' here) the key is
@@ -229,5 +322,6 @@ ORDER BY l.user_id
 QUERIES: dict[str, QuerySpec] = {
     "fts_posting_search": QuerySpec(fts_posting_search, FTS_POSTING_SEARCH_SQL, ("search", "fts")),
     "fts_posting_scan": QuerySpec(fts_posting_scan, FTS_POSTING_SEARCH_SQL, ("search", "fts")),
+    "fts_porter_search": QuerySpec(fts_porter_search, FTS_PORTER_SEARCH_SQL, ("search", "fts")),
     "cdc_apply_tombstones": QuerySpec(cdc_apply_tombstones, CDC_TOMBSTONES_SQL, ("cdc",)),
 }
