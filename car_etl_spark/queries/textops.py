@@ -335,7 +335,106 @@ ORDER BY t.source
 """
 
 
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filters in the Gopher style (Rae et al. 2021,
+    public): per document, the duplicate-token fraction, the fraction of
+    tokens claimed by the single most frequent token, and by the most
+    frequent word bigram — the standard signals for machine-generated /
+    boilerplate text in LLM training-data curation.  A document is
+    flagged ``repetitive`` when either top-fraction crosses the
+    Gopher-ish thresholds (0.20 for unigrams, 0.18 for bigrams).
+
+    Shape at scale: one posexplode (map-side), token counts in one
+    doc-keyed shuffle, bigrams from a per-doc ``lead`` window (same
+    doc-keyed partitioning, so AQE coalesces the exchanges), and the
+    final metric join broadcast-friendly per doc.  Documents are
+    bounded (chunked upstream), so per-doc windows never skew."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cleaned = F.regexp_replace(F.lower(F.col("text")), r"^\s+", "")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(cleaned, r"\s+")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    base = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    top_tok = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    top_big = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_big"))
+    )
+    n_tok_d = F.col("n_tokens").cast("double")
+    n_big_d = (F.col("n_tokens") - 1).cast("double")
+    top_token_frac = F.col("top_tok") / n_tok_d
+    top_bigram_frac = F.col("top_big") / n_big_d
+    return (
+        base.join(top_tok, "doc_id")
+        .join(top_big, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / n_tok_d, 6).alias("distinct_frac"),
+            F.round(top_token_frac, 6).alias("top_token_frac"),
+            F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+            ((top_token_frac > 0.2) | (top_bigram_frac > 0.18)).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM toked
+), base AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+  FROM tok GROUP BY doc_id
+), toptok AS (
+  SELECT doc_id, MAX(c) AS top_tok
+  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+  GROUP BY doc_id
+), big AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), topbig AS (
+  SELECT doc_id, MAX(c) AS top_big
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       ROUND(b.n_distinct / CAST(b.n_tokens AS DOUBLE), 6) AS distinct_frac,
+       ROUND(t.top_tok / CAST(b.n_tokens AS DOUBLE), 6) AS top_token_frac,
+       ROUND(g.top_big / CAST(b.n_tokens - 1 AS DOUBLE), 6) AS top_bigram_frac,
+       (t.top_tok / CAST(b.n_tokens AS DOUBLE) > 0.2
+        OR g.top_big / CAST(b.n_tokens - 1 AS DOUBLE) > 0.18) AS repetitive
+FROM base b
+JOIN toptok t USING (doc_id)
+JOIN topbig g USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_repetition_profile": QuerySpec(doc_repetition_profile, DOC_REPETITION_SQL, ("text", "quality")),
     "doc_corpus_profile": QuerySpec(doc_corpus_profile, DOC_CORPUS_PROFILE_SQL, ("text",)),
     "doc_quality_scores": QuerySpec(doc_quality_scores, DOC_QUALITY_SQL, ("text",)),
     "doc_exact_dedup_stats": QuerySpec(doc_exact_dedup_stats, DOC_EXACT_DEDUP_STATS_SQL, ("dedup",)),
