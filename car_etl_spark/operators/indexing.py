@@ -54,7 +54,9 @@ from car_etl_spark.functions import text as T
 from car_etl_spark.functions import vectors as V
 
 POSTING_VERSION = 1
-IVF_VERSION = 2  # v2: meta carries per-cluster radii/counts for exact probing
+# v2: meta carries per-cluster radii/counts for exact probing
+# v3: batch-tagged assignments + LSM delta/tombstone maintenance
+IVF_VERSION = 3
 NUM_BUCKETS = 16
 
 #: first N token positions score as the "header" (weight A vs B,
@@ -361,11 +363,41 @@ def ensure_posting_index(
 
 class IvfStore:
     """Persisted IVF layout: assignments partitioned by centroid_id +
-    driver-resident centroids in meta.json."""
+    driver-resident centroids in meta.json.
+
+    Incremental maintenance (the HNSW-insert analog: the reference's
+    vector index absorbs row writes without a rebuild,
+    ``041_vector_index.sql:6-8``): the coarse quantizer (centroids) is
+    FROZEN between rebuilds; new/changed vectors are assigned to their
+    nearest existing centroid and appended batch-tagged under
+    ``delta/``, deletes append per-id tombstones, and the read path
+    serves base+delta minus tombstones (same liveness rule as
+    :class:`PostingStore`).
+
+    The exact-probe certificate survives maintenance by construction:
+
+    - **radii only widen** — each batch records the max angle of its
+      appended vectors per centroid in ``meta['batches'][b]``, and the
+      effective radius is the max over base + all batches.  A widened
+      cone keeps every member bound valid (monotone weakening).
+    - **counts are split per batch** — effective count = base + per-
+      batch additions.  Replays overwrite their own batch entry (keyed
+      by batch id), so a crash between delta write and sentinel cannot
+      double-count.
+    - **deletes are pessimistic** — ``D`` = the sum of per-batch
+      tombstone counts is an upper bound on counted-but-dead members
+      (an id tombstoned twice counts twice; that only inflates D).
+      The k-th-similarity lower bound walks clusters until cumulative
+      count >= k + D, so even if every pending tombstone hid among the
+      top clusters, k live members are still certified above L.
+      ``compact()`` folds everything down and resets D.
+    """
 
     def __init__(self, path: str):
         self.path = path
         self.assign_dir = os.path.join(path, "assignments")
+        self.delta_dir = os.path.join(path, "delta")
+        self.tomb_dir = os.path.join(path, "tombstones")
         self.meta_path = os.path.join(path, "meta.json")
 
     def build(
@@ -390,7 +422,7 @@ class IvfStore:
         rows = centroids.select("centroid_id", "centroid_vec").collect()
         assigned = ivf_assign(
             emb, centroids, id_col, vec_col, centroid_rows=rows, keep=keep
-        )
+        ).withColumn("batch", F.lit(0).cast("long"))
         tmp = self.assign_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
@@ -401,14 +433,48 @@ class IvfStore:
         )
         shutil.rmtree(self.assign_dir, ignore_errors=True)
         os.rename(tmp, self.assign_dir)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        shutil.rmtree(self.tomb_dir, ignore_errors=True)
+        for f in os.listdir(self.path):
+            if f.startswith("_applied_"):
+                os.remove(os.path.join(self.path, f))
         cents = sorted(
             (int(r.centroid_id), [float(x) for x in r.centroid_vec])
             for r in rows
             if r.centroid_vec is not None
         )
-        # per-cluster angular radius + member count: the control-plane
-        # statistics the exact-probe bound needs (one pass over the
-        # written layout; acos argument clamped against fp drift)
+        stats = self._cluster_stats(
+            assigned.sparkSession.read.parquet(self.assign_dir), cents, vec_col
+        )
+        meta = {
+            "version": IVF_VERSION,
+            "num_centroids": num_centroids,
+            "refine_iterations": refine_iterations,
+            "dim": len(cents[0][1]) if cents else 0,
+            "centroid_ids": [c[0] for c in cents],
+            "centroids": [c[1] for c in cents],
+            # clusters can hold NULL-embedding rows only if every member
+            # is NULL (radius null) — treat as radius pi (never prunable)
+            "radii": [
+                stats[c[0]][0] if c[0] in stats and stats[c[0]][0] is not None
+                else 3.141593
+                for c in cents
+            ],
+            "counts": [stats[c[0]][1] if c[0] in stats else 0 for c in cents],
+            "batches": {},
+        }
+        self._write_meta(meta)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)
+
+    def _cluster_stats(self, assigned: DataFrame, cents, vec_col: str) -> dict:
+        """Per-centroid (max angular radius, member count) — the
+        control-plane statistics the exact-probe bound needs (one pass;
+        acos argument clamped against fp drift)."""
         cent_df = assigned.sparkSession.createDataFrame(
             [(cid, vec) for cid, vec in cents],
             "centroid_id long, centroid_vec array<double>",
@@ -424,8 +490,7 @@ class IvfStore:
         else:
             sim = _cosine_pairs_pandas(F.col(vec_col), F.col("centroid_vec"))
         stats = (
-            assigned.sparkSession.read.parquet(self.assign_dir)
-            .join(F.broadcast(cent_df), "centroid_id")
+            assigned.join(F.broadcast(cent_df), "centroid_id")
             .groupBy("centroid_id")
             .agg(
                 F.max(F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), sim))))
@@ -434,25 +499,163 @@ class IvfStore:
             )
             .collect()
         )
-        by_id = {int(r.centroid_id): r for r in stats}
-        meta = {
-            "version": IVF_VERSION,
-            "num_centroids": num_centroids,
-            "refine_iterations": refine_iterations,
-            "dim": len(cents[0][1]) if cents else 0,
-            "centroid_ids": [c[0] for c in cents],
-            "centroids": [c[1] for c in cents],
-            # clusters can hold NULL-embedding rows only if every member
-            # is NULL (radius null) — treat as radius pi (never prunable)
-            "radii": [
-                float(by_id[c[0]].radius) if c[0] in by_id and by_id[c[0]].radius is not None
-                else 3.141593
-                for c in cents
-            ],
-            "counts": [int(by_id[c[0]].n) if c[0] in by_id else 0 for c in cents],
+        return {
+            int(r.centroid_id): (
+                float(r.radius) if r.radius is not None else None,
+                int(r.n),
+            )
+            for r in stats
         }
-        with open(self.meta_path, "w") as f:
-            json.dump(meta, f)
+
+    # -- incremental maintenance ----------------------------------------
+
+    def _sentinel(self, batch: int) -> str:
+        return os.path.join(self.path, f"_applied_{batch}")
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        upserts: DataFrame | None,
+        deleted_ids: list | None,
+        batch: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        keep: tuple[str, ...] = ("label",),
+    ) -> bool:
+        """Apply one micro-batch of vector upserts/deletes.
+
+        Upserted vectors are assigned to the FROZEN centroid set (the
+        quantizer does not move between rebuilds) and appended under
+        ``delta/``; every touched id gets a tombstone killing its older
+        rows.  The batch's per-centroid (count, max-angle) stats land in
+        ``meta['batches'][batch]`` — keyed by batch id, so a replay
+        overwrites rather than double-counts, and the sentinel makes
+        completed batches no-ops."""
+        if batch <= 0:
+            raise ValueError("batch must be > 0 (0 is the base build)")
+        if os.path.exists(self._sentinel(batch)):
+            return False
+        m = self.meta()
+        cents = sorted(zip(m["centroid_ids"], m["centroids"]))
+        tomb_ids: set = set()
+        batch_entry: dict = {"counts": {}, "radii": {}, "tombs": 0}
+        if upserts is not None:
+            from car_etl_spark.operators.similarity import ivf_assign
+
+            from types import SimpleNamespace
+
+            assigned = ivf_assign(
+                upserts, None, id_col, vec_col,
+                centroid_rows=[
+                    SimpleNamespace(centroid_id=cid, centroid_vec=vec)
+                    for cid, vec in cents
+                ],
+                keep=keep,
+            ).withColumn("batch", F.lit(batch).cast("long"))
+            assigned = assigned.localCheckpoint(eager=True)
+            (
+                assigned.repartition("centroid_id")
+                .write.mode("append")
+                .partitionBy("centroid_id")
+                .parquet(self.delta_dir)
+            )
+            stats = self._cluster_stats(assigned, cents, vec_col)
+            batch_entry["counts"] = {str(cid): n for cid, (_r, n) in stats.items()}
+            batch_entry["radii"] = {
+                str(cid): r for cid, (r, _n) in stats.items() if r is not None
+            }
+            tomb_ids |= {r[0] for r in assigned.select(id_col).distinct().collect()}
+        if deleted_ids:
+            tomb_ids |= set(deleted_ids)
+        if tomb_ids:
+            tomb = spark.createDataFrame(
+                [(int(i),) for i in sorted(tomb_ids)], f"{id_col} long"
+            ).withColumn("batch", F.lit(batch).cast("long"))
+            tomb.coalesce(1).write.mode("append").parquet(self.tomb_dir)
+            batch_entry["tombs"] = len(tomb_ids)
+        m.setdefault("batches", {})[str(batch)] = batch_entry
+        self._write_meta(m)
+        with open(self._sentinel(batch), "w") as f:
+            f.write("applied")
+        return True
+
+    def _has_parquet(self, d: str) -> bool:
+        if not os.path.isdir(d):
+            return False
+        for root, _dirs, files in os.walk(d):
+            if any(fn.endswith(".parquet") for fn in files):
+                return True
+        return False
+
+    def read_assignments(
+        self,
+        spark: SparkSession,
+        probes: list[int] | None = None,
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """The live assignment view: base + deduped delta, minus rows
+        older than their id's newest tombstone (liveness rule shared
+        with :class:`PostingStore`: an upsert's own rows carry the same
+        batch as their tombstone and survive `__tb <= batch`)."""
+        df = spark.read.parquet(self.assign_dir)
+        if probes is not None:
+            df = df.filter(F.col("centroid_id").isin([int(p) for p in probes]))
+        if self._has_parquet(self.delta_dir):
+            delta = spark.read.parquet(self.delta_dir)
+            if probes is not None:
+                delta = delta.filter(F.col("centroid_id").isin([int(p) for p in probes]))
+            df = df.unionByName(delta.dropDuplicates([id_col, "batch"]))
+        if self._has_parquet(self.tomb_dir):
+            tomb = (
+                spark.read.parquet(self.tomb_dir)
+                .groupBy(id_col)
+                .agg(F.max("batch").alias("__tb"))
+            )
+            df = (
+                df.join(F.broadcast(tomb), id_col, "left")
+                .filter(F.col("__tb").isNull() | (F.col("__tb") <= F.col("batch")))
+                .drop("__tb")
+            )
+        return df
+
+    def compact(self, spark: SparkSession, vec_col: str = "embedding") -> None:
+        """Fold delta/tombstones into a fresh base (batch reset to 0,
+        pending-tombstone debt cleared, radii recomputed TIGHT from the
+        live rows — maintenance only ever widens them)."""
+        live = self.read_assignments(spark).withColumn(
+            "batch", F.lit(0).cast("long")
+        )
+        live = live.localCheckpoint(eager=True)
+        m = self.meta()
+        cents = sorted(zip(m["centroid_ids"], m["centroids"]))
+        tmp = self.assign_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            live.repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(tmp)
+        )
+        old = self.assign_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.assign_dir, old)
+        os.rename(tmp, self.assign_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        shutil.rmtree(self.tomb_dir, ignore_errors=True)
+        for f in os.listdir(self.path):
+            if f.startswith("_applied_"):
+                os.remove(os.path.join(self.path, f))
+        stats = self._cluster_stats(
+            spark.read.parquet(self.assign_dir), cents, vec_col
+        )
+        m["radii"] = [
+            stats[c[0]][0] if c[0] in stats and stats[c[0]][0] is not None else 3.141593
+            for c in cents
+        ]
+        m["counts"] = [stats[c[0]][1] if c[0] in stats else 0 for c in cents]
+        m["batches"] = {}
+        self._write_meta(m)
 
     def meta(self) -> dict:
         with open(self.meta_path) as f:
@@ -503,13 +706,28 @@ class IvfStore:
 
         m, ids, _sims, thetas = self._centroid_angles(qvec)
         radii = np.asarray(m["radii"], dtype="float64")
-        counts = np.asarray(m["counts"], dtype="int64")
+        counts = np.asarray(m["counts"], dtype="float64")
+        # fold in maintenance batches: radii widen (max), counts add,
+        # and D pending tombstones make the k-th bound pessimistic —
+        # the walk must certify k live members even if every tombstoned
+        # row hid among the clusters walked so far
+        pending_tombs = 0
+        pos = {int(cid): i for i, cid in enumerate(ids)}
+        for entry in (m.get("batches") or {}).values():
+            pending_tombs += int(entry.get("tombs", 0))
+            for cid, n in (entry.get("counts") or {}).items():
+                if int(cid) in pos:
+                    counts[pos[int(cid)]] += int(n)
+            for cid, r in (entry.get("radii") or {}).items():
+                if int(cid) in pos:
+                    i = pos[int(cid)]
+                    radii[i] = max(radii[i], float(r))
         ub = np.cos(np.maximum(0.0, thetas - radii))
         lb = np.cos(np.minimum(np.pi, thetas + radii))
         order = np.argsort(-lb)
         cum = np.cumsum(counts[order])
-        enough = np.searchsorted(cum, k)
-        if enough >= len(order):  # corpus smaller than k: scan all
+        enough = np.searchsorted(cum, k + pending_tombs)
+        if enough >= len(order):  # corpus (minus debt) smaller than k: scan all
             return [int(i) for i in ids]
         L = lb[order[enough]]
         return [int(i) for i in ids[ub >= L - 1e-6]]
@@ -549,8 +767,7 @@ class IvfStore:
         else:
             sim = F.round(_cosine_pairs_pandas(F.col(vec_col), qlit), 6)
         return (
-            spark.read.parquet(self.assign_dir)
-            .filter(F.col("centroid_id").isin(probes))
+            self.read_assignments(spark, probes=probes, id_col=id_col)
             .select(id_col, *extra_cols, sim.alias("cosine_sim"))
             .orderBy(F.desc("cosine_sim"), F.asc(id_col))
             .limit(k)

@@ -594,3 +594,155 @@ def test_streaming_posting_maintenance_serves_queries_fresh(spark, tmp_path):
     ])
     run_posting_maintenance(spark, landing, store, str(tmp_path / "ckpt"))
     assert search("spark") == {7: 2}
+
+
+# ---------------------------------------------------------------------------
+# IVF-layout incremental maintenance (the HNSW-insert analog)
+
+
+def _vec(axis: int, jitter: int, dim: int = 4) -> list[float]:
+    """Deterministic clusterable vector: unit axis + small jitter on the
+    next coordinate (stays well inside its cluster's cone)."""
+    v = [0.0] * dim
+    v[axis % dim] = 1.0
+    v[(axis + 1) % dim] = 0.05 * (jitter % 5)
+    return v
+
+
+def _f32(v):
+    """Expectation values must round-trip the store's float32 storage."""
+    import numpy as np
+
+    return [float(x) for x in np.asarray(v, dtype="float32")]
+
+
+def _write_vec_change_file(spark, landing, name, rows):
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(
+        rows,
+        "vec_id long, embedding array<float>, label int, op string, change_seq long",
+    )
+    tmp = tempfile.mkdtemp(prefix="vchg_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(landing, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _brute_topk(corpus: dict, qvec: list, k: int) -> list:
+    """(vec_id, cosine_sim) top-k over a {vec_id: vector} dict, with the
+    store's rounding and tie order."""
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return round(num / (da * db), 6) if da and db else None
+
+    scored = sorted(
+        ((vid, cos(v, qvec)) for vid, v in corpus.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return scored[:k]
+
+
+def _ivf_fixture(spark, tmp_path):
+    from car_etl_spark.operators.indexing import IvfStore
+
+    initial = {i: _f32(_vec(i % 4, i)) for i in range(24)}
+    store = IvfStore(str(tmp_path / "ivf"))
+    store.build(
+        spark.createDataFrame(
+            [(i, v, i % 3) for i, v in initial.items()],
+            "vec_id long, embedding array<float>, label int",
+        ),
+        num_centroids=4,
+        refine_iterations=0,
+    )
+    return store, initial
+
+
+def test_ivf_apply_batch_upsert_delete_and_replay(spark, tmp_path):
+    store, corpus = _ivf_fixture(spark, tmp_path)
+
+    # vec 5 MOVES cluster (axis 1 -> axis 2), vec 100 arrives, vec 7 dies
+    upserts = spark.createDataFrame(
+        [(5, _vec(2, 9), 1), (100, _vec(3, 2), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert store.apply_batch(spark, upserts, [7], batch=1) is True
+    corpus[5] = _f32(_vec(2, 9))
+    corpus[100] = _f32(_vec(3, 2))
+    del corpus[7]
+
+    live = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in store.read_assignments(spark).collect()
+    }
+    assert live == corpus
+
+    # replay is a sentinel no-op
+    assert store.apply_batch(spark, upserts, [7], batch=1) is False
+
+    # exactness under maintenance: certified probes == brute force,
+    # including a query pointed at the cluster vec 5 moved INTO (its
+    # widened radius must be honored) and one at the deleted vec's home
+    for q in (_vec(2, 0), _vec(1, 0), _vec(0, 3), _vec(3, 1)):
+        got = [(r.vec_id, r.cosine_sim) for r in store.probe_topk(spark, q, k=5).collect()]
+        assert got == _brute_topk(corpus, q, 5), f"query {q}"
+
+
+def test_ivf_streaming_maintenance_matches_brute_force(spark, tmp_path):
+    import os
+
+    from car_etl_spark.streaming.vector_maintenance import run_vector_maintenance
+
+    store, corpus = _ivf_fixture(spark, tmp_path)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    # batch A: vec 3 moves; vec 50 arrives then dies IN batch; vec 51 arrives
+    _write_vec_change_file(spark, landing, "b0.parquet", [
+        (3, _vec(0, 1), 2, "upsert", 10),
+        (50, _vec(1, 1), 0, "upsert", 11),
+        (50, None, None, "delete", 12),
+        (51, _vec(2, 4), 1, "upsert", 13),
+    ])
+    # batch B: vec 0 dies, vec 50 reborn elsewhere
+    _write_vec_change_file(spark, landing, "b1.parquet", [
+        (0, None, None, "delete", 20),
+        (50, _vec(3, 4), 2, "upsert", 21),
+    ])
+    run_vector_maintenance(spark, landing, store, str(tmp_path / "ckpt"))
+    corpus[3] = _f32(_vec(0, 1))
+    corpus[51] = _f32(_vec(2, 4))
+    corpus[50] = _f32(_vec(3, 4))
+    del corpus[0]
+
+    live = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in store.read_assignments(spark).collect()
+    }
+    assert live == corpus
+    for q in (_vec(0, 0), _vec(1, 2), _vec(2, 0), _vec(3, 0)):
+        got = [(r.vec_id, r.cosine_sim) for r in store.probe_topk(spark, q, k=5).collect()]
+        assert got == _brute_topk(corpus, q, 5), f"query {q}"
+
+    # second drain: committed offsets make it a no-op
+    run_vector_maintenance(spark, landing, store, str(tmp_path / "ckpt"))
+    assert {
+        r.vec_id for r in store.read_assignments(spark).collect()
+    } == set(corpus)
+
+    # compact folds the LSM down: batches debt cleared, same service
+    store.compact(spark)
+    assert store.meta()["batches"] == {}
+    assert not store._has_parquet(store.delta_dir)
+    for q in (_vec(0, 0), _vec(3, 0)):
+        got = [(r.vec_id, r.cosine_sim) for r in store.probe_topk(spark, q, k=5).collect()]
+        assert got == _brute_topk(corpus, q, 5)
