@@ -129,6 +129,41 @@ def fts_porter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared(spark, "fts_porter_search", sf_dir, ("documents.parquet",), build)
 
 
+def fts_plainto_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL match semantics: ``plainto_tsquery``
+    ANDs every stemmed term (``044_keyword_search.sql:78-80`` — a doc
+    matches only if it contains ALL query terms), then ranks matches.
+    The OR-scored queries rank by coverage; this one FILTERS to
+    full-coverage docs (HAVING count(distinct term) == |terms|) over
+    the porter posting store and ranks by the same weighted tf.
+
+    Same serving cost shape: bucket-pruned posting join; the AND
+    filter is a post-aggregation HAVING on the tiny matched set."""
+    from car_etl_spark.functions.porter import porter_py
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir, analyzer="porter")
+        terms = sorted({porter_py(t) for t in FTS_QUERY_TERMS})
+        buckets = sorted({term_bucket_py(t) for t in terms})
+        idx = store.read(spark, buckets=buckets).filter(F.col("term").isin(terms))
+        scored = (
+            idx.groupBy("doc_id")
+            .agg(
+                F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
+                F.countDistinct("term").alias("terms_matched"),
+            )
+            .filter(F.col("terms_matched") == len(terms))
+        )
+        return (
+            scored.orderBy(F.desc("rank_score"), F.asc("doc_id"))
+            .limit(20)
+            .select("doc_id", "rank_score", "terms_matched")
+        )
+
+    return prepared(spark, "fts_plainto_search", sf_dir, ("documents.parquet",), build)
+
+
 def fts_posting_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21 BUILD-PATH TWIN: the same weighted-tf relevance derived from
     the raw corpus per call — the shape used before the posting table
@@ -225,7 +260,7 @@ LIMIT 20
 """
 
 
-def _porter_search_sql() -> str:
+def _porter_search_sql(require_all: bool = False) -> str:
     """The porter-analyzer oracle: identical posting derivation, with
     the Porter steps compiled to SQL and staged through chained
     subqueries (one per algorithm step, mirroring the Spark staging —
@@ -271,12 +306,14 @@ SELECT doc_id,
        COUNT(DISTINCT term) AS terms_matched
 FROM stemmed WHERE term IN ({in_list})
 GROUP BY doc_id
+{"HAVING COUNT(DISTINCT term) = " + str(len(terms)) if require_all else ""}
 ORDER BY rank_score DESC, doc_id ASC
 LIMIT 20
 """
 
 
 FTS_PORTER_SEARCH_SQL = _porter_search_sql()
+FTS_PLAINTO_SEARCH_SQL = _porter_search_sql(require_all=True)
 
 
 def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,5 +360,6 @@ QUERIES: dict[str, QuerySpec] = {
     "fts_posting_search": QuerySpec(fts_posting_search, FTS_POSTING_SEARCH_SQL, ("search", "fts")),
     "fts_posting_scan": QuerySpec(fts_posting_scan, FTS_POSTING_SEARCH_SQL, ("search", "fts")),
     "fts_porter_search": QuerySpec(fts_porter_search, FTS_PORTER_SEARCH_SQL, ("search", "fts")),
+    "fts_plainto_search": QuerySpec(fts_plainto_search, FTS_PLAINTO_SEARCH_SQL, ("search", "fts")),
     "cdc_apply_tombstones": QuerySpec(cdc_apply_tombstones, CDC_TOMBSTONES_SQL, ("cdc",)),
 }

@@ -58,6 +58,11 @@ CONTRACTS = [
     # FTS serving path: pruned store scan; sum + countDistinct agg pair
     ("fts_posting_search", 2,
      ["TakeOrderedAndProject", "PartitionFilters: [term_bucket"], ["SortMergeJoin"]),
+    # porter analyzer serves from its own bucket-pruned store
+    ("fts_porter_search", 2,
+     ["TakeOrderedAndProject", "PartitionFilters: [term_bucket"], ["SortMergeJoin"]),
+    ("fts_plainto_search", 2,
+     ["TakeOrderedAndProject", "PartitionFilters: [term_bucket"], ["SortMergeJoin"]),
     # flagship: grand total via broadcast, top-k via TakeOrdered
     ("flagship_portfolio_rollup", 9, ["BroadcastHashJoin", "TakeOrderedAndProject"],
      ["SortMergeJoin"]),
