@@ -305,3 +305,47 @@ ORDER BY window_kind, window_start, event_type
 QUERIES["events_time_windows"] = QuerySpec(
     events_time_windows, EVENTS_TIME_WINDOWS_SQL, ("events", "window")
 )
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    type — the latency/value-distribution rollup every ops dashboard
+    needs.  EXACT ``percentile`` (not percentile_approx) so the DuckDB
+    ``quantile_cont`` twin matches bit-for-bit after rounding: both
+    engines use the same linear-interpolation definition over the
+    sorted values.
+
+    Scale note: exact percentiles sort within each group — at 100 TB
+    prefer per-day partitions (bounded groups) or switch to
+    ``percentile_approx`` with a declared error budget; the exact form
+    here is the oracle-checkable ground truth the approx form would be
+    validated against."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.percentile("value", 0.5), 6).alias("p50_value"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90_value"),
+            F.round(F.percentile("value", 0.99), 6).alias("p99_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PERCENTILES_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_value,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_value_percentiles"] = QuerySpec(
+    events_value_percentiles, EVENTS_PERCENTILES_SQL, ("events", "quantiles")
+)
