@@ -125,3 +125,46 @@ QUERIES: dict[str, QuerySpec] = {
     "rag_context_budget": QuerySpec(rag_context_budget, RAG_CONTEXT_BUDGET_SQL, ("rag",)),
     "rag_citation_validation": QuerySpec(rag_citation_validation, RAG_CITATION_SQL, ("rag",)),
 }
+
+
+def rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-ingestion splitter (operators/chunking.py) over the
+    corpus: 16-token windows with 4-token overlap (sized to the
+    synthetic docs so overlap is actually exercised), with a sha256
+    over content proving exact byte-level parity per chunk."""
+    from pyspark.sql import functions as F
+
+    from car_etl_spark.operators.chunking import chunk_by_tokens
+    from car_etl_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    chunks = chunk_by_tokens(docs, max_tokens=16, overlap=4)
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        "token_count",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    ).orderBy("doc_id", "chunk_index")
+
+
+RAG_CHUNK_WINDOWS_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         string_split_regex(TRIM(text), '\\s+') AS toks
+  FROM documents
+  WHERE TRIM(text) <> ''
+), exploded AS (
+  SELECT doc_id, len(toks) AS n, toks, unnest(range(0, len(toks), 12)) AS start
+  FROM toked
+)
+SELECT doc_id,
+       CAST(start / 12 AS BIGINT) AS chunk_index,
+       len(toks[start + 1 : start + 16]) AS token_count,
+       sha256(array_to_string(toks[start + 1 : start + 16], ' ')) AS content_sha
+FROM exploded
+ORDER BY doc_id, chunk_index
+"""
+
+QUERIES["rag_chunk_windows"] = QuerySpec(
+    rag_chunk_windows, RAG_CHUNK_WINDOWS_SQL, ("rag", "chunking")
+)

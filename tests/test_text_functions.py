@@ -1,0 +1,33 @@
+
+
+def test_chunk_by_tokens_overlap_and_edges(spark):
+    from car_etl_spark.operators.chunking import chunk_by_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 10 tokens
+            (2, "x y"),                    # shorter than one window
+            (3, "   "),                    # blank: no chunks
+            (4, "p  q\t r\n s t u"),      # messy whitespace normalizes
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_by_tokens(docs, max_tokens=4, overlap=2).orderBy(
+        "doc_id", "chunk_index"
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_index, r.token_count, r.content))
+    # stride 2: windows start at 0,2,4,6,8 — consecutive chunks share 2 tokens
+    assert by_doc[1] == [
+        (0, 4, "a b c d"), (1, 4, "c d e f"), (2, 4, "e f g h"),
+        (3, 4, "g h i j"), (4, 2, "i j"),
+    ]
+    assert by_doc[2] == [(0, 2, "x y")]
+    assert 3 not in by_doc
+    assert by_doc[4][0] == (0, 4, "p q r s")
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_by_tokens(docs, max_tokens=4, overlap=4)
