@@ -190,6 +190,76 @@ LIMIT 20
 """
 
 
+def doc_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17+F19 as an oracle-checked result page: top-10 keyword matches
+    with ``<mark>``-highlighted, word-boundary-truncated snippets — the
+    reference's search-response shape (``highlighter.py:92-118,208-244``
+    + ``citations.py:108-118``).
+
+    Engine portability: the highlight regex uses only ``\\b`` word
+    boundaries and the ``(?i)`` inline flag (both in RE2's subset — no
+    lookarounds), the Spark ``$1`` backreference maps to DuckDB's
+    ``\\1`` with the ``g`` flag (DuckDB replaces first-match-only by
+    default; Spark replaces all), and the snippet cut is the same
+    substring/regexp_replace pair on both sides, so the marked-up
+    strings hash-match exactly."""
+    import re
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    top = (
+        keyword_scores(docs, KEYWORD_QUERY_TERMS, "doc_id")
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    pattern = "(?i)(" + "|".join(
+        r"\b" + re.escape(t) + r"\b" for t in KEYWORD_QUERY_TERMS
+    ) + ")"
+    marked = F.regexp_replace(F.col("text"), pattern, "<mark>$1</mark>")
+    return (
+        top.join(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "score", T.snippet(marked, 150).alias("snippet"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _highlight_sql() -> str:
+    import re
+
+    alts = "|".join(rf"\b{re.escape(t)}\b" for t in KEYWORD_QUERY_TERMS)
+    marked = (
+        f"regexp_replace(d.text, '(?i)({alts})', '<mark>\\1</mark>', 'g')"
+    )
+    head = f"substring({marked}, 1, 150)"
+    cut = f"regexp_replace({head}, '\\s+\\S*$', '')"
+    snip = (
+        f"CASE WHEN length({marked}) <= 150 THEN {marked} "
+        f"ELSE (CASE WHEN length({cut}) > 0 THEN {cut} ELSE {head} END) || '...' END"
+    )
+    terms_filter = "\n         + ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))" for t in KEYWORD_QUERY_TERMS
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), top AS (
+  SELECT doc_id, score
+  FROM (SELECT doc_id, {terms_filter} AS score FROM tok)
+  WHERE score > 0
+  ORDER BY score DESC, doc_id ASC
+  LIMIT 10
+)
+SELECT t.doc_id, t.score, {snip} AS snippet
+FROM top t JOIN documents d ON t.doc_id = d.doc_id
+ORDER BY t.score DESC, t.doc_id ASC
+"""
+
+
+DOC_SEARCH_HIGHLIGHT_SQL = _highlight_sql()
+
+
 def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token statistics + stop-word/quality profile per (source, lang) —
     the consolidated corpus-curation rollup (one registry slot for the
@@ -440,4 +510,5 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_exact_dedup_stats": QuerySpec(doc_exact_dedup_stats, DOC_EXACT_DEDUP_STATS_SQL, ("dedup",)),
     "doc_keyword_search": QuerySpec(doc_keyword_search, DOC_KEYWORD_SEARCH_SQL, ("search",)),
     "doc_keyword_scan": QuerySpec(doc_keyword_scan, DOC_KEYWORD_SEARCH_SQL, ("search",)),
+    "doc_search_highlight": QuerySpec(doc_search_highlight, DOC_SEARCH_HIGHLIGHT_SQL, ("search", "highlight")),
 }
