@@ -260,6 +260,101 @@ LIMIT 20
 """
 
 
+#: the batch serving workload: N named queries answered in ONE pass
+#: over the pruned posting partitions (the keyword analog of
+#: vector_topk_batch — throughput mode for offline eval / re-ranking)
+FTS_BATCH_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_infra": ("spark", "windows"),
+    "q_merge": ("merges", "join"),
+    "q_stream": ("stream", "batch"),
+}
+
+
+def fts_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch keyword retrieval: all queries' stemmed terms union into
+    one bucket-pruned posting scan, a broadcast (query_id, term) map
+    fans rows out to their queries, and a per-query window takes the
+    top 5 — one job, one store pass, N result lists.  At 100 TB this is
+    the offline-eval / bulk-rerank shape: cost scales with the UNION of
+    matched postings, not with the query count."""
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        from pyspark.sql import Window
+
+        store = ensure_posting_index(spark, sf_dir)
+        pairs = sorted(
+            {(qid, T.stem_py(t)) for qid, ts in FTS_BATCH_QUERIES.items() for t in ts}
+        )
+        all_terms = sorted({t for _q, t in pairs})
+        buckets = sorted({term_bucket_py(t) for t in all_terms})
+        qterms = spark.createDataFrame(pairs, "query_id string, term string")
+        idx = store.read(spark, buckets=buckets).filter(F.col("term").isin(all_terms))
+        scored = (
+            idx.join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
+                F.countDistinct("term").alias("terms_matched"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("rank_score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "doc_id", "rank_score", "terms_matched")
+            .orderBy("query_id", F.desc("rank_score"), F.asc("doc_id"))
+        )
+
+    return prepared(spark, "fts_batch_search", sf_dir, ("documents.parquet",), build)
+
+
+def _fts_batch_sql() -> str:
+    pairs = sorted(
+        {(qid, T.stem_py(t)) for qid, ts in FTS_BATCH_QUERIES.items() for t in ts}
+    )
+    values = ", ".join(f"('{q}', '{t}')" for q, t in pairs)
+    in_list = ", ".join(f"'{t}'" for t in sorted({t for _q, t in pairs}))
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), posted AS (
+  SELECT doc_id,
+         unnest(toks) AS raw_term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM toked
+), weighted AS (
+  SELECT doc_id, {T.stem_sql('raw_term')} AS term,
+         CASE WHEN pos < {HEADER_TOKENS} THEN {HEADER_WEIGHT} ELSE {BODY_WEIGHT} END AS weight
+  FROM posted
+), qterms(query_id, term) AS (VALUES {values}),
+scored AS (
+  SELECT q.query_id, w.doc_id,
+         ROUND(SUM(w.weight), 2) AS rank_score,
+         COUNT(DISTINCT w.term) AS terms_matched
+  FROM weighted w JOIN qterms q ON w.term = q.term
+  WHERE w.term IN ({in_list})
+  GROUP BY q.query_id, w.doc_id
+)
+SELECT query_id, doc_id, rank_score, terms_matched
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rank_score DESC, doc_id ASC
+  ) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+ORDER BY query_id, rank_score DESC, doc_id ASC
+"""
+
+
+FTS_BATCH_SEARCH_SQL = _fts_batch_sql()
+
+
 def _porter_search_sql(require_all: bool = False) -> str:
     """The porter-analyzer oracle: identical posting derivation, with
     the Porter steps compiled to SQL and staged through chained
@@ -361,5 +456,6 @@ QUERIES: dict[str, QuerySpec] = {
     "fts_posting_scan": QuerySpec(fts_posting_scan, FTS_POSTING_SEARCH_SQL, ("search", "fts")),
     "fts_porter_search": QuerySpec(fts_porter_search, FTS_PORTER_SEARCH_SQL, ("search", "fts")),
     "fts_plainto_search": QuerySpec(fts_plainto_search, FTS_PLAINTO_SEARCH_SQL, ("search", "fts")),
+    "fts_batch_search": QuerySpec(fts_batch_search, FTS_BATCH_SEARCH_SQL, ("search", "fts", "batch")),
     "cdc_apply_tombstones": QuerySpec(cdc_apply_tombstones, CDC_TOMBSTONES_SQL, ("cdc",)),
 }

@@ -31,3 +31,22 @@ def test_chunk_by_tokens_overlap_and_edges(spark):
 
     with pytest.raises(ValueError):
         chunk_by_tokens(docs, max_tokens=4, overlap=4)
+
+
+def test_percentile_approx_within_budget_of_exact(spark):
+    """The 100 TB path uses percentile_approx with a declared accuracy
+    budget; validate it against the exact oracle-checked form at test
+    scale (events_value_percentiles docstring contract)."""
+    from pyspark.sql import functions as F
+
+    from car_etl_spark.tables import load_tables
+    from tests.conftest import SF_ORACLE
+
+    ev = load_tables(spark, SF_ORACLE, ("events",))["events"]
+    both = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.9).alias("exact"),
+        F.percentile_approx("value", 0.9, 10000).alias("approx"),
+        F.expr("max(value) - min(value)").alias("span"),
+    )
+    for r in both.collect():
+        assert abs(r.approx - r.exact) <= max(0.01 * r.span, 1e-9), r
