@@ -58,6 +58,7 @@ HEADLINE = (
     "vector_topk",
     "vector_ivf_topk",
     "hybrid_rrf_search",
+    "hybrid_porter_ivf_search",
     # dedup + text analysis (minhash in natural position: the round-1
     # run-first crutch is gone — the 48-agg codegen variance was fixed by
     # -XX:-DontCompileHugeMethods + code-cache sizing in session.py, and

@@ -100,6 +100,148 @@ def _hybrid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_porter_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference-parity hybrid serving stack: Porter-stemmed
+    keyword leg over the persisted porter posting store (english
+    tsvector + GIN analog) fused via RRF with a certified-exact IVF
+    probe of the persisted vector layout (HNSW analog) — both legs
+    index-resident, both bucket/partition-pruned, fusion on O(limit)
+    rows (reference ``src/search/hybrid.py:232-258`` over
+    ``041_vector_index.sql`` + ``044_keyword_search.sql``).
+
+    The keyword leg ranks by the weighted-tf ts_rank analog over
+    PORTER stems, so inflection families fuse ("merge" matches
+    merges/merging/merged).  The vector leg's IVF probe is exact by
+    the triangle-bound certificate, so the brute-force cosine is its
+    oracle — the whole query remains hash-checkable."""
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        from car_etl_spark.functions.porter import porter_py
+        from car_etl_spark.operators.indexing import (
+            ensure_ivf_index,
+            ensure_posting_index,
+            term_bucket_py,
+        )
+        from car_etl_spark.queries.vector import IVF_NUM_CENTROIDS, _query_vec_list
+
+        store = ensure_posting_index(spark, sf_dir, analyzer="porter")
+        stems = sorted({porter_py(t) for t in QUERY_TERMS})
+        buckets = sorted({term_bucket_py(t) for t in stems})
+        kw_leg = (
+            store.read(spark, buckets=buckets)
+            .filter(F.col("term").isin(stems))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("kw_score"))
+            .orderBy(F.desc("kw_score"), F.asc("doc_id"))
+            .limit(FETCH_LIMIT)
+            .withColumn(
+                "kw_rank",
+                F.row_number()
+                .over(Window.orderBy(F.desc("kw_score"), F.asc("doc_id")))
+                .cast("long"),
+            )
+        )
+
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        qvec = _query_vec_list(emb, cache_key=sf_dir)
+        ivf = ensure_ivf_index(spark, sf_dir, IVF_NUM_CENTROIDS)
+        vec_leg = (
+            ivf.probe_topk(spark, qvec, k=FETCH_LIMIT, extra_cols=())
+            .select(F.col("vec_id").alias("doc_id"), F.col("cosine_sim").alias("vec_score"))
+            .withColumn(
+                "vec_rank",
+                F.row_number()
+                .over(Window.orderBy(F.desc("vec_score"), F.asc("doc_id")))
+                .cast("long"),
+            )
+        )
+
+        fused = kw_leg.join(vec_leg, "doc_id", "full_outer")
+        rrf = F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+            8,
+        )
+        return (
+            fused.select(
+                "doc_id",
+                rrf.alias("rrf_score"),
+                F.coalesce(F.col("kw_rank"), F.lit(0)).cast("long").alias("kw_rank"),
+                F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("vec_rank"),
+            )
+            .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+            .limit(FINAL_LIMIT)
+        )
+
+    return prepared(
+        spark, "hybrid_porter_ivf_search", sf_dir,
+        ("documents.parquet", "embeddings.parquet"), build,
+    )
+
+
+def _hybrid_porter_sql() -> str:
+    from car_etl_spark.functions.porter import (
+        porter_py,
+        porter_sql_guard,
+        porter_sql_stages,
+    )
+
+    stems = sorted({porter_py(t) for t in QUERY_TERMS})
+    in_list = ", ".join(f"'{t}'" for t in stems)
+    stages = porter_sql_stages("raw_term")
+    chain = "SELECT * FROM rolled"
+    for name, expr in stages:
+        chain = f"SELECT *, {expr} AS {name} FROM ({chain})"
+    guard = porter_sql_guard("raw_term", stages[-1][0])
+    return f"""
+WITH rolled AS MATERIALIZED (
+  SELECT doc_id, raw_term, weight, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(toks) AS raw_term,
+           CASE WHEN generate_subscripts(toks, 1) - 1 < 5 THEN 2.0 ELSE 1.0 END AS weight
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+  )
+  GROUP BY doc_id, raw_term, weight
+), stemmed AS MATERIALIZED (
+  SELECT doc_id, weight, tf, {guard} AS term FROM ({chain})
+), kw_leg AS (
+  SELECT doc_id, kw_score,
+         ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id ASC) AS kw_rank
+  FROM (
+    SELECT doc_id, ROUND(SUM(tf * weight), 2) AS kw_score
+    FROM stemmed WHERE term IN ({in_list})
+    GROUP BY doc_id
+    ORDER BY kw_score DESC, doc_id ASC LIMIT {FETCH_LIMIT}
+  )
+), q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]), 6) AS vec_score
+  FROM embeddings, q
+), vec_leg AS (
+  SELECT doc_id, vec_score,
+         ROW_NUMBER() OVER (ORDER BY vec_score DESC, doc_id ASC) AS vec_rank
+  FROM (SELECT * FROM vec_scored ORDER BY vec_score DESC, doc_id ASC LIMIT {FETCH_LIMIT})
+)
+SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({RRF_K} + k.kw_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + v.vec_rank), 0.0), 8) AS rrf_score,
+       COALESCE(k.kw_rank, 0) AS kw_rank,
+       COALESCE(v.vec_rank, 0) AS vec_rank
+FROM kw_leg k FULL OUTER JOIN vec_leg v ON k.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {FINAL_LIMIT}
+"""
+
+
+HYBRID_PORTER_IVF_SQL = _hybrid_porter_sql()
+
+
 HYBRID_RRF_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
@@ -139,4 +281,7 @@ LIMIT {FINAL_LIMIT}
 
 QUERIES: dict[str, QuerySpec] = {
     "hybrid_rrf_search": QuerySpec(hybrid_rrf_search, HYBRID_RRF_SQL, ("search", "rrf")),
+    "hybrid_porter_ivf_search": QuerySpec(
+        hybrid_porter_ivf_search, HYBRID_PORTER_IVF_SQL, ("search", "rrf", "serving")
+    ),
 }
