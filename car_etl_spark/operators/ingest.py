@@ -192,7 +192,9 @@ def route_and_parse(media: DataFrame, content_col: str = "content") -> DataFrame
     slot_results = []
     slot_names = []
     for i in range(max_chain):
-        parser_at_i = F.element_at(F.col("parser_chain"), i + 1)
+        # try_element_at: shorter chains return NULL at higher slots
+        # (plain element_at THROWS under ANSI mode for out-of-bounds)
+        parser_at_i = F.try_element_at(F.col("parser_chain"), F.lit(i + 1))
         result_at_i = None
         for name in PARSERS:
             cond = parser_at_i == name

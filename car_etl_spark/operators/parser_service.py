@@ -40,6 +40,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -271,3 +272,53 @@ def health_check(service: ParserService) -> bool:
             return resp.status == 200
     except Exception:
         return False
+
+
+def route_parse_with_service_fallback(
+    media: DataFrame,
+    chain: tuple[ParserService, ...],
+    id_col: str = "media_id",
+    content_col: str = "content",
+    mime_col: str = "mime_type",
+) -> DataFrame:
+    """S7+S9 composed: the built-in parser chain first
+    (:func:`car_etl_spark.operators.ingest.route_and_parse`), then the
+    external service chain for ONLY the rows every built-in parser
+    failed — Tika's documented role as the universal fallback
+    (``router.py:252-259`` falling back into ``tika.py``).
+
+    The service boundary sees just the failed slice (an anti-selection,
+    usually a tiny fraction), so external-call volume scales with the
+    failure rate, not the corpus.  Output schema matches
+    ``route_and_parse`` plus the service columns: ``parsed_text`` /
+    ``parser_used`` coalesce built-in-first; ``parse_error`` carries
+    the service chain's error for rows nothing could parse."""
+    from car_etl_spark.operators.ingest import route_and_parse
+
+    routed = route_and_parse(media, content_col=content_col)
+    failed = routed.filter(
+        F.col("parsed_text").isNull() & F.col(content_col).isNotNull()
+    ).select(id_col, content_col, mime_col)
+    serviced = parse_documents_via_services(
+        failed, chain, id_col=id_col, content_col=content_col, mime_col=mime_col
+    ).select(
+        id_col,
+        F.col("parsed_text").alias("__svc_text"),
+        F.col("parser_used").alias("__svc_parser"),
+        F.col("error").alias("__svc_error"),
+    )
+    return (
+        routed.join(serviced, id_col, "left")
+        .select(
+            *[c for c in routed.columns if c not in ("parsed_text", "parser_used")],
+            F.coalesce(F.col("parsed_text"), F.col("__svc_text")).alias("parsed_text"),
+            F.coalesce(F.col("parser_used"), F.col("__svc_parser")).alias("parser_used"),
+            F.when(
+                F.col("parsed_text").isNull() & F.col("__svc_text").isNull(),
+                F.coalesce(
+                    F.col("__svc_error"),
+                    F.when(F.col(content_col).isNull(), F.lit("null content")),
+                ),
+            ).alias("parse_error"),
+        )
+    )

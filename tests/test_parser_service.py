@@ -198,3 +198,51 @@ def test_distributed_parse_over_service_chain(spark, fake_tika):
     assert [p.page_number for p in out[0].pages] == [1, 2, 3]
     assert out[1].parsed_text == "SECOND DOC"
     assert out[2].parsed_text is None and out[2].error == "null content"
+
+
+def test_route_parse_with_service_fallback(spark, fake_tika):
+    """Built-in parsers first; only unparseable rows hit the service
+    chain; double failures carry the error as data."""
+    from car_etl_spark.operators.parser_service import (
+        route_parse_with_service_fallback,
+    )
+
+    before = _counts(fake_tika).get("/ok/tika", 0)
+    rows = [
+        # plain text: built-in plain_text parser wins, NO service call
+        (1, bytearray(b"clean ascii text"), "text/plain"),
+        # container mime: built-in chain is EMPTY (zips explode, not
+        # parse) -> the service fallback gets it
+        (2, bytearray(b"PK\x03\x04fakezip"), "application/zip"),
+        # null content: nothing to parse anywhere
+        (3, None, "text/plain"),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, content binary, mime_type string")
+    out = {
+        r.media_id: r
+        for r in route_parse_with_service_fallback(df, (svc(fake_tika, "ok"),)).collect()
+    }
+    assert out[1].parsed_text == "clean ascii text"
+    assert out[1].parser_used == "plain_text"
+    assert out[1].parse_error is None
+    assert out[2].parser_used == "ok"          # service rescued it
+    assert out[2].parsed_text                   # upper-cased replacement text
+    assert out[3].parsed_text is None and out[3].parse_error == "null content"
+    # exactly ONE service call was made (row 2 only)
+    assert _counts(fake_tika).get("/ok/tika", 0) == before + 1
+
+
+def test_route_parse_service_chain_all_down(spark, fake_tika):
+    from car_etl_spark.operators.parser_service import (
+        route_parse_with_service_fallback,
+    )
+
+    df = spark.createDataFrame(
+        [(9, bytearray(b"PK\x03\x04x"), "application/zip")],
+        "media_id int, content binary, mime_type string",
+    )
+    out = route_parse_with_service_fallback(
+        df, (svc(fake_tika, "err422"), svc(fake_tika, "err500"))
+    ).collect()[0]
+    assert out.parsed_text is None
+    assert "err422" in out.parse_error and "err500" in out.parse_error

@@ -63,6 +63,13 @@ CONTRACTS = [
      ["TakeOrderedAndProject", "PartitionFilters: [term_bucket"], ["SortMergeJoin"]),
     ("fts_plainto_search", 2,
      ["TakeOrderedAndProject", "PartitionFilters: [term_bucket"], ["SortMergeJoin"]),
+    # both hybrid legs index-resident: bucket-pruned postings + IVF
+    # partition pruning.  (The full-outer fusion join itself may
+    # sort-merge — full outer cannot broadcast — but only over the two
+    # O(limit) rank-limited legs.)
+    ("hybrid_porter_ivf_search", 8,
+     ["PartitionFilters: [term_bucket", "PartitionFilters: [centroid_id"],
+     ["CartesianProduct"]),
     # flagship: grand total via broadcast, top-k via TakeOrdered
     ("flagship_portfolio_rollup", 9, ["BroadcastHashJoin", "TakeOrderedAndProject"],
      ["SortMergeJoin"]),
