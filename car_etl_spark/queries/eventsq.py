@@ -349,3 +349,61 @@ ORDER BY event_type
 QUERIES["events_value_percentiles"] = QuerySpec(
     events_value_percentiles, EVENTS_PERCENTILES_SQL, ("events", "quantiles")
 )
+
+
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attribute each purchase to the
+    user's most recent click at-or-before it — the canonical backward
+    as-of enrichment, one keyed shuffle + sort, zero row amplification.
+    DuckDB's native ASOF JOIN is the oracle twin, so the operator's
+    semantics (inclusive ties, left-join nulls, per-key independence)
+    are pinned engine-to-engine."""
+    from car_etl_spark.operators.asof import as_of_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 2).alias("click_value")
+    )
+    joined = as_of_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_values=["click_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "purchase_value",
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "click_value_asof",
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("ts_asof")) / 1e6, 3
+        ).alias("gap_seconds"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, ROUND(value, 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, ROUND(value, 2) AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       p.purchase_value,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       c.click_value AS click_value_asof,
+       ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 3) AS gap_seconds
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+QUERIES["events_asof_attribution"] = QuerySpec(
+    events_asof_attribution, EVENTS_ASOF_SQL, ("events", "asof")
+)
