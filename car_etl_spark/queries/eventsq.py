@@ -407,3 +407,57 @@ ORDER BY p.event_id
 QUERIES["events_asof_attribution"] = QuerySpec(
     events_asof_attribution, EVENTS_ASOF_SQL, ("events", "asof")
 )
+
+
+def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (operators/rangejoin.py): purchases landing
+    inside ANY error's 10-minute aftermath window, with NO equi key —
+    the shape that degenerates to a nested-loop join unless binned.
+    Bin width = the window length, so interval amplification is <= 2
+    rows and each pair meets in exactly one bin.  Oracle: DuckDB's
+    plain BETWEEN join (its IEJoin handles the inequality natively)."""
+    from car_etl_spark.operators.rangejoin import interval_point_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("win_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"), F.round("value", 2).alias("p_value")
+    )
+    hits = interval_point_join(
+        purchases, windows, point_ts="p_ts",
+        start_ts="win_start", end_ts="win_end", bin_seconds=600,
+    )
+    return (
+        hits.groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("purchases_in_window"),
+            F.round(F.sum("p_value"), 2).alias("purchase_value_sum"),
+        )
+        .orderBy("error_id")
+    )
+
+
+EVENTS_ERROR_WINDOWS_SQL = """
+WITH windows AS (
+  SELECT event_id AS error_id, ts AS win_start, ts + INTERVAL 10 MINUTE AS win_end
+  FROM events WHERE event_type = 'error'
+), purchases AS (
+  SELECT ts AS p_ts, ROUND(value, 2) AS p_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT w.error_id,
+       COUNT(*) AS purchases_in_window,
+       ROUND(SUM(p.p_value), 2) AS purchase_value_sum
+FROM windows w JOIN purchases p
+  ON p.p_ts >= w.win_start AND p.p_ts <= w.win_end
+GROUP BY w.error_id
+ORDER BY w.error_id
+"""
+
+QUERIES["events_in_error_windows"] = QuerySpec(
+    events_in_error_windows, EVENTS_ERROR_WINDOWS_SQL, ("events", "rangejoin")
+)

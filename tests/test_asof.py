@@ -74,3 +74,29 @@ def test_asof_single_shuffle_no_amplification(spark):
     assert out.count() == 100  # exactly one output row per left row
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_binned_range_join_no_duplicates_no_nested_loop(spark):
+    from car_etl_spark.operators.rangejoin import interval_point_join
+
+    points = spark.range(200).select(
+        F.col("id").alias("pid"), F.timestamp_seconds(F.col("id") * 30).alias("ts")
+    )
+    intervals = spark.range(20).select(
+        F.col("id").alias("iid"),
+        F.timestamp_seconds(F.col("id") * 300).alias("s"),
+        F.timestamp_seconds(F.col("id") * 300 + 240).alias("e"),
+    )
+    out = interval_point_join(points, intervals, "ts", "s", "e", bin_seconds=240)
+    rows = out.collect()
+    got = [(r.iid, r.pid) for r in rows]
+    assert len(got) == len(set(got)), "binned join emitted duplicate pairs"
+    assert {(p * 30 - i * 300) % 30 for i, p in got} == {0}
+    for i, p in got:
+        assert i * 300 <= p * 30 <= i * 300 + 240
+    # every qualifying pair found (spot totals)
+    assert len(got) == sum(
+        1 for i in range(20) for p in range(200) if i * 300 <= p * 30 <= i * 300 + 240
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
