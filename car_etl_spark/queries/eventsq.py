@@ -461,3 +461,66 @@ ORDER BY w.error_id
 QUERIES["events_in_error_windows"] = QuerySpec(
     events_in_error_windows, EVENTS_ERROR_WINDOWS_SQL, ("events", "rangejoin")
 )
+
+
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: minute buckets
+    from raw events, hour buckets RE-AGGREGATED from the minute level,
+    day buckets from the hour level — each resolution is one tiny
+    shuffle over already-aggregated rows, never a re-scan of raw data
+    (count/sum/max are associative; avg is carried as sum+count and
+    finalized per level).  That is exactly how a continuous aggregate
+    stays cheap at 100 TB: the raw scan happens once at the finest
+    grain, and coarser grains cost O(finer-grain cardinality).
+
+    Output: the DAY level with per-day event stats; the oracle
+    aggregates raw->day directly, so the hash match PROVES the cascade
+    is lossless."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("value_sum"),
+        F.max("value").alias("value_max"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("minute_start")).alias("hour_start"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("value_sum").alias("value_sum"),
+        F.max("value_max").alias("value_max"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("hour_start")).alias("day_start"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("value_sum"), 2).alias("value_sum"),
+        F.round(F.sum("value_sum") / F.sum("n"), 6).alias("value_avg"),
+        F.round(F.max("value_max"), 2).alias("value_max"),
+    )
+    return day.select(
+        F.date_format("day_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "value_sum",
+        "value_avg",
+        "value_max",
+    ).orderBy("day", "event_type")
+
+
+EVENTS_MULTIRES_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS value_sum,
+       ROUND(SUM(value) / COUNT(*), 6) AS value_avg,
+       ROUND(MAX(value), 2) AS value_max
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+QUERIES["events_multires_rollup"] = QuerySpec(
+    events_multires_rollup, EVENTS_MULTIRES_SQL, ("events", "rollup")
+)
