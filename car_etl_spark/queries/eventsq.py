@@ -476,12 +476,18 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: the DAY level with per-day event stats; the oracle
     aggregates raw->day directly, so the hash match PROVES the cascade
     is lossless."""
+    from car_etl_spark.queries.parity import DEC
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # partial sums accumulate in exact DECIMAL so the cascade is
+    # order-independent — double addition is not associative, and the
+    # minute->hour->day regrouping WILL hit last-ulp drift vs the
+    # oracle's raw->day sum otherwise (bit us at sf0.01)
     minute = ev.groupBy(
         F.date_trunc("minute", F.col("ts")).alias("minute_start"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("value_sum"),
+        F.sum(F.col("value").cast(DEC)).alias("value_sum"),
         F.max("value").alias("value_max"),
     )
     hour = minute.groupBy(
@@ -495,8 +501,10 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("hour_start")).alias("day_start"), "event_type"
     ).agg(
         F.sum("n").alias("n_events"),
-        F.round(F.sum("value_sum"), 2).alias("value_sum"),
-        F.round(F.sum("value_sum") / F.sum("n"), 6).alias("value_avg"),
+        F.round(F.sum("value_sum"), 2).cast("double").alias("value_sum"),
+        F.round(
+            F.sum("value_sum").cast("double") / F.sum("n"), 6
+        ).alias("value_avg"),
         F.round(F.max("value_max"), 2).alias("value_max"),
     )
     return day.select(
@@ -513,8 +521,8 @@ EVENTS_MULTIRES_SQL = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS value_sum,
-       ROUND(SUM(value) / COUNT(*), 6) AS value_avg,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS value_sum,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS value_avg,
        ROUND(MAX(value), 2) AS value_max
 FROM events
 GROUP BY 1, 2
