@@ -512,3 +512,60 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_keyword_scan": QuerySpec(doc_keyword_scan, DOC_KEYWORD_SEARCH_SQL, ("search",)),
     "doc_search_highlight": QuerySpec(doc_search_highlight, DOC_SEARCH_HIGHLIGHT_SQL, ("search", "highlight")),
 }
+
+
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components (operators/components.py) over
+    duplicate-pair edges: within each canonical-fingerprint group
+    (the F14 token-set fingerprint), docs are
+    linked as a CHAIN (consecutive ids), so unifying a group of n docs
+    requires n-2 hops of transitive closure — the alternating-star
+    algorithm does real work, and the oracle (plain GROUP BY content
+    hash) certifies the closure found exactly the true clusters."""
+    from pyspark.sql import Window
+
+    from car_etl_spark.operators.components import connected_components
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hashed = _fingerprinted(docs, "doc_id").withColumnRenamed("fp", "h")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    edges = (
+        hashed.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("copies_to_drop"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DOC_DUP_CLUSTERS_SQL = """
+SELECT MIN(doc_id) AS cluster_id,
+       COUNT(*) AS cluster_size,
+       COUNT(*) - 1 AS copies_to_drop
+FROM (
+  SELECT doc_id,
+         sha256(array_to_string(
+           list_sort(list_distinct(
+             list_transform(
+               list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+               x -> LOWER(x)))),
+           ' ')) AS fp
+  FROM documents
+)
+GROUP BY fp
+HAVING COUNT(*) > 1
+ORDER BY cluster_id
+"""
+
+QUERIES["doc_dup_clusters"] = QuerySpec(
+    doc_dup_clusters, DOC_DUP_CLUSTERS_SQL, ("dedup", "components")
+)
