@@ -50,3 +50,25 @@ def test_percentile_approx_within_budget_of_exact(spark):
     )
     for r in both.collect():
         assert abs(r.approx - r.exact) <= max(0.01 * r.span, 1e-9), r
+
+
+def test_approx_count_distinct_within_budget(spark):
+    """The 100 TB form of segment_distinct_counts: HLL++ approx
+    distincts validated against the exact oracle-checked form (rsd=2%
+    -> assert within 3x the nominal error, like the percentile
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from car_etl_spark.tables import load_tables
+    from tests.conftest import SF_ORACLE
+
+    cust = load_tables(spark, SF_ORACLE, ("customer",))["customer"]
+    both = cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("exact"),
+        F.approx_count_distinct("c_nationkey", 0.02).alias("approx"),
+        F.countDistinct("c_custkey").alias("exact_keys"),
+        F.approx_count_distinct("c_custkey", 0.02).alias("approx_keys"),
+    )
+    for r in both.collect():
+        assert abs(r.approx - r.exact) <= max(3 * 0.02 * r.exact, 2), r
+        assert abs(r.approx_keys - r.exact_keys) <= max(3 * 0.02 * r.exact_keys, 2), r
