@@ -746,3 +746,51 @@ def test_ivf_streaming_maintenance_matches_brute_force(spark, tmp_path):
     for q in (_vec(0, 0), _vec(3, 0)):
         got = [(r.vec_id, r.cosine_sim) for r in store.probe_topk(spark, q, k=5).collect()]
         assert got == _brute_topk(corpus, q, 5)
+
+
+def test_streaming_posting_maintenance_porter_analyzer(spark, tmp_path):
+    """The maintenance path honors the store's analyzer: a
+    porter-analyzer store maintained from the change stream equals a
+    porter cold rebuild of the final state (stems and buckets derive
+    from the SAME analyzer on both paths)."""
+    import os
+
+    from car_etl_spark.operators.indexing import PostingStore
+    from car_etl_spark.streaming.posting_maintenance import run_posting_maintenance
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    store = PostingStore(str(tmp_path / "store"), analyzer="porter")
+    store.build(
+        spark.createDataFrame(
+            [(1, "en", "merges happily running")],
+            "doc_id long, lang string, text string",
+        )
+    )
+    _write_change_file(spark, landing, "b0.parquet", [
+        (1, "en", "merging happier runs", "upsert", 10),
+        (2, "en", "styled relational feed", "upsert", 11),
+    ])
+    run_posting_maintenance(spark, landing, store, str(tmp_path / "ckpt"))
+
+    rebuilt = PostingStore(str(tmp_path / "rebuild"), analyzer="porter")
+    rebuilt.build(
+        spark.createDataFrame(
+            [(1, "en", "merging happier runs"), (2, "en", "styled relational feed")],
+            "doc_id long, lang string, text string",
+        )
+    )
+
+    def live(s):
+        return sorted(
+            tuple(r)
+            for r in s.read(spark)
+            .select("doc_id", "raw_term", "term", "weight", "tf")
+            .collect()
+        )
+
+    got = live(store)
+    assert got == live(rebuilt)
+    # porter actually engaged: merging->merg, runs->run, styled->style
+    terms = {t for (_d, _r, t, _w, _tf) in got}
+    assert {"merg", "run", "style", "relat", "feed"} <= terms
