@@ -337,3 +337,49 @@ def vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["vector_ivf_topk"] = QuerySpec(
     vector_ivf_topk, VECTOR_TOPK_SQL, ("vector", "topk", "ann", "serving")
 )
+
+
+#: corpora below this row count brute-force scan faster than the IVF
+#: layout amortizes (index build + probe bookkeeping beat a single
+#: map-only scan only once the scan itself dominates); derived from
+#: the measured local[32] crossover, deliberately conservative
+ADAPTIVE_ANN_MIN_ROWS = 100_000
+
+
+def _corpus_rowcount(sf_dir: str) -> int:
+    """Row count from parquet FOOTER metadata — no Spark job, no scan
+    (the statistics a cost-based strategy is allowed to read for
+    free)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return -1  # unknown: choose the always-correct brute force
+
+
+def vector_topk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.4's optional strategy: flip exact <-> ANN serving by
+    corpus cardinality.  Small corpora brute-force scan (a map-only
+    TakeOrderedAndProject beats index bookkeeping); large corpora probe
+    the persisted IVF layout (certified exact, so the CHOICE never
+    changes results — both arms share the brute-force oracle, and the
+    driver's hash check proves the dispatch is value-invisible).
+
+    The decision reads the parquet footer's row count — free
+    statistics, no Spark job, the same information a cost-based
+    optimizer would use.  The threshold is a measured local crossover;
+    at cluster scale the same dispatch holds with a higher floor
+    (network amortization moves the break-even up, never down)."""
+    n = _corpus_rowcount(sf_dir)
+    if 0 <= n < ADAPTIVE_ANN_MIN_ROWS:
+        return vector_topk(spark, sf_dir)
+    return vector_ivf_topk(spark, sf_dir)
+
+
+QUERIES["vector_topk_adaptive"] = QuerySpec(
+    vector_topk_adaptive, VECTOR_TOPK_SQL, ("vector", "topk", "adaptive")
+)
