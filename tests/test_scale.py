@@ -227,3 +227,36 @@ def test_feature_flags_gate_null_tenant_fails_closed(spark):
     )
     got = sorted((r.tenant_id, r.v) for r in ff.gate(facts, "beta").collect())
     assert got == [("t1", 1)]  # default-on passes t1; NULL and t2-off drop
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join with ZERO Exchange —
+    the shuffle was paid once at write time (the co-location layout
+    100 TB fact-fact joins depend on)."""
+    from pyspark.sql import functions as F
+
+    from car_etl_spark.operators.scale import write_bucketed
+
+    facts = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    dims = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("b")
+    )
+    write_bucketed(facts, "bt_facts", ("k",), num_buckets=8, sort_cols=("k",))
+    write_bucketed(dims, "bt_dims", ("k",), num_buckets=8, sort_cols=("k",))
+    try:
+        # disable broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_facts").join(spark.table("bt_dims"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == 500
+        # aggregation on the bucket key also skips the exchange
+        agg = spark.table("bt_facts").groupBy("k").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan[:2000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_facts")
+        spark.sql("DROP TABLE IF EXISTS bt_dims")
