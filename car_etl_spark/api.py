@@ -14,6 +14,14 @@ so switching is mechanical:
 | document upload / bulk ZIP | ``operators.multimodal`` / ``operators.ingest`` |
 | entity match/merge | ``queries.entity`` / ``operators.resolution`` |
 
+Beyond the reference surface, the training-data-pipeline layer adds:
+dedup clustering (``operators.components`` over MinHash/fingerprint
+pairs), token-window chunking (``operators.chunking``), as-of and
+binned range joins (``operators.asof`` / ``operators.rangejoin``),
+porter-analyzed FTS + certified-exact IVF serving
+(``operators.indexing``), and the external parser-service boundary
+(``operators.parser_service``).
+
 Each function takes already-loaded DataFrames (corpus/embeddings/fields)
 — at scale these are the hot tables a service keeps registered — and
 returns a DataFrame, so results compose with further dataflow.

@@ -171,3 +171,59 @@ def test_sample_frames_explodes_rows(spark, media_dir):
     rows = frames.collect()
     assert len(rows) == 5  # 264 bytes -> ceil(264/64) windows
     assert [r.frame_index for r in sorted(rows, key=lambda r: r.frame_index)] == [0, 1, 2, 3, 4]
+
+
+def _make_bmp(width: int, height: int, rgb) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (test-side ground truth)."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pixel_bytes = stride * height
+    off = 54
+    header = b"BM" + struct.pack("<IHHI", off + pixel_bytes, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      pixel_bytes, 2835, 2835, 0, 0)
+    rows = b""
+    for y in range(height):
+        row = b""
+        for x in range(width):
+            r, g, b = rgb(x, y)
+            row += bytes([b, g, r])
+        rows += row + b"\x00" * (stride - len(row))
+    return header + dib + rows
+
+
+def test_bmp_real_decode_kernel(spark):
+    """S/X multimodal: the BMP kernel decodes dimensions and mean luma
+    FOR REAL (checked against the generator), in both modes; malformed
+    BMPs fail loudly under strict and fall back to the fake outside."""
+    from car_etl_spark.operators import multimodal as M
+
+    white = _make_bmp(5, 3, lambda x, y: (255, 255, 255))
+    grad = _make_bmp(4, 2, lambda x, y: (x * 60, x * 60, x * 60))
+    truncated = white[:30]
+    rows = [
+        ("w.bmp", bytearray(white)),
+        ("g.bmp", bytearray(grad)),
+    ]
+    media = spark.createDataFrame(rows, "path string, content binary").withColumn(
+        "mime_type", M.detect_mime(F.col("content"))
+    )
+    got = {r.path: r for r in M.extract_image_features(media, strict=True).collect()}
+    assert (got["w.bmp"].width, got["w.bmp"].height) == (5, 3)
+    assert got["w.bmp"].mean_luma == 255
+    assert (got["g.bmp"].width, got["g.bmp"].height) == (4, 2)
+    # luma per column: 0,60,120,180 -> mean 90
+    assert got["g.bmp"].mean_luma == 90
+    assert got["w.bmp"].mime_type == "image/bmp"
+
+    bad = spark.createDataFrame(
+        [("t.bmp", bytearray(truncated))], "path string, content binary"
+    ).withColumn("mime_type", M.detect_mime(F.col("content")))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="truncated BMP|ValueError"):
+        M.extract_image_features(bad, strict=True).collect()
+    # non-strict: malformed BMP falls back to the deterministic fake
+    fb = M.extract_image_features(bad, strict=False).collect()[0]
+    assert fb.width >= 64 and fb.height >= 64
