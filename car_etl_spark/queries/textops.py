@@ -205,21 +205,38 @@ def doc_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings hash-match exactly."""
     import re
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    top = (
-        keyword_scores(docs, KEYWORD_QUERY_TERMS, "doc_id")
-        .filter(F.col("score") > 0)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
-    )
-    pattern = "(?i)(" + "|".join(
-        r"\b" + re.escape(t) + r"\b" for t in KEYWORD_QUERY_TERMS
-    ) + ")"
-    marked = F.regexp_replace(F.col("text"), pattern, "<mark>$1</mark>")
-    return (
-        top.join(docs.select("doc_id", "text"), "doc_id")
-        .select("doc_id", "score", T.snippet(marked, 150).alias("snippet"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+    from car_etl_spark.functions.text import stem_py
+    from car_etl_spark.operators.indexing import ensure_posting_index, term_bucket_py
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        # SERVING leg: rank from the bucket-pruned posting store (the
+        # raw_term sum equals the scan twin's token-equality score —
+        # proven by doc_keyword_search's oracle row); only the 10
+        # winners ever touch the highlight regex or the raw text
+        store = ensure_posting_index(spark, sf_dir)
+        buckets = sorted({term_bucket_py(stem_py(t)) for t in KEYWORD_QUERY_TERMS})
+        top = (
+            store.read(spark, buckets=buckets)
+            .filter(F.col("raw_term").isin(list(KEYWORD_QUERY_TERMS)))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+        pattern = "(?i)(" + "|".join(
+            r"\b" + re.escape(t) + r"\b" for t in KEYWORD_QUERY_TERMS
+        ) + ")"
+        marked = F.regexp_replace(F.col("text"), pattern, "<mark>$1</mark>")
+        return (
+            top.join(docs.select("doc_id", "text"), "doc_id")
+            .select("doc_id", "score", T.snippet(marked, 150).alias("snippet"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    return prepared(
+        spark, "doc_search_highlight", sf_dir, ("documents.parquet",), build
     )
 
 
