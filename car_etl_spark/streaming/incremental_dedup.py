@@ -135,6 +135,7 @@ class IncrementalDeduper:
         self.params = params
         self.sig_path = os.path.join(state_dir, "minhash_signatures.parquet")
         self.meta_path = os.path.join(state_dir, "minhash_signatures.meta.json")
+        self.pair_path = os.path.join(state_dir, "neardup_pairs.parquet")
 
     def _check_store_version(self) -> None:
         """Refuse to band-join across MinHash families: the store
@@ -191,6 +192,35 @@ class IncrementalDeduper:
             )
         pairs, sigs_new = dedup_batch(new_docs, store, **self.params)
         pairs = pairs.localCheckpoint(eager=True)  # materialize BEFORE store append
+        pairs.write.mode("append").parquet(self.pair_path)
         sigs_new.write.mode("append").parquet(self.sig_path)
         self._write_store_meta()
         return pairs
+
+    def pairs(self) -> DataFrame | None:
+        """Every near-dup pair emitted so far (the accumulated edge
+        list), or None before any pair landed.  Distinct at read: a
+        crash between the pair append and the signature append replays
+        the batch and re-appends its pairs (the one at-least-once
+        window in the store), and read-time dedup is the cheap cure —
+        mirroring the posting store's replay-artifact drop."""
+        if os.path.exists(self.pair_path):
+            return self.spark.read.parquet(self.pair_path).distinct()
+        return None
+
+    def clusters(self) -> DataFrame | None:
+        """The CURRENT duplicate clusters: transitive closure of all
+        pairs emitted so far (:func:`car_etl_spark.operators.components.
+        connected_components` — A~B in batch 1 and B~C in batch 7 puts
+        A,C in one cluster even though no batch compared them).
+        Returns (node, component=min doc id), or None with no pairs.
+
+        Incremental == batch by construction: the pair UNION over any
+        batch split equals the batch pair set (pinned by test), and
+        components are a function of the pair set alone."""
+        p = self.pairs()
+        if p is None:
+            return None
+        from car_etl_spark.operators.components import connected_components
+
+        return connected_components(p, src="id_a", dst="id_b")

@@ -794,3 +794,40 @@ def test_streaming_posting_maintenance_porter_analyzer(spark, tmp_path):
     # porter actually engaged: merging->merg, runs->run, styled->style
     terms = {t for (_d, _r, t, _w, _tf) in got}
     assert {"merg", "run", "style", "relat", "feed"} <= terms
+
+
+def test_incremental_clusters_equal_batch_clusters(spark, tmp_path):
+    """Clusters from incrementally-accumulated pairs == clusters from
+    one batch over everything — including transitive closures that
+    SPAN batches (A~B lands in batch 1, B~C in batch 2; no single
+    batch ever saw A and C together)."""
+    from car_etl_spark.streaming.incremental_dedup import IncrementalDeduper
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base + " lambda"),            # ~1
+        (3, base + " lambda mu"),         # ~2 (and transitively ~1)
+        (10, "totally different text about spark shuffles and joins okay"),
+        (11, "totally different text about spark shuffles and joins okay"),
+    ]
+
+    def ddf(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    inc = IncrementalDeduper(spark, str(tmp_path / "inc"), threshold=0.5)
+    inc.process_batch(ddf([docs[0], docs[3]]))       # 1, 10
+    inc.process_batch(ddf([docs[1], docs[4]]))       # 2 (~1), 11 (~10)
+    inc.process_batch(ddf([docs[2]]))                # 3 (~2, closure to 1)
+
+    batch = IncrementalDeduper(spark, str(tmp_path / "batch"), threshold=0.5)
+    batch.process_batch(ddf(docs))
+
+    def comp_map(d):
+        return {r.node: r.component for r in d.clusters().collect()}
+
+    got, want = comp_map(inc), comp_map(batch)
+    assert got == want
+    # the cross-batch closure actually happened
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
