@@ -105,13 +105,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    prev_count = cur.count()
     for _ in range(max_iter):
         after_large = _star(cur, large=True)
         after_small = _star(after_large, large=False).localCheckpoint(eager=True)
-        # fixpoint: star forests are stable under both rounds
-        if after_small.exceptAll(cur).isEmpty() and cur.exceptAll(after_small).isEmpty():
+        # fixpoint: star forests are stable under both rounds.  The
+        # count compare is the cheap gate (1 job on already-checkpointed
+        # data); the two-sided set equality only runs when counts match,
+        # saving 2 jobs per non-final round
+        n = after_small.count()
+        if n == prev_count and after_small.exceptAll(cur).isEmpty() and cur.exceptAll(after_small).isEmpty():
             cur = after_small
             break
+        prev_count = n
         cur = after_small
 
     # cur is now a star forest: u -> root (root = component min).  The
