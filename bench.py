@@ -31,6 +31,11 @@ codegen compile against a resident index), the same thing the
 reference's first request after restart pays.  Correctness of the
 serving paths is oracle-gated like everything else, and the
 scan-twins (*_scan) keep the build-path forms green alongside.
+
+HEADLINE-SET CHANGES (for round-over-round total comparisons): r04
+added fts_porter_search and hybrid_porter_ivf_search (+~0.4 s warm) —
+compare totals per-query, or subtract the added rows when comparing
+r04 totals against r03.
 """
 
 from __future__ import annotations
