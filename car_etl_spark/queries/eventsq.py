@@ -431,11 +431,13 @@ def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, windows, point_ts="p_ts",
         start_ts="win_start", end_ts="win_end", bin_seconds=600,
     )
+    from car_etl_spark.queries.parity import dsum
+
     return (
         hits.groupBy("error_id")
         .agg(
             F.count(F.lit(1)).alias("purchases_in_window"),
-            F.round(F.sum("p_value"), 2).alias("purchase_value_sum"),
+            dsum(F.col("p_value"), 2).alias("purchase_value_sum"),
         )
         .orderBy("error_id")
     )
@@ -451,7 +453,7 @@ WITH windows AS (
 )
 SELECT w.error_id,
        COUNT(*) AS purchases_in_window,
-       ROUND(SUM(p.p_value), 2) AS purchase_value_sum
+       CAST(ROUND(SUM(CAST(p.p_value AS DECIMAL(30,6))), 2) AS DOUBLE) AS purchase_value_sum
 FROM windows w JOIN purchases p
   ON p.p_ts >= w.win_start AND p.p_ts <= w.win_end
 GROUP BY w.error_id
