@@ -34,13 +34,19 @@ token with the candidate suffix anchored at the end — ``m(stem) > 0``
 is "stem contains a vowel→consonant transition", ``m > 1`` two
 disjoint ones, ``*v*`` "stem contains a vowel", ``*o`` "stem ends
 consonant-vowel-consonant, last not w/x/y".  The contextual 'y'
-(vowel iff preceded by a consonant) is encoded in the alternations;
-the one approximation is runs of 3+ consecutive 'y's in artificial
-tokens (no English word has them), where classification can diverge
-from the literal backend — the equivalence tests pin exactness over
-the real corpus vocabulary plus randomized tokens with up to double-y
-runs.  Patterns use no lookarounds and no backreferences, so Java
-regex (Spark) and RE2 (DuckDB) agree by construction.
+(vowel iff preceded by a consonant) is encoded in the alternations,
+and NON-LETTER characters (apostrophes, hyphens — tokens are
+whitespace-split, never letter-filtered) behave as consonants exactly
+like the literal backend's ``cons()`` default: patterns traverse with
+``\\S``, not ``\\w``, and the doubled-consonant test compares the two
+final characters instead of enumerating letter pairs.  The one
+approximation is runs of 3+ consecutive 'y's in artificial tokens (no
+English word has them), where classification can diverge from the
+literal backend — the equivalence tests pin exactness over the real
+corpus vocabulary plus randomized tokens with up to double-y runs and
+punctuation-bearing alphabets.  Patterns use no lookarounds and no
+backreferences, so Java regex (Spark) and RE2 (DuckDB) agree by
+construction.
 """
 
 from __future__ import annotations
@@ -207,7 +213,7 @@ _VTRANS_HEAD = "yy[^aeiou]"
 
 
 def _pat_m_gt0(suffix: str) -> str:
-    return rf"^(?:\w*?{_VTRANS}\w*?|{_VTRANS_HEAD}\w*?){suffix}$"
+    return rf"^(?:\S*?{_VTRANS}\S*?|{_VTRANS_HEAD}\S*?){suffix}$"
 
 
 #: a SECOND transition following an earlier one: either self-contained
@@ -215,18 +221,18 @@ def _pat_m_gt0(suffix: str) -> str:
 #: ``y[^aeiou]`` — every _VTRANS alternative ends in a consonant, so a
 #: 'y' immediately after it is a vowel and the next non-aeiou letter a
 #: consonant ("aonyyoer": transitions o→n and y→y share the 'n')
-_VTRANS_NEXT = rf"(?:\w*?{_VTRANS}|y[^aeiou])"
+_VTRANS_NEXT = rf"(?:\S*?{_VTRANS}|y[^aeiou])"
 
 
 def _pat_m_gt1(suffix: str) -> str:
     return (
-        rf"^(?:\w*?{_VTRANS}{_VTRANS_NEXT}\w*?"
-        rf"|{_VTRANS_HEAD}{_VTRANS_NEXT}\w*?){suffix}$"
+        rf"^(?:\S*?{_VTRANS}{_VTRANS_NEXT}\S*?"
+        rf"|{_VTRANS_HEAD}{_VTRANS_NEXT}\S*?){suffix}$"
     )
 
 
 def _pat_has_vowel(suffix: str) -> str:
-    return rf"^(?:\w*?(?:[aeiou]|[^aeiou]y)\w*?|yy\w*?){suffix}$"
+    return rf"^(?:\S*?(?:[aeiou]|[^aeiou]y)\S*?|yy\S*?){suffix}$"
 
 
 def _pat_ends_cvc(suffix: str) -> str:
@@ -235,25 +241,36 @@ def _pat_ends_cvc(suffix: str) -> str:
     'y' as the leading C; 'y' (post-consonant) as the middle vowel."""
     last_c = "[^aeiouwxy]"
     alts = [
-        rf"\w*?[^aeiouy][aeiou]{last_c}",      # CVC, leading C not y
+        rf"\S*?[^aeiouy][aeiou]{last_c}",      # CVC, leading C not y
         rf"y[aeiou]{last_c}",                  # ^yVC (initial y is C)
-        rf"\w*?[aeiou]y[aeiou]{last_c}",       # VyVC (post-vowel y is C)
-        rf"\w*?[^aeiouy]y{last_c}",            # CyC (post-consonant y is V;
+        rf"\S*?[aeiou]y[aeiou]{last_c}",       # VyVC (post-vowel y is C)
+        rf"\S*?[^aeiouy]y{last_c}",            # CyC (post-consonant y is V;
         #                                        context restricted to true
         #                                        consonants — a y there could
         #                                        itself be a vowel, making
         #                                        the middle y a consonant)
         rf"yy{last_c}",                        # ^yyC (initial y is C, next V)
-        rf"\w*?[aeiou]yy{last_c}",             # VyyC (post-vowel y is C, next V)
+        rf"\S*?[aeiou]yy{last_c}",             # VyyC (post-vowel y is C, next V)
     ]
     return rf"^(?:{'|'.join(alts)}){suffix}$"
 
 
-#: doubled consonant, excluding l/s/z (step 1b fixup).  *d requires the
-#: last two letters equal and the LAST one a consonant (porter.c
-#: doublec) — for "yy" that means the first y is a vowel, i.e. it
-#: follows a true consonant ("dyy" undoubles, "ayy"/"^yy" do not)
-_PAT_DOUBLE_NOT_LSZ = "(?:bb|cc|dd|ff|gg|hh|jj|kk|mm|nn|pp|qq|rr|tt|vv|ww|xx|[^aeiouy]yy)$"
+def _double_not_lsz(b, x):
+    """*d minus l/s/z (step 1b fixup): last two chars equal and the
+    last a consonant (porter.c doublec — ANY non-vowel char counts,
+    including punctuation, cons() defaults true).  Expressed as a
+    character-equality test rather than an enumerated pair regex so
+    doubled non-letters ("''", "--") behave like the literal backend.
+    The y case is contextual: "Cyy" doubles (first y vowel, second
+    consonant), "ayy"/"^yy" do not — kept as the dedicated pattern."""
+    plain = b.and_(
+        b.length_gt(x, 1),
+        b.and_(
+            b.eq(b.last(x, 1), b.last(x, 2)),
+            b.not_(b.rlike(b.last(x, 1), "^[aeioulszy]$")),
+        ),
+    )
+    return b.or_(plain, b.rlike(x, "[^aeiouy]yy$"))
 #: doubled l for step 5b
 _PAT_DOUBLE_L = "ll$"
 
@@ -288,11 +305,22 @@ class _SparkB:
     def and_(self, a, b):
         return a & b
 
+    def or_(self, a, b):
+        return a | b
+
     def not_(self, a):
         return ~a
 
     def length_gt(self, x: Column, n: int) -> Column:
         return F.length(x) > n
+
+    def eq(self, a, b):
+        return a == b
+
+    def last(self, x: Column, n_from_end: int) -> Column:
+        """The single character n_from_end positions from the end (1 =
+        final char)."""
+        return x.substr(F.length(x) - F.lit(n_from_end - 1), F.lit(1))
 
 
 class _SqlB:
@@ -317,11 +345,20 @@ class _SqlB:
     def and_(self, a, b):
         return f"({a} AND {b})"
 
+    def or_(self, a, b):
+        return f"({a} OR {b})"
+
     def not_(self, a):
         return f"(NOT {a})"
 
     def length_gt(self, x: str, n: int) -> str:
         return f"(length({x}) > {n})"
+
+    def eq(self, a: str, b: str) -> str:
+        return f"({a} = {b})"
+
+    def last(self, x: str, n_from_end: int) -> str:
+        return f"substring({x}, length({x}) - {n_from_end - 1}, 1)"
 
 
 def _suffix_rule_steps(b, x):
@@ -335,7 +372,7 @@ def _suffix_rule_steps(b, x):
             (b.rlike(x, "sses$"), b.replace(x, "sses", "ss")),
             (b.rlike(x, "ies$"), b.replace(x, "ies", "i")),
             (b.rlike(x, "ss$"), x),
-            (b.rlike(x, "\\ws$"), b.replace(x, "s", "")),
+            (b.rlike(x, "\\Ss$"), b.replace(x, "s", "")),
         ],
         x,
     )
@@ -344,7 +381,7 @@ def _suffix_rule_steps(b, x):
     out["1c"] = b.when_chain(
         [
             (
-                b.and_(b.rlike(x, "\\wy$"), b.rlike(x, _pat_has_vowel("y"))),
+                b.and_(b.rlike(x, "\\Sy$"), b.rlike(x, _pat_has_vowel("y"))),
                 b.replace(x, "y", "i"),
             )
         ],
@@ -357,13 +394,13 @@ def _suffix_rule_steps(b, x):
         branches = []
         for suffix, repl in ordered:
             fire = b.and_(
-                b.rlike(x, rf"\w{suffix}$"), b.rlike(x, _pat_m_gt0(suffix))
+                b.rlike(x, rf"\S{suffix}$"), b.rlike(x, _pat_m_gt0(suffix))
             )
             # longest-match gate: if the suffix matches but m fails, the
             # step must do NOTHING — a bare ends-with branch keeping x
             # catches that before any shorter suffix can fire
             branches.append((fire, b.replace(x, suffix, repl)))
-            branches.append((b.rlike(x, rf"\w{suffix}$"), x))
+            branches.append((b.rlike(x, rf"\S{suffix}$"), x))
         out[name] = b.when_chain(branches, x)
 
     # -- step 4: (m>1) deletions; ion needs stem ending s/t ---------------
@@ -380,10 +417,10 @@ def _suffix_rule_steps(b, x):
             )
         else:
             fire = b.and_(
-                b.rlike(x, rf"\w{suffix}$"), b.rlike(x, _pat_m_gt1(suffix))
+                b.rlike(x, rf"\S{suffix}$"), b.rlike(x, _pat_m_gt1(suffix))
             )
         branches.append((fire, b.replace(x, suffix, "")))
-        branches.append((b.rlike(x, rf"\w{suffix}$"), x))
+        branches.append((b.rlike(x, rf"\S{suffix}$"), x))
     out["4"] = b.when_chain(branches, x)
 
     return out
@@ -402,7 +439,7 @@ def _step_1b(b, x):
         return b.when_chain(
             [
                 (b.rlike(chopped, "(?:at|bl|iz)$"), b.append(chopped, "e")),
-                (b.rlike(chopped, _PAT_DOUBLE_NOT_LSZ), b.chop(chopped)),
+                (_double_not_lsz(b, chopped), b.chop(chopped)),
                 (
                     b.and_(m1, b.rlike(chopped, _pat_ends_cvc(""))),
                     b.append(chopped, "e"),
@@ -416,16 +453,16 @@ def _step_1b(b, x):
             # longest match first: eed (condition m>0, else unchanged —
             # and crucially ed/ing must NOT then fire)
             (
-                b.and_(b.rlike(x, "\\weed$"), b.rlike(x, _pat_m_gt0("eed"))),
+                b.and_(b.rlike(x, "\\Seed$"), b.rlike(x, _pat_m_gt0("eed"))),
                 b.replace(x, "eed", "ee"),
             ),
             (b.rlike(x, "eed$"), x),
             (
-                b.and_(b.rlike(x, "\\wed$"), b.rlike(x, _pat_has_vowel("ed"))),
+                b.and_(b.rlike(x, "\\Sed$"), b.rlike(x, _pat_has_vowel("ed"))),
                 fixup(b.replace(x, "ed", "")),
             ),
             (
-                b.and_(b.rlike(x, "\\wing$"), b.rlike(x, _pat_has_vowel("ing"))),
+                b.and_(b.rlike(x, "\\Sing$"), b.rlike(x, _pat_has_vowel("ing"))),
                 fixup(b.replace(x, "ing", "")),
             ),
         ],
@@ -443,7 +480,7 @@ def _step_5(b, x):
         [
             (
                 b.and_(
-                    b.rlike(x, "\\we$"),
+                    b.rlike(x, "\\Se$"),
                     b.and_(
                         b.rlike(x, _pat_m_gt0("e")),  # m >= 1
                         b.not_(

@@ -58,6 +58,10 @@ def as_of_join(
         *[F.col(c).alias(c) for c in right_values],
     ).alias("__rrow")
 
+    # a NULL right timestamp can never satisfy r.ts <= l.ts (DuckDB
+    # ASOF semantics); without this filter NULLs sort FIRST in the
+    # window and would match as "earliest ever"
+    right = right.filter(F.col(right_ts).isNotNull())
     l2 = left.select(
         *[F.col(k) for k in on],
         F.col(left_ts).alias("__ts"),

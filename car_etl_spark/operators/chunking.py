@@ -42,11 +42,16 @@ def chunk_by_tokens(
         .select(*keep, toks.alias("__toks"))
         .withColumn("__n", F.size("__toks"))
     )
+    # last admissible start must ADD tokens beyond the overlap it
+    # shares with the previous chunk (start + overlap < n) — a window
+    # starting later is fully contained in its predecessor and would
+    # store a 100%-duplicate chunk
+    last_start = F.greatest(F.col("__n") - 1 - overlap, F.lit(0))
     exploded = staged.select(
         *keep,
         "__toks",
         F.explode(
-            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+            F.sequence(F.lit(0), last_start, F.lit(stride))
         ).alias("__start"),
     )
     piece = F.slice(F.col("__toks"), F.col("__start") + 1, max_tokens)

@@ -92,15 +92,18 @@ def connected_components(
     Convergence is detected by edge-set stability (small-star output is
     a fixpoint star forest); ``max_iter`` bounds pathological chains
     (a path graph needs O(log n) rounds)."""
-    cur = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .filter(F.col("u") != F.col("v"))
+    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    # nodes BEFORE the self-loop drop: a node appearing only in (x, x)
+    # edges is still a node and must land as its own singleton
+    nodes = (
+        base.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        cur.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
+    cur = (
+        base.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -54,6 +54,7 @@ from car_etl_spark.functions import text as T
 from car_etl_spark.functions import vectors as V
 
 POSTING_VERSION = 1
+ANALYZER_VERSION = 2
 # v2: meta carries per-cluster radii/counts for exact probing
 # v3: batch-tagged assignments + LSM delta/tombstone maintenance
 IVF_VERSION = 3
@@ -339,7 +340,13 @@ def ensure_posting_index(
     suffix and porter stores coexist); a rebuilt corpus gets a fresh
     store automatically, and repeated calls cost one set lookup."""
     source = os.path.join(sf_dir, "documents.parquet")
-    params = f"nb{NUM_BUCKETS}|h{HEADER_TOKENS}|{HEADER_WEIGHT}|{BODY_WEIGHT}|a:{analyzer}"
+    # ANALYZER_VERSION bumps when a stemmer's behavior changes (porter
+    # v2: non-word characters treated as consonants, matching the
+    # literal backend) so content-addressed stores self-invalidate
+    params = (
+        f"nb{NUM_BUCKETS}|h{HEADER_TOKENS}|{HEADER_WEIGHT}|{BODY_WEIGHT}"
+        f"|a:{analyzer}|av{ANALYZER_VERSION}"
+    )
     digest = _source_digest("postings", POSTING_VERSION, source, params)
     path = os.path.join(index_root(), f"postings-{digest}")
     store = PostingStore(path, analyzer)
@@ -553,12 +560,6 @@ class IvfStore:
                 keep=keep,
             ).withColumn("batch", F.lit(batch).cast("long"))
             assigned = assigned.localCheckpoint(eager=True)
-            (
-                assigned.repartition("centroid_id")
-                .write.mode("append")
-                .partitionBy("centroid_id")
-                .parquet(self.delta_dir)
-            )
             stats = self._cluster_stats(assigned, cents, vec_col)
             batch_entry["counts"] = {str(cid): n for cid, (_r, n) in stats.items()}
             batch_entry["radii"] = {
@@ -567,13 +568,41 @@ class IvfStore:
             tomb_ids |= {r[0] for r in assigned.select(id_col).distinct().collect()}
         if deleted_ids:
             tomb_ids |= set(deleted_ids)
+        batch_entry["tombs"] = len(tomb_ids)
+
+        # WRITE ORDER is the certificate's crash-safety argument — a
+        # reader (or a post-crash session) may observe any prefix:
+        #
+        # 1. meta PESSIMISM first (radii widened + tombstone debt, NO
+        #    counts yet): wider cones and a bigger D only ever ADD
+        #    probes.  A crash here costs probe width, never recall.
+        # 2. tombstones: upserted/deleted ids go dark.  Their members
+        #    are still in the stale counts, and D covers exactly them,
+        #    so the k+D walk stays certified over the visible rows.
+        #    (Tombstones BEFORE delta: an upserted id is briefly absent
+        #    rather than ever visible in two versions.)
+        # 3. delta rows: new vectors appear.  Counts don't include them
+        #    yet — undercounting extends the walk, which again only
+        #    widens probes.
+        # 4. meta counts + sentinel: the batch entry gets its final
+        #    values (keyed by batch id, so replays overwrite).
+        pessimistic = dict(batch_entry)
+        pessimistic["counts"] = {}
+        m.setdefault("batches", {})[str(batch)] = pessimistic
+        self._write_meta(m)
         if tomb_ids:
             tomb = spark.createDataFrame(
                 [(int(i),) for i in sorted(tomb_ids)], f"{id_col} long"
             ).withColumn("batch", F.lit(batch).cast("long"))
             tomb.coalesce(1).write.mode("append").parquet(self.tomb_dir)
-            batch_entry["tombs"] = len(tomb_ids)
-        m.setdefault("batches", {})[str(batch)] = batch_entry
+        if upserts is not None:
+            (
+                assigned.repartition("centroid_id")
+                .write.mode("append")
+                .partitionBy("centroid_id")
+                .parquet(self.delta_dir)
+            )
+        m["batches"][str(batch)] = batch_entry
         self._write_meta(m)
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")

@@ -154,7 +154,8 @@ WITH toked AS (
   FROM documents
   WHERE TRIM(text) <> ''
 ), exploded AS (
-  SELECT doc_id, len(toks) AS n, toks, unnest(range(0, len(toks), 12)) AS start
+  SELECT doc_id, len(toks) AS n, toks,
+         unnest(range(0, greatest(len(toks) - 4, 1), 12)) AS start
   FROM toked
 )
 SELECT doc_id,

@@ -203,8 +203,6 @@ def doc_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     default; Spark replaces all), and the snippet cut is the same
     substring/regexp_replace pair on both sides, so the marked-up
     strings hash-match exactly."""
-    import re
-
     from car_etl_spark.functions.text import stem_py
     from car_etl_spark.operators.indexing import ensure_posting_index, term_bucket_py
     from car_etl_spark.queries import prepared
@@ -225,10 +223,7 @@ def doc_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(10)
         )
-        pattern = "(?i)(" + "|".join(
-            r"\b" + re.escape(t) + r"\b" for t in KEYWORD_QUERY_TERMS
-        ) + ")"
-        marked = F.regexp_replace(F.col("text"), pattern, "<mark>$1</mark>")
+        marked = T.highlight(F.col("text"), list(KEYWORD_QUERY_TERMS))
         return (
             top.join(docs.select("doc_id", "text"), "doc_id")
             .select("doc_id", "score", T.snippet(marked, 150).alias("snippet"))

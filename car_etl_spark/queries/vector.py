@@ -375,7 +375,7 @@ def vector_topk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cluster scale the same dispatch holds with a higher floor
     (network amortization moves the break-even up, never down)."""
     n = _corpus_rowcount(sf_dir)
-    if 0 <= n < ADAPTIVE_ANN_MIN_ROWS:
+    if n < ADAPTIVE_ANN_MIN_ROWS:  # includes -1: unknown -> brute force
         return vector_topk(spark, sf_dir)
     return vector_ivf_topk(spark, sf_dir)
 

@@ -82,6 +82,8 @@ def test_neardup_cluster_rollup(spark):
         .orderBy("component")
         .collect()
     )
+    # (9,9) is a self-loop: node 9 must surface as its own singleton,
+    # not silently vanish from the cluster map
     assert [(r.component, r.cluster_size, r.copies_to_drop) for r in rollup] == [
-        (1, 3, 2), (7, 2, 1),
+        (1, 3, 2), (7, 2, 1), (9, 1, 0),
     ]

@@ -63,7 +63,14 @@ VECTORS = {
 def _fuzz_words(n_per_alpha: int = 4000) -> list[str]:
     rng = random.Random(99)
     words = set(VECTORS)
-    for alpha in ("abeilnorsty", "aeysty", "ydl", "abcdefghijklmnopqrstuvwxyz"):
+    # punctuation alphabets pin the non-word-character contract: any
+    # non-vowel char is a consonant (porter.c cons() defaults true), so
+    # "it's" stems like the literal backend — the \\w-anchored encoding
+    # silently no-opped on such tokens until round 4
+    words |= {"it's", "well-phrased", "o'clock", "can't", "'tis",
+              "--", "'s", "x''ed", "mother-in-law's"}
+    for alpha in ("abeilnorsty", "aeysty", "ydl",
+                  "abcdefghijklmnopqrstuvwxyz", "ae'sty-", "a'b-c.d"):
         for _ in range(n_per_alpha):
             w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
             # y-runs of 3+ are outside the compiled backends' contract

@@ -18,10 +18,12 @@ def test_chunk_by_tokens_overlap_and_edges(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append((r.chunk_index, r.token_count, r.content))
-    # stride 2: windows start at 0,2,4,6,8 — consecutive chunks share 2 tokens
+    # stride 2: windows start at 0,2,4,6 — consecutive chunks share 2
+    # tokens, and NO trailing window fully contained in its predecessor
+    # (a start at 8 would re-emit "i j", already inside "g h i j")
     assert by_doc[1] == [
         (0, 4, "a b c d"), (1, 4, "c d e f"), (2, 4, "e f g h"),
-        (3, 4, "g h i j"), (4, 2, "i j"),
+        (3, 4, "g h i j"),
     ]
     assert by_doc[2] == [(0, 2, "x y")]
     assert 3 not in by_doc
