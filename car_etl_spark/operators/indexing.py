@@ -12,11 +12,18 @@ call.
 Layout contracts (the 100 TB design):
 
 - **PostingStore** — ``(doc_id, lang, raw_term, term, weight, tf, batch)``
-  partitioned by ``term_bucket = crc32(term) % NUM_BUCKETS``.  A k-term
-  query prunes to <= k partitions (``PartitionFilters`` in the plan) and
-  the term predicate pushes into the parquet scan.  CRC32 is the bucket
-  hash because Spark's ``crc32`` and Python's ``zlib.crc32`` agree, so
-  the query side computes its pruning buckets without a Spark job.
+  partitioned by ``term_bucket = crc32(term) % num_buckets``, where the
+  bucket count is DERIVED from corpus footer statistics at build time
+  (:func:`derive_num_buckets`; recorded in the store's ``meta.json``)
+  and rows are SORTED by ``(term, doc_id)`` within each partition.  A
+  k-term query prunes to <= k partitions (``PartitionFilters`` in the
+  plan), the term predicate pushes into the parquet scan, and the
+  within-bucket term sort gives parquet row-group min/max statistics
+  that skip every row group not containing the term — per-query cost
+  ∝ matched postings (the GIN property), at ANY corpus size.  CRC32 is
+  the bucket hash because Spark's ``crc32`` and Python's ``zlib.crc32``
+  agree, so the query side computes its pruning buckets without a
+  Spark job.
   Incremental maintenance (the tsv-trigger analog,
   ``044_keyword_search.sql:37-43``) is LSM-shaped: upserts/deletes
   append batch-tagged delta rows + per-doc tombstones; the read path
@@ -53,12 +60,32 @@ from pyspark.sql import functions as F
 from car_etl_spark.functions import text as T
 from car_etl_spark.functions import vectors as V
 
-POSTING_VERSION = 1
+# v2: bucket count derived from corpus stats (meta.json) + term-sorted
+#     partitions so parquet row-group min/max stats prune within a bucket
+POSTING_VERSION = 2
 ANALYZER_VERSION = 2
 # v2: meta carries per-cluster radii/counts for exact probing
 # v3: batch-tagged assignments + LSM delta/tombstone maintenance
-IVF_VERSION = 3
-NUM_BUCKETS = 16
+# v4: centroid count ~ sqrt(n) derived from footer stats; seeds sampled
+#     by id hash (arbitrary id spaces, not dense-id test corpora)
+IVF_VERSION = 4
+
+#: fallback bucket count for stores built without corpus statistics
+DEFAULT_NUM_BUCKETS = 16
+#: bucket-count derivation bounds.  The floor keeps tiny corpora from
+#: degenerating to one partition; the cap bounds directory fan-out on
+#: object stores — beyond it, the term-sorted layout's row-group
+#: pruning (not partition count) carries the cost ∝ matched postings
+#: property, exactly like a GIN page tree under one index relation.
+MIN_BUCKETS = 16
+MAX_BUCKETS = 4096
+#: target live posting rows per bucket (~30 B/row -> ~120 MB partitions,
+#: a comfortable single-task scan unit)
+TARGET_POSTINGS_PER_BUCKET = 4_000_000
+#: crude tokens-per-text-byte estimate (avg english token ~5 chars + 1
+#: separator) — only feeds a power-of-2 clamp, so 2x error moves the
+#: derived bucket count by at most one step
+AVG_TOKEN_BYTES = 6
 
 #: first N token positions score as the "header" (weight A vs B,
 #: reference ``044_keyword_search.sql:22-34``) — MUST match
@@ -87,18 +114,63 @@ def _source_digest(kind: str, version: int, source_path: str, params: str) -> st
     return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
-def term_bucket_col(term_col):
+def term_bucket_col(term_col, num_buckets: int = DEFAULT_NUM_BUCKETS):
     """Spark-side bucket id for a (stemmed) term column."""
-    return F.pmod(F.crc32(term_col.cast("string")), F.lit(NUM_BUCKETS)).cast("int")
+    return F.pmod(F.crc32(term_col.cast("string")), F.lit(num_buckets)).cast("int")
 
 
-def term_bucket_py(term: str) -> int:
+def term_bucket_py(term: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> int:
     """Python twin of :func:`term_bucket_col` — same CRC32, same mod, so
-    query-side pruning needs no Spark job."""
-    return zlib.crc32(term.encode("utf-8")) % NUM_BUCKETS
+    query-side pruning needs no Spark job.  Callers serving a persisted
+    store should use :meth:`PostingStore.bucket_of`, which binds the
+    store's OWN bucket count (derived at build time from corpus stats)."""
+    return zlib.crc32(term.encode("utf-8")) % num_buckets
 
 
-def build_posting_rows(docs: DataFrame, analyzer: str = "suffix") -> DataFrame:
+def derive_num_buckets(est_posting_rows: int) -> int:
+    """Bucket count from an estimated posting volume: the next power of
+    two that keeps buckets under :data:`TARGET_POSTINGS_PER_BUCKET`,
+    clamped to [:data:`MIN_BUCKETS`, :data:`MAX_BUCKETS`].  Power-of-2
+    keeps rehash boundaries predictable across estimate jitter (a 2x
+    volume error moves the result at most one step)."""
+    if est_posting_rows <= 0:
+        return DEFAULT_NUM_BUCKETS
+    need = max(1, -(-est_posting_rows // TARGET_POSTINGS_PER_BUCKET))
+    nb = 1
+    while nb < need:
+        nb *= 2
+    return max(MIN_BUCKETS, min(MAX_BUCKETS, nb))
+
+
+def estimate_posting_rows(source_path: str, text_col: str = "text") -> int:
+    """Posting-volume estimate from parquet FOOTER statistics — zero
+    Spark jobs, zero data scan (the free statistics a cost-based layout
+    decision is allowed).  Total uncompressed bytes of the text column
+    divided by :data:`AVG_TOKEN_BYTES` ~= total token occurrences ~=
+    posting rows (posting rows roll up per (doc, raw_term, weight), so
+    this over-estimates — which only errs toward more buckets)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(source_path).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if text_col not in names:
+            return -1
+        ci = names.index(text_col)
+        total = sum(
+            md.row_group(rg).column(ci).total_uncompressed_size
+            for rg in range(md.num_row_groups)
+        )
+        return max(1, total // AVG_TOKEN_BYTES)
+    except Exception:
+        return -1  # unknown: caller falls back to the default layout
+
+
+def build_posting_rows(
+    docs: DataFrame,
+    analyzer: str = "suffix",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> DataFrame:
     """Tokenize the corpus ONCE into posting rows
     ``(doc_id, lang, raw_term, term, weight, tf, term_bucket)``.
 
@@ -111,7 +183,7 @@ def build_posting_rows(docs: DataFrame, analyzer: str = "suffix") -> DataFrame:
     ``raw_term`` is kept so unstemmed scoring
     (``doc_keyword_search``-style term frequency) reads the same store.
     The bucket is derived from the STEMMED term, so a raw-term query
-    prunes via ``term_bucket_py(stem_py(t))``.
+    prunes via ``store.bucket_of(stem_py(t))``.
 
     ``analyzer`` picks the stemmer: ``"suffix"`` is the 3-rule
     suffix-strip (:func:`car_etl_spark.functions.text.stem`);
@@ -154,7 +226,9 @@ def build_posting_rows(docs: DataFrame, analyzer: str = "suffix") -> DataFrame:
         stemmed = rolled.withColumn("term", T.stem(F.col("raw_term")))
     else:
         raise ValueError(f"unknown analyzer: {analyzer!r}")
-    return stemmed.withColumn("term_bucket", term_bucket_col(F.col("term")))
+    return stemmed.withColumn(
+        "term_bucket", term_bucket_col(F.col("term"), num_buckets)
+    )
 
 
 class PostingStore:
@@ -170,32 +244,86 @@ class PostingStore:
     batch replay cannot double tf.
     """
 
-    def __init__(self, path: str, analyzer: str = "suffix"):
+    def __init__(
+        self,
+        path: str,
+        analyzer: str = "suffix",
+        num_buckets: int | None = None,
+        row_group_bytes: int | None = None,
+    ):
         self.path = path
         self.analyzer = analyzer
         self.base_dir = os.path.join(path, "base")
         self.delta_dir = os.path.join(path, "delta")
         self.tomb_dir = os.path.join(path, "tombstones")
+        self.meta_path = os.path.join(path, "meta.json")
+        #: row-group size for store writes (parquet.block.size); None =
+        #: parquet default (~128 MB).  Small values exist so tests can
+        #: exercise row-group pruning on tiny corpora.
+        self.row_group_bytes = row_group_bytes
+        if num_buckets is None:
+            num_buckets = self._meta_num_buckets()
+        self.num_buckets = num_buckets
+
+    def _meta_num_buckets(self) -> int:
+        try:
+            with open(self.meta_path) as f:
+                return int(json.load(f)["num_buckets"])
+        except (OSError, KeyError, ValueError):
+            return DEFAULT_NUM_BUCKETS
+
+    def bucket_of(self, term: str) -> int:
+        """Query-side pruning bucket for a (stemmed) term — bound to
+        THIS store's bucket count, no Spark job."""
+        return term_bucket_py(term, self.num_buckets)
+
+    def _write_store(self, rows: DataFrame, target: str, mode: str) -> None:
+        """Partition by term_bucket and SORT WITHIN PARTITIONS by
+        (term, doc_id): parquet row-group min/max statistics on ``term``
+        then prune *inside* a bucket, so a pushed term predicate decodes
+        only the row groups actually holding the term — the GIN
+        cost-∝-matched-postings property, independent of bucket count.
+
+        The sort LEADS with the partition column: FileFormatWriter
+        requires its input ordered by partition columns (one open file
+        per directory) and otherwise inserts its own term_bucket-only
+        sort — destroying any secondary order — so satisfying the
+        required ordering up front is what actually preserves the term
+        sort inside each written file."""
+        w = (
+            rows.repartition("term_bucket")
+            .sortWithinPartitions("term_bucket", "term", "doc_id")
+            .write.mode(mode)
+        )
+        if self.row_group_bytes is not None:
+            w = w.option("parquet.block.size", str(self.row_group_bytes))
+        w.partitionBy("term_bucket").parquet(target)
 
     # -- build -----------------------------------------------------------
 
     def build(self, docs: DataFrame) -> None:
         """Full (re)build of the base layout from the corpus."""
-        rows = build_posting_rows(docs, self.analyzer).withColumn(
+        rows = build_posting_rows(docs, self.analyzer, self.num_buckets).withColumn(
             "batch", F.lit(0).cast("long")
         )
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        (
-            rows.repartition("term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(tmp)
-        )
+        self._write_store(rows, tmp, "overwrite")
         shutil.rmtree(self.base_dir, ignore_errors=True)
         os.rename(tmp, self.base_dir)
         shutil.rmtree(self.delta_dir, ignore_errors=True)
         shutil.rmtree(self.tomb_dir, ignore_errors=True)
+        tmp_meta = self.meta_path + ".tmp"
+        with open(tmp_meta, "w") as f:
+            json.dump(
+                {
+                    "version": POSTING_VERSION,
+                    "num_buckets": self.num_buckets,
+                    "analyzer": self.analyzer,
+                },
+                f,
+            )
+        os.replace(tmp_meta, self.meta_path)
 
     # -- incremental maintenance ----------------------------------------
 
@@ -226,15 +354,12 @@ class PostingStore:
             return False
         tomb_parts = []
         if upserts is not None:
-            rows = build_posting_rows(upserts, self.analyzer).withColumn(
-                "batch", F.lit(batch).cast("long")
-            )
-            (
-                rows.repartition("term_bucket")
-                .write.mode("append")
-                .partitionBy("term_bucket")
-                .parquet(self.delta_dir)
-            )
+            rows = build_posting_rows(
+                upserts, self.analyzer, self.num_buckets
+            ).withColumn("batch", F.lit(batch).cast("long"))
+            # delta files are batch-sized, so sorting them is cheap and
+            # keeps row-group pruning effective on the merged read path
+            self._write_store(rows, self.delta_dir, "append")
             tomb_parts.append(upserts.select("doc_id").distinct())
         if deleted_ids:
             id_type = (
@@ -303,16 +428,12 @@ class PostingStore:
         return df
 
     def compact(self, spark: SparkSession) -> None:
-        """Fold deltas/tombstones into a fresh base (batch reset to 0)."""
+        """Fold deltas/tombstones into a fresh base (batch reset to 0,
+        term-sorted row groups restored store-wide)."""
         live = self.read(spark).withColumn("batch", F.lit(0).cast("long"))
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        (
-            live.repartition("term_bucket")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(tmp)
-        )
+        self._write_store(live, tmp, "overwrite")
         old = self.base_dir + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self.base_dir, old)
@@ -340,16 +461,21 @@ def ensure_posting_index(
     suffix and porter stores coexist); a rebuilt corpus gets a fresh
     store automatically, and repeated calls cost one set lookup."""
     source = os.path.join(sf_dir, "documents.parquet")
+    # bucket count DERIVED from corpus footer stats (no Spark job) —
+    # the layout scales with posting volume instead of freezing at a
+    # test-scale constant; the params string content-addresses it, so a
+    # corpus crossing a power-of-2 boundary gets a fresh store
+    num_buckets = derive_num_buckets(estimate_posting_rows(source))
     # ANALYZER_VERSION bumps when a stemmer's behavior changes (porter
     # v2: non-word characters treated as consonants, matching the
     # literal backend) so content-addressed stores self-invalidate
     params = (
-        f"nb{NUM_BUCKETS}|h{HEADER_TOKENS}|{HEADER_WEIGHT}|{BODY_WEIGHT}"
+        f"nb{num_buckets}|h{HEADER_TOKENS}|{HEADER_WEIGHT}|{BODY_WEIGHT}"
         f"|a:{analyzer}|av{ANALYZER_VERSION}"
     )
     digest = _source_digest("postings", POSTING_VERSION, source, params)
     path = os.path.join(index_root(), f"postings-{digest}")
-    store = PostingStore(path, analyzer)
+    store = PostingStore(path, analyzer, num_buckets=num_buckets)
     if path in _ENSURED:
         return store
     if not store._has_parquet(store.base_dir):
@@ -366,6 +492,30 @@ def ensure_posting_index(
 
 # ---------------------------------------------------------------------------
 # IVF layout
+
+
+def _farthest_point_select(vecs: list[list[float]], k: int) -> list[list[float]]:
+    """Greedy max-min (k-center) selection by ANGULAR distance — pure
+    driver-side numpy over the (bounded) candidate pool.  Starts from
+    the first hash-sampled candidate; each step takes the candidate
+    farthest (min cosine) from the chosen set.  Zero-norm candidates
+    score similarity 0 against everything (never preferentially
+    chosen, never crash)."""
+    import numpy as np
+
+    mat = np.asarray(vecs, dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    safe = np.where(norms > 0, norms, 1.0)
+    unit = mat / safe[:, None]
+    chosen = [0]
+    # best similarity of each candidate to the chosen set (maximized
+    # over chosen); pick the argmin each round
+    best_sim = unit @ unit[0]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, unit @ unit[nxt])
+    return [vecs[i] for i in chosen]
 
 
 class IvfStore:
@@ -418,8 +568,37 @@ class IvfStore:
     ) -> None:
         from car_etl_spark.operators.similarity import ivf_assign, kmeans_refine
 
-        seeds = emb.filter(F.col(id_col) < num_centroids).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        # Seed by deterministic id-hash SAMPLING (works for ANY id
+        # space — string doc keys, sparse longs — unlike a ``vec_id <
+        # k`` rule that requires dense integer ids; xxhash64 makes the
+        # pseudo-random permutation stable across runs), then spread
+        # small seed sets by FARTHEST-POINT selection (Gonzalez 1985
+        # k-center greedy) over an oversampled candidate pool: two
+        # seeds landing in one natural cluster is the classic Lloyd
+        # local optimum that leaves another cluster merged under a
+        # wide-radius centroid, and max-min init is the standard cure.
+        # Control-plane collect: candidate pool <= max(8k, 4096) rows
+        # capped well under MAX_CENTROIDS-scale memory.
+        cand_n = (
+            min(max(8 * num_centroids, num_centroids), 4096)
+            if num_centroids <= 256
+            else num_centroids
+        )
+        cand_rows = (
+            emb.filter(F.col(vec_col).isNotNull())
+            .select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+            .limit(cand_n)
+            .collect()
+        )
+        if not cand_rows:
+            raise ValueError("IvfStore.build: no non-null vectors to seed from")
+        seed_vecs = [[float(x) for x in r[1]] for r in cand_rows]
+        if len(seed_vecs) > num_centroids:
+            seed_vecs = _farthest_point_select(seed_vecs, num_centroids)
+        seeds = emb.sparkSession.createDataFrame(
+            [(i, v) for i, v in enumerate(seed_vecs)],
+            "centroid_id long, centroid_vec array<double>",
         )
         centroids = (
             kmeans_refine(emb, seeds, refine_iterations, id_col, vec_col)
@@ -455,7 +634,7 @@ class IvfStore:
         )
         meta = {
             "version": IVF_VERSION,
-            "num_centroids": num_centroids,
+            "num_centroids": len(cents),  # may be < requested on tiny corpora
             "refine_iterations": refine_iterations,
             "dim": len(cents[0][1]) if cents else 0,
             "centroid_ids": [c[0] for c in cents],
@@ -565,6 +744,9 @@ class IvfStore:
             batch_entry["radii"] = {
                 str(cid): r for cid, (r, _n) in stats.items() if r is not None
             }
+            # control-plane collect: bounded by the MICRO-BATCH's distinct
+            # id count (connector pages are O(100-1000) rows), never by
+            # store size — same ceiling argument as the CDC token path
             tomb_ids |= {r[0] for r in assigned.select(id_col).distinct().collect()}
         if deleted_ids:
             tomb_ids |= set(deleted_ids)
@@ -591,8 +773,15 @@ class IvfStore:
         m.setdefault("batches", {})[str(batch)] = pessimistic
         self._write_meta(m)
         if tomb_ids:
+            # tombstone id type derives from the base assignments schema
+            # (mirrors PostingStore.apply_batch) — string/short/any id
+            # space round-trips instead of a hardcoded long coercion
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = spark.read.parquet(self.assign_dir).schema[id_col].dataType
             tomb = spark.createDataFrame(
-                [(int(i),) for i in sorted(tomb_ids)], f"{id_col} long"
+                [(i,) for i in sorted(tomb_ids)],
+                StructType([StructField(id_col, id_type)]),
             ).withColumn("batch", F.lit(batch).cast("long"))
             tomb.coalesce(1).write.mode("append").parquet(self.tomb_dir)
         if upserts is not None:
@@ -803,13 +992,38 @@ class IvfStore:
         )
 
 
+#: centroid-count derivation bounds: floor keeps the probe certificate
+#: meaningful on tiny corpora; cap bounds partition fan-out and the
+#: driver-resident centroid matrix (4096 x 1536 doubles ~ 50 MB)
+MIN_CENTROIDS = 4
+MAX_CENTROIDS = 4096
+
+
+def derive_num_centroids(n_rows: int) -> int:
+    """The standard IVF sizing: ``k ~ sqrt(n)`` (balances cells scanned
+    per probe against centroids compared per query), clamped to
+    [:data:`MIN_CENTROIDS`, :data:`MAX_CENTROIDS`].  Unknown corpus
+    size (-1) falls back to the legacy default of 16."""
+    if n_rows <= 0:
+        return 16
+    import math
+
+    return max(MIN_CENTROIDS, min(MAX_CENTROIDS, int(round(math.sqrt(n_rows)))))
+
+
 def ensure_ivf_index(
     spark: SparkSession,
     sf_dir: str,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     refine_iterations: int = 2,
 ) -> IvfStore:
     source = os.path.join(sf_dir, "embeddings.parquet")
+    if num_centroids is None:
+        # sqrt(n) from the parquet footer's row count — free statistics,
+        # no Spark job; the params string content-addresses the result
+        from car_etl_spark.tables import parquet_rowcount
+
+        num_centroids = derive_num_centroids(parquet_rowcount(sf_dir, "embeddings"))
     params = f"c{num_centroids}|r{refine_iterations}"
     digest = _source_digest("ivf", IVF_VERSION, source, params)
     path = os.path.join(index_root(), f"ivf-{digest}")

@@ -31,12 +31,18 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`car_etl_spark.operators.similarity.simhash_blocking_plan`
     for the actual corpus size, so key width tracks log2(n) and
     candidate volume stays O(n·keys) — the fixed 8x8-bit config this
-    replaces degenerates to O(n^2/256) pairs at large n.  The one-row
-    count() feeding the plan is the corpus statistic a table catalog
-    would supply for free at scale."""
+    replaces degenerates to O(n^2/256) pairs at large n.  The corpus
+    statistic comes from the parquet FOOTER (no Spark job — the
+    pg_class.reltuples analog); a full count() runs only when the
+    footer is unreadable."""
+    from car_etl_spark.tables import parquet_rowcount
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n = parquet_rowcount(sf_dir, "documents")
+    if n < 0:
+        n = docs.count()
     return S.simhash_near_duplicates(
-        docs, "text", "doc_id", max_hamming=6, expected_docs=docs.count()
+        docs, "text", "doc_id", max_hamming=6, expected_docs=n
     ).orderBy("id_a", "id_b")
 
 
@@ -51,8 +57,13 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     achieved recall instead of letting bands explode).  The
     0.9-threshold strict-dedup configuration is exercised with planted
     duplicates in tests/test_similarity.py."""
+    from car_etl_spark.tables import parquet_rowcount
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    bands, bits, _recall = S.embedding_lsh_plan(emb.count(), threshold=0.3)
+    n = parquet_rowcount(sf_dir, "embeddings")
+    if n < 0:
+        n = emb.count()
+    bands, bits, _recall = S.embedding_lsh_plan(n, threshold=0.3)
     return S.embedding_near_duplicates(
         emb, "vec_id", "embedding", threshold=0.3, bands=bands, bits_per_band=bits
     ).orderBy("id_a", "id_b")

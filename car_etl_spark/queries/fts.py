@@ -24,7 +24,6 @@ from car_etl_spark.operators.indexing import (
     HEADER_TOKENS,
     HEADER_WEIGHT,
     ensure_posting_index,
-    term_bucket_py,
 )
 from car_etl_spark.queries import QuerySpec
 from car_etl_spark.tables import load_tables
@@ -75,7 +74,7 @@ def fts_posting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         store = ensure_posting_index(spark, sf_dir)
         terms = sorted({T.stem_py(t) for t in FTS_QUERY_TERMS})
-        buckets = sorted({term_bucket_py(t) for t in terms})
+        buckets = sorted({store.bucket_of(t) for t in terms})
         idx = store.read(spark, buckets=buckets).filter(F.col("term").isin(terms))
         scored = idx.groupBy("doc_id").agg(
             F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
@@ -114,7 +113,7 @@ def fts_porter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         store = ensure_posting_index(spark, sf_dir, analyzer="porter")
         terms = sorted({porter_py(t) for t in FTS_QUERY_TERMS})
-        buckets = sorted({term_bucket_py(t) for t in terms})
+        buckets = sorted({store.bucket_of(t) for t in terms})
         idx = store.read(spark, buckets=buckets).filter(F.col("term").isin(terms))
         scored = idx.groupBy("doc_id").agg(
             F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
@@ -145,7 +144,7 @@ def fts_plainto_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         store = ensure_posting_index(spark, sf_dir, analyzer="porter")
         terms = sorted({porter_py(t) for t in FTS_QUERY_TERMS})
-        buckets = sorted({term_bucket_py(t) for t in terms})
+        buckets = sorted({store.bucket_of(t) for t in terms})
         idx = store.read(spark, buckets=buckets).filter(F.col("term").isin(terms))
         scored = (
             idx.groupBy("doc_id")
@@ -287,7 +286,7 @@ def fts_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             {(qid, T.stem_py(t)) for qid, ts in FTS_BATCH_QUERIES.items() for t in ts}
         )
         all_terms = sorted({t for _q, t in pairs})
-        buckets = sorted({term_bucket_py(t) for t in all_terms})
+        buckets = sorted({store.bucket_of(t) for t in all_terms})
         qterms = spark.createDataFrame(pairs, "query_id string, term string")
         idx = store.read(spark, buckets=buckets).filter(F.col("term").isin(all_terms))
         scored = (

@@ -51,10 +51,10 @@ def _hybrid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matching term have no posting rows — the score>0 filter of the
     # scan form is implicit); see queries/textops.doc_keyword_search
     from car_etl_spark.functions.text import stem_py
-    from car_etl_spark.operators.indexing import ensure_posting_index, term_bucket_py
+    from car_etl_spark.operators.indexing import ensure_posting_index
 
     store = ensure_posting_index(spark, sf_dir)
-    buckets = sorted({term_bucket_py(stem_py(t)) for t in QUERY_TERMS})
+    buckets = sorted({store.bucket_of(stem_py(t)) for t in QUERY_TERMS})
     kw_leg = (
         store.read(spark, buckets=buckets)
         .filter(F.col("raw_term").isin(list(QUERY_TERMS)))
@@ -121,13 +121,12 @@ def hybrid_porter_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         from car_etl_spark.operators.indexing import (
             ensure_ivf_index,
             ensure_posting_index,
-            term_bucket_py,
         )
-        from car_etl_spark.queries.vector import IVF_NUM_CENTROIDS, _query_vec_list
+        from car_etl_spark.queries.vector import _query_vec_list
 
         store = ensure_posting_index(spark, sf_dir, analyzer="porter")
         stems = sorted({porter_py(t) for t in QUERY_TERMS})
-        buckets = sorted({term_bucket_py(t) for t in stems})
+        buckets = sorted({store.bucket_of(t) for t in stems})
         kw_leg = (
             store.read(spark, buckets=buckets)
             .filter(F.col("term").isin(stems))
@@ -145,7 +144,7 @@ def hybrid_porter_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
         qvec = _query_vec_list(emb, cache_key=sf_dir)
-        ivf = ensure_ivf_index(spark, sf_dir, IVF_NUM_CENTROIDS)
+        ivf = ensure_ivf_index(spark, sf_dir)
         vec_leg = (
             ivf.probe_topk(spark, qvec, k=FETCH_LIMIT, extra_cols=())
             .select(F.col("vec_id").alias("doc_id"), F.col("cosine_sim").alias("vec_score"))

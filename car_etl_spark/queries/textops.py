@@ -130,19 +130,19 @@ def doc_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The store keeps ``raw_term`` alongside the stemmed ``term``
     (bucketed by the stem), so unstemmed scoring prunes via
-    ``term_bucket_py(stem_py(t))`` — a raw term's rows live in its
+    ``store.bucket_of(stem_py(t))`` — a raw term's rows live in its
     stem's bucket by construction.  Docs with zero matches have no
     posting rows for these terms, so the ``score > 0`` filter of the
     scan twin is implicit.  ``lang`` rides in the posting rows
     (doc-grain metadata denormalized into the index, the usual inverted-
     index doc-store shortcut), keeping this a single pruned scan."""
     from car_etl_spark.functions.text import stem_py
-    from car_etl_spark.operators.indexing import ensure_posting_index, term_bucket_py
+    from car_etl_spark.operators.indexing import ensure_posting_index
     from car_etl_spark.queries import prepared
 
     def build() -> DataFrame:
         store = ensure_posting_index(spark, sf_dir)
-        buckets = sorted({term_bucket_py(stem_py(t)) for t in KEYWORD_QUERY_TERMS})
+        buckets = sorted({store.bucket_of(stem_py(t)) for t in KEYWORD_QUERY_TERMS})
         idx = store.read(spark, buckets=buckets).filter(
             F.col("raw_term").isin(list(KEYWORD_QUERY_TERMS))
         )
@@ -204,7 +204,7 @@ def doc_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring/regexp_replace pair on both sides, so the marked-up
     strings hash-match exactly."""
     from car_etl_spark.functions.text import stem_py
-    from car_etl_spark.operators.indexing import ensure_posting_index, term_bucket_py
+    from car_etl_spark.operators.indexing import ensure_posting_index
     from car_etl_spark.queries import prepared
 
     def build() -> DataFrame:
@@ -214,7 +214,7 @@ def doc_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
         # proven by doc_keyword_search's oracle row); only the 10
         # winners ever touch the highlight regex or the raw text
         store = ensure_posting_index(spark, sf_dir)
-        buckets = sorted({term_bucket_py(stem_py(t)) for t in KEYWORD_QUERY_TERMS})
+        buckets = sorted({store.bucket_of(stem_py(t)) for t in KEYWORD_QUERY_TERMS})
         top = (
             store.read(spark, buckets=buckets)
             .filter(F.col("raw_term").isin(list(KEYWORD_QUERY_TERMS)))

@@ -302,9 +302,6 @@ QUERIES["vector_topk_batch"] = QuerySpec(
 )
 
 
-IVF_NUM_CENTROIDS = 16
-
-
 def vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 SERVING PATH: cosine top-k probing the PERSISTED IVF layout
     (:mod:`car_etl_spark.operators.indexing`) — the HNSW-index-resident
@@ -328,7 +325,8 @@ def vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
         qvec = _query_vec_list(emb, cache_key=sf_dir)
-        store = ensure_ivf_index(spark, sf_dir, IVF_NUM_CENTROIDS)
+        # centroid count derives from the corpus footer (~ sqrt(n))
+        store = ensure_ivf_index(spark, sf_dir)
         return store.probe_topk(spark, qvec, k=20)
 
     return prepared(spark, "vector_ivf_topk", sf_dir, ("embeddings.parquet",), build)
@@ -347,18 +345,11 @@ ADAPTIVE_ANN_MIN_ROWS = 100_000
 
 
 def _corpus_rowcount(sf_dir: str) -> int:
-    """Row count from parquet FOOTER metadata — no Spark job, no scan
-    (the statistics a cost-based strategy is allowed to read for
-    free)."""
-    import os
+    """Footer row count of the embeddings table (no Spark job); -1 ->
+    unknown -> callers choose the always-correct brute force."""
+    from car_etl_spark.tables import parquet_rowcount
 
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        return pq.ParquetFile(path).metadata.num_rows
-    except Exception:
-        return -1  # unknown: choose the always-correct brute force
+    return parquet_rowcount(sf_dir, "embeddings")
 
 
 def vector_topk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:

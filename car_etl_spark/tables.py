@@ -75,3 +75,20 @@ def load_tables(
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_tables(spark, sf_dir, names=(name,))[name]
+
+
+def parquet_rowcount(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — no Spark job, no scan.
+
+    The free statistic a cost-based strategy (adaptive ANN dispatch,
+    LSH plan sizing, IVF centroid derivation) is allowed to read; the
+    catalog-statistics analog of the reference's pg_class reltuples.
+    Returns -1 when unknown (non-filesystem layout, corrupt footer) so
+    callers fall back to their always-correct default."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return -1

@@ -70,7 +70,7 @@ def test_term_bucket_python_spark_parity(spark):
     )
     got = {r.term: r.b for r in df.collect()}
     for t in terms:
-        assert got[t] == IX.term_bucket_py(t) == zlib.crc32(t.encode()) % IX.NUM_BUCKETS
+        assert got[t] == IX.term_bucket_py(t) == zlib.crc32(t.encode()) % IX.DEFAULT_NUM_BUCKETS
 
 
 # -- 2. incremental == rebuild ----------------------------------------------
@@ -249,3 +249,146 @@ def test_posting_store_matches_build_postings_rollup(spark):
         .agg(F.sum("tf").alias("tf"))
     )
     assert _rows(rolled) == _rows(build_postings(docs))
+
+
+# -- 4. scale-derived layout constants ---------------------------------------
+
+
+def test_derive_num_buckets_formula():
+    """Bucket count tracks posting volume: power-of-2 steps between the
+    floor (tiny corpora) and the cap (object-store fan-out bound)."""
+    assert IX.derive_num_buckets(-1) == IX.DEFAULT_NUM_BUCKETS
+    assert IX.derive_num_buckets(1) == IX.MIN_BUCKETS
+    assert IX.derive_num_buckets(IX.TARGET_POSTINGS_PER_BUCKET * 100) == 128
+    assert IX.derive_num_buckets(IX.TARGET_POSTINGS_PER_BUCKET * 129) == 256
+    # 100 TB-ish: hits the cap, row-group pruning carries the rest
+    assert IX.derive_num_buckets(15_000_000_000_000) == IX.MAX_BUCKETS
+
+
+def test_derive_num_centroids_formula():
+    assert IX.derive_num_centroids(-1) == 16  # unknown -> legacy default
+    assert IX.derive_num_centroids(4) == IX.MIN_CENTROIDS
+    assert IX.derive_num_centroids(10_000) == 100
+    assert IX.derive_num_centroids(10_000_000_000) == IX.MAX_CENTROIDS
+
+
+def test_estimate_posting_rows_footer_only():
+    import os
+
+    est = IX.estimate_posting_rows(os.path.join(SF_SMALL, "documents.parquet"))
+    assert est > 0
+    # sanity: within ~4x of the true token count (500 docs * ~100 toks)
+    assert 10_000 < est < 400_000
+    assert IX.estimate_posting_rows("/nonexistent.parquet") == -1
+
+
+def test_posting_store_meta_roundtrip(spark, tmp_path):
+    """A store built with a derived bucket count records it in meta.json
+    and a reopened handle (no explicit count) binds to it, so the
+    query-side pruning hash can never disagree with the layout."""
+    store = IX.PostingStore(str(tmp_path / "p"), num_buckets=64)
+    store.build(_docs_df(spark, DOCS_V0))
+    reopened = IX.PostingStore(str(tmp_path / "p"))
+    assert reopened.num_buckets == 64
+    term = "alpha"
+    b = reopened.bucket_of(term)
+    got = (
+        reopened.read(spark, buckets=[b])
+        .filter(F.col("term") == term)
+        .select("doc_id")
+        .collect()
+    )
+    assert {r.doc_id for r in got} == {1, 4}
+
+
+def _synthetic_vocab_docs(spark, n_docs=1500, vocab=4000, words_per_doc=24):
+    """Deterministic many-term corpus: doc i draws words by a hash mix,
+    vocabulary is digit-suffixed (stemmer-neutral)."""
+    rows = []
+    for i in range(n_docs):
+        toks = [f"w{(i * 37 + j * 101) % vocab:05d}x" for j in range(words_per_doc)]
+        rows.append((i, "en", " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_term_sorted_row_groups_prune_within_bucket(spark, tmp_path):
+    """The GIN cost-∝-matched-postings property: with rows term-sorted
+    inside each bucket, parquet row-group min/max statistics on ``term``
+    confine a 1-term query to a small fraction of the bucket's row
+    groups — the scan cost tracks matched postings, not bucket size.
+    (Small row_group_bytes stands in for the default 128 MB groups a
+    real corpus would produce.)"""
+    import pyarrow.parquet as pq
+
+    store = IX.PostingStore(
+        str(tmp_path / "big"), num_buckets=4, row_group_bytes=8192
+    )
+    store.build(_synthetic_vocab_docs(spark))
+    term = "w00123x"
+    bucket = store.bucket_of(term)
+    bucket_dir = os.path.join(store.base_dir, f"term_bucket={bucket}")
+    total, overlapping = 0, 0
+    for root, _dirs, files in os.walk(bucket_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ti = names.index("term")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ti).statistics
+                assert st is not None and st.has_min_max, "term stats missing"
+                total += 1
+                if st.min <= term <= st.max:
+                    overlapping += 1
+    assert total >= 10, f"corpus too small to exercise row groups ({total})"
+    assert overlapping / total <= 0.2, (
+        f"row-group pruning ineffective: {overlapping}/{total} groups overlap"
+    )
+    # and the pruned serving read still finds exactly the right docs
+    expect = {
+        r.doc_id
+        for r in _synthetic_vocab_docs(spark)
+        .filter(F.col("text").contains(term))
+        .select("doc_id")
+        .collect()
+    }
+    got = {
+        r.doc_id
+        for r in store.read(spark, buckets=[bucket])
+        .filter(F.col("term") == term)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expect and got
+
+
+@pytest.mark.parametrize("n_per,clusters", [(30, 3), (60, 6)])
+def test_ivf_derived_k_exact_at_two_sizes(spark, tmp_path, n_per, clusters):
+    """Derived sqrt(n) centroid counts + sampled seeds keep the probe
+    certificate exact at multiple corpus sizes (verdict r4 item 2)."""
+    emb = _clustered_emb(spark, n_per=n_per, clusters=clusters, dim=2 * clusters)
+    n = emb.count()
+    k = IX.derive_num_centroids(n)
+    store = IX.IvfStore(str(tmp_path / f"ivf{n}"))
+    store.build(emb, num_centroids=k, refine_iterations=2)
+    assert store.meta()["num_centroids"] == k
+    qvec = list(emb.filter(F.col("vec_id") == 3).select("embedding").first()[0])
+    probes = store.probe_ids_exact(qvec, k=10)
+    assert len(probes) < k, "derived-k layout failed to prune a clustered corpus"
+    got = [tuple(r) for r in store.probe_topk(spark, qvec, k=10).collect()]
+    from car_etl_spark.functions import vectors as V
+
+    brute = [
+        tuple(r)
+        for r in emb.select(
+            "vec_id", "label",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), V.literal_vector(qvec)), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == brute

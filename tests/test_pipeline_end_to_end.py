@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 def test_ingest_parse_chunk_index_search(spark, tmp_path):
     from car_etl_spark.functions.porter import porter_py
     from car_etl_spark.operators.chunking import chunk_by_tokens
-    from car_etl_spark.operators.indexing import PostingStore, term_bucket_py
+    from car_etl_spark.operators.indexing import PostingStore
     from car_etl_spark.operators.ingest import route_and_parse
 
     # -- 1. raw media lands (bytes + mime), parser router extracts text
@@ -54,7 +54,7 @@ def test_ingest_parse_chunk_index_search(spark, tmp_path):
     store = PostingStore(str(tmp_path / "chunk-postings"), analyzer="porter")
     store.build(chunks)
     terms = sorted({porter_py(t) for t in ("shuffling", "sparks")})
-    buckets = sorted({term_bucket_py(t) for t in terms})
+    buckets = sorted({store.bucket_of(t) for t in terms})
     hits = (
         store.read(spark, buckets=buckets)
         .filter(F.col("term").isin(terms))

@@ -569,7 +569,7 @@ def test_streaming_posting_maintenance_serves_queries_fresh(spark, tmp_path):
     import os
 
     from car_etl_spark.functions.text import stem_py
-    from car_etl_spark.operators.indexing import PostingStore, term_bucket_py
+    from car_etl_spark.operators.indexing import PostingStore
     from car_etl_spark.streaming.posting_maintenance import run_posting_maintenance
     from pyspark.sql import functions as F
 
@@ -584,7 +584,7 @@ def test_streaming_posting_maintenance_serves_queries_fresh(spark, tmp_path):
     )
 
     def search(term):
-        b = term_bucket_py(stem_py(term))
+        b = store.bucket_of(stem_py(term))
         idx = store.read(spark, buckets=[b]).filter(F.col("term") == stem_py(term))
         return {r.doc_id: r.tf for r in idx.select("doc_id", "tf").collect()}
 
