@@ -67,8 +67,11 @@ def as_of_join(
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__is_right"),
         lpack,
+        # cast to the DataType OBJECT — its simpleString render is a
+        # lossy DDL round-trip that breaks on field names containing
+        # spaces/colons/other DDL-significant characters
         F.lit(None).cast(
-            right.select(rpack).schema["__rrow"].dataType.simpleString()
+            right.select(rpack).schema["__rrow"].dataType
         ).alias("__rrow"),
     )
     r2 = right.select(
@@ -76,7 +79,7 @@ def as_of_join(
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
         F.lit(None).cast(
-            left.select(lpack).schema["__lrow"].dataType.simpleString()
+            left.select(lpack).schema["__lrow"].dataType
         ).alias("__lrow"),
         rpack,
     )

@@ -55,10 +55,18 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
             )
         ).alias("e")
     ).select("e.u", "e.v")
-    grouped = sym.groupBy("u").agg(
-        F.min("v").alias("__mn"), F.collect_set("v").alias("vs")
-    ).withColumn("m", F.least(F.col("__mn"), F.col("u")))
-    exploded = grouped.select("u", "m", F.explode("vs").alias("v"))
+    # Per-node minimum as a MAP-SIDE-COMBINED aggregate joined back to
+    # the edge rows — never a collect_set neighborhood row.  A hub of
+    # degree n (one giant dup cluster: boilerplate at corpus scale)
+    # stays n ordinary rows on one key, which AQE's skew-join splitting
+    # can subdivide; a single array row holding n neighbors cannot be
+    # split and would cap cluster size at executor row memory.
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+    )
+    exploded = sym.join(mins, "u").select("u", "m", "v")
     if large:
         out = exploded.filter(F.col("v") > F.col("u")).select(
             F.col("v").alias("u"), F.col("m").alias("v")

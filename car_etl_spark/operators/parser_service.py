@@ -295,10 +295,14 @@ def route_parse_with_service_fallback(
     the service chain's error for rows nothing could parse."""
     from car_etl_spark.operators.ingest import route_and_parse
 
-    # both the failed slice and the final join read `routed`; cache it
-    # so mime routing + every built-in parse attempt (including content
-    # hashing) runs ONCE per document, not twice
-    routed = route_and_parse(media, content_col=content_col).cache()
+    # both the failed slice and the final join read `routed`;
+    # materialize it once via localCheckpoint so mime routing + every
+    # built-in parse attempt (including content hashing) runs ONCE per
+    # document, not twice.  localCheckpoint (not .cache()): its blocks
+    # are reclaimed by the ContextCleaner when the frame goes out of
+    # scope, so repeated calls in a long-running session cannot
+    # accumulate parse results in executor storage memory
+    routed = route_and_parse(media, content_col=content_col).localCheckpoint(eager=True)
     failed = routed.filter(
         F.col("parsed_text").isNull() & F.col(content_col).isNotNull()
     ).select(id_col, content_col, mime_col)

@@ -25,6 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: explode-amplification guard: an interval covering this many bins
+#: means bin_seconds is ~4 orders of magnitude off the median interval
+#: length (the sizing rule in the module docstring) — fail loudly at
+#: the first such row instead of materializing garbage volume
+MAX_BINS_PER_ROW = 10_000
+
 
 def interval_point_join(
     points: DataFrame,
@@ -38,19 +44,44 @@ def interval_point_join(
     (inclusive bounds).  Output: all interval columns + all point
     columns (names must not collide).  One hash shuffle on the bin
     key; interval rows replicate ceil(len/width)+1 times, points never
-    replicate."""
+    replicate.
+
+    Input hygiene: malformed intervals (``end < start`` — clock skew,
+    bad parses) are DROPPED before exploding rather than fed to
+    ``sequence`` (which would emit a descending bin list of wasted
+    rows), and an interval spanning more than :data:`MAX_BINS_PER_ROW`
+    bins raises at plan-build time — that is a mis-sized ``bin_seconds``
+    (or a sentinel open-ended interval), and Spark's sequence element
+    cap would otherwise throw mid-job with an opaque error."""
     width = bin_seconds * 1_000_000  # micros
     p = points.withColumn(
         "__bin", F.floor(F.unix_micros(F.col(point_ts)) / width)
     )
-    i = intervals.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(start_ts)) / width),
-                F.floor(F.unix_micros(F.col(end_ts)) / width),
-            )
-        ),
+    start_bin = F.floor(F.unix_micros(F.col(start_ts)) / width)
+    end_bin = F.floor(F.unix_micros(F.col(end_ts)) / width)
+    i = (
+        intervals.filter(F.col(end_ts) >= F.col(start_ts))
+        .withColumn(
+            "__nbins",
+            F.when(
+                end_bin - start_bin < MAX_BINS_PER_ROW, end_bin - start_bin
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "interval_point_join: interval spans > "
+                            f"{MAX_BINS_PER_ROW} bins at bin_seconds="
+                            f"{bin_seconds} — widen the bin or clamp "
+                            "open-ended intervals (row start: "
+                        ),
+                        F.col(start_ts).cast("string"),
+                        F.lit(")"),
+                    )
+                )
+            ),
+        )
+        .withColumn("__bin", F.explode(F.sequence(start_bin, start_bin + F.col("__nbins"))))
+        .drop("__nbins")
     )
     return (
         i.join(p, "__bin")

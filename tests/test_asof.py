@@ -100,3 +100,44 @@ def test_binned_range_join_no_duplicates_no_nested_loop(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_drops_malformed_and_caps_bin_span(spark):
+    """Input hygiene: end < start intervals are dropped before the bin
+    explode; an interval spanning more bins than MAX_BINS_PER_ROW fails
+    loudly at run time instead of materializing garbage volume."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from car_etl_spark.operators.rangejoin import MAX_BINS_PER_ROW, interval_point_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30")], "pid long, ts string"
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    ivals = spark.createDataFrame(
+        [
+            ("ok", "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
+            ("bad", "2024-01-01 00:02:00", "2024-01-01 00:01:00"),  # end < start
+        ],
+        "name string, s string, e string",
+    ).select(
+        "name",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = interval_point_join(points, ivals, "ts", "s", "e", bin_seconds=30).collect()
+    assert [r.name for r in got] == ["ok"]
+
+    huge = spark.createDataFrame(
+        [("huge", "2024-01-01 00:00:00", "2025-01-01 00:00:00")],
+        "name string, s string, e string",
+    ).select(
+        "name",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    with pytest.raises(Exception) as ei:
+        interval_point_join(points, huge, "ts", "s", "e", bin_seconds=30).collect()
+    assert "spans" in str(ei.value)
+    assert str(MAX_BINS_PER_ROW) in str(ei.value)
