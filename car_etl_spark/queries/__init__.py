@@ -83,17 +83,27 @@ def build_registry() -> dict[str, QuerySpec]:
         fts,
         misc,
         normalize,
+        pii,
         rag,
         relational,
         search,
+        suites,
         textops,
         vector,
     )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq, misc, fts, extraction):
+    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq, misc, fts, extraction, pii):
         for name, spec in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name: {name}")
             registry[name] = spec
+    for name, spec in suites.build_suite_queries().items():
+        if name in registry:
+            raise ValueError(f"duplicate query name: {name}")
+        registry[name] = spec
+    # the external driver checks a 50-entry window; the registry must
+    # never outgrow it again (r4 verdict item 3)
+    if len(registry) > 50:
+        raise ValueError(f"registry has {len(registry)} entries (> driver's 50-row window)")
     return registry

@@ -318,8 +318,6 @@ ORDER BY orderkey
 """
 
 
-QUERIES: dict[str, QuerySpec] = {
-    "om_validation_report": QuerySpec(
-        om_validation_report, OM_VALIDATION_REPORT_SQL, ("confidence",)
-    ),
-}
+# registered through suites.om_full_validation_report (joined with the
+# document-level confidence) since round 5
+QUERIES: dict[str, QuerySpec] = {}

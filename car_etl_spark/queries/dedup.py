@@ -155,12 +155,7 @@ ORDER BY id_a, id_b
 """
 
 
-QUERIES: dict[str, QuerySpec] = {
-    "minhash_lsh_neardup": QuerySpec(minhash_lsh_neardup, None, ("dedup", "lsh")),
-    "simhash_neardup": QuerySpec(simhash_neardup, None, ("dedup", "lsh")),
-    "embedding_neardup_lsh": QuerySpec(embedding_neardup_lsh, None, ("dedup", "ann")),
-    "token_jaccard_blocked": QuerySpec(token_jaccard_blocked, TOKEN_JACCARD_SQL, ("dedup",)),
-    "embedding_neardup_exact_block": QuerySpec(
-        embedding_neardup_exact_block, EMBEDDING_NEARDUP_EXACT_SQL, ("dedup",)
-    ),
-}
+# all five registered through suites.lsh_neardup_suite (rows-only
+# candidate paths) and suites.exact_neardup_companions (oracle ground
+# truth) since round 5 — functions remain the per-method API
+QUERIES: dict[str, QuerySpec] = {}

@@ -220,6 +220,6 @@ ORDER BY f.extraction_id, f.field_name
 
 QUERIES: dict[str, QuerySpec] = {
     "eav_pivot_effective_rent": QuerySpec(eav_pivot_effective_rent, EAV_PIVOT_SQL, ("eav", "pivot")),
-    "versioned_extractions": QuerySpec(versioned_extractions, VERSIONED_EXTRACTIONS_SQL, ("versioning",)),
-    "field_override_merge": QuerySpec(field_override_merge, FIELD_OVERRIDE_SQL, ("merge",)),
+    # versioned_extractions + field_override_merge ->
+    # suites.extraction_pipeline_versions (r5 consolidation)
 }

@@ -201,7 +201,6 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 QUERIES: dict[str, QuerySpec] = {
     "events_user_running_total": QuerySpec(events_user_running_total, EVENTS_RUNNING_TOTAL_SQL, ("events", "window")),
     "events_type_pivot": QuerySpec(events_type_pivot, EVENTS_TYPE_PIVOT_SQL, ("events", "pivot")),
-    "events_json_props": QuerySpec(events_json_props, EVENTS_JSON_PROPS_SQL, ("events", "json")),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, ("events", "window")),
 }
 
@@ -302,9 +301,8 @@ FROM ({EVENTS_SLIDING_SQL})
 ORDER BY window_kind, window_start, event_type
 """
 
-QUERIES["events_time_windows"] = QuerySpec(
-    events_time_windows, EVENTS_TIME_WINDOWS_SQL, ("events", "window")
-)
+# events_time_windows + events_multires_rollup -> suites.events_window_rollups;
+# events_json_props + events_value_percentiles -> suites.events_profile
 
 
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,9 +344,7 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
-QUERIES["events_value_percentiles"] = QuerySpec(
-    events_value_percentiles, EVENTS_PERCENTILES_SQL, ("events", "quantiles")
-)
+
 
 
 def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,6 +527,4 @@ GROUP BY 1, 2
 ORDER BY day, event_type
 """
 
-QUERIES["events_multires_rollup"] = QuerySpec(
-    events_multires_rollup, EVENTS_MULTIRES_SQL, ("events", "rollup")
-)
+# (registered through suites.events_window_rollups)

@@ -450,11 +450,9 @@ ORDER BY l.user_id
 """
 
 
+# the five FTS variants registered through suites.fts_search_suite
+# since round 5 (registry consolidation, COVERAGE.md merge table);
+# the functions remain the per-mode serving API and bench surface
 QUERIES: dict[str, QuerySpec] = {
-    "fts_posting_search": QuerySpec(fts_posting_search, FTS_POSTING_SEARCH_SQL, ("search", "fts")),
-    "fts_posting_scan": QuerySpec(fts_posting_scan, FTS_POSTING_SEARCH_SQL, ("search", "fts")),
-    "fts_porter_search": QuerySpec(fts_porter_search, FTS_PORTER_SEARCH_SQL, ("search", "fts")),
-    "fts_plainto_search": QuerySpec(fts_plainto_search, FTS_PLAINTO_SEARCH_SQL, ("search", "fts")),
-    "fts_batch_search": QuerySpec(fts_batch_search, FTS_BATCH_SEARCH_SQL, ("search", "fts", "batch")),
     "cdc_apply_tombstones": QuerySpec(cdc_apply_tombstones, CDC_TOMBSTONES_SQL, ("cdc",)),
 }

@@ -14,9 +14,12 @@ from car_etl_spark.tables import load_tables
 EMAIL_RE = r"<([^<>@\s]+@[^<>@\s]+)>"
 
 
-def email_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F32: ``"Name <a@b>" -> a@b`` extraction + domain rollup
-    (reference ``src/services/email_parser.py:87-115``)."""
+def email_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F32 extraction frame: ``"Name <a@b>" -> a@b`` per customer
+    (reference ``src/services/email_parser.py:87-115``).  Registered
+    through ``normalize_roundtrips`` (kind='email') since round 5 —
+    the extraction IS a normalizer roundtrip; the old domain rollup
+    remains below for API parity."""
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
     k = F.col("c_custkey")
     domain_pool = ["acme.com", "example.org", "mail.net"]
@@ -25,14 +28,33 @@ def email_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name"), F.lit(" <user"), k.cast("string"), F.lit("@"), domain, F.lit(">")
     )
     extracted = F.regexp_extract(header, EMAIL_RE, 1)
-    parsed = cust.select(
+    return cust.select(
         "c_custkey",
         header.alias("from_header"),
         extracted.alias("from_address"),
         F.split(extracted, "@").getItem(1).alias("domain"),
     )
+
+
+EMAIL_PARSED_SQL = """
+SELECT c_custkey,
+       c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@' ||
+         (['acme.com','example.org','mail.net'])[CAST(c_custkey % 3 AS INT) + 1] || '>'
+         AS from_header,
+       regexp_extract(
+         c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@' ||
+         (['acme.com','example.org','mail.net'])[CAST(c_custkey % 3 AS INT) + 1] || '>',
+         '<([^<>@ ]+@[^<>@ ]+)>', 1) AS from_address
+FROM customer
+"""
+
+
+def email_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rollup over :func:`email_parsed` (the round-1 query shape,
+    kept as API)."""
     return (
-        parsed.groupBy("domain")
+        email_parsed(spark, sf_dir)
+        .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("sender_count"))
         .orderBy("domain")
     )
@@ -200,9 +222,10 @@ FROM per_doc ORDER BY c_custkey
 """
 
 
+# email_address_extract -> normalize_roundtrips (kind='email');
+# om_document_confidence -> suites.om_full_validation_report (r5
+# consolidation, COVERAGE.md merge table)
 QUERIES: dict[str, QuerySpec] = {
-    "email_address_extract": QuerySpec(email_address_extract, EMAIL_EXTRACT_SQL, ("parse",)),
     "hierarchy_self_join": QuerySpec(hierarchy_self_join, HIERARCHY_SELF_JOIN_SQL, ("join",)),
     "interval_join_shipments": QuerySpec(interval_join_shipments, INTERVAL_JOIN_SQL, ("join", "range")),
-    "om_document_confidence": QuerySpec(om_document_confidence, OM_DOCUMENT_CONFIDENCE_SQL, ("confidence",)),
 }

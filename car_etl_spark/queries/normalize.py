@@ -323,8 +323,16 @@ def normalize_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         integer_roundtrip(spark, sf_dir), "integer", F.col("p_partkey"),
         F.col("raw_value"), F.col("normalized_int").cast("string"),
     )
+    # F32 email extraction joined the suite in round 5 (registry
+    # consolidation): "Name <a@b>" -> a@b is a normalizer roundtrip
+    from car_etl_spark.queries.misc import email_parsed
+
+    eml = tag(
+        email_parsed(spark, sf_dir), "email", F.col("c_custkey"),
+        F.col("from_header"), F.col("from_address"),
+    )
     out = cur
-    for part in (dat, pct, boo, enu, num, itg):
+    for part in (dat, pct, boo, enu, num, itg, eml):
         out = out.unionByName(part)
     return out.orderBy("kind", "key_id")
 
@@ -340,6 +348,12 @@ def _tagged_sql(
         f"SELECT '{kind}' AS kind, CAST({key_expr} AS BIGINT) AS key_id, "
         f"{raw_expr} AS raw_value, {norm_expr} AS normalized FROM ({inner}) t"
     )
+
+
+def _EMAIL_PARSED_SQL_REF() -> str:
+    from car_etl_spark.queries.misc import EMAIL_PARSED_SQL
+
+    return EMAIL_PARSED_SQL
 
 
 NORMALIZE_ROUNDTRIPS_SQL = (
@@ -370,6 +384,10 @@ NORMALIZE_ROUNDTRIPS_SQL = (
             ),
             _tagged_sql(
                 "integer", "p_partkey", "CAST(normalized_int AS VARCHAR)", INTEGER_ROUNDTRIP_SQL,
+            ),
+            _tagged_sql(
+                "email", "c_custkey", "from_address", _EMAIL_PARSED_SQL_REF(),
+                raw_expr="from_header",
             ),
         ]
     )

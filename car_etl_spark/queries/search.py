@@ -278,9 +278,84 @@ LIMIT {FINAL_LIMIT}
 """
 
 
+#: deterministic cross-encoder STUB parameters (LCG over the doc id) —
+#: a pure integer function both engines compute exactly, standing in
+#: for the model score with the real operator shape around it.  The
+#: pre-mod keeps the multiply inside int64 for any id space (DuckDB
+#: raises on BIGINT overflow rather than wrapping).
+_RERANK_PREMOD = 100_003
+_RERANK_A = 1_103_515_245
+_RERANK_C = 12_345
+_RERANK_M = 2_147_483_647
+RERANK_TOP_K = 5
+
+
+def hybrid_rerank_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 as an oracle-checked result page: the index-resident hybrid's
+    candidates re-scored by a cross-encoder on ONLY the top-k slice,
+    tail passed through in retrieval order (reference
+    ``src/search/reranker.py:99-131`` — the model scores k rows, never
+    the corpus; :func:`operators.resolution.rerank_top_slice` is the
+    operator).  The stub scorer is a deterministic pure function of the
+    doc id, so DuckDB replays the identical page and the slice/
+    passthrough mechanics get a hard-signal hash row."""
+    from car_etl_spark.operators.resolution import rerank_top_slice
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        base = hybrid_porter_ivf_search(spark, sf_dir)
+
+        def stub_score(c):
+            lcg = ((c % _RERANK_PREMOD) * _RERANK_A + _RERANK_C) % _RERANK_M
+            return lcg / F.lit(float(_RERANK_M))
+
+        page = rerank_top_slice(
+            base, stub_score, text_col="doc_id",
+            base_score_col="rrf_score", top_k=RERANK_TOP_K, id_col="doc_id",
+        )
+        return page.select(
+            F.col("final_rank").cast("long").alias("final_rank"),
+            "doc_id",
+            F.when(F.col("rerank_score").isNotNull(), F.lit("reranked"))
+            .otherwise(F.lit("passthrough"))
+            .alias("stage"),
+            "rrf_score",
+            "rerank_score",
+        ).orderBy("final_rank")
+
+    return prepared(
+        spark, "hybrid_rerank_page", sf_dir,
+        ("documents.parquet", "embeddings.parquet"), build,
+    )
+
+
+HYBRID_RERANK_PAGE_SQL = f"""
+WITH hybrid AS ({HYBRID_PORTER_IVF_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS base_rank
+  FROM hybrid
+), scored AS (
+  SELECT *,
+         CASE WHEN base_rank <= {RERANK_TOP_K}
+              THEN (((doc_id % {_RERANK_PREMOD}) * {_RERANK_A} + {_RERANK_C})
+                    % {_RERANK_M}) / {_RERANK_M}.0
+         END AS rerank_score
+  FROM ranked
+)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY CASE WHEN rerank_score IS NOT NULL THEN 0 ELSE 1 END,
+                  rerank_score DESC NULLS LAST, base_rank ASC
+       ) AS BIGINT) AS final_rank,
+       doc_id,
+       CASE WHEN rerank_score IS NOT NULL THEN 'reranked' ELSE 'passthrough' END AS stage,
+       rrf_score, rerank_score
+FROM scored
+ORDER BY final_rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
-    "hybrid_rrf_search": QuerySpec(hybrid_rrf_search, HYBRID_RRF_SQL, ("search", "rrf")),
-    "hybrid_porter_ivf_search": QuerySpec(
-        hybrid_porter_ivf_search, HYBRID_PORTER_IVF_SQL, ("search", "rrf", "serving")
+    "hybrid_rerank_page": QuerySpec(
+        hybrid_rerank_page, HYBRID_RERANK_PAGE_SQL, ("search", "rerank", "serving")
     ),
 }

@@ -1,0 +1,597 @@
+"""Consolidated registry suites — one driver slot per same-grain family.
+
+The external driver's correctness window is 50 entries; the registry
+had outgrown it (67 in round 4, leaving 17 queries without an external
+hard-signal row).  This module applies the round-2 playbook a second
+time: queries sharing a grain are UNION-tagged (a ``mode``/``method``
+column distinguishes arms, every arm's sub-expression unchanged) and
+same-key metric sets are JOINED into one wide report, so every registry
+entry gets a driver CORRECTNESS row every round.  The constituent
+functions remain exported from their home modules (and benched
+individually by ``bench.py``); the old name -> suite mapping is in
+COVERAGE.md.
+
+A union suite is also a real serving artifact, not just bookkeeping:
+the arms prove serving == scan (posting store vs raw-text twins) and
+exact == ANN (brute force vs certified IVF probe) inside ONE
+hash-checked result, so a value regression in any arm, or any
+divergence BETWEEN arms, flips the driver row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_etl_spark.queries import QuerySpec
+
+
+def _tagged_union(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FTS: five search modes, one slot
+
+
+def fts_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20/F21 suite: suffix-analyzer serving + its raw-text scan twin,
+    Porter serving, plainto AND-semantics, and the batch union scan —
+    all (query_id, doc_id, rank_score, terms_matched) rows in one
+    result.  serving == scan parity is part of the hash."""
+    from car_etl_spark.queries.fts import (
+        fts_batch_search,
+        fts_plainto_search,
+        fts_porter_search,
+        fts_posting_scan,
+        fts_posting_search,
+    )
+
+    arms = [
+        ("suffix_serving", fts_posting_search),
+        ("suffix_scan", fts_posting_scan),
+        ("porter", fts_porter_search),
+        ("plainto", fts_plainto_search),
+    ]
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(tag).alias("query_id"), "doc_id", "rank_score", "terms_matched"
+        )
+        for tag, fn in arms
+    ]
+    parts.append(
+        fts_batch_search(spark, sf_dir).select(
+            "query_id", "doc_id", "rank_score", "terms_matched"
+        )
+    )
+    return _tagged_union(parts).orderBy(
+        "query_id", F.desc("rank_score"), F.asc("doc_id")
+    )
+
+
+def _fts_suite_sql() -> str:
+    from car_etl_spark.queries.fts import (
+        FTS_BATCH_SEARCH_SQL,
+        FTS_PLAINTO_SEARCH_SQL,
+        FTS_PORTER_SEARCH_SQL,
+        FTS_POSTING_SEARCH_SQL,
+    )
+
+    arms = [
+        ("suffix_serving", FTS_POSTING_SEARCH_SQL),
+        ("suffix_scan", FTS_POSTING_SEARCH_SQL),
+        ("porter", FTS_PORTER_SEARCH_SQL),
+        ("plainto", FTS_PLAINTO_SEARCH_SQL),
+    ]
+    parts = [
+        f"SELECT '{tag}' AS query_id, doc_id, rank_score, terms_matched FROM ({sql})"
+        for tag, sql in arms
+    ]
+    parts.append(
+        "SELECT query_id, doc_id, rank_score, terms_matched "
+        f"FROM ({FTS_BATCH_SEARCH_SQL})"
+    )
+    return (
+        "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY query_id, rank_score DESC, doc_id ASC"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector: exact / IVF-serving / adaptive dispatch, one slot
+
+
+def vector_topk_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 suite: brute-force exact, certified-exact IVF serving, and the
+    cost-based adaptive dispatch — three arms that must agree row-for-
+    row (all share the brute-force oracle), tagged and unioned."""
+    from car_etl_spark.queries.vector import (
+        vector_ivf_topk,
+        vector_topk,
+        vector_topk_adaptive,
+    )
+
+    arms = [
+        ("exact", vector_topk),
+        ("ivf", vector_ivf_topk),
+        ("adaptive", vector_topk_adaptive),
+    ]
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(tag).alias("mode"), "vec_id", "label", "cosine_sim"
+        )
+        for tag, fn in arms
+    ]
+    return _tagged_union(parts).orderBy("mode", F.desc("cosine_sim"), F.asc("vec_id"))
+
+
+def _vector_modes_sql() -> str:
+    from car_etl_spark.queries.vector import VECTOR_TOPK_SQL
+
+    parts = [
+        f"SELECT '{tag}' AS mode, vec_id, label, cosine_sim FROM ({VECTOR_TOPK_SQL})"
+        for tag in ("exact", "ivf", "adaptive")
+    ]
+    return (
+        "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY mode, cosine_sim DESC, vec_id ASC"
+    )
+
+
+def vector_label_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-grain report: full-corpus similarity + norm-hygiene profile
+    LEFT JOINed with the k-NN top-50 label vote — the cluster-quality
+    and classification read-paths in one slot (labels outside the
+    top-50 carry 0 votes)."""
+    from car_etl_spark.queries.vector import (
+        vector_knn_label_vote,
+        vector_label_profile,
+    )
+
+    prof = vector_label_profile(spark, sf_dir)
+    votes = vector_knn_label_vote(spark, sf_dir).select(
+        "label",
+        F.col("votes").alias("knn_votes"),
+        F.col("avg_sim").alias("knn_avg_sim"),
+    )
+    return (
+        prof.join(votes, "label", "left")
+        .withColumn("knn_votes", F.coalesce(F.col("knn_votes"), F.lit(0)).cast("long"))
+        .orderBy("label")
+    )
+
+
+def _vector_label_report_sql() -> str:
+    from car_etl_spark.queries.vector import (
+        VECTOR_KNN_LABEL_VOTE_SQL,
+        VECTOR_LABEL_PROFILE_SQL,
+    )
+
+    return f"""
+SELECT p.*, CAST(COALESCE(v.votes, 0) AS BIGINT) AS knn_votes,
+       v.avg_sim AS knn_avg_sim
+FROM ({VECTOR_LABEL_PROFILE_SQL}) p
+LEFT JOIN ({VECTOR_KNN_LABEL_VOTE_SQL}) v ON p.label = v.label
+ORDER BY p.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: quality + repetition (doc grain), keyword modes (result page)
+
+
+def doc_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain curation report: length/diversity/stop-word quality
+    composite JOINed with the Gopher-style repetition fractions — one
+    slot, one hash, both metric families (docs need >= 2 tokens for a
+    bigram, matching the repetition profile's row set)."""
+    from car_etl_spark.queries.textops import (
+        doc_quality_scores,
+        doc_repetition_profile,
+    )
+
+    q = doc_quality_scores(spark, sf_dir)
+    r = doc_repetition_profile(spark, sf_dir).drop("n_tokens")
+    return q.join(r, "doc_id").orderBy("doc_id")
+
+
+def _doc_quality_repetition_sql() -> str:
+    from car_etl_spark.queries.textops import DOC_QUALITY_SQL, DOC_REPETITION_SQL
+
+    return f"""
+SELECT q.doc_id, q.lang, q.token_count, q.stopword_ratio, q.quality_score,
+       r.distinct_frac, r.top_token_frac, r.top_bigram_frac, r.repetitive
+FROM ({DOC_QUALITY_SQL}) q
+JOIN ({DOC_REPETITION_SQL}) r ON q.doc_id = r.doc_id
+ORDER BY q.doc_id
+"""
+
+
+def doc_keyword_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword result-page suite: posting-store serving, raw-text scan
+    twin, and the highlighted-snippet page (F17+F19) — tagged arms on
+    one (mode, doc_id, lang, score, snippet) grain."""
+    from car_etl_spark.queries.textops import (
+        doc_keyword_scan,
+        doc_keyword_search,
+        doc_search_highlight,
+    )
+
+    null_s = F.lit(None).cast("string")
+    parts = [
+        doc_keyword_search(spark, sf_dir).select(
+            F.lit("serving").alias("mode"), "doc_id", "lang", "score",
+            null_s.alias("snippet"),
+        ),
+        doc_keyword_scan(spark, sf_dir).select(
+            F.lit("scan").alias("mode"), "doc_id", "lang", "score",
+            null_s.alias("snippet"),
+        ),
+        doc_search_highlight(spark, sf_dir).select(
+            F.lit("highlight").alias("mode"), "doc_id", null_s.alias("lang"),
+            "score", "snippet",
+        ),
+    ]
+    return _tagged_union(parts).orderBy("mode", F.desc("score"), F.asc("doc_id"))
+
+
+def _doc_keyword_modes_sql() -> str:
+    from car_etl_spark.queries.textops import (
+        DOC_KEYWORD_SEARCH_SQL,
+        DOC_SEARCH_HIGHLIGHT_SQL,
+    )
+
+    return f"""
+SELECT * FROM (
+SELECT 'serving' AS mode, doc_id, lang, score, CAST(NULL AS VARCHAR) AS snippet
+FROM ({DOC_KEYWORD_SEARCH_SQL})
+UNION ALL
+SELECT 'scan' AS mode, doc_id, lang, score, CAST(NULL AS VARCHAR) AS snippet
+FROM ({DOC_KEYWORD_SEARCH_SQL})
+UNION ALL
+SELECT 'highlight' AS mode, doc_id, CAST(NULL AS VARCHAR) AS lang, score, snippet
+FROM ({DOC_SEARCH_HIGHLIGHT_SQL})
+) ORDER BY mode, score DESC, doc_id ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: classic RRF + full index-resident porter/IVF stack
+
+
+def hybrid_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/F23 suite: tf+brute-force RRF fusion and the index-resident
+    porter+IVF fusion, tagged on one (mode, doc_id, rrf_score, kw_rank,
+    vec_rank) grain."""
+    from car_etl_spark.queries.search import (
+        hybrid_porter_ivf_search,
+        hybrid_rrf_search,
+    )
+
+    parts = [
+        hybrid_rrf_search(spark, sf_dir).select(
+            F.lit("rrf").alias("mode"), "doc_id", "rrf_score", "kw_rank", "vec_rank"
+        ),
+        hybrid_porter_ivf_search(spark, sf_dir).select(
+            F.lit("porter_ivf").alias("mode"), "doc_id", "rrf_score",
+            "kw_rank", "vec_rank",
+        ),
+    ]
+    return _tagged_union(parts).orderBy("mode", F.desc("rrf_score"), F.asc("doc_id"))
+
+
+def _hybrid_modes_sql() -> str:
+    from car_etl_spark.queries.search import HYBRID_PORTER_IVF_SQL, HYBRID_RRF_SQL
+
+    return f"""
+SELECT * FROM (
+SELECT 'rrf' AS mode, doc_id, rrf_score, kw_rank, vec_rank FROM ({HYBRID_RRF_SQL})
+UNION ALL
+SELECT 'porter_ivf' AS mode, doc_id, rrf_score, kw_rank, vec_rank
+FROM ({HYBRID_PORTER_IVF_SQL})
+) ORDER BY mode, rrf_score DESC, doc_id ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: LSH candidate paths (rows-only) + exact blocked companions
+
+
+def lsh_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three seeded-hash candidate generators — MinHash+LSH,
+    SimHash subset blocking, hyperplane-LSH embeddings — tagged on one
+    (method, id_a, id_b, score) grain.  Rows-only by design (seeded
+    xxhash64 has no DuckDB twin); the exact companions suite is the
+    oracle-checked ground truth for the same similarity math."""
+    from car_etl_spark.queries.dedup import (
+        embedding_neardup_lsh,
+        minhash_lsh_neardup,
+        simhash_neardup,
+    )
+
+    parts = [
+        minhash_lsh_neardup(spark, sf_dir).select(
+            F.lit("minhash_jaccard").alias("method"), "id_a", "id_b",
+            F.round("jaccard", 6).alias("score"),
+        ),
+        simhash_neardup(spark, sf_dir).select(
+            F.lit("simhash_hamming").alias("method"), "id_a", "id_b",
+            F.col("hamming").cast("double").alias("score"),
+        ),
+        embedding_neardup_lsh(spark, sf_dir).select(
+            F.lit("embedding_cosine").alias("method"), "id_a", "id_b",
+            F.round("cosine_sim", 6).alias("score"),
+        ),
+    ]
+    return _tagged_union(parts).orderBy("method", "id_a", "id_b")
+
+
+def exact_neardup_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked exact ground truth for the LSH suite: blocked
+    token-set Jaccard and blocked embedding cosine, tagged on the same
+    (method, id_a, id_b, score) grain."""
+    from car_etl_spark.queries.dedup import (
+        embedding_neardup_exact_block,
+        token_jaccard_blocked,
+    )
+
+    parts = [
+        token_jaccard_blocked(spark, sf_dir).select(
+            F.lit("token_jaccard").alias("method"), "id_a", "id_b",
+            F.col("jaccard").alias("score"),
+        ),
+        embedding_neardup_exact_block(spark, sf_dir).select(
+            F.lit("embedding_cosine").alias("method"), "id_a", "id_b",
+            F.col("cosine_sim").alias("score"),
+        ),
+    ]
+    return _tagged_union(parts).orderBy("method", "id_a", "id_b")
+
+
+def _exact_companions_sql() -> str:
+    from car_etl_spark.queries.dedup import (
+        EMBEDDING_NEARDUP_EXACT_SQL,
+        TOKEN_JACCARD_SQL,
+    )
+
+    return f"""
+SELECT * FROM (
+SELECT 'token_jaccard' AS method, id_a, id_b, jaccard AS score
+FROM ({TOKEN_JACCARD_SQL})
+UNION ALL
+SELECT 'embedding_cosine' AS method, id_a, id_b, cosine_sim AS score
+FROM ({EMBEDDING_NEARDUP_EXACT_SQL})
+) ORDER BY method, id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed rollups (tumbling/sliding/daily cascade), profiles
+
+
+def events_window_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All time-window rollups in one tagged slot: tumbling-1h,
+    sliding-1h/30m (both from events_time_windows) and the
+    multi-resolution daily cascade (minute -> hour -> day re-
+    aggregation, the continuous-aggregate shape) as a third arm."""
+    from car_etl_spark.queries.eventsq import (
+        events_multires_rollup,
+        events_time_windows,
+    )
+
+    null_d = F.lit(None).cast("double")
+    tw = events_time_windows(spark, sf_dir).select(
+        "window_kind", "window_start", "event_type", "n", "total_value",
+        "active_users", null_d.alias("value_avg"), null_d.alias("value_max"),
+    )
+    mr = events_multires_rollup(spark, sf_dir).select(
+        F.lit("daily_cascade").alias("window_kind"),
+        F.col("day").alias("window_start"),
+        "event_type",
+        F.col("n_events").alias("n"),
+        F.col("value_sum").alias("total_value"),
+        F.lit(None).cast("long").alias("active_users"),
+        "value_avg",
+        "value_max",
+    )
+    return tw.unionByName(mr).orderBy("window_kind", "window_start", "event_type")
+
+
+def _events_window_rollups_sql() -> str:
+    from car_etl_spark.queries.eventsq import (
+        EVENTS_MULTIRES_SQL,
+        EVENTS_TIME_WINDOWS_SQL,
+    )
+
+    return f"""
+SELECT * FROM (
+SELECT window_kind, window_start, event_type, n, total_value, active_users,
+       CAST(NULL AS DOUBLE) AS value_avg, CAST(NULL AS DOUBLE) AS value_max
+FROM ({EVENTS_TIME_WINDOWS_SQL})
+UNION ALL
+SELECT 'daily_cascade' AS window_kind, day AS window_start, event_type,
+       n_events AS n, value_sum AS total_value, CAST(NULL AS BIGINT) AS active_users,
+       value_avg, value_max
+FROM ({EVENTS_MULTIRES_SQL})
+) ORDER BY window_kind, window_start, event_type
+"""
+
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group event profiles in one tagged slot: the JSON-prop bucket
+    rollup (F15) and the exact per-type value percentiles, harmonized
+    on (kind, group_key, n, avg_value, p50/p90/p99/max)."""
+    from car_etl_spark.queries.eventsq import (
+        events_json_props,
+        events_value_percentiles,
+    )
+
+    null_d = F.lit(None).cast("double")
+    jp = events_json_props(spark, sf_dir).select(
+        F.lit("json_k_bucket").alias("kind"),
+        F.col("k_bucket").cast("string").alias("group_key"),
+        "n",
+        "avg_value",
+        null_d.alias("p50_value"),
+        null_d.alias("p90_value"),
+        null_d.alias("p99_value"),
+        null_d.alias("max_value"),
+    )
+    pc = events_value_percentiles(spark, sf_dir).select(
+        F.lit("type_percentiles").alias("kind"),
+        F.col("event_type").alias("group_key"),
+        F.col("n_events").alias("n"),
+        null_d.alias("avg_value"),
+        "p50_value",
+        "p90_value",
+        "p99_value",
+        "max_value",
+    )
+    return jp.unionByName(pc).orderBy("kind", "group_key")
+
+
+def _events_profile_sql() -> str:
+    from car_etl_spark.queries.eventsq import (
+        EVENTS_JSON_PROPS_SQL,
+        EVENTS_PERCENTILES_SQL,
+    )
+
+    return f"""
+SELECT * FROM (
+SELECT 'json_k_bucket' AS kind, CAST(k_bucket AS VARCHAR) AS group_key, n,
+       avg_value, CAST(NULL AS DOUBLE) AS p50_value, CAST(NULL AS DOUBLE) AS p90_value,
+       CAST(NULL AS DOUBLE) AS p99_value, CAST(NULL AS DOUBLE) AS max_value
+FROM ({EVENTS_JSON_PROPS_SQL})
+UNION ALL
+SELECT 'type_percentiles' AS kind, event_type AS group_key, n_events AS n,
+       CAST(NULL AS DOUBLE) AS avg_value, p50_value, p90_value, p99_value, max_value
+FROM ({EVENTS_PERCENTILES_SQL})
+) ORDER BY kind, group_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# OM validation: field-grain report + document-level confidence
+
+
+def om_full_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26-F29 + A11 in one slot: the per-orderkey validation report
+    (consistency penalties, field confidence, pro-forma warnings,
+    calibration variances) with each row carrying its document's
+    weighted confidence + critical-field coverage (custkey-level,
+    denormalized through the order -> customer key — the reference
+    stores document confidence beside extraction fields the same
+    way)."""
+    from car_etl_spark.queries.confidenceq import om_validation_report
+    from car_etl_spark.queries.misc import om_document_confidence
+    from car_etl_spark.tables import load_tables
+
+    report = om_validation_report(spark, sf_dir)
+    doc = om_document_confidence(spark, sf_dir).select(
+        "c_custkey",
+        F.col("base_confidence").alias("doc_base_confidence"),
+        F.col("critical_found").alias("doc_critical_found"),
+        "document_confidence",
+    )
+    keys = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        F.col("o_orderkey").alias("orderkey"), "o_custkey"
+    )
+    return (
+        report.join(keys, "orderkey")
+        .join(doc, F.col("o_custkey") == F.col("c_custkey"))
+        .drop("o_custkey", "c_custkey")
+        .orderBy("orderkey")
+    )
+
+
+def _om_full_sql() -> str:
+    from car_etl_spark.queries.confidenceq import OM_VALIDATION_REPORT_SQL
+    from car_etl_spark.queries.misc import OM_DOCUMENT_CONFIDENCE_SQL
+
+    return f"""
+SELECT r.*, d.base_confidence AS doc_base_confidence,
+       d.critical_found AS doc_critical_found, d.document_confidence
+FROM ({OM_VALIDATION_REPORT_SQL}) r
+JOIN orders o ON r.orderkey = o.o_orderkey
+JOIN ({OM_DOCUMENT_CONFIDENCE_SQL}) d ON o.o_custkey = d.c_custkey
+ORDER BY r.orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction pipeline: versions + field overrides (joined stages)
+
+
+def extraction_pipeline_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/W3 + X10 as the composed pipeline the reference actually runs:
+    versioned extractions (deterministic per-batch version, is_current)
+    joined to their field-level override merge — field rows carry their
+    extraction's version lineage."""
+    from car_etl_spark.queries.eav import field_override_merge, versioned_extractions
+
+    fields = field_override_merge(spark, sf_dir)
+    versions = versioned_extractions(spark, sf_dir)
+    return (
+        fields.join(versions, "extraction_id")
+        .select(
+            "document_id", "extraction_id", "version", "is_current",
+            "field_name", "field_value", "confidence", "is_override",
+            "overridden_by",
+        )
+        .orderBy("extraction_id", "field_name")
+    )
+
+
+def _extraction_pipeline_sql() -> str:
+    from car_etl_spark.queries.eav import FIELD_OVERRIDE_SQL, VERSIONED_EXTRACTIONS_SQL
+
+    return f"""
+SELECT v.document_id, f.extraction_id, v.version, v.is_current,
+       f.field_name, f.field_value, f.confidence, f.is_override, f.overridden_by
+FROM ({FIELD_OVERRIDE_SQL}) f
+JOIN ({VERSIONED_EXTRACTIONS_SQL}) v ON f.extraction_id = v.extraction_id
+ORDER BY f.extraction_id, f.field_name
+"""
+
+
+def build_suite_queries() -> dict[str, QuerySpec]:
+    return {
+        "vector_topk_modes": QuerySpec(
+            vector_topk_modes, _vector_modes_sql(), ("vector", "topk", "suite")
+        ),
+        "vector_label_report": QuerySpec(
+            vector_label_report, _vector_label_report_sql(), ("vector",)
+        ),
+        "doc_quality_repetition": QuerySpec(
+            doc_quality_repetition, _doc_quality_repetition_sql(), ("text", "quality")
+        ),
+        "doc_keyword_modes": QuerySpec(
+            doc_keyword_modes, _doc_keyword_modes_sql(), ("search", "suite")
+        ),
+        "hybrid_search_modes": QuerySpec(
+            hybrid_search_modes, _hybrid_modes_sql(), ("search", "rrf", "suite")
+        ),
+        "lsh_neardup_suite": QuerySpec(lsh_neardup_suite, None, ("dedup", "lsh")),
+        "exact_neardup_companions": QuerySpec(
+            exact_neardup_companions, _exact_companions_sql(), ("dedup",)
+        ),
+        "events_window_rollups": QuerySpec(
+            events_window_rollups, _events_window_rollups_sql(), ("events", "window")
+        ),
+        "events_profile": QuerySpec(
+            events_profile, _events_profile_sql(), ("events", "quantiles", "json")
+        ),
+        "om_full_validation_report": QuerySpec(
+            om_full_validation_report, _om_full_sql(), ("confidence",)
+        ),
+        "extraction_pipeline_versions": QuerySpec(
+            extraction_pipeline_versions, _extraction_pipeline_sql(),
+            ("versioning", "merge"),
+        ),
+        "fts_search_suite": QuerySpec(
+            fts_search_suite, _fts_suite_sql(), ("search", "fts", "suite")
+        ),
+    }

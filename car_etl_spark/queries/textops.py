@@ -515,14 +515,11 @@ ORDER BY b.doc_id
 """
 
 
+# quality+repetition -> suites.doc_quality_repetition; keyword
+# serving/scan/highlight -> suites.doc_keyword_modes (r5 consolidation)
 QUERIES: dict[str, QuerySpec] = {
-    "doc_repetition_profile": QuerySpec(doc_repetition_profile, DOC_REPETITION_SQL, ("text", "quality")),
     "doc_corpus_profile": QuerySpec(doc_corpus_profile, DOC_CORPUS_PROFILE_SQL, ("text",)),
-    "doc_quality_scores": QuerySpec(doc_quality_scores, DOC_QUALITY_SQL, ("text",)),
     "doc_exact_dedup_stats": QuerySpec(doc_exact_dedup_stats, DOC_EXACT_DEDUP_STATS_SQL, ("dedup",)),
-    "doc_keyword_search": QuerySpec(doc_keyword_search, DOC_KEYWORD_SEARCH_SQL, ("search",)),
-    "doc_keyword_scan": QuerySpec(doc_keyword_scan, DOC_KEYWORD_SEARCH_SQL, ("search",)),
-    "doc_search_highlight": QuerySpec(doc_search_highlight, DOC_SEARCH_HIGHLIGHT_SQL, ("search", "highlight")),
 }
 
 

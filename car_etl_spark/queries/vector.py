@@ -245,11 +245,9 @@ GROUP BY label ORDER BY label
 """
 
 
-QUERIES: dict[str, QuerySpec] = {
-    "vector_topk": QuerySpec(vector_topk, VECTOR_TOPK_SQL, ("vector", "topk")),
-    "vector_knn_label_vote": QuerySpec(vector_knn_label_vote, VECTOR_KNN_LABEL_VOTE_SQL, ("vector",)),
-    "vector_label_profile": QuerySpec(vector_label_profile, VECTOR_LABEL_PROFILE_SQL, ("vector",)),
-}
+# topk exact/ivf/adaptive -> suites.vector_topk_modes; label profile +
+# knn vote -> suites.vector_label_report (r5 consolidation)
+QUERIES: dict[str, QuerySpec] = {}
 
 
 def vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,9 +330,7 @@ def vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared(spark, "vector_ivf_topk", sf_dir, ("embeddings.parquet",), build)
 
 
-QUERIES["vector_ivf_topk"] = QuerySpec(
-    vector_ivf_topk, VECTOR_TOPK_SQL, ("vector", "topk", "ann", "serving")
-)
+
 
 
 #: corpora below this row count brute-force scan faster than the IVF
@@ -371,6 +367,4 @@ def vector_topk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_ivf_topk(spark, sf_dir)
 
 
-QUERIES["vector_topk_adaptive"] = QuerySpec(
-    vector_topk_adaptive, VECTOR_TOPK_SQL, ("vector", "topk", "adaptive")
-)
+

@@ -41,22 +41,28 @@ def _rows(df):
 
 @pytest.mark.parametrize("sf", [SF_SMALL, SF_ORACLE])
 def test_fts_serving_equals_scan(spark, registry, sf):
-    serve = registry["fts_posting_search"].fn(spark, sf)
-    scan = registry["fts_posting_scan"].fn(spark, sf)
+    from car_etl_spark.queries.fts import fts_posting_scan, fts_posting_search
+
+    serve = fts_posting_search(spark, sf)
+    scan = fts_posting_scan(spark, sf)
     assert _rows(serve) == _rows(scan)
 
 
 @pytest.mark.parametrize("sf", [SF_SMALL, SF_ORACLE])
 def test_keyword_serving_equals_scan(spark, registry, sf):
-    serve = registry["doc_keyword_search"].fn(spark, sf)
-    scan = registry["doc_keyword_scan"].fn(spark, sf)
+    from car_etl_spark.queries.textops import doc_keyword_scan, doc_keyword_search
+
+    serve = doc_keyword_search(spark, sf)
+    scan = doc_keyword_scan(spark, sf)
     assert _rows(serve) == _rows(scan)
 
 
 @pytest.mark.parametrize("sf", [SF_SMALL, SF_ORACLE])
 def test_ivf_serving_equals_bruteforce(spark, registry, sf):
-    serve = registry["vector_ivf_topk"].fn(spark, sf)
-    brute = registry["vector_topk"].fn(spark, sf)
+    from car_etl_spark.queries.vector import vector_ivf_topk, vector_topk
+
+    serve = vector_ivf_topk(spark, sf)
+    brute = vector_topk(spark, sf)
     # ORDERED equality: the serving path must reproduce the exact ranking
     assert [tuple(r) for r in serve.collect()] == [tuple(r) for r in brute.collect()]
 
