@@ -170,6 +170,7 @@ def build_posting_rows(
     docs: DataFrame,
     analyzer: str = "suffix",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    tenant_col: str | None = None,
 ) -> DataFrame:
     """Tokenize the corpus ONCE into posting rows
     ``(doc_id, lang, raw_term, term, weight, tf, term_bucket)``.
@@ -193,11 +194,13 @@ def build_posting_rows(
     (``044_keyword_search.sql:22-34``).  Both are pure Column
     expressions; Porter stages one column per algorithm step.
     """
+    extra = [tenant_col] if tenant_col else []
     cleaned = F.regexp_replace(F.lower(F.col("text")), r"^\s+", "")
     posted = (
         docs.select(
             "doc_id",
             "lang",
+            *extra,
             F.posexplode(F.split(cleaned, r"\s+")).alias("pos", "raw_term"),
         )
         .filter(F.col("raw_term") != "")
@@ -208,7 +211,7 @@ def build_posting_rows(
             ),
         )
     )
-    rolled = posted.groupBy("doc_id", "lang", "raw_term", "weight").agg(
+    rolled = posted.groupBy("doc_id", "lang", *extra, "raw_term", "weight").agg(
         F.count(F.lit(1)).alias("tf")
     )
     if analyzer == "porter":
@@ -250,6 +253,7 @@ class PostingStore:
         analyzer: str = "suffix",
         num_buckets: int | None = None,
         row_group_bytes: int | None = None,
+        tenant_col: str | None = None,
     ):
         self.path = path
         self.analyzer = analyzer
@@ -261,16 +265,24 @@ class PostingStore:
         #: parquet default (~128 MB).  Small values exist so tests can
         #: exercise row-group pruning on tiny corpora.
         self.row_group_bytes = row_group_bytes
+        meta = self._meta()
         if num_buckets is None:
-            num_buckets = self._meta_num_buckets()
+            num_buckets = int(meta.get("num_buckets", DEFAULT_NUM_BUCKETS))
         self.num_buckets = num_buckets
+        #: multi-tenant layout: when set, the store partitions by
+        #: (tenant, term_bucket) and tenant-scoped reads prune to the
+        #: tenant's directories FIRST — the storage analog of the
+        #: reference's RLS-scoped search (042_match_function.sql:23-39)
+        if tenant_col is None:
+            tenant_col = meta.get("tenant_col")
+        self.tenant_col = tenant_col
 
-    def _meta_num_buckets(self) -> int:
+    def _meta(self) -> dict:
         try:
             with open(self.meta_path) as f:
-                return int(json.load(f)["num_buckets"])
-        except (OSError, KeyError, ValueError):
-            return DEFAULT_NUM_BUCKETS
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
 
     def bucket_of(self, term: str) -> int:
         """Query-side pruning bucket for a (stemmed) term — bound to
@@ -290,22 +302,23 @@ class PostingStore:
         sort — destroying any secondary order — so satisfying the
         required ordering up front is what actually preserves the term
         sort inside each written file."""
+        pcols = ([self.tenant_col] if self.tenant_col else []) + ["term_bucket"]
         w = (
-            rows.repartition("term_bucket")
-            .sortWithinPartitions("term_bucket", "term", "doc_id")
+            rows.repartition(*pcols)
+            .sortWithinPartitions(*pcols, "term", "doc_id")
             .write.mode(mode)
         )
         if self.row_group_bytes is not None:
             w = w.option("parquet.block.size", str(self.row_group_bytes))
-        w.partitionBy("term_bucket").parquet(target)
+        w.partitionBy(*pcols).parquet(target)
 
     # -- build -----------------------------------------------------------
 
     def build(self, docs: DataFrame) -> None:
         """Full (re)build of the base layout from the corpus."""
-        rows = build_posting_rows(docs, self.analyzer, self.num_buckets).withColumn(
-            "batch", F.lit(0).cast("long")
-        )
+        rows = build_posting_rows(
+            docs, self.analyzer, self.num_buckets, self.tenant_col
+        ).withColumn("batch", F.lit(0).cast("long"))
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         self._write_store(rows, tmp, "overwrite")
@@ -320,10 +333,49 @@ class PostingStore:
                     "version": POSTING_VERSION,
                     "num_buckets": self.num_buckets,
                     "analyzer": self.analyzer,
+                    "tenant_col": self.tenant_col,
                 },
                 f,
             )
         os.replace(tmp_meta, self.meta_path)
+
+    def _tenant_stats(self, assigned: DataFrame, cents, vec_col: str) -> dict:
+        """Per-(tenant, centroid) (max angular radius, member count) —
+        the tenant-scoped certificate statistics.  One extra pass at
+        build/compact time; the grain is (tenants x centroids), still
+        control-plane small."""
+        cent_df = assigned.sparkSession.createDataFrame(
+            [(cid, vec) for cid, vec in cents],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        from car_etl_spark.operators.similarity import (
+            EXPR_PROJECTION_MAX_DIM,
+            _cosine_pairs_pandas,
+        )
+
+        dim0 = len(cents[0][1]) if cents else 0
+        if dim0 <= EXPR_PROJECTION_MAX_DIM:
+            sim = V.cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
+        else:
+            sim = _cosine_pairs_pandas(F.col(vec_col), F.col("centroid_vec"))
+        stats = (
+            assigned.join(F.broadcast(cent_df), "centroid_id")
+            .groupBy(self.tenant_col, "centroid_id")
+            .agg(
+                F.max(F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), sim))))
+                .alias("radius"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        out: dict = {}
+        for r in stats:
+            t = str(r[0])
+            entry = out.setdefault(t, {"radii": {}, "counts": {}})
+            entry["counts"][str(int(r.centroid_id))] = int(r.n)
+            if r.radius is not None:
+                entry["radii"][str(int(r.centroid_id))] = float(r.radius)
+        return out
 
     # -- incremental maintenance ----------------------------------------
 
@@ -355,7 +407,7 @@ class PostingStore:
         tomb_parts = []
         if upserts is not None:
             rows = build_posting_rows(
-                upserts, self.analyzer, self.num_buckets
+                upserts, self.analyzer, self.num_buckets, self.tenant_col
             ).withColumn("batch", F.lit(batch).cast("long"))
             # delta files are batch-sized, so sorting them is cheap and
             # keeps row-group pruning effective on the merged read path
@@ -395,18 +447,31 @@ class PostingStore:
                 return True
         return False
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        tenant=None,
+    ) -> DataFrame:
         """The current live posting view, optionally pruned to term
-        buckets (``PartitionFilters`` engage on the isin predicate).
-        With no deltas/tombstones (the freshly-built serving case) this
-        is a bare pruned base scan — zero merge overhead."""
-        df = spark.read.parquet(self.base_dir)
-        if buckets is not None:
-            df = df.filter(F.col("term_bucket").isin([int(b) for b in buckets]))
-        if self._has_parquet(self.delta_dir):
-            delta = spark.read.parquet(self.delta_dir)
+        buckets and/or one tenant (``PartitionFilters`` engage on both
+        predicates — a tenant-scoped query touches ONLY that tenant's
+        directories, the RLS-scan analog).  With no deltas/tombstones
+        (the freshly-built serving case) this is a bare pruned base
+        scan — zero merge overhead."""
+        if tenant is not None and not self.tenant_col:
+            raise ValueError("store was not built with a tenant_col")
+
+        def scope(df):
             if buckets is not None:
-                delta = delta.filter(F.col("term_bucket").isin([int(b) for b in buckets]))
+                df = df.filter(F.col("term_bucket").isin([int(b) for b in buckets]))
+            if tenant is not None:
+                df = df.filter(F.col(self.tenant_col) == tenant)
+            return df
+
+        df = scope(spark.read.parquet(self.base_dir))
+        if self._has_parquet(self.delta_dir):
+            delta = scope(spark.read.parquet(self.delta_dir))
             # exact-duplicate drop: a replayed half-applied batch appends
             # identical rows; (doc, raw_term, weight, batch) is unique
             # within a correctly-applied batch, so this only removes
@@ -426,6 +491,34 @@ class PostingStore:
                 .drop("__tb")
             )
         return df
+
+    def term_search(
+        self,
+        spark: SparkSession,
+        stemmed_terms: list[str],
+        tenant=None,
+        limit: int = 20,
+    ) -> DataFrame:
+        """The serving-query form over this store: bucket-pruned (and,
+        when ``tenant`` is given, tenant-partition-pruned) weighted-tf
+        relevance — the tenant-scoped variant of ``fts_posting_search``
+        mirroring the reference's RLS-scoped keyword search
+        (``042_match_function.sql:23-39``): a tenant's query can only
+        ever scan that tenant's partition directories."""
+        terms = sorted(set(stemmed_terms))
+        buckets = sorted({self.bucket_of(t) for t in terms})
+        idx = self.read(spark, buckets=buckets, tenant=tenant).filter(
+            F.col("term").isin(terms)
+        )
+        return (
+            idx.groupBy("doc_id")
+            .agg(
+                F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
+                F.countDistinct("term").alias("terms_matched"),
+            )
+            .orderBy(F.desc("rank_score"), F.asc("doc_id"))
+            .limit(limit)
+        )
 
     def compact(self, spark: SparkSession) -> None:
         """Fold deltas/tombstones into a fresh base (batch reset to 0,
@@ -550,12 +643,25 @@ class IvfStore:
       ``compact()`` folds everything down and resets D.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, tenant_col: str | None = None):
         self.path = path
         self.assign_dir = os.path.join(path, "assignments")
         self.delta_dir = os.path.join(path, "delta")
         self.tomb_dir = os.path.join(path, "tombstones")
         self.meta_path = os.path.join(path, "meta.json")
+        #: multi-tenant layout: ONE shared frozen quantizer (centroids
+        #: are corpus geometry, not tenant data), assignments partitioned
+        #: by (tenant, centroid_id), and per-tenant (radius, count)
+        #: statistics in meta so the exact-probe certificate holds
+        #: WITHIN a tenant's rows — the RLS-visibility analog of the
+        #: reference's per-tenant vector search
+        #: (042_match_function.sql:23-39)
+        if tenant_col is None and os.path.exists(self.meta_path):
+            try:
+                tenant_col = self.meta().get("tenant_col")
+            except (OSError, ValueError):
+                tenant_col = None
+        self.tenant_col = tenant_col
 
     def build(
         self,
@@ -606,15 +712,18 @@ class IvfStore:
             else seeds
         )
         rows = centroids.select("centroid_id", "centroid_vec").collect()
+        if self.tenant_col and self.tenant_col not in keep:
+            keep = tuple(keep) + (self.tenant_col,)
         assigned = ivf_assign(
             emb, centroids, id_col, vec_col, centroid_rows=rows, keep=keep
         ).withColumn("batch", F.lit(0).cast("long"))
+        pcols = ([self.tenant_col] if self.tenant_col else []) + ["centroid_id"]
         tmp = self.assign_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            assigned.repartition("centroid_id")
+            assigned.repartition(*pcols)
             .write.mode("overwrite")
-            .partitionBy("centroid_id")
+            .partitionBy(*pcols)
             .parquet(tmp)
         )
         shutil.rmtree(self.assign_dir, ignore_errors=True)
@@ -648,7 +757,12 @@ class IvfStore:
             ],
             "counts": [stats[c[0]][1] if c[0] in stats else 0 for c in cents],
             "batches": {},
+            "tenant_col": self.tenant_col,
         }
+        if self.tenant_col:
+            meta["tenants"] = self._tenant_stats(
+                assigned.sparkSession.read.parquet(self.assign_dir), cents, vec_col
+            )
         self._write_meta(meta)
 
     def _write_meta(self, meta: dict) -> None:
@@ -693,6 +807,44 @@ class IvfStore:
             for r in stats
         }
 
+    def _tenant_stats(self, assigned: DataFrame, cents, vec_col: str) -> dict:
+        """Per-(tenant, centroid) (max angular radius, member count) —
+        the tenant-scoped certificate statistics.  One extra pass at
+        build/compact time; the grain is (tenants x centroids), still
+        control-plane small."""
+        cent_df = assigned.sparkSession.createDataFrame(
+            [(cid, vec) for cid, vec in cents],
+            "centroid_id long, centroid_vec array<double>",
+        )
+        from car_etl_spark.operators.similarity import (
+            EXPR_PROJECTION_MAX_DIM,
+            _cosine_pairs_pandas,
+        )
+
+        dim0 = len(cents[0][1]) if cents else 0
+        if dim0 <= EXPR_PROJECTION_MAX_DIM:
+            sim = V.cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
+        else:
+            sim = _cosine_pairs_pandas(F.col(vec_col), F.col("centroid_vec"))
+        stats = (
+            assigned.join(F.broadcast(cent_df), "centroid_id")
+            .groupBy(self.tenant_col, "centroid_id")
+            .agg(
+                F.max(F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), sim))))
+                .alias("radius"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        out: dict = {}
+        for r in stats:
+            t = str(r[0])
+            entry = out.setdefault(t, {"radii": {}, "counts": {}})
+            entry["counts"][str(int(r.centroid_id))] = int(r.n)
+            if r.radius is not None:
+                entry["radii"][str(int(r.centroid_id))] = float(r.radius)
+        return out
+
     # -- incremental maintenance ----------------------------------------
 
     def _sentinel(self, batch: int) -> str:
@@ -723,6 +875,8 @@ class IvfStore:
             return False
         m = self.meta()
         cents = sorted(zip(m["centroid_ids"], m["centroids"]))
+        if self.tenant_col and self.tenant_col not in keep:
+            keep = tuple(keep) + (self.tenant_col,)
         tomb_ids: set = set()
         batch_entry: dict = {"counts": {}, "radii": {}, "tombs": 0}
         if upserts is not None:
@@ -785,10 +939,11 @@ class IvfStore:
             ).withColumn("batch", F.lit(batch).cast("long"))
             tomb.coalesce(1).write.mode("append").parquet(self.tomb_dir)
         if upserts is not None:
+            pcols = ([self.tenant_col] if self.tenant_col else []) + ["centroid_id"]
             (
-                assigned.repartition("centroid_id")
+                assigned.repartition(*pcols)
                 .write.mode("append")
-                .partitionBy("centroid_id")
+                .partitionBy(*pcols)
                 .parquet(self.delta_dir)
             )
         m["batches"][str(batch)] = batch_entry
@@ -810,18 +965,27 @@ class IvfStore:
         spark: SparkSession,
         probes: list[int] | None = None,
         id_col: str = "vec_id",
+        tenant=None,
     ) -> DataFrame:
         """The live assignment view: base + deduped delta, minus rows
         older than their id's newest tombstone (liveness rule shared
         with :class:`PostingStore`: an upsert's own rows carry the same
-        batch as their tombstone and survive `__tb <= batch`)."""
-        df = spark.read.parquet(self.assign_dir)
-        if probes is not None:
-            df = df.filter(F.col("centroid_id").isin([int(p) for p in probes]))
-        if self._has_parquet(self.delta_dir):
-            delta = spark.read.parquet(self.delta_dir)
+        batch as their tombstone and survive `__tb <= batch`).  With
+        ``tenant``, both partition levels prune — the scan touches only
+        (tenant, probed-centroid) directories."""
+        if tenant is not None and not self.tenant_col:
+            raise ValueError("store was not built with a tenant_col")
+
+        def scope(df):
             if probes is not None:
-                delta = delta.filter(F.col("centroid_id").isin([int(p) for p in probes]))
+                df = df.filter(F.col("centroid_id").isin([int(p) for p in probes]))
+            if tenant is not None:
+                df = df.filter(F.col(self.tenant_col) == tenant)
+            return df
+
+        df = scope(spark.read.parquet(self.assign_dir))
+        if self._has_parquet(self.delta_dir):
+            delta = scope(spark.read.parquet(self.delta_dir))
             df = df.unionByName(delta.dropDuplicates([id_col, "batch"]))
         if self._has_parquet(self.tomb_dir):
             tomb = (
@@ -846,12 +1010,13 @@ class IvfStore:
         live = live.localCheckpoint(eager=True)
         m = self.meta()
         cents = sorted(zip(m["centroid_ids"], m["centroids"]))
+        pcols = ([self.tenant_col] if self.tenant_col else []) + ["centroid_id"]
         tmp = self.assign_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            live.repartition("centroid_id")
+            live.repartition(*pcols)
             .write.mode("overwrite")
-            .partitionBy("centroid_id")
+            .partitionBy(*pcols)
             .parquet(tmp)
         )
         old = self.assign_dir + ".old"
@@ -873,6 +1038,10 @@ class IvfStore:
         ]
         m["counts"] = [stats[c[0]][1] if c[0] in stats else 0 for c in cents]
         m["batches"] = {}
+        if self.tenant_col:
+            m["tenants"] = self._tenant_stats(
+                spark.read.parquet(self.assign_dir), cents, vec_col
+            )
         self._write_meta(m)
 
     def meta(self) -> dict:
@@ -903,7 +1072,7 @@ class IvfStore:
         order = np.lexsort((ids, -sims))  # sim desc, id asc
         return [int(i) for i in ids[order][:nprobe]]
 
-    def probe_ids_exact(self, qvec: list[float], k: int) -> list[int]:
+    def probe_ids_exact(self, qvec: list[float], k: int, tenant=None) -> list[int]:
         """EXACT probe set via the cluster-radius triangle bound —
         still zero Spark jobs, still driver-side numpy.
 
@@ -923,20 +1092,41 @@ class IvfStore:
         import numpy as np
 
         m, ids, _sims, thetas = self._centroid_angles(qvec)
-        radii = np.asarray(m["radii"], dtype="float64")
-        counts = np.asarray(m["counts"], dtype="float64")
+        if tenant is not None:
+            # tenant-scoped certificate: that tenant's per-cluster
+            # (radius, count) from meta.  A cluster with no tenant rows
+            # contributes count 0 / radius 0 — probing it would scan
+            # nothing, pruning it loses nothing.  Maintenance batches
+            # still fold below: radii only widen (global max applies to
+            # every tenant's cone — monotone weakening), batch counts
+            # are NOT added (stale-low counts extend the walk, which
+            # only widens probes), and the global tombstone debt D is
+            # an upper bound on this tenant's dead rows too.
+            entry = (m.get("tenants") or {}).get(str(tenant), {})
+            radii = np.asarray(
+                [float(entry.get("radii", {}).get(str(int(c)), 0.0)) for c in ids],
+                dtype="float64",
+            )
+            counts = np.asarray(
+                [float(entry.get("counts", {}).get(str(int(c)), 0)) for c in ids],
+                dtype="float64",
+            )
+        else:
+            radii = np.asarray(m["radii"], dtype="float64")
+            counts = np.asarray(m["counts"], dtype="float64")
         # fold in maintenance batches: radii widen (max), counts add,
         # and D pending tombstones make the k-th bound pessimistic —
         # the walk must certify k live members even if every tombstoned
         # row hid among the clusters walked so far
         pending_tombs = 0
         pos = {int(cid): i for i, cid in enumerate(ids)}
-        for entry in (m.get("batches") or {}).values():
-            pending_tombs += int(entry.get("tombs", 0))
-            for cid, n in (entry.get("counts") or {}).items():
-                if int(cid) in pos:
-                    counts[pos[int(cid)]] += int(n)
-            for cid, r in (entry.get("radii") or {}).items():
+        for bentry in (m.get("batches") or {}).values():
+            pending_tombs += int(bentry.get("tombs", 0))
+            if tenant is None:
+                for cid, n in (bentry.get("counts") or {}).items():
+                    if int(cid) in pos:
+                        counts[pos[int(cid)]] += int(n)
+            for cid, r in (bentry.get("radii") or {}).items():
                 if int(cid) in pos:
                     i = pos[int(cid)]
                     radii[i] = max(radii[i], float(r))
@@ -959,6 +1149,7 @@ class IvfStore:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         extra_cols: tuple[str, ...] = ("label",),
+        tenant=None,
     ) -> DataFrame:
         """Exact-rescored top-k over the probed partitions: ONE Spark
         job, scanning only the probed fraction of the corpus
@@ -967,7 +1158,7 @@ class IvfStore:
         radii (:meth:`probe_ids_exact`); an integer nprobe is the
         fixed-budget approximate mode (recall < 1 possible)."""
         probes = (
-            self.probe_ids_exact(qvec, k)
+            self.probe_ids_exact(qvec, k, tenant=tenant)
             if nprobe is None
             else self.probe_ids(qvec, nprobe)
         )
@@ -985,7 +1176,7 @@ class IvfStore:
         else:
             sim = F.round(_cosine_pairs_pandas(F.col(vec_col), qlit), 6)
         return (
-            self.read_assignments(spark, probes=probes, id_col=id_col)
+            self.read_assignments(spark, probes=probes, id_col=id_col, tenant=tenant)
             .select(id_col, *extra_cols, sim.alias("cosine_sim"))
             .orderBy(F.desc("cosine_sim"), F.asc(id_col))
             .limit(k)

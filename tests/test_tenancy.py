@@ -1,0 +1,167 @@
+"""Tenant-partitioned index stores: the RLS-scoped search analog.
+
+The reference's search functions are row-level-security-scoped per
+tenant (``042_match_function.sql:23-39``); the Spark-native equivalent
+is a tenant partition LEVEL in the persisted layouts — a tenant-scoped
+query can only ever touch that tenant's partition directories, which
+these tests pin both by value (no cross-tenant rows, ever) and by plan
+(PartitionFilters on the tenant column).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions.text import stem_py
+from car_etl_spark.operators import indexing as IX
+
+
+def _two_tenant_docs(spark):
+    rows = []
+    for i in range(40):
+        t = "acme" if i % 2 == 0 else "globex"
+        secret = "acmesecret" if t == "acme" else "globexsecret"
+        rows.append((i, "en", t, f"shared spark windows term {secret} doc{i}"))
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, tenant_id string, text string"
+    )
+
+
+@pytest.fixture()
+def tenant_store(spark, tmp_path):
+    store = IX.PostingStore(str(tmp_path / "tp"), tenant_col="tenant_id")
+    store.build(_two_tenant_docs(spark))
+    return store
+
+
+def test_posting_tenant_isolation(spark, tenant_store):
+    """'shared' appears in EVERY doc of both tenants; a tenant-scoped
+    search must return only that tenant's docs."""
+    acme = tenant_store.term_search(spark, [stem_py("shared")], tenant="acme", limit=100)
+    ids = {r.doc_id for r in acme.collect()}
+    assert ids == {i for i in range(40) if i % 2 == 0}
+    # a tenant-private term never leaks into the other tenant's results
+    leak = tenant_store.term_search(spark, [stem_py("globexsecret")], tenant="acme", limit=100)
+    assert leak.count() == 0
+
+
+def test_posting_tenant_partition_pruning(spark, tenant_store):
+    """The tenant predicate must reach PartitionFilters (directory-level
+    pruning), not linger as a post-scan filter."""
+    df = tenant_store.term_search(spark, [stem_py("shared")], tenant="acme")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tenant_id" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert "term_bucket" in plan  # both levels prune together
+
+
+def test_posting_tenant_maintenance_isolated(spark, tenant_store):
+    """An upsert for one tenant changes only that tenant's view."""
+    before_g = {(r.doc_id, r.rank_score) for r in
+                tenant_store.term_search(spark, [stem_py("shared")], tenant="globex", limit=100).collect()}
+    up = spark.createDataFrame(
+        [(0, "en", "acme", "shared shared shared rewritten")],
+        "doc_id long, lang string, tenant_id string, text string",
+    )
+    assert tenant_store.apply_batch(spark, up, None, batch=1)
+    after_g = {(r.doc_id, r.rank_score) for r in
+               tenant_store.term_search(spark, [stem_py("shared")], tenant="globex", limit=100).collect()}
+    assert after_g == before_g
+    acme = {r.doc_id: r.rank_score for r in
+            tenant_store.term_search(spark, [stem_py("shared")], tenant="acme", limit=100).collect()}
+    assert acme[0] == pytest.approx(3 * IX.HEADER_WEIGHT)  # all 3 in the header window
+
+
+def _two_tenant_emb(spark, n_per=30, clusters=3, dim=6):
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for c in range(clusters):
+        center = [0.0] * dim
+        center[2 * c] = 1.0
+        for i in range(n_per):
+            vec = [x + rng.gauss(0.0, 0.02) for x in center]
+            nrm = math.sqrt(sum(v * v for v in vec))
+            vid = c * n_per + i
+            rows.append(
+                (vid, c, "acme" if vid % 2 == 0 else "globex", [v / nrm for v in vec])
+            )
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, tenant_id string, embedding array<double>"
+    )
+
+
+def test_ivf_tenant_scoped_exact(spark, tmp_path):
+    """Tenant-scoped IVF probing: certified exact WITHIN the tenant
+    (equals tenant-filtered brute force), never returns cross-tenant
+    rows, and prunes both partition levels."""
+    from car_etl_spark.functions import vectors as V
+
+    emb = _two_tenant_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "tivf"), tenant_col="tenant_id")
+    store.build(emb, num_centroids=3, refine_iterations=1)
+    qvec = list(emb.filter(F.col("vec_id") == 4).select("embedding").first()[0])
+
+    got_df = store.probe_topk(spark, qvec, k=8, tenant="acme", extra_cols=("label", "tenant_id"))
+    got = [tuple(r) for r in got_df.collect()]
+    assert all(r[2] == "acme" for r in got)
+    brute = [
+        tuple(r)
+        for r in emb.filter(F.col("tenant_id") == "acme")
+        .select(
+            "vec_id", "label", "tenant_id",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), V.literal_vector(qvec)), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(8)
+        .collect()
+    ]
+    assert got == brute
+    # the tenant certificate still prunes on this clustered corpus
+    probes = store.probe_ids_exact(qvec, 8, tenant="acme")
+    assert len(probes) < store.meta()["num_centroids"]
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0] if "PartitionFilters" in plan else ""
+    assert "tenant_id" in pf and "centroid_id" in pf
+
+
+def test_ivf_tenant_exact_under_maintenance(spark, tmp_path):
+    """Tenant-scoped probing stays exact with pending deltas and
+    tombstones: stale-low tenant counts + globally-widened radii +
+    global tombstone debt are all pessimistic."""
+    from car_etl_spark.functions import vectors as V
+
+    emb = _two_tenant_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "tivf2"), tenant_col="tenant_id")
+    store.build(emb, num_centroids=3, refine_iterations=1)
+    # batch: new acme vector near cluster 1's center + delete one acme id
+    up = spark.createDataFrame(
+        [(1000, 1, "acme", [0.05, 0.0, 0.99, 0.05, 0.0, 0.0])],
+        "vec_id long, label int, tenant_id string, embedding array<double>",
+    )
+    assert store.apply_batch(spark, up, [2], batch=1)
+    qvec = [0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+    got = [tuple(r) for r in store.probe_topk(
+        spark, qvec, k=6, tenant="acme", extra_cols=("tenant_id",)
+    ).collect()]
+    assert all(r[1] == "acme" for r in got)
+    live = emb.filter((F.col("tenant_id") == "acme") & (F.col("vec_id") != 2)).select(
+        "vec_id", "tenant_id", "embedding"
+    ).unionByName(up.select("vec_id", "tenant_id", "embedding"))
+    brute = [
+        tuple(r)
+        for r in live.select(
+            "vec_id", "tenant_id",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), V.literal_vector(qvec)), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(6)
+        .collect()
+    ]
+    assert got == brute
