@@ -234,6 +234,28 @@ def build_posting_rows(
     )
 
 
+
+def _tree_bytes(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    return total
+
+
+#: compact when the delta layer exceeds this fraction of the base —
+#: below it, the merged read's extra union/anti-join cost is noise;
+#: above it, read amplification grows linearly with delta volume while
+#: a compaction is a one-time O(live) rewrite.  The LSM analog of a
+#: size-tiered merge policy; measured serving-under-maintenance numbers
+#: are in ARCHITECTURE.md.
+COMPACT_DELTA_FRACTION = 0.2
+
+
 class PostingStore:
     """Persisted posting table with LSM-style incremental maintenance.
 
@@ -491,6 +513,16 @@ class PostingStore:
                 .drop("__tb")
             )
         return df
+
+    def should_compact(self, threshold: float = COMPACT_DELTA_FRACTION) -> bool:
+        """Size-tiered compact policy: fold the LSM layers once delta
+        (+tombstone) bytes exceed ``threshold`` x base bytes.  Pure
+        filesystem stats, no Spark job."""
+        base = _tree_bytes(self.base_dir)
+        if base == 0:
+            return False
+        pending = _tree_bytes(self.delta_dir) + _tree_bytes(self.tomb_dir)
+        return pending > threshold * base
 
     def term_search(
         self,
@@ -999,6 +1031,17 @@ class IvfStore:
                 .drop("__tb")
             )
         return df
+
+    def should_compact(self, threshold: float = COMPACT_DELTA_FRACTION) -> bool:
+        """Same size-tiered policy as :meth:`PostingStore.should_compact`;
+        for the IVF layout the delta fraction ALSO bounds certificate
+        pessimism (tombstone debt + widened radii extend probe sets),
+        so compacting on the same threshold keeps probes tight."""
+        base = _tree_bytes(self.assign_dir)
+        if base == 0:
+            return False
+        pending = _tree_bytes(self.delta_dir) + _tree_bytes(self.tomb_dir)
+        return pending > threshold * base
 
     def compact(self, spark: SparkSession, vec_col: str = "embedding") -> None:
         """Fold delta/tombstones into a fresh base (batch reset to 0,

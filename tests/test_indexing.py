@@ -398,3 +398,35 @@ def test_ivf_derived_k_exact_at_two_sizes(spark, tmp_path, n_per, clusters):
         .collect()
     ]
     assert got == brute
+
+
+def test_serving_search_equals_rebuild_under_maintenance(spark, tmp_path, inc_store):
+    """The SERVING query form (bucket-pruned term_search) over a store
+    with pending deltas+tombstones equals the same query over a full
+    rebuild of the final corpus — the steady-state LSM read is
+    value-invisible, not just the raw posting view."""
+    from car_etl_spark.functions.text import stem_py
+
+    inc_store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    inc_store.apply_batch(spark, _docs_df(spark, DOCS_B2), [3], batch=2)
+    rebuilt = IX.PostingStore(str(tmp_path / "rb"))
+    rebuilt.build(_docs_df(spark, FINAL_DOCS))
+    terms = [stem_py(t) for t in ("spark", "alpha", "vocabulary")]
+    assert _rows(inc_store.term_search(spark, terms)) == _rows(
+        rebuilt.term_search(spark, terms)
+    )
+
+
+def test_should_compact_policy(spark, tmp_path, inc_store):
+    """Size-tiered compact policy: fresh store says no; enough delta
+    volume flips it; compaction resets it."""
+    assert inc_store.should_compact() is False
+    # pile up delta batches until the fraction trips (small corpus, so
+    # a few re-writes of the whole doc set suffice)
+    b = 1
+    while not inc_store.should_compact() and b < 20:
+        inc_store.apply_batch(spark, _docs_df(spark, DOCS_V0), None, batch=b)
+        b += 1
+    assert inc_store.should_compact() is True
+    inc_store.compact(spark)
+    assert inc_store.should_compact() is False
