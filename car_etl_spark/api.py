@@ -7,6 +7,7 @@ so switching is mechanical:
 | Reference route | Here |
 |---|---|
 | ``POST /api/v1/search`` (mode=vector/keyword/hybrid, rerank) | :func:`search` |
+| ``POST /api/v1/search`` under tenant RLS context | :func:`tenant_search` |
 | ``POST /api/v1/ask`` (RAG with citations) | :func:`ask` |
 | ``GET /api/v1/effective-rent/summary`` | :func:`effective_rent_summary` |
 | ``GET /api/v1/effective-rent/by-property`` | :func:`effective_rent_by_group` |
@@ -107,6 +108,30 @@ def search(
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(limit)
     )
+
+
+def tenant_search(
+    spark,
+    posting_store,
+    terms: tuple[str, ...],
+    tenant: str,
+    limit: int = 20,
+) -> DataFrame:
+    """Tenant-scoped keyword search over a tenant-partitioned
+    :class:`~car_etl_spark.operators.indexing.PostingStore` — the
+    RLS-scoped search route (reference ``042_match_function.sql:23-39``
+    behind ``src/api/routes/search.py``'s tenant context).  Terms are
+    stemmed with the store's analyzer driver-side; the scan prunes to
+    the tenant's (tenant, term_bucket) partition directories, so a
+    tenant's query can never touch another tenant's data — isolation
+    by storage layout, not by post-filter."""
+    if posting_store.analyzer == "porter":
+        from car_etl_spark.functions.porter import porter_py as stem_fn
+    else:
+        from car_etl_spark.functions.text import stem_py as stem_fn
+    limit = min(limit, SEARCH_RESULT_CAP)
+    stems = sorted({stem_fn(t.lower()) for t in terms})
+    return posting_store.term_search(spark, stems, tenant=tenant, limit=limit)
 
 
 def ask(

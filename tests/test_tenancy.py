@@ -165,3 +165,17 @@ def test_ivf_tenant_exact_under_maintenance(spark, tmp_path):
         .collect()
     ]
     assert got == brute
+
+
+def test_api_tenant_search_route(spark, tenant_store):
+    """The service-facade tenant route composes stemming + store
+    scoping: results match the direct store query and stay in-tenant."""
+    from car_etl_spark import api
+
+    got = api.tenant_search(spark, tenant_store, ("shared", "SPARK"), tenant="globex")
+    rows = {r.doc_id for r in got.collect()}
+    assert rows and all(i % 2 == 1 for i in rows)
+    direct = tenant_store.term_search(
+        spark, sorted({stem_py("shared"), stem_py("spark")}), tenant="globex"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
