@@ -1,0 +1,182 @@
+"""Serving-cost scale curve: the cost-∝-matched-postings evidence.
+
+The 100 TB claim for the posting store is that per-query serving cost
+tracks MATCHED postings, not corpus size (bucket partition pruning +
+term-sorted row-group pruning).  This script generates synthetic
+corpora growing 64x (5k -> 320k docs, ~100 tokens each) with the
+vocabulary scaled ∝ corpus so each query term keeps a ~constant match
+count, builds a posting store per corpus with the production layout
+derivation, and times the same 3-term serving query.  Flat latency
+across the curve = the property, measured.  The IVF curve does the
+same for vector serving on clustered corpora (k ≈ sqrt(n) derived):
+probe fraction and latency vs corpus size.
+
+Corpora and stores land under the repo's gitignored ``.cache/``
+scratch; re-runs reuse them.  Usage: python scripts/bench_scale_curve.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from car_etl_spark.operators import indexing as IX  # noqa: E402
+from car_etl_spark.session import get_spark  # noqa: E402
+
+ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "scalecurve"
+)
+DOC_SIZES = (5_000, 20_000, 80_000, 320_000)
+TOKENS_PER_DOC = 100
+PROBE_TERMS = ["w7", "w13", "w29"]
+VEC_SIZES = (2_000, 16_000, 128_000)
+VEC_DIM = 16
+
+
+def timed(fn, runs: int = 3) -> float:
+    vals = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        vals.append(time.perf_counter() - t0)
+    return round(min(vals), 4)
+
+
+def make_docs(spark, n: int) -> str:
+    """Spark-side corpus generation (no driver materialization): doc i
+    holds 100 hash-derived tokens over a vocabulary of n/5 terms, so a
+    term's expected match count (~100 * n / vocab = 500 postings) is
+    CONSTANT across corpus sizes — the scaling variable is corpus
+    volume alone."""
+    path = os.path.join(ROOT, f"docs-{n}", "documents.parquet")
+    if os.path.isdir(path):
+        return path
+    vocab = max(1000, n // 5)
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id") * TOKENS_PER_DOC + j), F.lit(vocab)).cast(
+                "string"
+            ),
+        ),
+    )
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("en").alias("lang"),
+            F.array_join(toks, " ").alias("text"),
+        )
+        .coalesce(max(1, n // 40_000))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def make_vectors(spark, n: int):
+    """Clustered embeddings, Spark-side: sqrt(n) natural clusters, unit
+    centers on hashed axes, small deterministic jitter."""
+    k = int(math.sqrt(n))
+    cid = F.pmod(F.col("id"), F.lit(k))
+    axis = F.pmod(F.xxhash64(cid), F.lit(VEC_DIM))
+    jit = lambda d: (  # noqa: E731
+        F.pmod(F.xxhash64(F.col("id") * VEC_DIM + d), F.lit(1000)).cast("double")
+        / 1000.0
+        - 0.5
+    ) * 0.04
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(VEC_DIM - 1)),
+        lambda d: F.when(axis == d, F.lit(1.0) + jit(d)).otherwise(jit(d)),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        cid.cast("int").alias("label"),
+        vec.alias("embedding"),
+    )
+
+
+def main() -> None:
+    spark = get_spark("car-etl-spark-scale-curve")
+    os.makedirs(ROOT, exist_ok=True)
+    out: dict = {"metric": "serving_scale_curve", "unit": "sec", "posting": [], "ivf": []}
+
+    for n in DOC_SIZES:
+        src = make_docs(spark, n)
+        # estimate over the whole directory: sum the part files
+        est = 0
+        for root, _d, files in os.walk(src):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    est += max(0, IX.estimate_posting_rows(os.path.join(root, fn)))
+        nb = IX.derive_num_buckets(est)
+        store = IX.PostingStore(os.path.join(ROOT, f"store-{n}"), num_buckets=nb)
+        build_s = None
+        if not store._has_parquet(store.base_dir):
+            t0 = time.perf_counter()
+            store.build(spark.read.parquet(src))
+            build_s = round(time.perf_counter() - t0, 2)
+
+        def q():
+            store.term_search(spark, PROBE_TERMS).collect()
+
+        q()
+        matched = (
+            store.read(spark, buckets=sorted({store.bucket_of(t) for t in PROBE_TERMS}))
+            .filter(F.col("term").isin(PROBE_TERMS))
+            .count()
+        )
+        row = {
+            "docs": n,
+            "est_postings": est,
+            "num_buckets": nb,
+            "matched_postings": matched,
+            "store_mb": round(IX._tree_bytes(store.base_dir) / 1e6, 1),
+            "query_warm_sec": timed(q),
+        }
+        if build_s is not None:
+            row["build_sec"] = build_s
+        out["posting"].append(row)
+        print(f"# posting {row}", file=sys.stderr)
+
+    for n in VEC_SIZES:
+        k = IX.derive_num_centroids(n)
+        store = IX.IvfStore(os.path.join(ROOT, f"ivf-{n}"))
+        build_s = None
+        if not os.path.exists(store.meta_path):
+            t0 = time.perf_counter()
+            store.build(make_vectors(spark, n), num_centroids=k, refine_iterations=1)
+            build_s = round(time.perf_counter() - t0, 2)
+        qvec = [1.0 if d == 3 else 0.0 for d in range(VEC_DIM)]
+        probes = store.probe_ids_exact(qvec, 20)
+
+        def vq():
+            store.probe_topk(spark, qvec, k=20).collect()
+
+        vq()
+        row = {
+            "vectors": n,
+            "num_centroids": k,
+            "probes": len(probes),
+            "probe_fraction": round(len(probes) / max(1, k), 4),
+            "query_warm_sec": timed(vq),
+        }
+        if build_s is not None:
+            row["build_sec"] = build_s
+        out["ivf"].append(row)
+        print(f"# ivf {row}", file=sys.stderr)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
