@@ -295,8 +295,89 @@ FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """
 
-QUERIES["vector_topk_batch"] = QuerySpec(
-    vector_topk_batch, VECTOR_TOPK_BATCH_SQL, ("vector", "topk", "batch")
+def vector_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval from the PERSISTED IVF layout: the certified
+    probe sets of all N query vectors UNION into one partition-pruned
+    scan, queries broadcast, per-query windows rank — N answers, one
+    job over the probed fraction only.
+
+    Exactness composes: each query's certificate is computed for k=6
+    (its top-5-excluding-self is contained in its global top-6, since
+    the self row occupies at most one slot), non-probed clusters for a
+    query cannot hold its top-6 by the triangle bound, and rows scanned
+    only because ANOTHER query probed them rescore exactly and rank
+    below — extra candidates never change a top-k, so the brute-force
+    batch SQL remains the oracle.  The N-row probe collect is the
+    request batch itself (control-plane by definition)."""
+    from car_etl_spark.operators.indexing import ensure_ivf_index
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        from pyspark.sql import Window
+
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        store = ensure_ivf_index(spark, sf_dir)
+        qrows = (
+            emb.filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+            .collect()
+        )
+        probe_union: set[int] = set()
+        for r in qrows:
+            probe_union |= set(store.probe_ids_exact([float(x) for x in r.qvec], 6))
+        queries = spark.createDataFrame(
+            [(int(r.query_id), [float(x) for x in r.qvec]) for r in qrows],
+            "query_id long, qvec array<double>",
+        )
+        assigned = store.read_assignments(spark, probes=sorted(probe_union))
+        sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
+        scored = (
+            assigned.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", sim.alias("cosine_sim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "vec_id", "cosine_sim")
+            .orderBy("query_id", "rank")
+        )
+
+    return prepared(
+        spark, "vector_ivf_topk_batch", sf_dir, ("embeddings.parquet",), build
+    )
+
+
+def vector_batch_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry suite: brute-force batch and IVF-serving batch, tagged
+    and unioned — like ``vector_topk_modes``, the arms must agree
+    row-for-row inside one driver-hashed result."""
+    parts = [
+        vector_topk_batch(spark, sf_dir).select(
+            F.lit("brute").alias("mode"), "query_id", "rank", "vec_id", "cosine_sim"
+        ),
+        vector_ivf_topk_batch(spark, sf_dir).select(
+            F.lit("ivf").alias("mode"), "query_id", "rank", "vec_id", "cosine_sim"
+        ),
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("mode", "query_id", "rank")
+
+
+VECTOR_BATCH_MODES_SQL = f"""
+SELECT * FROM (
+SELECT 'brute' AS mode, query_id, rank, vec_id, cosine_sim FROM ({VECTOR_TOPK_BATCH_SQL})
+UNION ALL
+SELECT 'ivf' AS mode, query_id, rank, vec_id, cosine_sim FROM ({VECTOR_TOPK_BATCH_SQL})
+) ORDER BY mode, query_id, rank
+"""
+
+# vector_topk_batch -> vector_batch_modes since r5 (the IVF-serving
+# batch arm joined; both arms share the brute-force oracle)
+QUERIES["vector_batch_modes"] = QuerySpec(
+    vector_batch_modes, VECTOR_BATCH_MODES_SQL, ("vector", "topk", "batch", "suite")
 )
 
 

@@ -93,6 +93,15 @@ CONTRACTS = [
      ["SortMergeJoin"]),
     # EAV pivot: conditional aggregation, bounded shuffles, broadcast vocab
     ("eav_pivot_effective_rent", 3, ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # rerank page: both hybrid legs stay index-resident (bucket + centroid
+    # pruning); the rerank slice adds only single-partition windows over
+    # the 15-row page.  (The full-outer fusion may SMJ — over O(limit).)
+    ("hybrid_rerank_page", 4,
+     ["PartitionFilters: [term_bucket", "PartitionFilters: [centroid_id"],
+     ["CartesianProduct"]),
+    # PII counts: one corpus pass, map-side partial agg, ONE exchange for
+    # the global rollup, explode on the single aggregated row
+    ("pii_entity_counts", 1, [], ["SortMergeJoin", "CartesianProduct"]),
 ]
 
 
