@@ -112,22 +112,11 @@ def main() -> None:
 
     # fine-grained functions that consolidated into suite registry
     # entries in r05 — benched individually for round-over-round
-    # comparability (same names, same sub-expressions)
-    from car_etl_spark.queries import dedup, eav, eventsq, fts, search, textops, vector
+    # comparability (same names, same sub-expressions); ONE shared map
+    # in queries/suites.py, so bench and plan contracts cannot drift
+    from car_etl_spark.queries.suites import fine_grained_queries
 
-    extra_fns = {
-        "doc_keyword_search": textops.doc_keyword_search,
-        "doc_quality_scores": textops.doc_quality_scores,
-        "vector_topk": vector.vector_topk,
-        "vector_ivf_topk": vector.vector_ivf_topk,
-        "hybrid_rrf_search": search.hybrid_rrf_search,
-        "hybrid_porter_ivf_search": search.hybrid_porter_ivf_search,
-        "fts_posting_search": fts.fts_posting_search,
-        "fts_porter_search": fts.fts_porter_search,
-        "versioned_extractions": eav.versioned_extractions,
-        "events_time_windows": eventsq.events_time_windows,
-        "minhash_lsh_neardup": dedup.minhash_lsh_neardup,
-    }
+    extra_fns = fine_grained_queries()
 
     def resolve(name):
         return registry[name].fn if name in registry else extra_fns[name]

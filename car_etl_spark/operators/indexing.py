@@ -62,13 +62,17 @@ from car_etl_spark.functions import vectors as V
 
 # v2: bucket count derived from corpus stats (meta.json) + term-sorted
 #     partitions so parquet row-group min/max stats prune within a bucket
-POSTING_VERSION = 2
+# v3: meta rides INSIDE base/ (atomic with the layout swap); tombstones
+#     carry the tenant key on tenant-partitioned stores
+POSTING_VERSION = 3
 ANALYZER_VERSION = 2
 # v2: meta carries per-cluster radii/counts for exact probing
 # v3: batch-tagged assignments + LSM delta/tombstone maintenance
 # v4: centroid count ~ sqrt(n) derived from footer stats; seeds sampled
 #     by id hash (arbitrary id spaces, not dense-id test corpora)
-IVF_VERSION = 4
+# v5: meta rides INSIDE assignments/ (atomic with the layout swap);
+#     tombstones carry the tenant key on tenant-partitioned stores
+IVF_VERSION = 5
 
 #: fallback bucket count for stores built without corpus statistics
 DEFAULT_NUM_BUCKETS = 16
@@ -282,7 +286,12 @@ class PostingStore:
         self.base_dir = os.path.join(path, "base")
         self.delta_dir = os.path.join(path, "delta")
         self.tomb_dir = os.path.join(path, "tombstones")
-        self.meta_path = os.path.join(path, "meta.json")
+        #: meta lives INSIDE base/ (underscore-prefixed, so Spark's
+        #: parquet reader ignores it): the tmp-build + atomic-rename
+        #: swap then carries layout and meta TOGETHER — no crash window
+        #: where a reopened handle could prune with the wrong bucket
+        #: count against a fresh layout
+        self.meta_path = os.path.join(self.base_dir, "_meta.json")
         #: row-group size for store writes (parquet.block.size); None =
         #: parquet default (~128 MB).  Small values exist so tests can
         #: exercise row-group pruning on tiny corpora.
@@ -336,20 +345,12 @@ class PostingStore:
 
     # -- build -----------------------------------------------------------
 
-    def build(self, docs: DataFrame) -> None:
-        """Full (re)build of the base layout from the corpus."""
-        rows = build_posting_rows(
-            docs, self.analyzer, self.num_buckets, self.tenant_col
-        ).withColumn("batch", F.lit(0).cast("long"))
-        tmp = self.base_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._write_store(rows, tmp, "overwrite")
-        shutil.rmtree(self.base_dir, ignore_errors=True)
-        os.rename(tmp, self.base_dir)
-        shutil.rmtree(self.delta_dir, ignore_errors=True)
-        shutil.rmtree(self.tomb_dir, ignore_errors=True)
-        tmp_meta = self.meta_path + ".tmp"
-        with open(tmp_meta, "w") as f:
+    def _swap_in_base(self, tmp: str) -> None:
+        """Stamp meta into the tmp layout, then atomically swap it in —
+        layout and meta change together, and stale maintenance state
+        (deltas, tombstones, batch sentinels) is cleared so a rebuild
+        can never replay-no-op a later batch id."""
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(
                 {
                     "version": POSTING_VERSION,
@@ -359,45 +360,27 @@ class PostingStore:
                 },
                 f,
             )
-        os.replace(tmp_meta, self.meta_path)
+        old = self.base_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.base_dir):
+            os.rename(self.base_dir, old)
+        os.rename(tmp, self.base_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        shutil.rmtree(self.tomb_dir, ignore_errors=True)
+        for f in os.listdir(self.path):
+            if f.startswith("_applied_"):
+                os.remove(os.path.join(self.path, f))
 
-    def _tenant_stats(self, assigned: DataFrame, cents, vec_col: str) -> dict:
-        """Per-(tenant, centroid) (max angular radius, member count) —
-        the tenant-scoped certificate statistics.  One extra pass at
-        build/compact time; the grain is (tenants x centroids), still
-        control-plane small."""
-        cent_df = assigned.sparkSession.createDataFrame(
-            [(cid, vec) for cid, vec in cents],
-            "centroid_id long, centroid_vec array<double>",
-        )
-        from car_etl_spark.operators.similarity import (
-            EXPR_PROJECTION_MAX_DIM,
-            _cosine_pairs_pandas,
-        )
-
-        dim0 = len(cents[0][1]) if cents else 0
-        if dim0 <= EXPR_PROJECTION_MAX_DIM:
-            sim = V.cosine_similarity(F.col(vec_col), F.col("centroid_vec"))
-        else:
-            sim = _cosine_pairs_pandas(F.col(vec_col), F.col("centroid_vec"))
-        stats = (
-            assigned.join(F.broadcast(cent_df), "centroid_id")
-            .groupBy(self.tenant_col, "centroid_id")
-            .agg(
-                F.max(F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), sim))))
-                .alias("radius"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        out: dict = {}
-        for r in stats:
-            t = str(r[0])
-            entry = out.setdefault(t, {"radii": {}, "counts": {}})
-            entry["counts"][str(int(r.centroid_id))] = int(r.n)
-            if r.radius is not None:
-                entry["radii"][str(int(r.centroid_id))] = float(r.radius)
-        return out
+    def build(self, docs: DataFrame) -> None:
+        """Full (re)build of the base layout from the corpus."""
+        rows = build_posting_rows(
+            docs, self.analyzer, self.num_buckets, self.tenant_col
+        ).withColumn("batch", F.lit(0).cast("long"))
+        tmp = self.base_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._write_store(rows, tmp, "overwrite")
+        self._swap_in_base(tmp)
 
     # -- incremental maintenance ----------------------------------------
 
@@ -426,6 +409,11 @@ class PostingStore:
             raise ValueError("batch must be > 0 (0 is the base build)")
         if os.path.exists(self._sentinel(batch)):
             return False
+        # tombstone key: (tenant, doc_id) on tenant-partitioned stores —
+        # doc ids are only unique WITHIN a tenant (the reference's
+        # per-tenant id spaces), so a doc-id-only tombstone from tenant
+        # A would wrongly kill tenant B's rows sharing the id
+        tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
         tomb_parts = []
         if upserts is not None:
             rows = build_posting_rows(
@@ -434,19 +422,27 @@ class PostingStore:
             # delta files are batch-sized, so sorting them is cheap and
             # keeps row-group pruning effective on the merged read path
             self._write_store(rows, self.delta_dir, "append")
-            tomb_parts.append(upserts.select("doc_id").distinct())
+            tomb_parts.append(upserts.select(*tomb_key).distinct())
         if deleted_ids:
-            id_type = (
-                upserts.schema["doc_id"].dataType
-                if upserts is not None
-                else spark.read.parquet(self.base_dir).schema["doc_id"].dataType
-            )
+            if self.tenant_col and not all(
+                isinstance(d, (tuple, list)) and len(d) == 2 for d in deleted_ids
+            ):
+                raise ValueError(
+                    "tenant-partitioned store: deleted_ids must be "
+                    "(tenant, doc_id) pairs"
+                )
+            base_schema = spark.read.parquet(self.base_dir).schema
+            src_schema = upserts.schema if upserts is not None else base_schema
             from pyspark.sql.types import StructField, StructType
 
+            fields = [
+                StructField(c, (src_schema if c in src_schema.names else base_schema)[c].dataType)
+                for c in tomb_key
+            ]
             tomb_parts.append(
                 spark.createDataFrame(
-                    [(d,) for d in deleted_ids],
-                    StructType([StructField("doc_id", id_type)]),
+                    [tuple(d) if self.tenant_col else (d,) for d in deleted_ids],
+                    StructType(fields),
                 )
             )
         if tomb_parts:
@@ -495,20 +491,22 @@ class PostingStore:
         if self._has_parquet(self.delta_dir):
             delta = scope(spark.read.parquet(self.delta_dir))
             # exact-duplicate drop: a replayed half-applied batch appends
-            # identical rows; (doc, raw_term, weight, batch) is unique
-            # within a correctly-applied batch, so this only removes
-            # replay artifacts
-            df = df.unionByName(delta.dropDuplicates(
-                ["doc_id", "raw_term", "weight", "batch"]
-            ))
+            # identical rows; ([tenant,] doc, raw_term, weight, batch) is
+            # unique within a correctly-applied batch, so this only
+            # removes replay artifacts
+            dedup_key = ([self.tenant_col] if self.tenant_col else []) + [
+                "doc_id", "raw_term", "weight", "batch"
+            ]
+            df = df.unionByName(delta.dropDuplicates(dedup_key))
         if self._has_parquet(self.tomb_dir):
+            tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
             tomb = (
                 spark.read.parquet(self.tomb_dir)
-                .groupBy("doc_id")
+                .groupBy(*tomb_key)
                 .agg(F.max("batch").alias("__tb"))
             )
             df = (
-                df.join(F.broadcast(tomb), "doc_id", "left")
+                df.join(F.broadcast(tomb), tomb_key, "left")
                 .filter(F.col("__tb").isNull() | (F.col("__tb") <= F.col("batch")))
                 .drop("__tb")
             )
@@ -554,21 +552,14 @@ class PostingStore:
 
     def compact(self, spark: SparkSession) -> None:
         """Fold deltas/tombstones into a fresh base (batch reset to 0,
-        term-sorted row groups restored store-wide)."""
+        term-sorted row groups restored store-wide).  The live view
+        fully materializes into the tmp layout before the swap deletes
+        the directories it reads."""
         live = self.read(spark).withColumn("batch", F.lit(0).cast("long"))
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         self._write_store(live, tmp, "overwrite")
-        old = self.base_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(self.base_dir, old)
-        os.rename(tmp, self.base_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(self.delta_dir, ignore_errors=True)
-        shutil.rmtree(self.tomb_dir, ignore_errors=True)
-        for f in os.listdir(self.path):
-            if f.startswith("_applied_"):
-                os.remove(os.path.join(self.path, f))
+        self._swap_in_base(tmp)
 
 
 #: in-process memo of built index paths — an os.stat-cheap staleness
@@ -680,7 +671,13 @@ class IvfStore:
         self.assign_dir = os.path.join(path, "assignments")
         self.delta_dir = os.path.join(path, "delta")
         self.tomb_dir = os.path.join(path, "tombstones")
-        self.meta_path = os.path.join(path, "meta.json")
+        #: meta rides INSIDE assignments/ (underscore-prefixed, ignored
+        #: by the parquet reader): the tmp-build + atomic-rename swap
+        #: carries layout and meta together, closing the crash window
+        #: where stale centroids/stats could certify against a fresh
+        #: layout.  apply_batch's incremental meta updates os.replace
+        #: the file in place, preserving its own write-order argument.
+        self.meta_path = os.path.join(self.assign_dir, "_meta.json")
         #: multi-tenant layout: ONE shared frozen quantizer (centroids
         #: are corpus geometry, not tenant data), assignments partitioned
         #: by (tenant, centroid_id), and per-tenant (radius, count)
@@ -758,21 +755,13 @@ class IvfStore:
             .partitionBy(*pcols)
             .parquet(tmp)
         )
-        shutil.rmtree(self.assign_dir, ignore_errors=True)
-        os.rename(tmp, self.assign_dir)
-        shutil.rmtree(self.delta_dir, ignore_errors=True)
-        shutil.rmtree(self.tomb_dir, ignore_errors=True)
-        for f in os.listdir(self.path):
-            if f.startswith("_applied_"):
-                os.remove(os.path.join(self.path, f))
         cents = sorted(
             (int(r.centroid_id), [float(x) for x in r.centroid_vec])
             for r in rows
             if r.centroid_vec is not None
         )
-        stats = self._cluster_stats(
-            assigned.sparkSession.read.parquet(self.assign_dir), cents, vec_col
-        )
+        written = assigned.sparkSession.read.parquet(tmp)
+        stats, tstats = self._all_stats(written, cents, vec_col)
         meta = {
             "version": IVF_VERSION,
             "num_centroids": len(cents),  # may be < requested on tiny corpora
@@ -791,11 +780,47 @@ class IvfStore:
             "batches": {},
             "tenant_col": self.tenant_col,
         }
-        if self.tenant_col:
-            meta["tenants"] = self._tenant_stats(
-                assigned.sparkSession.read.parquet(self.assign_dir), cents, vec_col
-            )
-        self._write_meta(meta)
+        if tstats is not None:
+            meta["tenants"] = tstats
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump(meta, f)
+        self._swap_in_assign(tmp)
+
+    def _swap_in_assign(self, tmp: str) -> None:
+        """Atomically swap in a freshly-built assignments layout (meta
+        already stamped inside it) and clear stale maintenance state —
+        deltas, tombstones, and batch sentinels (a rebuild must never
+        replay-no-op a later batch id)."""
+        old = self.assign_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.assign_dir):
+            os.rename(self.assign_dir, old)
+        os.rename(tmp, self.assign_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        shutil.rmtree(self.tomb_dir, ignore_errors=True)
+        for f in os.listdir(self.path):
+            if f.startswith("_applied_"):
+                os.remove(os.path.join(self.path, f))
+
+    def _all_stats(self, assigned: DataFrame, cents, vec_col: str):
+        """(global stats, per-tenant stats|None) in ONE pass: tenant
+        stores aggregate at the (tenant, centroid) grain and fold the
+        global view driver-side (radius = max over tenants, count =
+        sum) instead of scanning the assignments twice."""
+        if not self.tenant_col:
+            return self._cluster_stats(assigned, cents, vec_col), None
+        tstats = self._tenant_stats(assigned, cents, vec_col)
+        folded: dict = {}
+        for entry in tstats.values():
+            for cid_s, n in entry["counts"].items():
+                cid = int(cid_s)
+                r = entry["radii"].get(cid_s)
+                prev_r, prev_n = folded.get(cid, (None, 0))
+                if r is not None:
+                    prev_r = r if prev_r is None else max(prev_r, r)
+                folded[cid] = (prev_r, prev_n + int(n))
+        return folded, tstats
 
     def _write_meta(self, meta: dict) -> None:
         tmp = self.meta_path + ".tmp"
@@ -933,9 +958,25 @@ class IvfStore:
             # control-plane collect: bounded by the MICRO-BATCH's distinct
             # id count (connector pages are O(100-1000) rows), never by
             # store size — same ceiling argument as the CDC token path
-            tomb_ids |= {r[0] for r in assigned.select(id_col).distinct().collect()}
+            tomb_cols = (
+                [self.tenant_col, id_col] if self.tenant_col else [id_col]
+            )
+            tomb_ids |= {tuple(r) for r in assigned.select(*tomb_cols).distinct().collect()}
         if deleted_ids:
-            tomb_ids |= set(deleted_ids)
+            # tenant stores: (tenant, id) pairs — ids are only unique
+            # within a tenant, and a bare-id tombstone from one tenant
+            # must never kill another tenant's rows
+            if self.tenant_col:
+                if not all(
+                    isinstance(d, (tuple, list)) and len(d) == 2 for d in deleted_ids
+                ):
+                    raise ValueError(
+                        "tenant-partitioned store: deleted_ids must be "
+                        "(tenant, vec_id) pairs"
+                    )
+                tomb_ids |= {tuple(d) for d in deleted_ids}
+            else:
+                tomb_ids |= {(d,) for d in deleted_ids}
         batch_entry["tombs"] = len(tomb_ids)
 
         # WRITE ORDER is the certificate's crash-safety argument — a
@@ -959,15 +1000,18 @@ class IvfStore:
         m.setdefault("batches", {})[str(batch)] = pessimistic
         self._write_meta(m)
         if tomb_ids:
-            # tombstone id type derives from the base assignments schema
-            # (mirrors PostingStore.apply_batch) — string/short/any id
-            # space round-trips instead of a hardcoded long coercion
+            # tombstone key types derive from the base assignments schema
+            # (string/short/any id space round-trips instead of a
+            # hardcoded long coercion); tenant stores key by (tenant, id)
             from pyspark.sql.types import StructField, StructType
 
-            id_type = spark.read.parquet(self.assign_dir).schema[id_col].dataType
+            base_schema = spark.read.parquet(self.assign_dir).schema
+            tomb_cols = [self.tenant_col, id_col] if self.tenant_col else [id_col]
             tomb = spark.createDataFrame(
-                [(i,) for i in sorted(tomb_ids)],
-                StructType([StructField(id_col, id_type)]),
+                sorted(tomb_ids),
+                StructType(
+                    [StructField(c, base_schema[c].dataType) for c in tomb_cols]
+                ),
             ).withColumn("batch", F.lit(batch).cast("long"))
             tomb.coalesce(1).write.mode("append").parquet(self.tomb_dir)
         if upserts is not None:
@@ -1015,18 +1059,19 @@ class IvfStore:
                 df = df.filter(F.col(self.tenant_col) == tenant)
             return df
 
+        key = [self.tenant_col, id_col] if self.tenant_col else [id_col]
         df = scope(spark.read.parquet(self.assign_dir))
         if self._has_parquet(self.delta_dir):
             delta = scope(spark.read.parquet(self.delta_dir))
-            df = df.unionByName(delta.dropDuplicates([id_col, "batch"]))
+            df = df.unionByName(delta.dropDuplicates(key + ["batch"]))
         if self._has_parquet(self.tomb_dir):
             tomb = (
                 spark.read.parquet(self.tomb_dir)
-                .groupBy(id_col)
+                .groupBy(*key)
                 .agg(F.max("batch").alias("__tb"))
             )
             df = (
-                df.join(F.broadcast(tomb), id_col, "left")
+                df.join(F.broadcast(tomb), key, "left")
                 .filter(F.col("__tb").isNull() | (F.col("__tb") <= F.col("batch")))
                 .drop("__tb")
             )
@@ -1062,30 +1107,18 @@ class IvfStore:
             .partitionBy(*pcols)
             .parquet(tmp)
         )
-        old = self.assign_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(self.assign_dir, old)
-        os.rename(tmp, self.assign_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(self.delta_dir, ignore_errors=True)
-        shutil.rmtree(self.tomb_dir, ignore_errors=True)
-        for f in os.listdir(self.path):
-            if f.startswith("_applied_"):
-                os.remove(os.path.join(self.path, f))
-        stats = self._cluster_stats(
-            spark.read.parquet(self.assign_dir), cents, vec_col
-        )
+        stats, tstats = self._all_stats(spark.read.parquet(tmp), cents, vec_col)
         m["radii"] = [
             stats[c[0]][0] if c[0] in stats and stats[c[0]][0] is not None else 3.141593
             for c in cents
         ]
         m["counts"] = [stats[c[0]][1] if c[0] in stats else 0 for c in cents]
         m["batches"] = {}
-        if self.tenant_col:
-            m["tenants"] = self._tenant_stats(
-                spark.read.parquet(self.assign_dir), cents, vec_col
-            )
-        self._write_meta(m)
+        if tstats is not None:
+            m["tenants"] = tstats
+        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+            json.dump(m, f)
+        self._swap_in_assign(tmp)
 
     def meta(self) -> dict:
         with open(self.meta_path) as f:

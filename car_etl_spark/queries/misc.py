@@ -60,21 +60,6 @@ def email_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMAIL_EXTRACT_SQL = """
-WITH parsed AS (
-  SELECT c_custkey,
-         regexp_extract(
-           c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@' ||
-           (['acme.com','example.org','mail.net'])[CAST(c_custkey % 3 AS INT) + 1] || '>',
-           '<([^<>@ ]+@[^<>@ ]+)>', 1) AS from_address
-  FROM customer
-)
-SELECT string_split(from_address, '@')[2] AS domain,
-       COUNT(*) AS sender_count
-FROM parsed GROUP BY 1 ORDER BY domain
-"""
-
-
 def hierarchy_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: parent-reference self-join — each order joined to its
     customer's first order (the version-chain ``parent_id`` shape,

@@ -557,6 +557,60 @@ ORDER BY f.extraction_id, f.field_name
 """
 
 
+def fine_grained_queries() -> dict:
+    """Old registry name -> constituent function, for surfaces that
+    keep timing/pinning the fine-grained serving paths individually
+    (bench.py, plan contracts).  ONE map so the next consolidation
+    cannot drift between ad-hoc copies."""
+    from car_etl_spark.queries import (
+        dedup,
+        eav,
+        eventsq,
+        fts,
+        misc,
+        search,
+        textops,
+        vector,
+    )
+    from car_etl_spark.queries.confidenceq import om_validation_report
+
+    return {
+        "fts_posting_search": fts.fts_posting_search,
+        "fts_posting_scan": fts.fts_posting_scan,
+        "fts_porter_search": fts.fts_porter_search,
+        "fts_plainto_search": fts.fts_plainto_search,
+        "fts_batch_search": fts.fts_batch_search,
+        "vector_topk": vector.vector_topk,
+        "vector_ivf_topk": vector.vector_ivf_topk,
+        "vector_topk_adaptive": vector.vector_topk_adaptive,
+        "vector_topk_batch": vector.vector_topk_batch,
+        "vector_ivf_topk_batch": vector.vector_ivf_topk_batch,
+        "vector_label_profile": vector.vector_label_profile,
+        "vector_knn_label_vote": vector.vector_knn_label_vote,
+        "doc_quality_scores": textops.doc_quality_scores,
+        "doc_repetition_profile": textops.doc_repetition_profile,
+        "doc_keyword_search": textops.doc_keyword_search,
+        "doc_keyword_scan": textops.doc_keyword_scan,
+        "doc_search_highlight": textops.doc_search_highlight,
+        "hybrid_rrf_search": search.hybrid_rrf_search,
+        "hybrid_porter_ivf_search": search.hybrid_porter_ivf_search,
+        "minhash_lsh_neardup": dedup.minhash_lsh_neardup,
+        "simhash_neardup": dedup.simhash_neardup,
+        "embedding_neardup_lsh": dedup.embedding_neardup_lsh,
+        "token_jaccard_blocked": dedup.token_jaccard_blocked,
+        "embedding_neardup_exact_block": dedup.embedding_neardup_exact_block,
+        "events_time_windows": eventsq.events_time_windows,
+        "events_multires_rollup": eventsq.events_multires_rollup,
+        "events_json_props": eventsq.events_json_props,
+        "events_value_percentiles": eventsq.events_value_percentiles,
+        "om_validation_report": om_validation_report,
+        "om_document_confidence": misc.om_document_confidence,
+        "versioned_extractions": eav.versioned_extractions,
+        "field_override_merge": eav.field_override_merge,
+        "email_address_extract": misc.email_address_extract,
+    }
+
+
 def build_suite_queries() -> dict[str, QuerySpec]:
     return {
         "vector_topk_modes": QuerySpec(

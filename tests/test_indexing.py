@@ -430,3 +430,18 @@ def test_should_compact_policy(spark, tmp_path, inc_store):
     assert inc_store.should_compact() is True
     inc_store.compact(spark)
     assert inc_store.should_compact() is False
+
+
+def test_rebuild_clears_sentinels_and_meta_swaps_atomically(spark, tmp_path, inc_store):
+    """A full rebuild must clear _applied_<batch> sentinels (a
+    maintenance job restarting its batch numbering cannot be silently
+    replay-no-op'ed) and the meta travels INSIDE base/ so layout and
+    bucket count swap together."""
+    inc_store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    inc_store.build(_docs_df(spark, DOCS_V0))
+    assert not os.path.exists(inc_store._sentinel(1))
+    # batch 1 applies cleanly after the rebuild
+    assert inc_store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    assert os.path.exists(os.path.join(inc_store.base_dir, "_meta.json"))
+    # a reopened handle binds to the swapped-in meta
+    assert IX.PostingStore(inc_store.path).num_buckets == inc_store.num_buckets

@@ -23,25 +23,10 @@ def registry():
     return build_registry()
 
 
-def _fine_grained():
-    """Functions consolidated into suite registry entries (r5) — plan
-    contracts keep pinning the individual serving paths."""
-    from car_etl_spark.queries import fts, search, textops, vector
-
-    return {
-        "vector_topk": vector.vector_topk,
-        "vector_ivf_topk": vector.vector_ivf_topk,
-        "doc_keyword_search": textops.doc_keyword_search,
-        "doc_keyword_scan": textops.doc_keyword_scan,
-        "fts_posting_search": fts.fts_posting_search,
-        "fts_porter_search": fts.fts_porter_search,
-        "fts_plainto_search": fts.fts_plainto_search,
-        "hybrid_porter_ivf_search": search.hybrid_porter_ivf_search,
-    }
-
-
 def _plan(spark, registry, name: str) -> str:
-    fn = registry[name].fn if name in registry else _fine_grained()[name]
+    from car_etl_spark.queries.suites import fine_grained_queries
+
+    fn = registry[name].fn if name in registry else fine_grained_queries()[name]
     df = fn(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # a prepared (memoized) DataFrame may already be AQE-finalized from

@@ -143,7 +143,7 @@ def test_ivf_tenant_exact_under_maintenance(spark, tmp_path):
         [(1000, 1, "acme", [0.05, 0.0, 0.99, 0.05, 0.0, 0.0])],
         "vec_id long, label int, tenant_id string, embedding array<double>",
     )
-    assert store.apply_batch(spark, up, [2], batch=1)
+    assert store.apply_batch(spark, up, [("acme", 2)], batch=1)
     qvec = [0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
     got = [tuple(r) for r in store.probe_topk(
         spark, qvec, k=6, tenant="acme", extra_cols=("tenant_id",)
@@ -179,3 +179,61 @@ def test_api_tenant_search_route(spark, tenant_store):
         spark, sorted({stem_py("shared"), stem_py("spark")}), tenant="globex"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_posting_cross_tenant_id_collision(spark, tmp_path):
+    """Doc ids are only unique WITHIN a tenant: tenant A upserting its
+    doc 1 must not tombstone tenant B's doc 1 (regression — tombstones
+    are keyed (tenant, doc_id) on tenant stores)."""
+    store = IX.PostingStore(str(tmp_path / "coll"), tenant_col="tenant_id")
+    store.build(
+        spark.createDataFrame(
+            [
+                (1, "en", "acme", "alpha beta"),
+                (1, "en", "globex", "alpha gamma"),
+            ],
+            "doc_id long, lang string, tenant_id string, text string",
+        )
+    )
+    up = spark.createDataFrame(
+        [(1, "en", "acme", "rewritten alpha")],
+        "doc_id long, lang string, tenant_id string, text string",
+    )
+    assert store.apply_batch(spark, up, None, batch=1)
+    g = store.term_search(spark, [stem_py("alpha")], tenant="globex", limit=10)
+    assert {r.doc_id for r in g.collect()} == {1}, "globex's doc 1 must survive"
+    # tenant-scoped DELETE takes (tenant, id) pairs and stays scoped
+    assert store.apply_batch(spark, None, [("globex", 1)], batch=2)
+    assert store.term_search(spark, [stem_py("alpha")], tenant="globex").count() == 0
+    assert store.term_search(spark, [stem_py("alpha")], tenant="acme").count() == 1
+    # bare ids are rejected on tenant stores rather than mis-keyed
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.apply_batch(spark, None, [1], batch=3)
+
+
+def test_ivf_cross_tenant_id_collision(spark, tmp_path):
+    """Same invariant for the IVF layout: per-tenant id spaces."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 0, "acme", [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, "globex", [0.9, 0.1, 0.0, 0.0]),
+        (2, 1, "globex", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, tenant_id string, embedding array<double>"
+    )
+    store = IX.IvfStore(str(tmp_path / "ivfcoll"), tenant_col="tenant_id")
+    store.build(emb, num_centroids=2, refine_iterations=0)
+    up = spark.createDataFrame(
+        [(1, 0, "acme", [0.8, 0.0, 0.6, 0.0])],
+        "vec_id long, label int, tenant_id string, embedding array<double>",
+    )
+    assert store.apply_batch(spark, up, None, batch=1)
+    live_g = store.read_assignments(spark, tenant="globex")
+    assert {r.vec_id for r in live_g.select("vec_id").collect()} == {1, 2}
+    assert store.apply_batch(spark, None, [("globex", 2)], batch=2)
+    assert {r.vec_id for r in store.read_assignments(spark, tenant="globex").select("vec_id").collect()} == {1}
+    assert {r.vec_id for r in store.read_assignments(spark, tenant="acme").select("vec_id").collect()} == {1}
