@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from car_etl_spark.queries import QuerySpec
-from car_etl_spark.queries.parity import rnd, sql_rnd
+from car_etl_spark.queries.parity import rnd
 from car_etl_spark.tables import load_tables
 
 EMAIL_RE = r"<([^<>@\s]+@[^<>@\s]+)>"
