@@ -343,3 +343,54 @@ def test_png_through_mapinpandas_pipeline(spark):
     assert (row.width, row.height) == (4, 2)
     assert row.mean_luma == 90  # mean gray of 0,60,120,180 per row
     assert row.mime_type == "image/png"
+
+
+def test_wav_real_decode_kernel(spark):
+    """PCM16 WAV decodes for real: the stdlib wave module writes the
+    fixture, our struct-level kernel reads it back — exact sample rate,
+    channels, duration, and mean amplitude."""
+    import io
+    import struct
+    import wave
+
+    from car_etl_spark.operators.multimodal import (
+        _decode_wav,
+        detect_mime,
+        extract_audio_features,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        # 16000 stereo frames = exactly 1000 ms; amplitude alternates
+        frames = b"".join(
+            struct.pack("<hh", 1000 if i % 2 == 0 else -1000, 500)
+            for i in range(16000)
+        )
+        w.writeframes(frames)
+    payload = buf.getvalue()
+    sr, ch, dur, amp = _decode_wav(payload)
+    assert (sr, ch, dur) == (16000, 2, 1000)
+    assert amp == 750  # mean(|±1000|, |500|)
+
+    media = spark.createDataFrame(
+        [("a.wav", bytearray(payload))], "path string, content binary"
+    ).withColumn("mime_type", detect_mime(F.col("content")))
+    row = extract_audio_features(media, strict=True).collect()[0]
+    assert row.mime_type == "audio/wav"
+    assert (row.sample_rate, row.n_channels, row.duration_ms, row.mean_abs_amplitude) == (
+        16000, 2, 1000, 750,
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _decode_wav(payload[:30])  # truncated
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mp3ish = spark.createDataFrame(
+            [("x.mp3", bytearray(b"\xff\xfb" + b"z" * 64))],
+            "path string, content binary",
+        ).withColumn("mime_type", F.lit("audio/mpeg"))
+        extract_audio_features(mp3ish, strict=True).collect()
