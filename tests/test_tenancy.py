@@ -237,3 +237,96 @@ def test_ivf_cross_tenant_id_collision(spark, tmp_path):
     assert store.apply_batch(spark, None, [("globex", 2)], batch=2)
     assert {r.vec_id for r in store.read_assignments(spark, tenant="globex").select("vec_id").collect()} == {1}
     assert {r.vec_id for r in store.read_assignments(spark, tenant="acme").select("vec_id").collect()} == {1}
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_ivf_tenant_certificate_randomized(spark, tmp_path, seed):
+    """Randomized adversary for the tenant-scoped certificate: random
+    clustered corpus split over three tenants, then random upsert/
+    delete batches — after every batch, tenant-scoped probe_topk must
+    equal tenant-filtered brute force for a random query vector."""
+    import math
+    import random
+
+    from car_etl_spark.functions import vectors as V
+
+    rng = random.Random(seed)
+    dim, clusters, n_per = 8, 4, 25
+    tenants = ["a", "b", "c"]
+
+    def vec(c):
+        center = [0.0] * dim
+        center[2 * c] = 1.0
+        v = [x + rng.gauss(0, 0.05) for x in center]
+        n = math.sqrt(sum(y * y for y in v))
+        return [y / n for y in v]
+
+    state = {}  # (tenant, vid) -> embedding
+    for c in range(clusters):
+        for i in range(n_per):
+            vid = c * n_per + i
+            state[(rng.choice(tenants), vid)] = vec(c)
+    emb0 = spark.createDataFrame(
+        [(vid, t, v) for (t, vid), v in state.items()],
+        "vec_id long, tenant_id string, embedding array<double>",
+    )
+    store = IX.IvfStore(str(tmp_path / f"rt{seed}"), tenant_col="tenant_id")
+    store.build(emb0, num_centroids=4, refine_iterations=1, keep=())
+
+    def check(batch_no):
+        t = rng.choice(tenants)
+        q = vec(rng.randrange(clusters))
+        got = [
+            tuple(r)
+            for r in store.probe_topk(
+                spark, q, k=7, tenant=t, extra_cols=("tenant_id",)
+            ).collect()
+        ]
+        live = [
+            (vid, tt, v) for (tt, vid), v in state.items() if tt == t
+        ]
+        brute_df = spark.createDataFrame(
+            live, "vec_id long, tenant_id string, embedding array<double>"
+        )
+        brute = [
+            tuple(r)
+            for r in brute_df.select(
+                "vec_id", "tenant_id",
+                F.round(
+                    V.cosine_similarity(F.col("embedding"), V.literal_vector(q)), 6
+                ).alias("cosine_sim"),
+            )
+            .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+            .limit(7)
+            .collect()
+        ]
+        assert got == brute, f"batch {batch_no}, tenant {t}, seed {seed}"
+
+    check(0)
+    next_id = 1000
+    for b in range(1, 4):
+        ups = []
+        for _ in range(rng.randrange(1, 4)):
+            t = rng.choice(tenants)
+            if rng.random() < 0.5 and any(k[0] == t for k in state):
+                vid = rng.choice([k[1] for k in state if k[0] == t])  # update
+            else:
+                vid = next_id
+                next_id += 1
+            v = vec(rng.randrange(clusters))
+            state[(t, vid)] = v
+            ups.append((vid, t, v))
+        dels = []
+        for _ in range(rng.randrange(0, 2)):
+            victims = [k for k in state if (k[0], k[1]) not in {(u[1], u[0]) for u in ups}]
+            if victims:
+                t, vid = rng.choice(victims)
+                del state[(t, vid)]
+                dels.append((t, vid))
+        up_df = spark.createDataFrame(
+            ups, "vec_id long, tenant_id string, embedding array<double>"
+        )
+        assert store.apply_batch(spark, up_df, dels or None, batch=b, keep=())
+        check(b)
+    store.compact(spark)
+    check("post-compact")
