@@ -152,19 +152,33 @@ def estimate_posting_rows(source_path: str, text_col: str = "text") -> int:
     decision is allowed).  Total uncompressed bytes of the text column
     divided by :data:`AVG_TOKEN_BYTES` ~= total token occurrences ~=
     posting rows (posting rows roll up per (doc, raw_term, weight), so
-    this over-estimates — which only errs toward more buckets)."""
+    this over-estimates — which only errs toward more buckets).
+    ``source_path`` may be a single parquet file or a directory dataset
+    (part files summed; footer reads only)."""
     try:
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(source_path).metadata
-        names = [md.schema.column(i).name for i in range(md.num_columns)]
-        if text_col not in names:
+        files = []
+        if os.path.isdir(source_path):
+            for root, _dirs, fns in os.walk(source_path):
+                files.extend(
+                    os.path.join(root, fn) for fn in fns if fn.endswith(".parquet")
+                )
+        else:
+            files = [source_path]
+        if not files:
             return -1
-        ci = names.index(text_col)
-        total = sum(
-            md.row_group(rg).column(ci).total_uncompressed_size
-            for rg in range(md.num_row_groups)
-        )
+        total = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            if text_col not in names:
+                return -1
+            ci = names.index(text_col)
+            total += sum(
+                md.row_group(rg).column(ci).total_uncompressed_size
+                for rg in range(md.num_row_groups)
+            )
         return max(1, total // AVG_TOKEN_BYTES)
     except Exception:
         return -1  # unknown: caller falls back to the default layout

@@ -287,6 +287,41 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, int]:
     return sample_rate, n_channels, duration_ms, mean_abs
 
 
+def _jpeg_dimensions(content: bytes) -> tuple[int, int]:
+    """REAL header parse for JPEG dimensions: marker walk to the first
+    start-of-frame segment (SOF0-SOF15, excluding DHT/JPG/DAC), whose
+    payload carries height/width big-endian at offset 3 (JPEG spec,
+    ITU-T T.81 — public).  Pixel DECODE stays codec-bound; this reads
+    only what the headers state.  Raises ValueError when no SOF is
+    found (corrupt/truncated stream)."""
+    import struct
+
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            pos += 1  # padding/garbage tolerance between markers
+            continue
+        marker = content[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers have no length field
+            continue
+        (seg_len,) = struct.unpack_from(">H", content, pos + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(content):
+                break
+            height, width = struct.unpack_from(">HH", content, pos + 5)
+            if width == 0 or height == 0:
+                raise ValueError("degenerate JPEG dimensions")
+            return width, height
+        pos += 2 + seg_len
+    raise ValueError("no JPEG start-of-frame marker found")
+
+
 def _fake_audio(content: bytes) -> tuple[int, int, int, int]:
     """Deterministic stand-in for non-WAV audio (mp3/ogg decode needs
     codec libraries not in this container)."""
@@ -369,6 +404,16 @@ def extract_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
                     except ValueError:
                         if strict:
                             raise
+                        width, height, luma = _fake_decode(content)
+                elif raw[:2] == b"\xff\xd8" and not strict:
+                    # JPEG: dimensions parse FOR REAL from the SOF
+                    # header (T.81 marker walk); pixel decode remains
+                    # codec-bound, so luma stays the declared stub and
+                    # strict mode still fails explicitly below
+                    try:
+                        width, height = _jpeg_dimensions(raw)
+                        luma = _fake_decode(content)[2]
+                    except ValueError:
                         width, height, luma = _fake_decode(content)
                 elif strict:
                     raise NotImplementedError(

@@ -111,12 +111,7 @@ def main() -> None:
 
     for n in DOC_SIZES:
         src = make_docs(spark, n)
-        # estimate over the whole directory: sum the part files
-        est = 0
-        for root, _d, files in os.walk(src):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    est += max(0, IX.estimate_posting_rows(os.path.join(root, fn)))
+        est = IX.estimate_posting_rows(src)  # directory-aware footer sum
         nb = IX.derive_num_buckets(est)
         store = IX.PostingStore(os.path.join(ROOT, f"store-{n}"), num_buckets=nb)
         build_s = None

@@ -394,3 +394,37 @@ def test_wav_real_decode_kernel(spark):
             "path string, content binary",
         ).withColumn("mime_type", F.lit("audio/mpeg"))
         extract_audio_features(mp3ish, strict=True).collect()
+
+
+def test_jpeg_dimension_header_parse(spark):
+    """JPEG dimensions parse for real from the SOF marker (no codec):
+    a handcrafted minimal stream round-trips width/height through the
+    pipeline; corrupt streams fall back to the fake (non-strict)."""
+    import struct
+
+    from car_etl_spark.operators.multimodal import (
+        _jpeg_dimensions,
+        detect_mime,
+        extract_image_features,
+    )
+
+    def sof_jpeg(width, height):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", height, width) + b"\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    assert _jpeg_dimensions(sof_jpeg(640, 480)) == (640, 480)
+    import pytest
+
+    with pytest.raises(ValueError):
+        _jpeg_dimensions(b"\xff\xd8\xff\xd9")  # no SOF
+
+    media = spark.createDataFrame(
+        [("p.jpg", bytearray(sof_jpeg(123, 45)))], "path string, content binary"
+    ).withColumn("mime_type", detect_mime(F.col("content")))
+    row = extract_image_features(media).collect()[0]
+    assert (row.width, row.height) == (123, 45)
+    assert row.mime_type == "image/jpeg"
