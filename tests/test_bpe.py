@@ -1,0 +1,67 @@
+"""Real BPE: trained merges, greedy-by-rank segmentation, Spark path.
+
+Pinned properties of the Sennrich et al. (2016) algorithm:
+- the hand-computable textbook example learns the expected first merges;
+- segmentation is LOSSLESS (concatenating tokens rebuilds word + EOW);
+- more merges never increase a word's token count (monotone compression);
+- zero merges degrade to characters+EOW; and
+- the Arrow-batched Spark counter equals the literal driver-side count.
+"""
+
+from __future__ import annotations
+
+from car_etl_spark.functions import bpe as B
+
+
+def test_textbook_merges():
+    """The classic low/lower/newest/widest corpus from the paper: 'es'
+    then 'est' then 'est</w>' dominate the pair counts."""
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = B.train_bpe(freqs, 3)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", B.EOW)
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert B.bpe_segment("newest", ranks) == ["n", "e", "w", "est</w>"]
+    assert B.bpe_segment("lowest", ranks) == ["l", "o", "w", "est</w>"]
+
+
+def test_segmentation_lossless_and_monotone():
+    words = {"banana": 4, "bandana": 3, "ananas": 2, "cabana": 5}
+    prev_counts = None
+    for k in (0, 2, 4, 8, 16):
+        ranks = {p: i for i, p in enumerate(B.train_bpe(words, k))}
+        counts = {}
+        for w in words:
+            seg = B.bpe_segment(w, ranks)
+            assert "".join(seg) == w + B.EOW  # lossless
+            counts[w] = len(seg)
+        if k == 0:
+            assert all(counts[w] == len(w) + 1 for w in words)
+        if prev_counts is not None:
+            assert all(counts[w] <= prev_counts[w] for w in words)
+        prev_counts = counts
+
+
+def test_spark_counts_match_literal(spark):
+    from tests.conftest import SF_SMALL
+
+    from car_etl_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"].limit(50)
+    merges = B.train_bpe_from_corpus(docs, num_merges=80)
+    assert len(merges) == 80
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in B.bpe_token_counts(docs, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    ranks = {p: i for i, p in enumerate(merges)}
+    for r in docs.select("doc_id", "text").collect():
+        expect = sum(len(B.bpe_segment(w, ranks)) for w in r.text.lower().split())
+        assert got[r.doc_id] == expect
+    # trained merges compress: fewer tokens than characters, more than words
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for did, text in list(texts.items())[:5]:
+        n_words = len(text.split())
+        n_chars_plus = sum(len(w) + 1 for w in text.lower().split())
+        assert n_words <= got[did] <= n_chars_plus
