@@ -54,24 +54,46 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> dict[str, int]:
 def train_bpe(word_freqs: dict[str, int], num_merges: int) -> list[tuple[str, str]]:
     """Learn ``num_merges`` merge rules: repeatedly merge the most
     frequent adjacent symbol pair (ties broken lexicographically for
-    determinism).  Pure driver-side; returns merges in rank order."""
+    determinism).  Pure driver-side; returns merges in rank order.
+
+    Incremental (the standard Sennrich optimization): pair counts and a
+    pair -> sequences inverted index are maintained across iterations,
+    so each merge touches only the sequences that CONTAIN the merged
+    pair instead of recounting the whole vocabulary — without this, a
+    realistic vocabulary (~10^6 words) times the default merge budget
+    is billions of Counter increments and the 'control-plane cheap'
+    claim dies."""
+    from collections import defaultdict
+
     seqs: dict[tuple[str, ...], int] = {}
     for w, n in word_freqs.items():
-        seqs[tuple(w) + (EOW,)] = seqs.get(tuple(w) + (EOW,), 0) + n
+        k = tuple(w) + (EOW,)
+        seqs[k] = seqs.get(k, 0) + n
+    pair_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for seq, n in seqs.items():
+        for i in range(len(seq) - 1):
+            p = (seq[i], seq[i + 1])
+            pair_counts[p] += n
+            where[p].add(seq)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs: Counter = Counter()
-        for seq, n in seqs.items():
-            for i in range(len(seq) - 1):
-                pairs[(seq[i], seq[i + 1])] += n
-        if not pairs:
+        if not pair_counts:
             break
-        best_n = max(pairs.values())
-        best = min(p for p, n in pairs.items() if n == best_n)
+        best_n = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == best_n)
         merges.append(best)
         merged = best[0] + best[1]
-        new_seqs: dict[tuple[str, ...], int] = {}
-        for seq, n in seqs.items():
+        for seq in list(where.get(best, ())):
+            n = seqs.pop(seq, None)
+            if n is None:
+                continue  # stale index entry (sequence already rewritten)
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pair_counts[p] -= n
+                if pair_counts[p] <= 0:
+                    pair_counts.pop(p, None)
+                where[p].discard(seq)
             out = []
             i = 0
             while i < len(seq):
@@ -81,9 +103,14 @@ def train_bpe(word_freqs: dict[str, int], num_merges: int) -> list[tuple[str, st
                 else:
                     out.append(seq[i])
                     i += 1
-            key = tuple(out)
-            new_seqs[key] = new_seqs.get(key, 0) + n
-        seqs = new_seqs
+            new = tuple(out)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] += n
+                where[p].add(new)
+            seqs[new] = seqs.get(new, 0) + n
+        pair_counts.pop(best, None)
+        where.pop(best, None)
     return merges
 
 
@@ -126,13 +153,23 @@ def bpe_token_counts(
 
     ranks = {pair: i for i, pair in enumerate(merges)}
 
+    import re
+
+    # ASCII \s+ split — the SAME tokenization as the training side's
+    # Java regex split (Java \s is ASCII-only by default); Python's
+    # str.split() is Unicode-aware and would count words the frequency
+    # table never trained on (e.g. around non-breaking spaces)
+    ascii_ws = re.compile(r"\s+", re.ASCII)
+
     @pandas_udf("long")
     def count_tokens(texts: pd.Series) -> pd.Series:
         cache: dict[str, int] = {}
 
         def one(text: str) -> int:
             total = 0
-            for w in (text or "").lower().split():
+            for w in ascii_ws.split((text or "").lower()):
+                if not w:
+                    continue
                 n = cache.get(w)
                 if n is None:
                     n = len(bpe_segment(w, ranks))

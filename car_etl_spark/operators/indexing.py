@@ -274,6 +274,27 @@ def _tree_bytes(d: str) -> int:
 COMPACT_DELTA_FRACTION = 0.2
 
 
+def _swap_layout(live_dir: str, tmp: str, delta_dir: str, tomb_dir: str, store_path: str) -> None:
+    """Atomically swap a freshly-built layout (meta already stamped
+    inside it) over the live directory, then clear stale maintenance
+    state — deltas, tombstones, and batch sentinels (a rebuild must
+    never replay-no-op a later batch id).  Crash-order argument: the
+    rename happens FIRST, so any prefix of the cleanup leaves a
+    consistent (layout, meta) pair plus at worst stale-but-harmless
+    delta/tombstone files that the fresh meta's batch table ignores."""
+    old = live_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(live_dir):
+        os.rename(live_dir, old)
+    os.rename(tmp, live_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    for f in os.listdir(store_path):
+        if f.startswith("_applied_"):
+            os.remove(os.path.join(store_path, f))
+
+
 class PostingStore:
     """Persisted posting table with LSM-style incremental maintenance.
 
@@ -321,6 +342,12 @@ class PostingStore:
         if tenant_col is None:
             tenant_col = meta.get("tenant_col")
         self.tenant_col = tenant_col
+        if not meta and self._has_parquet(self.base_dir):
+            raise ValueError(
+                f"posting store at {path} has a base layout but no "
+                "base/_meta.json — a pre-v3 store; rebuild it (silently "
+                "defaulting the bucket count would mis-prune every query)"
+            )
 
     def _meta(self) -> dict:
         try:
@@ -328,6 +355,16 @@ class PostingStore:
                 return json.load(f)
         except (OSError, ValueError):
             return {}
+
+    def _stored_schema(self):
+        """The dataset schema recorded at build time — reads supply it
+        explicitly, so partition-column TYPE INFERENCE can never
+        reinterpret values (a string tenant id '1001' would otherwise
+        come back as an int and break tombstone joins and scoping)."""
+        from pyspark.sql.types import StructType
+
+        m = self._meta()
+        return StructType.fromJson(m["schema"]) if "schema" in m else None
 
     def bucket_of(self, term: str) -> int:
         """Query-side pruning bucket for a (stemmed) term — bound to
@@ -359,11 +396,10 @@ class PostingStore:
 
     # -- build -----------------------------------------------------------
 
-    def _swap_in_base(self, tmp: str) -> None:
-        """Stamp meta into the tmp layout, then atomically swap it in —
-        layout and meta change together, and stale maintenance state
-        (deltas, tombstones, batch sentinels) is cleared so a rebuild
-        can never replay-no-op a later batch id."""
+    def _swap_in_base(self, tmp: str, schema) -> None:
+        """Stamp meta (including the exact dataset schema) into the tmp
+        layout, then atomically swap it in — layout and meta change
+        together (see :func:`_swap_layout`)."""
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(
                 {
@@ -371,20 +407,11 @@ class PostingStore:
                     "num_buckets": self.num_buckets,
                     "analyzer": self.analyzer,
                     "tenant_col": self.tenant_col,
+                    "schema": schema.jsonValue(),
                 },
                 f,
             )
-        old = self.base_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(self.base_dir):
-            os.rename(self.base_dir, old)
-        os.rename(tmp, self.base_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(self.delta_dir, ignore_errors=True)
-        shutil.rmtree(self.tomb_dir, ignore_errors=True)
-        for f in os.listdir(self.path):
-            if f.startswith("_applied_"):
-                os.remove(os.path.join(self.path, f))
+        _swap_layout(self.base_dir, tmp, self.delta_dir, self.tomb_dir, self.path)
 
     def build(self, docs: DataFrame) -> None:
         """Full (re)build of the base layout from the corpus."""
@@ -394,7 +421,7 @@ class PostingStore:
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         self._write_store(rows, tmp, "overwrite")
-        self._swap_in_base(tmp)
+        self._swap_in_base(tmp, rows.schema)
 
     # -- incremental maintenance ----------------------------------------
 
@@ -445,14 +472,15 @@ class PostingStore:
                     "tenant-partitioned store: deleted_ids must be "
                     "(tenant, doc_id) pairs"
                 )
-            base_schema = spark.read.parquet(self.base_dir).schema
-            src_schema = upserts.schema if upserts is not None else base_schema
+            # field types come from the stored build-time schema (exact,
+            # no partition-type inference, no extra read job); the
+            # upserts schema is the fallback for pre-schema stores
             from pyspark.sql.types import StructField, StructType
 
-            fields = [
-                StructField(c, (src_schema if c in src_schema.names else base_schema)[c].dataType)
-                for c in tomb_key
-            ]
+            src = self._stored_schema() or (upserts.schema if upserts is not None else None)
+            if src is None:
+                raise ValueError("cannot derive tombstone schema (no meta schema)")
+            fields = [StructField(c, src[c].dataType) for c in tomb_key]
             tomb_parts.append(
                 spark.createDataFrame(
                     [tuple(d) if self.tenant_col else (d,) for d in deleted_ids],
@@ -493,6 +521,11 @@ class PostingStore:
         scan — zero merge overhead."""
         if tenant is not None and not self.tenant_col:
             raise ValueError("store was not built with a tenant_col")
+        # build-time schema supplied explicitly: partition-column type
+        # inference would otherwise reinterpret values (string tenant
+        # '1001' -> int) and silently break tenant scoping + tombstones
+        stored = self._stored_schema()
+        reader = spark.read.schema(stored) if stored is not None else spark.read
 
         def scope(df):
             if buckets is not None:
@@ -501,9 +534,9 @@ class PostingStore:
                 df = df.filter(F.col(self.tenant_col) == tenant)
             return df
 
-        df = scope(spark.read.parquet(self.base_dir))
+        df = scope(reader.parquet(self.base_dir))
         if self._has_parquet(self.delta_dir):
-            delta = scope(spark.read.parquet(self.delta_dir))
+            delta = scope(reader.parquet(self.delta_dir))
             # exact-duplicate drop: a replayed half-applied batch appends
             # identical rows; ([tenant,] doc, raw_term, weight, batch) is
             # unique within a correctly-applied batch, so this only
@@ -573,7 +606,7 @@ class PostingStore:
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         self._write_store(live, tmp, "overwrite")
-        self._swap_in_base(tmp)
+        self._swap_in_base(tmp, live.schema)
 
 
 #: in-process memo of built index paths — an os.stat-cheap staleness
@@ -705,6 +738,24 @@ class IvfStore:
             except (OSError, ValueError):
                 tenant_col = None
         self.tenant_col = tenant_col
+        if not os.path.exists(self.meta_path) and self._has_parquet(self.assign_dir):
+            raise ValueError(
+                f"IVF store at {path} has assignments but no "
+                "assignments/_meta.json — a pre-v5 store; rebuild it "
+                "(stale or defaulted centroids would certify wrong probes)"
+            )
+
+    def _stored_schema(self):
+        """Build-time assignments schema — reads supply it explicitly so
+        partition-column type inference can never reinterpret tenant or
+        centroid values."""
+        from pyspark.sql.types import StructType
+
+        try:
+            m = self.meta()
+        except (OSError, ValueError):
+            return None
+        return StructType.fromJson(m["schema"]) if "schema" in m else None
 
     def build(
         self,
@@ -774,7 +825,9 @@ class IvfStore:
             for r in rows
             if r.centroid_vec is not None
         )
-        written = assigned.sparkSession.read.parquet(tmp)
+        # read tmp back with the WRITE schema: stats keys must stringify
+        # the original tenant values, not partition-inferred reinterpretations
+        written = assigned.sparkSession.read.schema(assigned.schema).parquet(tmp)
         stats, tstats = self._all_stats(written, cents, vec_col)
         meta = {
             "version": IVF_VERSION,
@@ -796,26 +849,10 @@ class IvfStore:
         }
         if tstats is not None:
             meta["tenants"] = tstats
+        meta["schema"] = assigned.schema.jsonValue()
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(meta, f)
-        self._swap_in_assign(tmp)
-
-    def _swap_in_assign(self, tmp: str) -> None:
-        """Atomically swap in a freshly-built assignments layout (meta
-        already stamped inside it) and clear stale maintenance state —
-        deltas, tombstones, and batch sentinels (a rebuild must never
-        replay-no-op a later batch id)."""
-        old = self.assign_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(self.assign_dir):
-            os.rename(self.assign_dir, old)
-        os.rename(tmp, self.assign_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(self.delta_dir, ignore_errors=True)
-        shutil.rmtree(self.tomb_dir, ignore_errors=True)
-        for f in os.listdir(self.path):
-            if f.startswith("_applied_"):
-                os.remove(os.path.join(self.path, f))
+        _swap_layout(self.assign_dir, tmp, self.delta_dir, self.tomb_dir, self.path)
 
     def _all_stats(self, assigned: DataFrame, cents, vec_col: str):
         """(global stats, per-tenant stats|None) in ONE pass: tenant
@@ -1014,18 +1051,22 @@ class IvfStore:
         m.setdefault("batches", {})[str(batch)] = pessimistic
         self._write_meta(m)
         if tomb_ids:
-            # tombstone key types derive from the base assignments schema
-            # (string/short/any id space round-trips instead of a
-            # hardcoded long coercion); tenant stores key by (tenant, id)
+            # tombstone key types derive from the STORED build-time
+            # schema (exact — immune to partition-type inference, and no
+            # extra read job); tenant stores key by (tenant, id)
             from pyspark.sql.types import StructField, StructType
 
-            base_schema = spark.read.parquet(self.assign_dir).schema
+            src = self._stored_schema()
+            if src is None:
+                src = (
+                    upserts.schema
+                    if upserts is not None
+                    else spark.read.parquet(self.assign_dir).schema
+                )
             tomb_cols = [self.tenant_col, id_col] if self.tenant_col else [id_col]
             tomb = spark.createDataFrame(
                 sorted(tomb_ids),
-                StructType(
-                    [StructField(c, base_schema[c].dataType) for c in tomb_cols]
-                ),
+                StructType([StructField(c, src[c].dataType) for c in tomb_cols]),
             ).withColumn("batch", F.lit(batch).cast("long"))
             tomb.coalesce(1).write.mode("append").parquet(self.tomb_dir)
         if upserts is not None:
@@ -1074,9 +1115,11 @@ class IvfStore:
             return df
 
         key = [self.tenant_col, id_col] if self.tenant_col else [id_col]
-        df = scope(spark.read.parquet(self.assign_dir))
+        stored = self._stored_schema()
+        reader = spark.read.schema(stored) if stored is not None else spark.read
+        df = scope(reader.parquet(self.assign_dir))
         if self._has_parquet(self.delta_dir):
-            delta = scope(spark.read.parquet(self.delta_dir))
+            delta = scope(reader.parquet(self.delta_dir))
             df = df.unionByName(delta.dropDuplicates(key + ["batch"]))
         if self._has_parquet(self.tomb_dir):
             tomb = (
@@ -1121,7 +1164,9 @@ class IvfStore:
             .partitionBy(*pcols)
             .parquet(tmp)
         )
-        stats, tstats = self._all_stats(spark.read.parquet(tmp), cents, vec_col)
+        stats, tstats = self._all_stats(
+            spark.read.schema(live.schema).parquet(tmp), cents, vec_col
+        )
         m["radii"] = [
             stats[c[0]][0] if c[0] in stats and stats[c[0]][0] is not None else 3.141593
             for c in cents
@@ -1130,9 +1175,10 @@ class IvfStore:
         m["batches"] = {}
         if tstats is not None:
             m["tenants"] = tstats
+        m["schema"] = live.schema.jsonValue()
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(m, f)
-        self._swap_in_assign(tmp)
+        _swap_layout(self.assign_dir, tmp, self.delta_dir, self.tomb_dir, self.path)
 
     def meta(self) -> dict:
         with open(self.meta_path) as f:

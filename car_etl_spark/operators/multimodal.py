@@ -35,13 +35,17 @@ from pyspark.sql.types import (
 )
 
 # Magic-byte whitelist — reference src/services/file_validator.py:65-131.
+# Each mime maps to a list of (offset, bytes) conditions that must ALL
+# hold: WAV needs 'WAVE' at offset 8 as well as the 'RIFF' prefix,
+# otherwise every RIFF container (WebP images, AVI video) would
+# misclassify as audio.
 MAGIC_BYTES = {
-    "application/pdf": b"%PDF",
-    "image/png": b"\x89PNG",
-    "image/jpeg": b"\xff\xd8\xff",
-    "application/zip": b"PK\x03\x04",
-    "image/bmp": b"BM",
-    "audio/wav": b"RIFF",
+    "application/pdf": [(0, b"%PDF")],
+    "image/png": [(0, b"\x89PNG")],
+    "image/jpeg": [(0, b"\xff\xd8\xff")],
+    "application/zip": [(0, b"PK\x03\x04")],
+    "image/bmp": [(0, b"BM")],
+    "audio/wav": [(0, b"RIFF"), (8, b"WAVE")],
 }
 
 MEDIA_SCHEMA = StructType(
@@ -81,9 +85,14 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def detect_mime(content_col) -> "F.Column":
     """Magic-byte dispatch as a when-chain (F30-adjacent; JVM-side)."""
     expr = None
-    for mime, magic in MAGIC_BYTES.items():
-        hexpat = magic.hex()
-        cond = F.lower(F.hex(F.substring(content_col, 1, len(magic)))) == hexpat.lower()
+    for mime, conds in MAGIC_BYTES.items():
+        cond = None
+        for off, magic in conds:
+            c = (
+                F.lower(F.hex(F.substring(content_col, off + 1, len(magic))))
+                == magic.hex().lower()
+            )
+            cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(mime)) if expr is None else expr.when(cond, F.lit(mime))
     return expr.otherwise(F.lit("application/octet-stream"))
 
@@ -179,6 +188,19 @@ def _decode_png(content: bytes) -> tuple[int, int, int]:
 
     if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
+    try:
+        return _decode_png_body(content)
+    except (struct.error, zlib.error) as e:
+        # parse-layer failures ARE decode failures: normalize so the
+        # non-strict fallback path (except ValueError) catches them
+        # instead of one corrupt file killing the whole batch
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+
+
+def _decode_png_body(content: bytes) -> tuple[int, int, int]:
+    import struct
+    import zlib
+
     pos, idat, ihdr = 8, [], None
     while pos + 8 <= len(content):
         (length,) = struct.unpack_from(">I", content, pos)
@@ -256,6 +278,17 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, int]:
 
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
+    try:
+        return _decode_wav_body(content)
+    except struct.error as e:
+        # parse-layer failures ARE decode failures: normalize so the
+        # non-strict fallback (except ValueError) catches them
+        raise ValueError(f"corrupt WAVE stream: {e}") from e
+
+
+def _decode_wav_body(content: bytes) -> tuple[int, int, int, int]:
+    import struct
+
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
@@ -280,10 +313,19 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, int]:
     n_samples = len(data) // 2
     if n_samples == 0:
         raise ValueError("empty WAVE data")
-    samples = struct.unpack(f"<{n_samples}h", data[: n_samples * 2])
+    # memoryview cast: iterate int16 samples zero-copy — a giant
+    # struct.unpack tuple would cost ~30x the file size in Python ints.
+    # cast() is NATIVE-endian; WAV is little-endian, so big-endian
+    # hosts take the (slower, correct) unpack path.
+    import sys
+
+    if sys.byteorder == "little":
+        samples = memoryview(data)[: n_samples * 2].cast("h")
+    else:  # pragma: no cover - no big-endian host in CI
+        samples = struct.unpack(f"<{n_samples}h", data[: n_samples * 2])
     frames = n_samples // n_channels
     duration_ms = frames * 1000 // sample_rate
-    mean_abs = sum(abs(s) for s in samples) // n_samples
+    mean_abs = sum(abs(x) for x in samples) // n_samples
     return sample_rate, n_channels, duration_ms, mean_abs
 
 

@@ -65,3 +65,78 @@ def test_spark_counts_match_literal(spark):
         n_words = len(text.split())
         n_chars_plus = sum(len(w) + 1 for w in text.lower().split())
         assert n_words <= got[did] <= n_chars_plus
+
+
+def test_unicode_whitespace_alignment(spark):
+    """Training (Java ASCII \\s+) and counting (Python ASCII \\s+) must
+    tokenize identically: a non-breaking space is NOT a separator on
+    either side, so 'foo\\u00a0bar' stays one trained word."""
+    docs = spark.createDataFrame(
+        [(1, "foo\u00a0bar foo\u00a0bar baz")], "doc_id long, text string"
+    )
+    freqs = B.word_frequencies(docs)
+    assert freqs == {"foo\u00a0bar": 2, "baz": 1}
+    merges = B.train_bpe(freqs, 10)
+    [row] = B.bpe_token_counts(docs, merges).select("bpe_tokens").collect()
+    ranks = {p: i for i, p in enumerate(merges)}
+    expect = 2 * len(B.bpe_segment("foo\u00a0bar", ranks)) + len(
+        B.bpe_segment("baz", ranks)
+    )
+    assert row.bpe_tokens == expect
+
+
+def test_incremental_trainer_matches_reference_and_scales():
+    """The incremental trainer must produce the EXACT merge list of the
+    naive recount-everything reference implementation (same selection
+    rule), and handle a 20k-word vocabulary x 300 merges in seconds."""
+    import random
+    import time
+
+    def naive_train(word_freqs, num_merges):
+        from collections import Counter as C
+
+        seqs = {}
+        for w, n in word_freqs.items():
+            k = tuple(w) + (B.EOW,)
+            seqs[k] = seqs.get(k, 0) + n
+        merges = []
+        for _ in range(num_merges):
+            pairs = C()
+            for seq, n in seqs.items():
+                for i in range(len(seq) - 1):
+                    pairs[(seq[i], seq[i + 1])] += n
+            if not pairs:
+                break
+            best_n = max(pairs.values())
+            best = min(p for p, c in pairs.items() if c == best_n)
+            merges.append(best)
+            merged = best[0] + best[1]
+            new_seqs = {}
+            for seq, n in seqs.items():
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                new_seqs[tuple(out)] = new_seqs.get(tuple(out), 0) + n
+            seqs = new_seqs
+        return merges
+
+    rng = random.Random(42)
+    small = {
+        "".join(rng.choice("abcdef") for _ in range(rng.randrange(2, 9))): rng.randrange(1, 50)
+        for _ in range(300)
+    }
+    assert B.train_bpe(small, 60) == naive_train(small, 60)
+
+    big = {
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randrange(3, 12))): rng.randrange(1, 100)
+        for _ in range(20_000)
+    }
+    t0 = time.perf_counter()
+    merges = B.train_bpe(big, 300)
+    assert len(merges) == 300
+    assert time.perf_counter() - t0 < 30

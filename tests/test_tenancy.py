@@ -10,6 +10,8 @@ these tests pin both by value (no cross-tenant rows, ever) and by plan
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -330,3 +332,61 @@ def test_ivf_tenant_certificate_randomized(spark, tmp_path, seed):
         check(b)
     store.compact(spark)
     check("post-compact")
+
+
+def test_numeric_string_tenant_ids_round_trip(spark, tmp_path):
+    """Partition-column type inference must never reinterpret tenant
+    values: a STRING tenant id '1001' stays a string through build,
+    scoped reads, upsert tombstones, and deletes (the stored build-time
+    schema is supplied on every read)."""
+    store = IX.PostingStore(str(tmp_path / "numt"), tenant_col="tenant_id")
+    store.build(
+        spark.createDataFrame(
+            [
+                (1, "en", "1001", "alpha beta"),
+                (1, "en", "2002", "alpha gamma"),
+            ],
+            "doc_id long, lang string, tenant_id string, text string",
+        )
+    )
+    view = store.read(spark, tenant="1001")
+    assert dict(view.dtypes)["tenant_id"] == "string"
+    assert view.select("doc_id").distinct().count() == 1
+    up = spark.createDataFrame(
+        [(1, "en", "1001", "rewritten alpha")],
+        "doc_id long, lang string, tenant_id string, text string",
+    )
+    assert store.apply_batch(spark, up, [("2002", 1)], batch=1)
+    assert store.term_search(spark, [stem_py("alpha")], tenant="2002").count() == 0
+    got = store.term_search(spark, [stem_py("rewritten")], tenant="1001").collect()
+    assert [r.doc_id for r in got] == [1]
+    store.compact(spark)
+    assert store.term_search(spark, [stem_py("rewritten")], tenant="1001").count() == 1
+
+    emb = spark.createDataFrame(
+        [
+            (1, "1001", [1.0, 0.0]),
+            (1, "2002", [0.0, 1.0]),
+        ],
+        "vec_id long, tenant_id string, embedding array<double>",
+    )
+    ivf = IX.IvfStore(str(tmp_path / "numivf"), tenant_col="tenant_id")
+    ivf.build(emb, num_centroids=2, refine_iterations=0, keep=())
+    live = ivf.read_assignments(spark, tenant="1001")
+    assert dict(live.dtypes)["tenant_id"] == "string"
+    assert ivf.apply_batch(spark, None, [("2002", 1)], batch=1, keep=())
+    assert ivf.read_assignments(spark, tenant="2002").count() == 0
+    assert ivf.read_assignments(spark, tenant="1001").count() == 1
+
+
+def test_pre_v3_store_refuses_silent_defaults(spark, tmp_path):
+    """A base layout without meta (pre-v3 store or torn copy) must fail
+    loudly at open — silently defaulting the bucket count would make
+    every pruned query scan the wrong partition."""
+    import pytest
+
+    store = IX.PostingStore(str(tmp_path / "lg"), num_buckets=64)
+    store.build(_two_tenant_docs(spark).drop("tenant_id"))
+    os.remove(store.meta_path)
+    with pytest.raises(ValueError, match="pre-v3"):
+        IX.PostingStore(str(tmp_path / "lg"))

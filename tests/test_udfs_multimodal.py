@@ -428,3 +428,60 @@ def test_jpeg_dimension_header_parse(spark):
     row = extract_image_features(media).collect()[0]
     assert (row.width, row.height) == (123, 45)
     assert row.mime_type == "image/jpeg"
+
+
+def test_corrupt_streams_fall_back_not_crash(spark):
+    """Parse-layer failures (zlib/struct errors) normalize to the
+    decode-failure contract: non-strict batches fall back to the fake
+    instead of one corrupt file killing the job; WebP's RIFF container
+    no longer masquerades as WAV."""
+    import struct
+    import zlib as _z
+
+    from car_etl_spark.operators.multimodal import (
+        detect_mime,
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    # PNG with valid signature + IHDR but corrupt deflate stream
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    c1 = b"IHDR" + ihdr
+    c2 = b"IDAT" + b"\x00garbage-not-zlib"
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + c1 + struct.pack(">I", _z.crc32(c1))
+        + struct.pack(">I", len(c2) - 4) + c2 + struct.pack(">I", _z.crc32(c2))
+    )
+    # WAV with a truncated fmt chunk (8 bytes, unpack at 14 would break)
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    img = spark.createDataFrame(
+        [("bad.png", bytearray(bad_png))], "path string, content binary"
+    ).withColumn("mime_type", detect_mime(F.col("content")))
+    rows = extract_image_features(img).collect()  # non-strict: no crash
+    assert rows[0].width >= 64  # fake fallback engaged
+    import pytest
+
+    with pytest.raises(Exception, match="corrupt PNG"):
+        extract_image_features(img, strict=True).collect()
+
+    aud = spark.createDataFrame(
+        [("bad.wav", bytearray(bad_wav))], "path string, content binary"
+    ).withColumn("mime_type", detect_mime(F.col("content")))
+    rows = extract_audio_features(aud).collect()
+    assert rows[0].sample_rate >= 8000  # fake fallback engaged
+    with pytest.raises(Exception, match="corrupt WAVE"):
+        extract_audio_features(aud, strict=True).collect()
+
+    # RIFF without WAVE (WebP) is NOT audio/wav
+    webp = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+    [m] = (
+        spark.createDataFrame([("x.webp", bytearray(webp))], "path string, content binary")
+        .select(detect_mime(F.col("content")).alias("m"))
+        .collect()
+    )
+    assert m.m == "application/octet-stream"
