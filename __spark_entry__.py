@@ -38,8 +38,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in _REGISTRY.items()}
 
 
+#: the driver's documented correctness corpus — callable oracles
+#: (corpus-derived artifacts, e.g. the learned-BPE vocabulary twin)
+#: are materialized for this dir
+DRIVER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-expressible query."""
+    from car_etl_spark.queries import resolve_oracle
+
     return {
-        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None
+        name: resolve_oracle(spec.oracle, DRIVER_ORACLE_SF_DIR)
+        for name, spec in _REGISTRY.items()
+        if spec.oracle is not None
     }

@@ -32,12 +32,52 @@ from pyspark.sql import functions as F
 #: distinct from "est" mid-word, so merges respect word boundaries
 EOW = "</w>"
 
+# ASCII \s+ split — the SAME tokenization as the training side's Java
+# regex split (Java \s is ASCII-only by default); Python's str.split()
+# is Unicode-aware and would count words the frequency table never
+# trained on (e.g. around non-breaking spaces)
+_ASCII_WS = None
 
-def word_frequencies(docs: DataFrame, text_col: str = "text") -> dict[str, int]:
+
+def tokenize_py(text: str | None) -> list[str]:
+    """Pure-Python twin of the Spark-side tokenization
+    (``lower -> split \\s+ -> drop empties``) — the single definition
+    both the counting pandas_udf and the DuckDB-oracle vocabulary
+    builder share, so the three backends cannot drift."""
+    global _ASCII_WS
+    if _ASCII_WS is None:
+        import re
+
+        _ASCII_WS = re.compile(r"\s+", re.ASCII)
+    return [w for w in _ASCII_WS.split((text or "").lower()) if w]
+
+
+#: training-vocabulary caps.  At web scale the RAW vocabulary (typos,
+#: ids, URLs) is 10^8-10^9 entries and an uncapped collect dies; merge
+#: learning only ever selects pairs by FREQUENCY, so pruning the hapax
+#: tail is the standard practice (subword-nmt's --min-frequency;
+#: Sennrich et al. 2016 §4 train on frequency tables the same way) and
+#: leaves every merge above the threshold untouched.  The top-N cap is
+#: the hard byte bound: whatever the corpus, the driver collects at
+#: most top_n rows (most-frequent first, lexicographic tie-break, so
+#: the cut is deterministic).
+DEFAULT_MIN_COUNT = 2
+DEFAULT_TOP_N = 200_000
+
+
+def word_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = DEFAULT_MIN_COUNT,
+    top_n: int | None = DEFAULT_TOP_N,
+) -> dict[str, int]:
     """The corpus word-frequency table: lowercase whitespace tokens ->
-    count.  One tokenize + one groupBy job; the collect is vocabulary-
-    sized (control-plane)."""
-    rows = (
+    count.  One tokenize + one groupBy job; the collect is CAPPED
+    in-job (``n >= min_count`` filter + deterministic top-``top_n``)
+    so the driver never holds more than ``top_n`` rows regardless of
+    corpus size — the cap is what makes driver-side merge learning a
+    control-plane operation at 100 TB."""
+    wf = (
         docs.select(
             F.explode(
                 F.split(F.regexp_replace(F.lower(F.col(text_col)), r"^\s+", ""), r"\s+")
@@ -46,8 +86,14 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> dict[str, int]:
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+    if min_count > 1:
+        wf = wf.filter(F.col("n") >= min_count)
+    if top_n is not None:
+        # TakeOrderedAndProject, not a global sort: Spark turns
+        # orderBy+limit into a per-partition top-N + driver merge
+        wf = wf.orderBy(F.desc("n"), F.asc("w")).limit(top_n)
+    rows = wf.collect()
     return {r.w: r.n for r in rows}
 
 
@@ -132,11 +178,15 @@ def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def train_bpe_from_corpus(
-    docs: DataFrame, num_merges: int = 500, text_col: str = "text"
+    docs: DataFrame,
+    num_merges: int = 500,
+    text_col: str = "text",
+    min_count: int = DEFAULT_MIN_COUNT,
+    top_n: int | None = DEFAULT_TOP_N,
 ) -> list[tuple[str, str]]:
-    """End-to-end trainer: corpus -> word-frequency job -> driver-side
-    merge learning."""
-    return train_bpe(word_frequencies(docs, text_col), num_merges)
+    """End-to-end trainer: corpus -> capped word-frequency job ->
+    driver-side merge learning."""
+    return train_bpe(word_frequencies(docs, text_col, min_count, top_n), num_merges)
 
 
 def bpe_token_counts(
@@ -153,23 +203,13 @@ def bpe_token_counts(
 
     ranks = {pair: i for i, pair in enumerate(merges)}
 
-    import re
-
-    # ASCII \s+ split — the SAME tokenization as the training side's
-    # Java regex split (Java \s is ASCII-only by default); Python's
-    # str.split() is Unicode-aware and would count words the frequency
-    # table never trained on (e.g. around non-breaking spaces)
-    ascii_ws = re.compile(r"\s+", re.ASCII)
-
     @pandas_udf("long")
     def count_tokens(texts: pd.Series) -> pd.Series:
         cache: dict[str, int] = {}
 
         def one(text: str) -> int:
             total = 0
-            for w in ascii_ws.split((text or "").lower()):
-                if not w:
-                    continue
+            for w in tokenize_py(text):
                 n = cache.get(w)
                 if n is None:
                     n = len(bpe_segment(w, ranks))

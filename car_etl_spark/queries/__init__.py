@@ -23,11 +23,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass(frozen=True)
 class QuerySpec:
-    """One registered query: Spark program + optional DuckDB oracle SQL."""
+    """One registered query: Spark program + optional DuckDB oracle SQL.
+
+    ``oracle`` is either the SQL string itself or a builder
+    ``sf_dir -> SQL`` for oracles that depend on corpus-derived
+    artifacts (the learned-BPE vocabulary twin): the builder constructs
+    (and if needed materializes) the artifact for the SAME corpus the
+    Spark side will read, then returns the SQL referencing it.  Resolve
+    with :func:`resolve_oracle`; ``__spark_entry__.oracle_sql()``
+    resolves at the driver's correctness dir (sf0.01)."""
 
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    oracle: str | Callable[[str], str] | None
     tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def resolve_oracle(oracle: str | Callable[[str], str] | None, sf_dir: str) -> str | None:
+    """Materialize a QuerySpec oracle for a concrete corpus dir."""
+    return oracle(sf_dir) if callable(oracle) else oracle
 
 
 #: prepared-statement cache for the serving-shaped queries, keyed by

@@ -121,8 +121,127 @@ ORDER BY answer_id
 """
 
 
+#: merge budget for the registry's learned-BPE arm — sized to the
+#: synthetic corpus (31-word vocabulary converges to whole-word tokens
+#: at ~105 merges; 48 leaves ~2/3 of the vocabulary genuinely
+#: multi-token) so the hash actually discriminates learned-subword
+#: counts from whitespace counts, the same sizing discipline as the
+#: chunker's 16-token windows.  Real deployments pass their own budget
+#: (tiktoken-class vocabularies are 32k-100k merges).
+RAG_BPE_MERGES = 48
+
+
+def rag_context_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24/F25 suite: the greedy 6000-token context fold under BOTH
+    token-counting backends, mode-tagged in one slot —
+
+    - ``regex_ws``: whitespace token counts (the SQL-pure twin;
+      `rag_context_budget`'s sub-expression unchanged);
+    - ``learned_bpe``: corpus-trained BPE counts (Sennrich merges from
+      the persisted content-addressed store,
+      ``operators/bpe_store.py``), applied per distinct word inside the
+      Arrow-batched counting pandas_udf.
+
+    This is the production consumer of the trained tokenizer the
+    reference's context builder implies (tiktoken,
+    ``src/rag/context_builder.py:7-19``): the budget fold runs on real
+    learned-subword counts, not the regex approximation.  The oracle
+    verifies the learned arm through the store's vocabulary twin
+    (word -> n_tokens join + sum), so the distributed counting pipeline
+    is value-hash-checked end to end."""
+    from car_etl_spark.functions import text as T
+    from car_etl_spark.functions.bpe import bpe_token_counts
+    from car_etl_spark.operators.bpe_store import ensure_bpe_merges
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = keyword_scores(docs, ("spark", "data", "join"), "doc_id", "text").filter(
+        F.col("score") > 0
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+
+    def fold(arm: DataFrame, tag: str) -> DataFrame:
+        ranked = arm.withColumn("rank", F.row_number().over(w).cast("long"))
+        kept = R.token_budget_fold(ranked, budget=R.CONTEXT_TOKEN_BUDGET)
+        return kept.select(
+            F.lit(tag).alias("mode"),
+            "rank",
+            "doc_id",
+            "score",
+            F.col("token_count").cast("long").alias("token_count"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+
+    regex_arm = scored.select(
+        "doc_id", "score", T.token_count(F.col("text")).cast("long").alias("token_count")
+    )
+    merges = ensure_bpe_merges(spark, sf_dir, num_merges=RAG_BPE_MERGES)
+    bpe_arm = bpe_token_counts(
+        scored.select("doc_id", "score", "text"), merges, "text", "token_count"
+    ).drop("text")
+    return (
+        fold(regex_arm, "regex_ws")
+        .unionByName(fold(bpe_arm, "learned_bpe"))
+        .orderBy("mode", "rank")
+    )
+
+
+def _rag_context_modes_sql(sf_dir: str) -> str:
+    """Oracle builder (sf-aware): materializes the BPE store's
+    vocabulary twin for this corpus, then verifies the learned arm as
+    explode-words -> join(word, n_tokens) -> sum -> fold in DuckDB."""
+    from car_etl_spark.operators.bpe_store import (
+        ensure_bpe_oracle_artifacts,
+        vocab_counts_path,
+    )
+
+    vocab = vocab_counts_path(ensure_bpe_oracle_artifacts(sf_dir, num_merges=RAG_BPE_MERGES))
+    bpe_sql = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, toks,
+         len(list_filter(toks, x -> x = 'spark'))
+         + len(list_filter(toks, x -> x = 'data'))
+         + len(list_filter(toks, x -> x = 'join')) AS score
+  FROM tok
+), bpe AS (
+  SELECT doc_id, CAST(SUM(v.n_tokens) AS BIGINT) AS token_count
+  FROM (SELECT doc_id, unnest(toks) AS w FROM scored WHERE score > 0) words
+  JOIN read_parquet('{vocab}') v ON words.w = v.word
+  GROUP BY doc_id
+), ranked AS (
+  SELECT s.doc_id, s.score, b.token_count,
+         ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scored s JOIN bpe b ON s.doc_id = b.doc_id
+  WHERE s.score > 0
+), folded AS (
+  SELECT rank, doc_id, score, token_count,
+         SUM(token_count) OVER (ORDER BY rank ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM ranked
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score,
+       CAST(token_count AS BIGINT) AS token_count,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM folded WHERE cum_tokens <= 6000
+"""
+    return f"""
+SELECT * FROM (
+SELECT 'regex_ws' AS mode, rank, doc_id, score, token_count, cum_tokens
+FROM ({RAG_CONTEXT_BUDGET_SQL})
+UNION ALL
+SELECT 'learned_bpe' AS mode, rank, doc_id, score, token_count, cum_tokens
+FROM ({bpe_sql})
+) ORDER BY mode, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
-    "rag_context_budget": QuerySpec(rag_context_budget, RAG_CONTEXT_BUDGET_SQL, ("rag",)),
+    "rag_context_modes": QuerySpec(
+        rag_context_modes, _rag_context_modes_sql, ("rag", "bpe", "suite")
+    ),
     "rag_citation_validation": QuerySpec(rag_citation_validation, RAG_CITATION_SQL, ("rag",)),
 }
 

@@ -568,6 +568,7 @@ def fine_grained_queries() -> dict:
         eventsq,
         fts,
         misc,
+        rag,
         search,
         textops,
         vector,
@@ -575,6 +576,7 @@ def fine_grained_queries() -> dict:
     from car_etl_spark.queries.confidenceq import om_validation_report
 
     return {
+        "rag_context_budget": rag.rag_context_budget,
         "fts_posting_search": fts.fts_posting_search,
         "fts_posting_scan": fts.fts_posting_scan,
         "fts_porter_search": fts.fts_porter_search,

@@ -25,6 +25,16 @@ print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s")
 from car_etl_spark.oracle import compare  # noqa: E402
 
 qs, osql = m.queries(), m.oracle_sql()
+if SF_DIR != m.DRIVER_ORACLE_SF_DIR:
+    # callable oracles embed corpus-derived artifacts; re-resolve them
+    # for the dir actually under test instead of the driver's default
+    from car_etl_spark.queries import build_registry, resolve_oracle  # noqa: E402
+
+    osql = {
+        name: resolve_oracle(spec.oracle, SF_DIR)
+        for name, spec in build_registry().items()
+        if spec.oracle is not None
+    }
 print(f"{len(qs)} queries, {len(osql)} oracles")
 failed = []
 for name, fn in qs.items():

@@ -74,7 +74,7 @@ def test_unicode_whitespace_alignment(spark):
     docs = spark.createDataFrame(
         [(1, "foo\u00a0bar foo\u00a0bar baz")], "doc_id long, text string"
     )
-    freqs = B.word_frequencies(docs)
+    freqs = B.word_frequencies(docs, min_count=1)
     assert freqs == {"foo\u00a0bar": 2, "baz": 1}
     merges = B.train_bpe(freqs, 10)
     [row] = B.bpe_token_counts(docs, merges).select("bpe_tokens").collect()
@@ -140,3 +140,81 @@ def test_incremental_trainer_matches_reference_and_scales():
     merges = B.train_bpe(big, 300)
     assert len(merges) == 300
     assert time.perf_counter() - t0 < 30
+
+
+# ---------------------------------------------------------------------------
+# round-6: capped training collect + persisted merge store
+
+
+def test_word_frequencies_capped_in_job(spark):
+    """The driver collect is bounded: min_count prunes the hapax tail
+    IN the Spark job, top_n is a deterministic hard cap (count desc,
+    word asc), and merges above the threshold are unaffected by
+    pruning words below it (the subword-nmt --min-frequency
+    property)."""
+    # heavy-tail synthetic vocabulary: 3 frequent words + 40 hapaxes
+    hapaxes = " ".join(f"hapax{i:02d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta beta gamma gamma " + hapaxes)],
+        "doc_id long, text string",
+    )
+    capped = B.word_frequencies(docs, min_count=2)
+    assert capped == {"alpha": 3, "beta": 2, "gamma": 2}
+    top2 = B.word_frequencies(docs, min_count=2, top_n=2)
+    assert top2 == {"alpha": 3, "beta": 2}  # tie (beta/gamma @2) -> lexicographic
+    full = B.word_frequencies(docs, min_count=1, top_n=None)
+    assert len(full) == 43
+    # merges above the threshold are identical with or without the tail
+    assert B.train_bpe(capped, 6) == B.train_bpe(
+        {w: n for w, n in full.items() if n >= 2}, 6
+    )
+
+
+def test_bpe_store_spark_and_python_builders_agree(spark, tmp_path, monkeypatch):
+    """The Spark-built merge table and the pure-Python oracle builder
+    must produce IDENTICAL artifacts (shared tokenizer + trainer +
+    deterministic tie-breaks) — whichever side builds first, the other
+    reuses the same learned vocabulary."""
+    import pyarrow.parquet as pq
+
+    from car_etl_spark.operators import bpe_store as S
+    from tests.conftest import SF_SMALL
+
+    monkeypatch.setenv("CAR_ETL_INDEX_DIR", str(tmp_path / "idx"))
+    # Spark-first build
+    merges_spark = S.ensure_bpe_merges(spark, SF_SMALL, num_merges=32)
+    store = S.bpe_store_path(SF_SMALL, num_merges=32)
+    assert merges_spark == S.load_merges(store)
+    # Python oracle builder finds the Spark-built merges and reuses them
+    assert S.ensure_bpe_oracle_artifacts(SF_SMALL, num_merges=32) == store
+    # independent Python-side training from the pyarrow frequency pass
+    freqs, words = S._py_word_lists(f"{SF_SMALL}/documents.parquet")
+    merges_py = B.train_bpe(S._apply_caps(freqs, B.DEFAULT_MIN_COUNT, B.DEFAULT_TOP_N), 32)
+    assert merges_py == merges_spark
+    # the vocabulary twin covers every distinct corpus word with the
+    # segment count the production pandas_udf would produce
+    vt = pq.read_table(S.vocab_counts_path(store))
+    vocab = dict(zip(vt.column("word").to_pylist(), vt.column("n_tokens").to_pylist()))
+    assert sorted(vocab) == words
+    ranks = {p: i for i, p in enumerate(merges_spark)}
+    assert all(vocab[w] == len(B.bpe_segment(w, ranks)) for w in words)
+
+
+def test_bpe_store_reuse_no_retrain(spark, tmp_path, monkeypatch):
+    """Content-addressed reuse: the second ensure is a file read, not a
+    retrain (merges.parquet untouched), and a parameter change gets its
+    own store."""
+    import os
+
+    from car_etl_spark.operators import bpe_store as S
+    from tests.conftest import SF_SMALL
+
+    monkeypatch.setenv("CAR_ETL_INDEX_DIR", str(tmp_path / "idx"))
+    first = S.ensure_bpe_merges(spark, SF_SMALL, num_merges=16)
+    path = S._merges_file(S.bpe_store_path(SF_SMALL, num_merges=16))
+    stamp = os.stat(path).st_mtime_ns
+    again = S.ensure_bpe_merges(spark, SF_SMALL, num_merges=16)
+    assert again == first
+    assert os.stat(path).st_mtime_ns == stamp
+    other = S.bpe_store_path(SF_SMALL, num_merges=17)
+    assert other != S.bpe_store_path(SF_SMALL, num_merges=16)

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from car_etl_spark.oracle import compare
-from car_etl_spark.queries import build_registry
+from car_etl_spark.queries import build_registry, resolve_oracle
 from tests.conftest import SF_SMALL
 
 REGISTRY = build_registry()
@@ -15,7 +15,7 @@ ORACLE_CHECKED = [(n, s) for n, s in sorted(REGISTRY.items()) if s.oracle is not
 
 @pytest.mark.parametrize("name,spec", ORACLE_CHECKED, ids=[n for n, _ in ORACLE_CHECKED])
 def test_oracle_parity(spark, name, spec):
-    result = compare(name, spark, SF_SMALL, spec.fn, spec.oracle)
+    result = compare(name, spark, SF_SMALL, spec.fn, resolve_oracle(spec.oracle, SF_SMALL))
     assert result.ok, f"{name}: {result.detail}"
     assert result.spark_rows > 0 or name in ALLOW_EMPTY, f"{name}: empty result"
 
