@@ -482,6 +482,131 @@ def extract_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic synthetic-asset encoders — the INVERSE twins of the
+# decode kernels above, spec-faithful (a real decoder reads them), used
+# by the correctness harness: the registry's media row synthesizes
+# binaries from arithmetic parameters, decodes them back through the
+# real kernels, and the DuckDB oracle recomputes the expected features
+# from the SAME arithmetic — so a silent decode regression (or a fake
+# fallback) flips the hash.
+
+
+def synth_bmp(width: int, height: int, gray: int) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP, constant gray pixels — constant
+    (v,v,v) makes BT.601 integer luma exactly v, so the oracle can
+    state the expected mean_luma arithmetically."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    pixels = bytearray()
+    row = bytes([gray, gray, gray] * width) + b"\x00" * (row_stride - width * 3)
+    for _ in range(height):
+        pixels += row
+    size = 54 + len(pixels)
+    header = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + info + bytes(pixels)
+
+
+def _png_filter_line(ftype: int, line: bytes, prev: bytes, channels: int) -> bytes:
+    """Apply one RFC 2083 filter FORWARD (encode side) — exact inverse
+    of the reconstructions in :func:`_decode_png_body`."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - channels] if i >= channels else 0
+        b = prev[i]
+        c = prev[i - channels] if i >= channels else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def synth_png(width: int, height: int, gray: int, filter_type: int = 0) -> bytes:
+    """Non-interlaced 8-bit RGB PNG, constant gray pixels, every
+    scanline encoded with ``filter_type`` — exercises each of the five
+    filter reconstructions in the real decode kernel."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    line = bytes([gray] * (width * 3))
+    prev = bytes(width * 3)
+    raw = bytearray()
+    for _ in range(height):
+        raw.append(filter_type)
+        raw += _png_filter_line(filter_type, line, prev, 3)
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_wav(sample_rate: int, n_channels: int, n_frames: int, amplitude: int) -> bytes:
+    """PCM16 RIFF/WAVE, every sample == ``amplitude`` — mean |amplitude|
+    is exactly the parameter, duration_ms is frames*1000//rate."""
+    import struct
+
+    n_samples = n_frames * n_channels
+    data = struct.pack(f"<{n_samples}h", *([amplitude] * n_samples))
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synth_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG stream: SOI + a spec-correct SOF0 frame header
+    carrying the dimensions + EOI.  Pixel payload stays absent by
+    design (pixel decode is codec-bound); the REAL artifact here is the
+    T.81 marker walk in :func:`_jpeg_dimensions`."""
+    import struct
+
+    sof = struct.pack(
+        ">BHH", 8, height, width
+    ) + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">H", 2 + len(sof))
+        + sof
+        + b"\xff\xd9"
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("path", StringType()),

@@ -94,6 +94,7 @@ def build_registry() -> dict[str, QuerySpec]:
         eventsq,
         extraction,
         fts,
+        media,
         misc,
         normalize,
         pii,
@@ -106,7 +107,7 @@ def build_registry() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq, misc, fts, extraction, pii):
+    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq, misc, fts, extraction, pii, media):
         for name, spec in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1,0 +1,162 @@
+"""Hard-signal row for the multimodal decode kernels (SURVEY.md §2.1
+S2 / §2.10 multimodal boundary).
+
+The pipeline synthesizes PNG/BMP/WAV/JPEG binaries whose parameters
+(dimensions, gray level, sample rate, channels, duration, amplitude)
+are pure arithmetic over ``doc_id``, routes them through the REAL
+decode path — magic-byte dispatch (:func:`multimodal.detect_mime`),
+the zlib/RFC 2083 PNG kernel (all five scanline filters, one per
+asset), the 24-bit BMP kernel, the PCM16 WAV kernel (strict mode), and
+the T.81 JPEG SOF header parse — and aggregates the DECODED features
+per format.  The DuckDB oracle recomputes the expected aggregates from
+the same arithmetic WITHOUT touching a byte, so any decode regression,
+mime misroute, or silent fall-through to the deterministic fake
+(whose dimensions are >= 64, far off the synthesized 4-16 range)
+flips the value hash.
+
+JPEG luma is excluded from the report: pixel decode is codec-bound by
+declared contract (``multimodal.py``), only the header dimensions are
+real, and the report only aggregates real fields.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from car_etl_spark.queries import QuerySpec
+from car_etl_spark.tables import load_tables
+
+#: every 7th document becomes a synthetic asset; cycling doc_id % 4
+#: over multiples of 7 covers all four formats (gcd(7,4)=1)
+ASSET_STRIDE = 7
+
+
+def _asset_params(docs: DataFrame) -> DataFrame:
+    """Arithmetic parameter table — each column is recomputable in SQL."""
+    d = F.col("doc_id")
+    return docs.filter(d % ASSET_STRIDE == 0).select(
+        "doc_id",
+        (d % 4).cast("int").alias("fmt_code"),
+        (F.lit(4) + d % 13).cast("int").alias("w"),
+        (F.lit(3) + d % 7).cast("int").alias("h"),
+        (d % 256).cast("int").alias("gray"),
+        (d % 5).cast("int").alias("png_filter"),
+        (F.lit(8000) * (F.lit(1) + d % 3)).cast("int").alias("sr"),
+        (F.lit(1) + d % 2).cast("int").alias("ch"),
+        (F.lit(100) + F.lit(10) * (d % 20)).cast("int").alias("ms"),
+        (d % 1000).cast("int").alias("amp"),
+    )
+
+
+def synthesize_media(params: DataFrame) -> DataFrame:
+    """mapInPandas encode stage: parameters -> real binary payloads
+    (the write half of the multimodal contract; the spec-faithful
+    encoders live beside the decode kernels in
+    ``operators/multimodal.py``)."""
+    from car_etl_spark.operators.multimodal import (
+        synth_bmp,
+        synth_jpeg,
+        synth_png,
+        synth_wav,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                code = int(r.fmt_code)
+                if code == 0:
+                    content = synth_png(int(r.w), int(r.h), int(r.gray), int(r.png_filter))
+                elif code == 1:
+                    content = synth_bmp(int(r.w), int(r.h), int(r.gray))
+                elif code == 2:
+                    frames = int(r.sr) * int(r.ms) // 1000
+                    content = synth_wav(int(r.sr), int(r.ch), frames, int(r.amp))
+                else:
+                    content = synth_jpeg(int(r.w), int(r.h))
+                rows.append({"path": str(r.doc_id), "content": content})
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return params.mapInPandas(gen, "path string, content binary")
+
+
+def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format rollup of REAL decoded features (see module doc)."""
+    from car_etl_spark.operators.multimodal import (
+        detect_mime,
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    media = synthesize_media(_asset_params(docs)).withColumn(
+        "mime_type", detect_mime(F.col("content"))
+    )
+    null_l = F.lit(None).cast("long")
+
+    # image leg: PNG + BMP decode for real in both modes; JPEG carries
+    # real header dimensions with a stubbed luma, which the aggregate
+    # excludes — detect_mime is part of what the hash checks (a
+    # misrouted asset lands in the wrong group)
+    imgs = extract_image_features(media.filter(F.col("mime_type") != "audio/wav"))
+    img_agg = imgs.groupBy(F.col("mime_type").alias("format")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum(
+            F.when(F.col("mime_type") != "image/jpeg", F.col("mean_luma"))
+        ).cast("long").alias("sum_luma"),
+        null_l.alias("sum_sample_rate"),
+        null_l.alias("sum_channels"),
+        null_l.alias("sum_duration_ms"),
+        null_l.alias("sum_amplitude"),
+    )
+
+    # audio leg: strict mode — a non-PCM16 or corrupt stream raises
+    # instead of faking
+    aud = extract_audio_features(media.filter(F.col("mime_type") == "audio/wav"), strict=True)
+    aud_agg = aud.groupBy(F.col("mime_type").alias("format")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        null_l.alias("sum_width"),
+        null_l.alias("sum_height"),
+        null_l.alias("sum_luma"),
+        F.sum("sample_rate").cast("long").alias("sum_sample_rate"),
+        F.sum("n_channels").cast("long").alias("sum_channels"),
+        F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+        F.sum("mean_abs_amplitude").cast("long").alias("sum_amplitude"),
+    )
+    return img_agg.unionByName(aud_agg).orderBy("format")
+
+
+MEDIA_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 4 AS fmt_code,
+         4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, doc_id % 256 AS gray,
+         8000 * (1 + doc_id % 3) AS sr, 1 + doc_id % 2 AS ch,
+         100 + 10 * (doc_id % 20) AS ms, doc_id % 1000 AS amp
+  FROM documents WHERE doc_id % 7 = 0
+), tagged AS (
+  SELECT *, CASE fmt_code WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+                          WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg' END AS format
+  FROM p
+)
+SELECT format,
+       COUNT(*) AS n_assets,
+       CAST(SUM(CASE WHEN fmt_code IN (0, 1, 3) THEN w END) AS BIGINT) AS sum_width,
+       CAST(SUM(CASE WHEN fmt_code IN (0, 1, 3) THEN h END) AS BIGINT) AS sum_height,
+       CAST(SUM(CASE WHEN fmt_code IN (0, 1) THEN gray END) AS BIGINT) AS sum_luma,
+       CAST(SUM(CASE WHEN fmt_code = 2 THEN sr END) AS BIGINT) AS sum_sample_rate,
+       CAST(SUM(CASE WHEN fmt_code = 2 THEN ch END) AS BIGINT) AS sum_channels,
+       CAST(SUM(CASE WHEN fmt_code = 2 THEN ms END) AS BIGINT) AS sum_duration_ms,
+       CAST(SUM(CASE WHEN fmt_code = 2 THEN amp END) AS BIGINT) AS sum_amplitude
+FROM tagged GROUP BY format ORDER BY format
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "media_features_report": QuerySpec(
+        media_features_report, MEDIA_FEATURES_SQL, ("multimodal", "decode")
+    ),
+}

@@ -209,8 +209,7 @@ FROM per_doc ORDER BY c_custkey
 
 # email_address_extract -> normalize_roundtrips (kind='email');
 # om_document_confidence -> suites.om_full_validation_report (r5
-# consolidation, COVERAGE.md merge table)
-QUERIES: dict[str, QuerySpec] = {
-    "hierarchy_self_join": QuerySpec(hierarchy_self_join, HIERARCHY_SELF_JOIN_SQL, ("join",)),
-    "interval_join_shipments": QuerySpec(interval_join_shipments, INTERVAL_JOIN_SQL, ("join", "range")),
-}
+# consolidation); hierarchy_self_join + interval_join_shipments ->
+# suites.structural_join_suite (r6 consolidation, COVERAGE.md merge
+# table)
+QUERIES: dict[str, QuerySpec] = {}

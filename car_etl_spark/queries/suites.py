@@ -522,6 +522,63 @@ ORDER BY r.orderkey
 
 
 # ---------------------------------------------------------------------------
+# Structural joins: parent-chain self-join + date-interval rollup
+
+
+def structural_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 + J9 in one slot (r6 consolidation): the parent-reference
+    self-join (each order vs its customer's first order) and the
+    equi+date-range shipment rollup, kind-tagged on a harmonized
+    (kind, orderkey, parent_orderkey, group_key, day_lag, n_rows,
+    avg_lag_days) grain — sub-expressions unchanged from the r1
+    fine-grained queries."""
+    from car_etl_spark.queries.misc import (
+        hierarchy_self_join,
+        interval_join_shipments,
+    )
+
+    null_l = F.lit(None).cast("long")
+    hier = hierarchy_self_join(spark, sf_dir).select(
+        F.lit("parent_chain").alias("kind"),
+        "orderkey",
+        "parent_orderkey",
+        F.col("custkey").cast("string").alias("group_key"),
+        F.col("days_after_first").alias("day_lag"),
+        null_l.alias("n_rows"),
+        F.lit(None).cast("double").alias("avg_lag_days"),
+    )
+    ival = interval_join_shipments(spark, sf_dir).select(
+        F.lit("interval_rollup").alias("kind"),
+        null_l.alias("orderkey"),
+        null_l.alias("parent_orderkey"),
+        F.col("o_orderpriority").alias("group_key"),
+        null_l.alias("day_lag"),
+        F.col("shipments_within_90d").cast("long").alias("n_rows"),
+        "avg_lag_days",
+    )
+    return hier.unionByName(ival).orderBy("kind", "group_key", "orderkey")
+
+
+def _structural_join_sql() -> str:
+    from car_etl_spark.queries.misc import HIERARCHY_SELF_JOIN_SQL, INTERVAL_JOIN_SQL
+
+    return f"""
+SELECT * FROM (
+SELECT 'parent_chain' AS kind, orderkey, parent_orderkey,
+       CAST(custkey AS VARCHAR) AS group_key, days_after_first AS day_lag,
+       CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS DOUBLE) AS avg_lag_days
+FROM ({HIERARCHY_SELF_JOIN_SQL})
+UNION ALL
+SELECT 'interval_rollup' AS kind, CAST(NULL AS BIGINT) AS orderkey,
+       CAST(NULL AS BIGINT) AS parent_orderkey, o_orderpriority AS group_key,
+       CAST(NULL AS BIGINT) AS day_lag,
+       CAST(shipments_within_90d AS BIGINT) AS n_rows, avg_lag_days
+FROM ({INTERVAL_JOIN_SQL})
+) ORDER BY kind, group_key, orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Extraction pipeline: versions + field overrides (joined stages)
 
 
@@ -577,6 +634,8 @@ def fine_grained_queries() -> dict:
 
     return {
         "rag_context_budget": rag.rag_context_budget,
+        "hierarchy_self_join": misc.hierarchy_self_join,
+        "interval_join_shipments": misc.interval_join_shipments,
         "fts_posting_search": fts.fts_posting_search,
         "fts_posting_scan": fts.fts_posting_scan,
         "fts_porter_search": fts.fts_porter_search,
@@ -649,5 +708,8 @@ def build_suite_queries() -> dict[str, QuerySpec]:
         ),
         "fts_search_suite": QuerySpec(
             fts_search_suite, _fts_suite_sql(), ("search", "fts", "suite")
+        ),
+        "structural_join_suite": QuerySpec(
+            structural_join_suite, _structural_join_sql(), ("join", "suite")
         ),
     }

@@ -485,3 +485,43 @@ def test_corrupt_streams_fall_back_not_crash(spark):
         .collect()
     )
     assert m.m == "application/octet-stream"
+
+
+def test_package_synth_encoders_roundtrip_through_real_kernels():
+    """The synthetic-asset encoders (the registry media row's write
+    half) must be spec-faithful: every PNG filter type, BMP row padding
+    at odd widths, mono+stereo WAV, and the JPEG SOF header all decode
+    back to the synthesis parameters through the REAL kernels."""
+    from car_etl_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_png,
+        _decode_wav,
+        _jpeg_dimensions,
+        synth_bmp,
+        synth_jpeg,
+        synth_png,
+        synth_wav,
+    )
+
+    for ftype in range(5):
+        assert _decode_png(synth_png(9, 4, 123, ftype)) == (9, 4, 123)
+    for w in (1, 2, 3, 5, 8):  # odd widths exercise the 4-byte row pad
+        assert _decode_bmp(synth_bmp(w, 3, 200)) == (w, 3, 200)
+    for ch in (1, 2):
+        sr, ms, amp = 16000, 250, 321
+        frames = sr * ms // 1000
+        assert _decode_wav(synth_wav(sr, ch, frames, amp)) == (sr, ch, ms, amp)
+    assert _jpeg_dimensions(synth_jpeg(640, 480)) == (640, 480)
+    # the magic-byte router must classify each synthesized stream
+    from car_etl_spark.operators.multimodal import MAGIC_BYTES
+
+    def mime_of(b: bytes) -> str:
+        for mime, conds in MAGIC_BYTES.items():
+            if all(b[off : off + len(m)] == m for off, m in conds):
+                return mime
+        return "application/octet-stream"
+
+    assert mime_of(synth_png(4, 3, 0, 0)) == "image/png"
+    assert mime_of(synth_bmp(4, 3, 0)) == "image/bmp"
+    assert mime_of(synth_wav(8000, 1, 10, 0)) == "audio/wav"
+    assert mime_of(synth_jpeg(4, 3)) == "image/jpeg"
