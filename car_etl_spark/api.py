@@ -7,7 +7,9 @@ so switching is mechanical:
 | Reference route | Here |
 |---|---|
 | ``POST /api/v1/search`` (mode=vector/keyword/hybrid, rerank) | :func:`search` |
-| ``POST /api/v1/search`` under tenant RLS context | :func:`tenant_search` |
+| ``POST /api/v1/search`` under tenant RLS context (keyword) | :func:`tenant_search` |
+| same, mode=vector (RLS ``match_document_chunks``) | :func:`tenant_vector_search` |
+| same, mode=hybrid (both legs tenant-partition-pruned) | :func:`tenant_hybrid_search` |
 | ``POST /api/v1/ask`` (RAG with citations) | :func:`ask` |
 | ``GET /api/v1/effective-rent/summary`` | :func:`effective_rent_summary` |
 | ``GET /api/v1/effective-rent/by-property`` | :func:`effective_rent_by_group` |
@@ -132,6 +134,84 @@ def tenant_search(
     limit = min(limit, SEARCH_RESULT_CAP)
     stems = sorted({stem_fn(t.lower()) for t in terms})
     return posting_store.term_search(spark, stems, tenant=tenant, limit=limit)
+
+
+def tenant_vector_search(
+    spark,
+    ivf_store,
+    query_vec: list[float],
+    tenant: str,
+    limit: int = 20,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tenant-scoped ANN over a tenant-partitioned
+    :class:`~car_etl_spark.operators.indexing.IvfStore` — the vector
+    half of the reference's RLS-scoped ``match_document_chunks``
+    (``042_match_function.sql:23-39``).  The probe set comes from the
+    TENANT's certificate stats (per-tenant cluster radii/counts), so
+    the scan prunes to the tenant's (tenant, centroid_id) partition
+    directories and is certified exact within the tenant: isolation by
+    storage layout, not by post-filter."""
+    limit = min(limit, SEARCH_RESULT_CAP)
+    return ivf_store.probe_topk(
+        spark, query_vec, k=limit, tenant=tenant, extra_cols=extra_cols
+    )
+
+
+def tenant_hybrid_search(
+    spark,
+    posting_store,
+    ivf_store,
+    terms: tuple[str, ...],
+    query_vec: list[float],
+    tenant: str,
+    limit: int = 20,
+) -> DataFrame:
+    """The full RLS-scoped hybrid route (reference
+    ``042_match_function.sql:23-39`` behind ``src/search/hybrid.py``):
+    tenant-pruned keyword leg + tenant-certified-exact IVF leg, each
+    2x over-fetched and rank-limited, fused with RRF at k=60 — the
+    tenant twin of :func:`search`'s hybrid mode, with BOTH legs serving
+    from tenant-partitioned index stores so no stage ever reads another
+    tenant's bytes."""
+    limit = min(limit, SEARCH_RESULT_CAP)
+    fetch = limit * 2
+    kw = (
+        tenant_search(spark, posting_store, terms, tenant, limit=fetch)
+        .select("doc_id", F.col("rank_score").alias("kw_score"))
+        .withColumn(
+            "kw_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("kw_score"), F.asc("doc_id")))
+            .cast("long"),
+        )
+    )
+    vec = (
+        tenant_vector_search(spark, ivf_store, query_vec, tenant, limit=fetch)
+        .select(F.col("vec_id").alias("doc_id"), F.col("cosine_sim").alias("vec_score"))
+        .withColumn(
+            "vec_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("vec_score"), F.asc("doc_id")))
+            .cast("long"),
+        )
+    )
+    fused = kw.join(vec, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+        8,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            rrf.alias("rrf_score"),
+            F.coalesce(F.col("kw_rank"), F.lit(0)).cast("long").alias("kw_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("vec_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(limit)
+    )
 
 
 def ask(

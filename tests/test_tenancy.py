@@ -390,3 +390,96 @@ def test_pre_v3_store_refuses_silent_defaults(spark, tmp_path):
     os.remove(store.meta_path)
     with pytest.raises(ValueError, match="pre-v3"):
         IX.PostingStore(str(tmp_path / "lg"))
+
+
+def test_api_tenant_vector_search_route(spark, tmp_path):
+    """The facade's tenant vector route (the RLS match_document_chunks
+    analog): equals tenant-filtered brute force, never crosses tenants,
+    and prunes both partition levels."""
+    from car_etl_spark import api
+    from car_etl_spark.functions import vectors as V
+
+    emb = _two_tenant_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "apivf"), tenant_col="tenant_id")
+    store.build(emb, num_centroids=3, refine_iterations=1)
+    qvec = list(emb.filter(F.col("vec_id") == 7).select("embedding").first()[0])
+
+    got_df = api.tenant_vector_search(
+        spark, store, qvec, tenant="globex", limit=8, extra_cols=("tenant_id",)
+    )
+    got = [tuple(r) for r in got_df.collect()]
+    assert got and all(r[1] == "globex" for r in got)
+    brute = [
+        tuple(r)
+        for r in emb.filter(F.col("tenant_id") == "globex")
+        .select(
+            "vec_id", "tenant_id",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), V.literal_vector(qvec)), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(8)
+        .collect()
+    ]
+    assert got == brute
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0] if "PartitionFilters" in plan else ""
+    assert "tenant_id" in pf and "centroid_id" in pf
+
+
+def test_api_tenant_hybrid_route(spark, tmp_path):
+    """The facade's tenant hybrid route: both legs serve from
+    tenant-partitioned stores over an ALIGNED id space, results stay
+    in-tenant, and the RRF fusion equals a driver-side reference fusion
+    of the two tenant legs."""
+    from car_etl_spark import api
+    from car_etl_spark.functions.text import stem_py
+
+    emb = _two_tenant_emb(spark, n_per=20)
+    # aligned corpus: doc_id == vec_id, same tenant assignment; give
+    # the query terms to a subset so the keyword leg discriminates
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        "tenant_id",
+        F.concat(
+            F.lit("shared spark term doc"),
+            F.col("vec_id").cast("string"),
+            F.when(F.col("vec_id") % 3 == 0, F.lit(" windows merge")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    pstore = IX.PostingStore(str(tmp_path / "hp"), tenant_col="tenant_id")
+    pstore.build(docs)
+    vstore = IX.IvfStore(str(tmp_path / "hv"), tenant_col="tenant_id")
+    vstore.build(emb, num_centroids=3, refine_iterations=1)
+    qvec = list(emb.filter(F.col("vec_id") == 6).select("embedding").first()[0])
+    terms = ("shared", "merge")
+
+    got = api.tenant_hybrid_search(
+        spark, pstore, vstore, terms, qvec, tenant="acme", limit=10
+    ).collect()
+    assert got
+    acme_ids = {r.vec_id for r in emb.filter(F.col("tenant_id") == "acme").collect()}
+    assert all(r.doc_id in acme_ids for r in got)
+
+    # driver-side reference fusion from the two tenant legs
+    kw = api.tenant_search(spark, pstore, terms, tenant="acme", limit=20).collect()
+    vec = api.tenant_vector_search(spark, vstore, qvec, tenant="acme", limit=20).collect()
+    kw_rank = {r.doc_id: i + 1 for i, r in enumerate(kw)}
+    vec_rank = {r.vec_id: i + 1 for i, r in enumerate(vec)}
+    expect = {}
+    for d in set(kw_rank) | set(vec_rank):
+        s = (1.0 / (60 + kw_rank[d]) if d in kw_rank else 0.0) + (
+            1.0 / (60 + vec_rank[d]) if d in vec_rank else 0.0
+        )
+        expect[d] = (round(s, 8), kw_rank.get(d, 0), vec_rank.get(d, 0))
+    top = sorted(expect.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    assert [(r.doc_id, r.rrf_score, r.kw_rank, r.vec_rank) for r in got] == [
+        (d, s, kr, vr) for d, (s, kr, vr) in top
+    ]
+    # a tenant-private keyword never fuses into the other tenant's page
+    leak = api.tenant_hybrid_search(
+        spark, pstore, vstore, ("globexsecret",), qvec, tenant="acme", limit=10
+    )
+    assert all(r.kw_rank == 0 for r in leak.collect())
