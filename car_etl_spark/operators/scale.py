@@ -98,6 +98,19 @@ def content_salt(
     return F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts)).cast("int")
 
 
+def hot_block_keys(df: DataFrame, key_cols: tuple[str, ...], threshold: int) -> DataFrame:
+    """Blocks at or above ``threshold`` rows — the skew-detection pass
+    for blocked self-joins.  One map-side-combined aggregation at block
+    grain; the result is tiny by definition (hot keys are rare) and
+    broadcast-joinable back against the corpus."""
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= threshold)
+        .drop("__n")
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

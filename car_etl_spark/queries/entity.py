@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from car_etl_spark.functions import normalizers as N
 from car_etl_spark.queries import QuerySpec
-from car_etl_spark.tables import load_tables
+from car_etl_spark.tables import load_tables, parquet_rowcount
 
 
 def entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,11 +84,30 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     entities over a digit-heavy alphabet).  Edits inside BOTH affixes
     escape exact blocking by design — :func:`entity_match_lsh_extended`
     unions MinHash/LSH candidates in for that recall class.
-    Aggregated to per-(segment, decision) counts."""
+    Aggregated to per-(segment, decision) counts.
+
+    Skew hardening: when the corpus is large enough that a
+    ``SKEW_BLOCK_THRESHOLD``-row block could even exist (footer-stat
+    gate, no Spark job), blocks are profiled and hot ones take the
+    salted pair plan — see :func:`affix_pairs`."""
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
     canon = canonical_frame(cust)
-    pairs = affix_pairs(canon)
+    pairs = affix_pairs(canon, hot_keys=_gated_hot_keys(canon, sf_dir))
     return score_pair_rollup(pairs)
+
+
+def _gated_hot_keys(
+    canon: DataFrame, sf_dir: str
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """The production skew guard: when the customer corpus is large
+    enough to possibly CONTAIN a ``SKEW_BLOCK_THRESHOLD``-row block
+    (footer-stat gate, no Spark job), consult the memoized hot-block
+    profile; otherwise ``(None, None)`` — the plan stays the bare
+    dual-key self-join, and warm runs never re-profile."""
+    n = parquet_rowcount(sf_dir, "customer")
+    if n < SKEW_BLOCK_THRESHOLD:
+        return None, None
+    return _cached_hot_affix_keys(canon, sf_dir, SKEW_BLOCK_THRESHOLD)
 
 
 def canonical_frame(cust: DataFrame) -> DataFrame:
@@ -128,23 +147,175 @@ def _pair_attrs(canon: DataFrame, join_cond) -> DataFrame:
     )
 
 
-def affix_pairs(canon: DataFrame) -> DataFrame:
-    """The dual affix-key candidate union (see
-    :func:`entity_match_blocked`'s docstring)."""
+#: blocks at or above this many rows get the salted pair plan.  A
+#: 10^4-row block is ~10^8 candidate pairs — one task's worth of work
+#: nothing else in the stage can match, the exact single-hot-key case
+#: AQE's skew splitting cannot fix for a self-join (splitting the probe
+#: side of one block still recomputes against the whole block).
+SKEW_BLOCK_THRESHOLD = 10_000
 
-    def block_pairs(key: str):
+
+def _block_cond(key: str):
+    return (
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+    )
+
+
+def _hot_affix_profile(canon: DataFrame, threshold: int) -> DataFrame:
+    """ONE corpus pass profiling BOTH affix block keys via grouping
+    sets (map-side-combined counts at block grain).  Hot blocks are
+    rare by definition, so the filtered result is tiny."""
+    return (
+        canon.groupingSets(
+            [["c_mktsegment", "name_prefix"], ["c_mktsegment", "name_suffix"]],
+            "c_mktsegment",
+            "name_prefix",
+            "name_suffix",
+        )
+        .agg(F.count(F.lit(1)).alias("__n"), F.grouping_id().alias("__g"))
+        .filter(F.col("__n") >= threshold)
+    )
+
+
+def _hot_affix_keys(canon: DataFrame, threshold: int) -> tuple[DataFrame, DataFrame]:
+    """The profile split into two tiny hot-key frames.
+
+    grouping_id bit order follows the groupBy columns: the
+    (segment, prefix) set grouped name_suffix out -> gid 1; the
+    (segment, suffix) set grouped name_prefix out -> gid 2."""
+    prof = _hot_affix_profile(canon, threshold)
+    hot_prefix = prof.filter(F.col("__g") == 1).select("c_mktsegment", "name_prefix")
+    hot_suffix = prof.filter(F.col("__g") == 2).select("c_mktsegment", "name_suffix")
+    return hot_prefix, hot_suffix
+
+
+#: (sf_dir, footer rowcount, threshold) -> collected hot-key tuples.
+#: Hot-block keys are a CORPUS STATISTIC, not per-query state — same
+#: discipline as the footer-derived index layouts (operators/
+#: indexing.py): profile once per corpus version, reuse across queries.
+#: The footer rowcount in the key invalidates the entry when the
+#: underlying table changes.
+_HOT_KEY_CACHE: dict[tuple[str, int, int], tuple[tuple, tuple]] = {}
+
+#: bound on the driver-side hot-key collect (control-plane grain; the
+#: LARGEST blocks win).  More than this many >=10k-row blocks means
+#: skew is pervasive, not a hot-key problem — the cap keeps the
+#: broadcast and the collect bounded regardless.
+_HOT_KEY_CAP = 1000
+
+
+def _cached_hot_affix_keys(
+    canon: DataFrame, sf_dir: str, threshold: int
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Hot-key frames for both affix keys, from the memoized corpus
+    profile — ``None`` where the corpus has no hot blocks for that key,
+    so the common no-skew case keeps the bare self-join plan (and warm
+    runs skip the profile pass entirely)."""
+    ck = (sf_dir, parquet_rowcount(sf_dir, "customer"), threshold)
+    if ck not in _HOT_KEY_CACHE:
+        prof = _hot_affix_profile(canon, threshold)
+        top = prof.orderBy(F.col("__n").desc()).limit(_HOT_KEY_CAP).collect()
+        _HOT_KEY_CACHE[ck] = (
+            tuple((r["c_mktsegment"], r["name_prefix"]) for r in top if r["__g"] == 1),
+            tuple((r["c_mktsegment"], r["name_suffix"]) for r in top if r["__g"] == 2),
+        )
+    spark = canon.sparkSession
+    out = []
+    for rows, key in zip(_HOT_KEY_CACHE[ck], ("name_prefix", "name_suffix")):
+        out.append(
+            spark.createDataFrame(list(rows), f"c_mktsegment string, {key} string")
+            if rows
+            else None
+        )
+    return out[0], out[1]
+
+
+def _skew_tagged_pairs(
+    canon: DataFrame, key: str, hot: DataFrame, num_salts: int
+) -> DataFrame:
+    """Quadratic self-join balancer, single-join form: rows are tagged
+    hot/cold by a broadcast join against the hot-key set, then the A
+    side carries a content-derived salt (0 for cold rows) and the B
+    side replicates once per salt for HOT rows only (cold rows keep the
+    single salt-0 replica).  ``__salt`` joins equal, so it lands in the
+    shuffle key: an m-row hot block spreads over ``num_salts``
+    partitions at m^2/num_salts pair work each instead of one m^2 task
+    — the single-hot-key self-join case AQE's skew splitting cannot fix
+    (splitting the probe side of one block still recomputes against the
+    whole block).  Every (a < b) pair joins exactly once: cold pairs on
+    salt 0, hot pairs on b's replica matching a's content salt."""
+    from car_etl_spark.operators.scale import content_salt
+
+    tagged = canon.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))),
+        ["c_mktsegment", key],
+        "left",
+    )
+    a = tagged.withColumn(
+        "__salt",
+        F.when(
+            F.col("__hot"), content_salt(tagged, num_salts, ("c_custkey",))
+        ).otherwise(F.lit(0)),
+    ).alias("a")
+    b = tagged.select(
+        F.col("*"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("__hot"), F.lit(num_salts - 1)).otherwise(F.lit(0)),
+            )
+        ).alias("__salt"),
+    ).alias("b")
+    return a.join(b, _block_cond(key) & (F.col("a.__salt") == F.col("b.__salt"))).select(
+        F.col("a.c_custkey").alias("ka"),
+        F.col("b.c_custkey").alias("kb"),
+        F.col("a.c_mktsegment").alias("segment"),
+        F.col("a.norm_name").alias("na"),
+        F.col("b.norm_name").alias("nb"),
+        F.col("a.nlen").alias("la"),
+        F.col("b.nlen").alias("lb"),
+        F.col("a.bal_bucket").alias("ba"),
+        F.col("b.bal_bucket").alias("bb"),
+    )
+
+
+def affix_pairs(
+    canon: DataFrame,
+    skew_threshold: int | None = None,
+    num_salts: int = 8,
+    hot_keys: tuple[DataFrame | None, DataFrame | None] | None = None,
+) -> DataFrame:
+    """The dual affix-key candidate union (see
+    :func:`entity_match_blocked`'s docstring).
+
+    With ``skew_threshold`` set, both block keys are profiled in ONE
+    extra corpus pass (:func:`_hot_affix_keys`) and blocks at or above
+    the threshold take the salted pair plan
+    (:func:`_skew_tagged_pairs`) — cold blocks ride the same join on
+    salt 0, so the plan stays one self-join per key and the output is
+    exactly the full pair set.  ``hot_keys`` supplies precomputed
+    (hot_prefix, hot_suffix) frames instead (the memoized corpus-
+    statistic path, :func:`_cached_hot_affix_keys`); a ``None`` entry
+    keeps that key's bare self-join."""
+    if hot_keys is not None:
+        hot_prefix, hot_suffix = hot_keys
+    elif skew_threshold is not None:
+        hot_prefix, hot_suffix = _hot_affix_keys(canon, skew_threshold)
+    else:
+        hot_prefix = hot_suffix = None
+
+    def block_pairs(key: str, hot: DataFrame | None):
         # Pair generation is quadratic per block; the shuffle join on
         # the block key spreads blocks across the cluster.
-        return _pair_attrs(
-            canon,
-            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col(f"a.{key}") == F.col(f"b.{key}"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
+        if hot is None:
+            return _pair_attrs(canon, _block_cond(key))
+        return _skew_tagged_pairs(canon, key, hot, num_salts)
 
     return (
-        block_pairs("name_prefix")
-        .unionByName(block_pairs("name_suffix"))
+        block_pairs("name_prefix", hot_prefix)
+        .unionByName(block_pairs("name_suffix", hot_suffix))
         .dropDuplicates(["ka", "kb"])  # a pair may match both keys
     )
 
@@ -250,7 +421,7 @@ def entity_match_lsh_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
     canon = canonical_frame(cust)
     pairs = (
-        affix_pairs(canon)
+        affix_pairs(canon, hot_keys=_gated_hot_keys(canon, sf_dir))
         .unionByName(lsh_name_pairs(canon, num_hashes=48, bands=3))
         .dropDuplicates(["ka", "kb"])
     )

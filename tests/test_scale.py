@@ -202,6 +202,108 @@ def test_feature_flags_gate_tolerates_enabled_column_and_fails_closed(spark):
     assert dead.gate(facts, "beta").count() == 0  # closed, not crashed
 
 
+def _planted_hot_canon(spark):
+    """100 customers whose normalized names differ ONLY in the last two
+    chars — one prefix block of 100 rows (the single-hot-key case AQE
+    skew splitting cannot fix for a self-join) — plus 60 cold rows in
+    distinct blocks."""
+    from car_etl_spark.queries.entity import canonical_frame
+
+    hot = [(i, "BUILDING", "hot block name %02d" % i, float(i % 5)) for i in range(100)]
+    cold = [
+        (1000 + i, "BUILDING", "cold row %02d tail %02d" % (i, i), float(i))
+        for i in range(60)
+    ]
+    cust = spark.createDataFrame(
+        hot + cold, "c_custkey long, c_mktsegment string, c_name string, c_acctbal double"
+    )
+    return canonical_frame(cust)
+
+
+def test_affix_pairs_salted_equivalence_planted_hot_block(spark):
+    """The skew-split plan (hot blocks salted, cold blocks plain) must
+    return exactly the unsalted pair set."""
+    from car_etl_spark.queries.entity import affix_pairs
+
+    canon = _planted_hot_canon(spark)
+    plain = sorted((r.ka, r.kb) for r in affix_pairs(canon).select("ka", "kb").collect())
+    salted = sorted(
+        (r.ka, r.kb)
+        for r in affix_pairs(canon, skew_threshold=50, num_salts=8)
+        .select("ka", "kb")
+        .collect()
+    )
+    assert plain == salted
+    assert len(plain) >= 100 * 99 // 2  # the hot block's full pair set is present
+
+
+def test_salted_block_pairs_bound_max_task_input(spark):
+    """The salt must actually spread the hot block: (a) content salts
+    are near-uniform, so no (block, salt) shuffle group exceeds ~3x the
+    uniform share; (b) the pair join's shuffle key INCLUDES __salt, so
+    those groups land in different tasks; (c) every pair still appears
+    exactly once."""
+    from car_etl_spark.operators.scale import content_salt
+    from car_etl_spark.queries.entity import _hot_affix_keys, _skew_tagged_pairs
+
+    canon = _planted_hot_canon(spark)
+    hot_rows = canon.filter(F.col("name_prefix") == "hot block name ")
+    m = hot_rows.count()
+    assert m == 100
+    per_salt = (
+        hot_rows.withColumn("s", content_salt(hot_rows, 8, ("c_custkey",)))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(per_salt) >= 6  # near-uniform spread over the 8 salts
+    assert max(r["count"] for r in per_salt) <= (m // 8) * 3
+    hot_prefix, hot_suffix = _hot_affix_keys(canon, threshold=50)
+    assert [r.name_prefix for r in hot_prefix.collect()] == ["hot block name "]
+    assert hot_suffix.count() == 0  # suffixes vary -> no hot suffix block
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = _skew_tagged_pairs(hot_rows, "name_prefix", hot_prefix, 8)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert any(
+            "hashpartitioning" in line and "__salt" in line for line in plan.splitlines()
+        ), plan[:3000]
+        assert pairs.count() == m * (m - 1) // 2  # each (a < b) pair exactly once
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_cached_hot_affix_keys_memoized(spark):
+    """Hot-block keys are a corpus statistic: the profile runs once per
+    (dir, rowcount, threshold) and later calls serve the cached keys —
+    proven by handing the second call an EMPTY frame (a re-profile
+    would return no hot keys)."""
+    from car_etl_spark.queries import entity as E
+
+    canon = _planted_hot_canon(spark)
+    E._HOT_KEY_CACHE.clear()
+    try:
+        hp, hs = E._cached_hot_affix_keys(canon, "/nonexistent-dir", 50)
+        assert hs is None  # suffixes vary -> no hot suffix block -> bare plan
+        assert [r.name_prefix for r in hp.collect()] == ["hot block name "]
+        assert len(E._HOT_KEY_CACHE) == 1
+        hp2, _ = E._cached_hot_affix_keys(canon.limit(0), "/nonexistent-dir", 50)
+        assert [r.name_prefix for r in hp2.collect()] == ["hot block name "]
+        assert len(E._HOT_KEY_CACHE) == 1
+    finally:
+        E._HOT_KEY_CACHE.clear()
+
+
+def test_hot_block_keys_detects_only_hot(spark):
+    df = spark.createDataFrame(
+        [("A", "x")] * 40 + [("A", "y")] * 5 + [("B", "x")] * 12, "seg string, k string"
+    )
+    hot = sorted(
+        (r.seg, r.k) for r in S.hot_block_keys(df, ("seg", "k"), threshold=12).collect()
+    )
+    assert hot == [("A", "x"), ("B", "x")]
+
+
 def test_salted_left_anti_join_equivalence(spark):
     """Anti join under salting: the dim side carries every salt for
     every key, so (k, s) missing == k missing — identical result."""
