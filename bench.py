@@ -35,7 +35,10 @@ scan-twins (*_scan) keep the build-path forms green alongside.
 HEADLINE-SET CHANGES (for round-over-round total comparisons): r04
 added fts_porter_search and hybrid_porter_ivf_search (+~0.4 s warm) —
 compare totals per-query, or subtract the added rows when comparing
-r04 totals against r03.
+r04 totals against r03.  r06 added hybrid_rerank_page (the baseline's
+450 ms hybrid+rerank row, previously unbenched), pii_entity_counts,
+media_features_report, and rag_context_modes — subtract those four
+when comparing r06 totals against r05.
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's
@@ -70,6 +73,8 @@ HEADLINE = (
     "vector_ivf_topk",
     "hybrid_rrf_search",
     "hybrid_porter_ivf_search",
+    # hybrid + cross-encoder-stub rerank page (baseline's 450 ms row)
+    "hybrid_rerank_page",
     # dedup + text analysis (minhash in natural position: the round-1
     # run-first crutch is gone — the 48-agg codegen variance was fixed by
     # -XX:-DontCompileHugeMethods + code-cache sizing in session.py, and
@@ -89,6 +94,12 @@ HEADLINE = (
     "events_time_windows",
     "events_sessionize",
     "cdc_apply_tombstones",
+    # PII detection + redaction completeness over documents
+    "pii_entity_counts",
+    # multimodal decode kernels over synthesized binaries
+    "media_features_report",
+    # RAG context budgeting (regex-BPE + learned-BPE arms)
+    "rag_context_modes",
 )
 
 
