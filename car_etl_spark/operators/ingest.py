@@ -113,6 +113,49 @@ def explode_zip_members(archives: DataFrame) -> DataFrame:
     return archives.mapInPandas(unpack, ZIP_MEMBER_SCHEMA)
 
 
+# --- Landing sink contract (S2/S5 -> SURVEY §1.2) ---------------------------
+
+#: the dominant pruning columns for landed documents at 100 TB: every
+#: serving read is tenant-scoped (the reference's RLS) and most
+#: reprocessing is time-ranged, so facts land under
+#: ``tenant_id=<t>/ingest_date=<d>/`` and both predicates prune to
+#: directories before any file is opened.
+LANDING_PARTITIONS: tuple[str, ...] = ("tenant_id", "ingest_date")
+
+
+def land_documents(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = LANDING_PARTITIONS,
+    mode: str = "append",
+) -> None:
+    """S2/S5 landing contract: ingested/synced documents land as
+    parquet partitioned by (tenant, date) via
+    :func:`car_etl_spark.operators.scale.write_partitioned` — append
+    mode, so each ingest batch adds its partitions without rewriting
+    history."""
+    from car_etl_spark.operators.scale import write_partitioned
+
+    write_partitioned(df, path, partition_cols, mode=mode)
+
+
+def read_landed(
+    spark,
+    path: str,
+    tenant_id: str | None = None,
+    on_date: str | None = None,
+) -> DataFrame:
+    """Read back the landed table with the pruning predicates applied
+    FIRST, so Catalyst turns them into PartitionFilters (directory
+    pruning) rather than row filters."""
+    df = spark.read.parquet(path)
+    if tenant_id is not None:
+        df = df.filter(F.col("tenant_id") == tenant_id)
+    if on_date is not None:
+        df = df.filter(F.col("ingest_date") == on_date)
+    return df
+
+
 # --- S7 parser routing -----------------------------------------------------
 
 # Ordered route table (first match wins), wildcard supported — the shape

@@ -99,7 +99,10 @@ def detect_mime(content_col) -> "F.Column":
 
 def ingest_binary_dir(spark: SparkSession, path: str, tenant_id: str = "t0") -> DataFrame:
     """S2: binaryFile scan -> validate -> hash.  Dedup is a separate
-    anti-join step so re-ingest of the same content is idempotent."""
+    anti-join step so re-ingest of the same content is idempotent.
+    ``ingest_date`` (from the file's modification time, deterministic
+    from filesystem state — never the wall clock) is the date half of
+    the landing partition contract (``ingest.LANDING_PARTITIONS``)."""
     raw = spark.read.format("binaryFile").load(path)
     return raw.select(
         F.col("path"),
@@ -108,6 +111,7 @@ def ingest_binary_dir(spark: SparkSession, path: str, tenant_id: str = "t0") -> 
         F.col("length").alias("file_size_bytes"),
         F.sha2(F.col("content"), 256).alias("file_hash"),
         F.lit(tenant_id).alias("tenant_id"),
+        F.to_date(F.col("modificationTime")).alias("ingest_date"),
     ).filter(F.col("file_size_bytes") > 0)
 
 

@@ -223,11 +223,26 @@ class ConnectorSync:
     unchanged content no-ops through ``apply_change_batch``.
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str, connector_id: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        connector_id: str,
+        tenant_id: str = "t0",
+        landing_path: str | None = None,
+    ) -> None:
         self.spark = spark
         self.tokens = DeltaTokenStore(state_dir, connector_id)
         self.docs_path = os.path.join(state_dir, f"{connector_id}.docs.parquet")
         self.tombstones_path = os.path.join(state_dir, f"{connector_id}.tombstones.parquet")
+        # Landing log (SURVEY §1.2): each sync's new versions append to a
+        # shared parquet table partitioned by (tenant, date) — the
+        # 100 TB layout where tenant-scoped and time-ranged reads prune
+        # to directories.  The connector belongs to ONE tenant (the
+        # reference's per-tenant connector rows), so its writes land
+        # under that tenant's directory only.
+        self.tenant_id = tenant_id
+        self.landing_path = landing_path
 
     # -- state-table accessors -------------------------------------------
     def docs(self) -> DataFrame:
@@ -318,6 +333,15 @@ class ConnectorSync:
         if n_new:
             updated = demote_superseded(existing, new_versions).unionByName(new_versions)
             updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.docs_path)
+            if self.landing_path is not None:
+                from car_etl_spark.operators.ingest import land_documents
+
+                land_documents(
+                    new_versions.withColumn("tenant_id", F.lit(self.tenant_id)).withColumn(
+                        "ingest_date", F.to_date(F.col("synced_at"))
+                    ),
+                    self.landing_path,
+                )
         if n_dead:
             new_tombstones.write.mode("append").parquet(self.tombstones_path)
         self.tokens.save(next_token)

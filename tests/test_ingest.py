@@ -125,3 +125,43 @@ def test_extracted_tables_explode_and_cell_access(spark):
     assert all(r.absent is None for r in rows)
     # row_index is long (driver schema contract)
     assert dict(child.dtypes)["row_index"] == "bigint"
+
+
+# ---------------------------------------------------------------------------
+# Landing sink contract (S2/S5 -> SURVEY §1.2)
+
+
+def test_landing_partition_pruning_two_tenants_two_days(spark, tmp_path):
+    """Landed documents partition by (tenant, date); a tenant+date read
+    prunes to ONE directory before opening any file, and appends add
+    partitions without rewriting history."""
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [
+            ("t1", date(2026, 1, 1), "d1"),
+            ("t1", date(2026, 1, 2), "d2"),
+            ("t2", date(2026, 1, 1), "d3"),
+            ("t2", date(2026, 1, 2), "d4"),
+        ],
+        "tenant_id string, ingest_date date, doc string",
+    )
+    path = str(tmp_path / "landing")
+    I.land_documents(df, path)
+    I.land_documents(df.withColumn("doc", F.concat(F.col("doc"), F.lit("x"))), path)
+    # the directory layout IS the contract
+    assert (tmp_path / "landing" / "tenant_id=t1" / "ingest_date=2026-01-01").is_dir()
+    got = I.read_landed(spark, path, tenant_id="t1", on_date="2026-01-01")
+    assert sorted(r.doc for r in got.collect()) == ["d1", "d1x"]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert pf and "tenant_id" in pf[0] and "ingest_date" in pf[0], plan[:2000]
+    assert "PartitionFilters: []" not in plan
+
+
+def test_ingest_binary_dir_carries_landing_partition_columns(spark, zip_dir):
+    """The S2 scan produces both halves of the landing partition key."""
+    media = M.ingest_binary_dir(spark, zip_dir, tenant_id="t7")
+    rows = media.select("tenant_id", "ingest_date").collect()
+    assert rows and all(r.tenant_id == "t7" and r.ingest_date is not None for r in rows)
+    assert dict(media.dtypes)["ingest_date"] == "date"

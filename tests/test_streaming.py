@@ -831,3 +831,34 @@ def test_incremental_clusters_equal_batch_clusters(spark, tmp_path):
     # the cross-batch closure actually happened
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == got[11] == 10
+
+
+def test_cdc_landing_partitioned_by_tenant_and_date(spark, tmp_path):
+    """S5 landing log: each sync's new versions append to a shared
+    parquet table partitioned by (tenant, date); tenant+date reads
+    prune to directories (SURVEY §1.2 end-to-end)."""
+    from datetime import datetime
+
+    from car_etl_spark.streaming.cdc import ConnectorSync
+
+    def changes(rows, day):
+        return spark.createDataFrame(
+            [(p, h, "upsert", datetime(2026, 1, day, 0, 0, i)) for i, (p, h) in enumerate(rows)],
+            "source_path string, file_hash string, change_type string, changed_at timestamp",
+        )
+
+    landing = str(tmp_path / "landing")
+    s1 = ConnectorSync(spark, str(tmp_path / "c1"), "cx1", tenant_id="t1", landing_path=landing)
+    s2 = ConnectorSync(spark, str(tmp_path / "c2"), "cx2", tenant_id="t2", landing_path=landing)
+    s1.sync_once(lambda tok: (changes([("a", "h1"), ("b", "h2")], day=1), "k1"))
+    s1.sync_once(lambda tok: (changes([("a", "h1b")], day=2), "k2"))  # new version, day 2
+    s2.sync_once(lambda tok: (changes([("c", "h3")], day=1), "k1"))
+
+    landed = spark.read.parquet(landing)
+    assert landed.count() == 4  # a v1, b v1, a v2, c v1
+    assert (tmp_path / "landing" / "tenant_id=t1" / "ingest_date=2026-01-02").is_dir()
+    pruned = landed.filter((F.col("tenant_id") == "t1") & (F.col("ingest_date") == "2026-01-01"))
+    assert {(r.source_path, r.version) for r in pruned.collect()} == {("a", 1), ("b", 1)}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert pf and "tenant_id" in pf[0] and "ingest_date" in pf[0], plan[:2000]
