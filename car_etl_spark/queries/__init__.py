@@ -96,6 +96,7 @@ def build_registry() -> dict[str, QuerySpec]:
         fts,
         media,
         misc,
+        mix,
         normalize,
         pii,
         rag,
@@ -107,7 +108,7 @@ def build_registry() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq, misc, fts, extraction, pii, media):
+    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq, misc, fts, extraction, pii, media, mix):
         for name, spec in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name: {name}")

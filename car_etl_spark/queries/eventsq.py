@@ -200,8 +200,9 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 
 QUERIES: dict[str, QuerySpec] = {
     "events_user_running_total": QuerySpec(events_user_running_total, EVENTS_RUNNING_TOTAL_SQL, ("events", "window")),
-    "events_type_pivot": QuerySpec(events_type_pivot, EVENTS_TYPE_PIVOT_SQL, ("events", "pivot")),
-    "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, ("events", "window")),
+    # events_type_pivot + events_sessionize registry slots consolidated
+    # into the user-grain events_user_report suite (round 6); both
+    # functions stay exported and individually benched
 }
 
 

@@ -614,6 +614,36 @@ ORDER BY f.extraction_id, f.field_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Events: per-user pivot + session metrics, one user-grain report
+
+
+def events_user_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/A12 pivot (type-conditional aggregation + retry/DLQ stats)
+    key-joined to the W-family session rollup — both user_id-grain, so
+    one wide report carries both hard signals (round-6 consolidation
+    freeing a slot for training_mix_suite)."""
+    from car_etl_spark.queries.eventsq import events_sessionize, events_type_pivot
+
+    pivot = events_type_pivot(spark, sf_dir)
+    sess = events_sessionize(spark, sf_dir)
+    return pivot.join(sess, "user_id").orderBy("user_id")
+
+
+def _events_user_report_sql() -> str:
+    from car_etl_spark.queries.eventsq import (
+        EVENTS_SESSIONIZE_SQL,
+        EVENTS_TYPE_PIVOT_SQL,
+    )
+
+    return f"""
+SELECT p.*, s.session_count, s.max_session_events, s.total_value
+FROM ({EVENTS_TYPE_PIVOT_SQL}) p
+JOIN ({EVENTS_SESSIONIZE_SQL}) s USING (user_id)
+ORDER BY user_id
+"""
+
+
 def fine_grained_queries() -> dict:
     """Old registry name -> constituent function, for surfaces that
     keep timing/pinning the fine-grained serving paths individually
@@ -661,6 +691,8 @@ def fine_grained_queries() -> dict:
         "token_jaccard_blocked": dedup.token_jaccard_blocked,
         "embedding_neardup_exact_block": dedup.embedding_neardup_exact_block,
         "events_time_windows": eventsq.events_time_windows,
+        "events_type_pivot": eventsq.events_type_pivot,
+        "events_sessionize": eventsq.events_sessionize,
         "events_multires_rollup": eventsq.events_multires_rollup,
         "events_json_props": eventsq.events_json_props,
         "events_value_percentiles": eventsq.events_value_percentiles,
@@ -711,5 +743,8 @@ def build_suite_queries() -> dict[str, QuerySpec]:
         ),
         "structural_join_suite": QuerySpec(
             structural_join_suite, _structural_join_sql(), ("join", "suite")
+        ),
+        "events_user_report": QuerySpec(
+            events_user_report, _events_user_report_sql(), ("events", "suite")
         ),
     }

@@ -20,6 +20,7 @@ READ_ALLOWED = {
     "tables.py",
     os.path.join("operators", "indexing.py"),
     os.path.join("operators", "multimodal.py"),   # binaryFile landing dirs
+    os.path.join("operators", "ingest.py"),       # read_landed: tenant filter IS the partition predicate
     os.path.join("operators", "scale.py"),        # write_partitioned readback
     os.path.join("streaming", "cdc.py"),
     os.path.join("streaming", "incremental_dedup.py"),
