@@ -94,11 +94,19 @@ def search(
     if mode != "hybrid":
         raise ValueError(f"unknown mode: {mode}")
     kw = _keyword_leg(corpus, terms, fetch).select(
-        "doc_id", F.col("score").alias("kw_score"), F.col("rank").alias("kw_rank")
+        "doc_id", F.col("rank").alias("kw_rank")
     )
     vec = _vector_leg(embeddings, query_vec, fetch).select(
-        "doc_id", F.col("score").alias("vec_score"), F.col("rank").alias("vec_rank")
+        "doc_id", F.col("rank").alias("vec_rank")
     )
+    return _rrf_fuse(kw, vec, limit)
+
+
+def _rrf_fuse(kw: DataFrame, vec: DataFrame, limit: int) -> DataFrame:
+    """RRF fusion shared by EVERY hybrid route (k=60, round 8,
+    rrf-desc / doc_id-asc tie-break, leg miss = NULL rank) — one
+    definition so the plain and tenant-scoped surfaces cannot drift.
+    Inputs: (doc_id, kw_rank) and (doc_id, vec_rank), ranks 1-based."""
     fused = kw.join(vec, "doc_id", "full_outer")
     rrf = F.round(
         F.coalesce(1.0 / (RRF_K + F.col("kw_rank")), F.lit(0.0))
@@ -185,6 +193,7 @@ def tenant_hybrid_search(
             .over(Window.orderBy(F.desc("kw_score"), F.asc("doc_id")))
             .cast("long"),
         )
+        .select("doc_id", "kw_rank")
     )
     vec = (
         tenant_vector_search(spark, ivf_store, query_vec, tenant, limit=fetch)
@@ -195,23 +204,9 @@ def tenant_hybrid_search(
             .over(Window.orderBy(F.desc("vec_score"), F.asc("doc_id")))
             .cast("long"),
         )
+        .select("doc_id", "vec_rank")
     )
-    fused = kw.join(vec, "doc_id", "full_outer")
-    rrf = F.round(
-        F.coalesce(1.0 / (RRF_K + F.col("kw_rank")), F.lit(0.0))
-        + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
-        8,
-    )
-    return (
-        fused.select(
-            "doc_id",
-            rrf.alias("rrf_score"),
-            F.coalesce(F.col("kw_rank"), F.lit(0)).cast("long").alias("kw_rank"),
-            F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("vec_rank"),
-        )
-        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-        .limit(limit)
-    )
+    return _rrf_fuse(kw, vec, limit)
 
 
 def ask(

@@ -98,17 +98,52 @@ def content_salt(
     return F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts)).cast("int")
 
 
-def hot_block_keys(df: DataFrame, key_cols: tuple[str, ...], threshold: int) -> DataFrame:
-    """Blocks at or above ``threshold`` rows — the skew-detection pass
-    for blocked self-joins.  One map-side-combined aggregation at block
-    grain; the result is tiny by definition (hot keys are rare) and
-    broadcast-joinable back against the corpus."""
+def hot_block_profile(
+    df: DataFrame, key_sets: tuple[tuple[str, ...], ...], threshold: int
+) -> DataFrame:
+    """Blocks at or above ``threshold`` rows, for one or MANY block-key
+    sets in a single map-side-combined corpus pass (grouping sets) —
+    the skew-detection operator behind the blocked-self-join guard
+    (queries/entity.py profiles both affix keys through this).
+
+    Returns the union of hot (key columns..., __n, __set) rows, where
+    ``__set`` is the index into ``key_sets`` the row belongs to and
+    columns outside that set are NULL.  The result is tiny by
+    definition (hot keys are rare) and broadcast-joinable back against
+    the corpus."""
+    if len(key_sets) == 1:
+        return (
+            df.groupBy(*[F.col(c) for c in key_sets[0]])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= threshold)
+            .withColumn("__set", F.lit(0))
+        )
+    all_cols: list[str] = []
+    for ks in key_sets:
+        for c in ks:
+            if c not in all_cols:
+                all_cols.append(c)
+    # grouping_id: one bit per groupBy column (first column = most
+    # significant), set when the column is aggregated AWAY — so each
+    # key set has one known gid, mapped back to its key_sets index
+    gid_of = {
+        sum(1 << (len(all_cols) - 1 - i) for i, c in enumerate(all_cols) if c not in ks): si
+        for si, ks in enumerate(key_sets)
+    }
+    set_idx = F.lit(None).cast("int")
+    for gid, si in gid_of.items():
+        set_idx = F.when(F.grouping_id() == gid, F.lit(si)).otherwise(set_idx)
     return (
-        df.groupBy(*[F.col(c) for c in key_cols])
-        .agg(F.count(F.lit(1)).alias("__n"))
+        df.groupingSets([list(ks) for ks in key_sets], *all_cols)
+        .agg(F.count(F.lit(1)).alias("__n"), set_idx.alias("__set"))
         .filter(F.col("__n") >= threshold)
-        .drop("__n")
     )
+
+
+def hot_block_keys(df: DataFrame, key_cols: tuple[str, ...], threshold: int) -> DataFrame:
+    """Single-key-set convenience form of :func:`hot_block_profile`:
+    just the hot key tuples, counts dropped."""
+    return hot_block_profile(df, (key_cols,), threshold).drop("__n", "__set")
 
 
 def write_partitioned(

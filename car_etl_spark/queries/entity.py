@@ -11,6 +11,8 @@ expressions, classify with the 0.80/0.95 thresholds
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -103,9 +105,14 @@ def _gated_hot_keys(
     enough to possibly CONTAIN a ``SKEW_BLOCK_THRESHOLD``-row block
     (footer-stat gate, no Spark job), consult the memoized hot-block
     profile; otherwise ``(None, None)`` — the plan stays the bare
-    dual-key self-join, and warm runs never re-profile."""
+    dual-key self-join, and warm runs never re-profile.
+
+    ``parquet_rowcount`` returns -1 for UNKNOWN (unreadable footer /
+    non-filesystem layout); unknown must take the PROFILE branch — the
+    profile costs one corpus pass, while wrongly skipping it costs the
+    m^2 straggler the guard exists to prevent."""
     n = parquet_rowcount(sf_dir, "customer")
-    if n < SKEW_BLOCK_THRESHOLD:
+    if 0 <= n < SKEW_BLOCK_THRESHOLD:
         return None, None
     return _cached_hot_affix_keys(canon, sf_dir, SKEW_BLOCK_THRESHOLD)
 
@@ -164,40 +171,36 @@ def _block_cond(key: str):
 
 
 def _hot_affix_profile(canon: DataFrame, threshold: int) -> DataFrame:
-    """ONE corpus pass profiling BOTH affix block keys via grouping
-    sets (map-side-combined counts at block grain).  Hot blocks are
-    rare by definition, so the filtered result is tiny."""
-    return (
-        canon.groupingSets(
-            [["c_mktsegment", "name_prefix"], ["c_mktsegment", "name_suffix"]],
-            "c_mktsegment",
-            "name_prefix",
-            "name_suffix",
-        )
-        .agg(F.count(F.lit(1)).alias("__n"), F.grouping_id().alias("__g"))
-        .filter(F.col("__n") >= threshold)
+    """ONE corpus pass profiling BOTH affix block keys — the generic
+    grouping-sets skew-detection operator
+    (:func:`car_etl_spark.operators.scale.hot_block_profile`) over the
+    two block-key sets.  Hot blocks are rare by definition, so the
+    filtered result is tiny.  ``__set`` 0 = prefix key, 1 = suffix."""
+    from car_etl_spark.operators.scale import hot_block_profile
+
+    return hot_block_profile(
+        canon,
+        (("c_mktsegment", "name_prefix"), ("c_mktsegment", "name_suffix")),
+        threshold,
     )
 
 
 def _hot_affix_keys(canon: DataFrame, threshold: int) -> tuple[DataFrame, DataFrame]:
-    """The profile split into two tiny hot-key frames.
-
-    grouping_id bit order follows the groupBy columns: the
-    (segment, prefix) set grouped name_suffix out -> gid 1; the
-    (segment, suffix) set grouped name_prefix out -> gid 2."""
+    """The profile split into two tiny hot-key frames."""
     prof = _hot_affix_profile(canon, threshold)
-    hot_prefix = prof.filter(F.col("__g") == 1).select("c_mktsegment", "name_prefix")
-    hot_suffix = prof.filter(F.col("__g") == 2).select("c_mktsegment", "name_suffix")
+    hot_prefix = prof.filter(F.col("__set") == 0).select("c_mktsegment", "name_prefix")
+    hot_suffix = prof.filter(F.col("__set") == 1).select("c_mktsegment", "name_suffix")
     return hot_prefix, hot_suffix
 
 
-#: (sf_dir, footer rowcount, threshold) -> collected hot-key tuples.
-#: Hot-block keys are a CORPUS STATISTIC, not per-query state — same
-#: discipline as the footer-derived index layouts (operators/
-#: indexing.py): profile once per corpus version, reuse across queries.
-#: The footer rowcount in the key invalidates the entry when the
-#: underlying table changes.
-_HOT_KEY_CACHE: dict[tuple[str, int, int], tuple[tuple, tuple]] = {}
+#: (source digest, threshold) -> collected hot-key tuples.  Hot-block
+#: keys are a CORPUS STATISTIC, not per-query state — same discipline
+#: as the footer-derived index layouts (operators/indexing.py): profile
+#: once per corpus version, reuse across queries.  The digest is
+#: path + mtime_ns (the content-addressing key every index store uses),
+#: so a REGENERATED same-rowcount corpus invalidates the entry —
+#: rowcount alone would serve stale hot keys for same-size rewrites.
+_HOT_KEY_CACHE: dict[tuple[str, int], tuple[tuple, tuple]] = {}
 
 #: bound on the driver-side hot-key collect (control-plane grain; the
 #: LARGEST blocks win).  More than this many >=10k-row blocks means
@@ -213,13 +216,18 @@ def _cached_hot_affix_keys(
     profile — ``None`` where the corpus has no hot blocks for that key,
     so the common no-skew case keeps the bare self-join plan (and warm
     runs skip the profile pass entirely)."""
-    ck = (sf_dir, parquet_rowcount(sf_dir, "customer"), threshold)
+    from car_etl_spark.operators.indexing import _source_digest
+
+    ck = (
+        _source_digest("hotkeys", 1, os.path.join(sf_dir, "customer.parquet"), ""),
+        threshold,
+    )
     if ck not in _HOT_KEY_CACHE:
         prof = _hot_affix_profile(canon, threshold)
         top = prof.orderBy(F.col("__n").desc()).limit(_HOT_KEY_CAP).collect()
         _HOT_KEY_CACHE[ck] = (
-            tuple((r["c_mktsegment"], r["name_prefix"]) for r in top if r["__g"] == 1),
-            tuple((r["c_mktsegment"], r["name_suffix"]) for r in top if r["__g"] == 2),
+            tuple((r["c_mktsegment"], r["name_prefix"]) for r in top if r["__set"] == 0),
+            tuple((r["c_mktsegment"], r["name_suffix"]) for r in top if r["__set"] == 1),
         )
     spark = canon.sparkSession
     out = []

@@ -331,17 +331,39 @@ class ConnectorSync:
         n_new = new_versions.count()
         n_dead = new_tombstones.count()
         if n_new:
+            # Landing FIRST, docs state second, token last — the crash
+            # ordering that converges on retry: die after landing but
+            # before the docs write and the retry recomputes the SAME
+            # new_versions (docs unchanged), which the (doc_id, version)
+            # anti-join below turns into a no-op re-append; die after
+            # the docs write and the retry's diff is empty (n_new == 0),
+            # skipping landing — the rows are already in the log.
+            # Landing after the docs write had an unrecoverable window:
+            # a crash between the two lost the batch from the landing
+            # log forever, because the retry diffs against the
+            # already-updated state and lands nothing.
+            if self.landing_path is not None:
+                from pyspark.errors import AnalysisException
+
+                from car_etl_spark.operators.ingest import land_documents, read_landed
+
+                to_land = new_versions.withColumn(
+                    "tenant_id", F.lit(self.tenant_id)
+                ).withColumn("ingest_date", F.to_date(F.col("synced_at")))
+                try:
+                    already = read_landed(
+                        new_versions.sparkSession,
+                        self.landing_path,
+                        tenant_id=self.tenant_id,
+                    ).select("doc_id", "version")
+                    to_land = to_land.join(already, ["doc_id", "version"], "left_anti")
+                except AnalysisException:
+                    pass  # first batch: nothing landed yet
+                # materialize before the append: the anti-join plan READS
+                # the landing log the write is about to extend
+                land_documents(to_land.localCheckpoint(eager=True), self.landing_path)
             updated = demote_superseded(existing, new_versions).unionByName(new_versions)
             updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.docs_path)
-            if self.landing_path is not None:
-                from car_etl_spark.operators.ingest import land_documents
-
-                land_documents(
-                    new_versions.withColumn("tenant_id", F.lit(self.tenant_id)).withColumn(
-                        "ingest_date", F.to_date(F.col("synced_at"))
-                    ),
-                    self.landing_path,
-                )
         if n_dead:
             new_tombstones.write.mode("append").parquet(self.tombstones_path)
         self.tokens.save(next_token)

@@ -83,12 +83,24 @@ def parquet_rowcount(sf_dir: str, name: str) -> int:
     The free statistic a cost-based strategy (adaptive ANN dispatch,
     LSH plan sizing, IVF centroid derivation) is allowed to read; the
     catalog-statistics analog of the reference's pg_class reltuples.
-    Returns -1 when unknown (non-filesystem layout, corrupt footer) so
-    callers fall back to their always-correct default."""
+    Directory layouts (the only layout real corpora have) sum the
+    per-part footers — still metadata-only, no scan.  Returns -1 when
+    unknown (non-filesystem layout, corrupt footer) so callers fall
+    back to their always-correct default; scale-sensitive callers must
+    treat -1 as LARGE, not small (see queries/entity._gated_hot_keys)."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
+        if os.path.isdir(path):
+            files = []
+            for root, _dirs, fns in os.walk(path):
+                files.extend(
+                    os.path.join(root, fn) for fn in fns if fn.endswith(".parquet")
+                )
+            if not files:
+                return -1
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return -1

@@ -60,6 +60,12 @@ def main() -> None:
     hot_keys = tuple(
         hk.localCheckpoint(eager=True) if hk.count() else None for hk in hot_keys
     )
+    if hot_keys[0] is None:
+        sys.exit(
+            f"hot_rows={HOT} is below the 1000-row profile threshold: no block "
+            "is hot, the salted arm would time the identical unsalted plan and "
+            "the histogram step has nothing to spread.  Use hot_rows >= 1000."
+        )
     print(
         f"# corpus: {HOT} hot rows (1 block) + {COLD_BLOCKS * COLD_PER_BLOCK} cold rows "
         f"({COLD_BLOCKS} blocks); hot pair work ~{HOT * (HOT - 1) // 2:,} pairs",

@@ -24,10 +24,15 @@ print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s")
 
 from car_etl_spark.oracle import compare  # noqa: E402
 
-qs, osql = m.queries(), m.oracle_sql()
-if SF_DIR != m.DRIVER_ORACLE_SF_DIR:
-    # callable oracles embed corpus-derived artifacts; re-resolve them
-    # for the dir actually under test instead of the driver's default
+qs = m.queries()
+if SF_DIR == m.DRIVER_ORACLE_SF_DIR:
+    osql = m.oracle_sql()
+else:
+    # callable oracles embed corpus-derived artifacts (e.g. the BPE
+    # merge table materialized from the corpus); resolve them ONCE for
+    # the dir actually under test — calling m.oracle_sql() first would
+    # build the driver-default dir's artifacts and throw them away (or
+    # crash when that dir doesn't exist on this machine)
     from car_etl_spark.queries import build_registry, resolve_oracle  # noqa: E402
 
     osql = {

@@ -862,3 +862,55 @@ def test_cdc_landing_partitioned_by_tenant_and_date(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
     assert pf and "tenant_id" in pf[0] and "ingest_date" in pf[0], plan[:2000]
+
+
+def test_cdc_landing_crash_retry_converges(spark, tmp_path, monkeypatch):
+    """Crash-ordering contract: landing happens BEFORE the docs-state
+    write, and a retry after a crash between the two re-lands nothing
+    (the (doc_id, version) anti-join) — while a retry after a full sync
+    whose token save was lost diffs to empty and lands nothing either.
+    Either way the landing log converges to exactly one row per
+    document version."""
+    from datetime import datetime
+
+    from car_etl_spark.streaming import cdc
+    from car_etl_spark.streaming.cdc import ConnectorSync
+
+    def changes(rows, day):
+        return spark.createDataFrame(
+            [(p, h, "upsert", datetime(2026, 2, day, 0, 0, i)) for i, (p, h) in enumerate(rows)],
+            "source_path string, file_hash string, change_type string, changed_at timestamp",
+        )
+
+    landing = str(tmp_path / "landing")
+    sync = ConnectorSync(
+        spark, str(tmp_path / "c1"), "cx1", tenant_id="t1", landing_path=landing
+    )
+    feed = lambda tok: (changes([("a", "h1"), ("b", "h2")], day=1), "k1")
+
+    # window B: die after the landing append, before the docs write
+    real = cdc.demote_superseded
+    boom = {"armed": True}
+
+    def exploding(existing, new_versions):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash between landing and docs write")
+        return real(existing, new_versions)
+
+    monkeypatch.setattr(cdc, "demote_superseded", exploding)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sync.sync_once(feed)
+    assert spark.read.parquet(landing).count() == 2  # landed before the crash
+
+    out = sync.sync_once(feed)  # retry: same batch (token was never saved)
+    assert out["new_versions"] == 2
+    landed = spark.read.parquet(landing)
+    assert landed.count() == 2  # anti-join made the re-append a no-op
+    assert sync.docs().count() == 2
+
+    # window C: docs written but the token save lost -> retry refetches
+    # the same batch, diffs to empty, lands nothing new
+    out2 = sync.sync_once(feed)
+    assert out2["new_versions"] == 0
+    assert spark.read.parquet(landing).count() == 2

@@ -473,7 +473,7 @@ def test_api_tenant_hybrid_route(spark, tmp_path):
         s = (1.0 / (60 + kw_rank[d]) if d in kw_rank else 0.0) + (
             1.0 / (60 + vec_rank[d]) if d in vec_rank else 0.0
         )
-        expect[d] = (round(s, 8), kw_rank.get(d, 0), vec_rank.get(d, 0))
+        expect[d] = (round(s, 8), kw_rank.get(d), vec_rank.get(d))
     top = sorted(expect.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
     assert [(r.doc_id, r.rrf_score, r.kw_rank, r.vec_rank) for r in got] == [
         (d, s, kr, vr) for d, (s, kr, vr) in top
@@ -482,4 +482,5 @@ def test_api_tenant_hybrid_route(spark, tmp_path):
     leak = api.tenant_hybrid_search(
         spark, pstore, vstore, ("globexsecret",), qvec, tenant="acme", limit=10
     )
-    assert all(r.kw_rank == 0 for r in leak.collect())
+    assert all(r.kw_rank is None for r in leak.collect())  # leg miss = NULL rank,
+    # the same absent-leg encoding api.search uses (one shared _rrf_fuse)
