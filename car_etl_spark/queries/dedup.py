@@ -155,7 +155,54 @@ ORDER BY id_a, id_b
 """
 
 
-# all five registered through suites.lsh_neardup_suite (rows-only
-# candidate paths) and suites.exact_neardup_companions (oracle ground
-# truth) since round 5 — functions remain the per-method API
+# ---------------------------------------------------------------------------
+# Portable-family arms (round 6): the registry's LSH suite serves from
+# the cross-engine-reproducible hash family (operators/portable.py), so
+# the driver's DuckDB gate checks the FULL LSH pipeline value-for-value
+# — signatures, banding, candidate join, verification.  The xxhash64
+# production family above stays the hot path (benched fine-grained);
+# family recall equivalence is pinned in tests/test_portable.py.
+
+
+def minhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(48) + LSH(12 bands) near-dup at Jaccard >= 0.5 on the
+    portable family — exact DuckDB twin."""
+    from car_etl_spark.operators import portable as P
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return P.portable_minhash_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def simhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-60 near-dup at Hamming <= 6, scale-derived subset
+    blocking, portable family — exact DuckDB twin."""
+    from car_etl_spark.operators import portable as P
+    from car_etl_spark.tables import parquet_rowcount
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n = parquet_rowcount(sf_dir, "documents")
+    if n < 0:
+        n = docs.count()
+    return P.portable_simhash_pairs(docs, expected_docs=n).orderBy("id_a", "id_b")
+
+
+def embedding_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized hyperplane LSH + exact-cosine verify at 0.3,
+    plan from the corpus size, portable family — exact DuckDB twin."""
+    from car_etl_spark.operators import portable as P
+    from car_etl_spark.tables import parquet_rowcount
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n = parquet_rowcount(sf_dir, "embeddings")
+    if n < 0:
+        n = emb.count()
+    return P.portable_embedding_pairs(emb, threshold=0.3, expected_n=n).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# all production-family arms registered through suites.lsh_neardup_suite
+# (now oracle-checked via the portable family) and
+# suites.exact_neardup_companions (exact ground truth) — functions
+# remain the per-method API
 QUERIES: dict[str, QuerySpec] = {}

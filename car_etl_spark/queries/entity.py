@@ -337,6 +337,31 @@ def char_shingles(c, n: int = 3):
     return F.transform(idx, lambda i: F.substr(c, i, F.lit(n)))
 
 
+def portable_lsh_name_pairs(
+    canon: DataFrame, num_hashes: int = 48, bands: int = 3
+) -> DataFrame:
+    """:func:`lsh_name_pairs` on the PORTABLE hash family
+    (operators/portable.py) — value-identical to the DuckDB twin inside
+    ``ENTITY_MATCH_LSH_EXTENDED_SQL``, which is what lets the extended
+    query be a full oracle row.  Same banding economics as the
+    production form below; the xxhash64 form keeps the hot path."""
+    from car_etl_spark.operators import portable as P
+
+    exploded = canon.select(
+        "c_custkey", F.explode(char_shingles(F.col("norm_name"))).alias("sh")
+    )
+    sigs = P.portable_minhash_sigs(exploded, num_hashes, "c_custkey")
+    cand = P.portable_band_pairs(sigs, "c_custkey", bands, num_hashes).select(
+        F.col("id_a").alias("ka"), F.col("id_b").alias("kb")
+    )
+    attrs = _pair_attrs(
+        canon,
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    return cand.join(attrs, ["ka", "kb"])
+
+
 def lsh_name_pairs(
     canon: DataFrame, num_hashes: int = 24, bands: int = 12
 ) -> DataFrame:
@@ -410,10 +435,11 @@ def entity_match_lsh_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Union can only ADD candidate pairs, so recall is a superset of the
     affix query's; precision is unchanged (the decision thresholds do
-    the filtering).  Rows-only in the driver gate: the seeded-xxhash64
-    MinHash family has no DuckDB twin — the affix-only companion query
-    IS oracle-checked, and the planted middle-edit recall test pins
-    what the LSH leg adds.
+    the filtering).  Since round 6 the LSH leg runs on the PORTABLE
+    hash family (operators/portable.py), whose DuckDB twin makes this a
+    FULL oracle row (``ENTITY_MATCH_LSH_EXTENDED_SQL``); the planted
+    middle-edit recall test pins what the LSH leg adds over affix
+    blocking, for both families.
 
     Banding note: this corpus's names are TEMPLATE-generated
     ("customer 000000123"), so ANY two same-segment names share ~0.75
@@ -430,14 +456,16 @@ def entity_match_lsh_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = canonical_frame(cust)
     pairs = (
         affix_pairs(canon, hot_keys=_gated_hot_keys(canon, sf_dir))
-        .unionByName(lsh_name_pairs(canon, num_hashes=48, bands=3))
+        .unionByName(portable_lsh_name_pairs(canon, num_hashes=48, bands=3))
         .dropDuplicates(["ka", "kb"])
     )
     return score_pair_rollup(pairs)
 
 
-ENTITY_MATCH_BLOCKED_SQL = """
-WITH canon AS (
+# shared SQL fragments: canon/keyed prep, the dual affix candidate arms,
+# and the scoring/rollup tail — composed by both the blocked SQL and the
+# LSH-extended SQL so the formulas cannot drift
+_CANON_KEYED_SQL = """canon AS (
   SELECT c_custkey, c_mktsegment,
          TRIM(regexp_replace(regexp_replace(LOWER(c_name), '[^a-z0-9]+', ' ', 'g'),
                              '\\s+', ' ', 'g')) AS norm_name,
@@ -448,8 +476,9 @@ WITH canon AS (
          SUBSTRING(norm_name, 1, GREATEST(LENGTH(norm_name) - 2, 1)) AS name_prefix,
          SUBSTRING(norm_name, GREATEST(LENGTH(norm_name) - 5, 1), 6) AS name_suffix
   FROM canon
-), cand AS (
-  SELECT a.c_custkey AS ka, b.c_custkey AS kb, a.c_mktsegment AS segment,
+)"""
+
+_AFFIX_CAND_ARMS_SQL = """SELECT a.c_custkey AS ka, b.c_custkey AS kb, a.c_mktsegment AS segment,
          a.norm_name AS na, b.norm_name AS nb,
          a.bal_bucket AS ba, b.bal_bucket AS bb
   FROM keyed a JOIN keyed b
@@ -463,8 +492,9 @@ WITH canon AS (
   FROM keyed a JOIN keyed b
     ON a.c_mktsegment = b.c_mktsegment
    AND a.name_suffix = b.name_suffix
-   AND a.c_custkey < b.c_custkey
-), pairs AS (
+   AND a.c_custkey < b.c_custkey"""
+
+_SCORE_TAIL_SQL = """, pairs AS (
   SELECT segment,
          CASE WHEN LENGTH(na) = 0 AND LENGTH(nb) = 0 THEN 1.0
               WHEN LENGTH(na) = 0 OR LENGTH(nb) = 0 THEN 0.0
@@ -485,7 +515,56 @@ SELECT segment,
        ROUND(AVG(weighted_score), 6) AS avg_score
 FROM scored
 GROUP BY 1, 2
-ORDER BY segment, decision
+ORDER BY segment, decision"""
+
+ENTITY_MATCH_BLOCKED_SQL = f"""
+WITH {_CANON_KEYED_SQL}, cand AS (
+  {_AFFIX_CAND_ARMS_SQL}
+){_SCORE_TAIL_SQL}
+"""
+
+
+def _entity_match_lsh_extended_sql(sf_dir: str) -> str:
+    """Oracle builder for the LSH-extended match: the affix arms plus
+    the portable MinHash(48, 3 bands) candidate arm over char-3-gram
+    shingled names, all through the same scoring tail.  ``sf_dir`` is
+    unused (no corpus-derived plan) but keeps the callable-oracle
+    signature."""
+    from car_etl_spark.operators.portable import MOD31, MOD32, affine_consts
+
+    a, b = affine_consts(48)
+    consts = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(48))
+    rpb = 48 // 3
+    return f"""
+WITH {_CANON_KEYED_SQL}, nsh AS MATERIALIZED (
+  SELECT DISTINCT c_custkey, substr(norm_name, i, 3) AS gram
+  FROM (SELECT c_custkey, norm_name,
+               unnest(generate_series(1, GREATEST(LENGTH(norm_name) - 2, 1))) AS i
+        FROM keyed)
+), nhm AS MATERIALIZED (
+  SELECT c_custkey, ('0x' || substr(md5(gram), 1, 15))::BIGINT % {MOD31} AS hm FROM nsh
+), nmembers AS MATERIALIZED (
+  SELECT c_custkey, c.i, MIN((c.a * hm + c.b) % {MOD32}) AS m
+  FROM nhm CROSS JOIN (VALUES {consts}) AS c(i, a, b)
+  GROUP BY c_custkey, c.i
+), nbands AS MATERIALIZED (
+  SELECT c_custkey, i // {rpb} AS band,
+         string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
+  FROM nmembers GROUP BY c_custkey, i // {rpb}
+), lshcand AS MATERIALIZED (
+  SELECT DISTINCT x.c_custkey AS ka, y.c_custkey AS kb
+  FROM nbands x JOIN nbands y
+    ON x.band = y.band AND x.key = y.key AND x.c_custkey < y.c_custkey
+), cand AS (
+  {_AFFIX_CAND_ARMS_SQL}
+  UNION
+  SELECT a.c_custkey, b.c_custkey, a.c_mktsegment,
+         a.norm_name, b.norm_name,
+         a.bal_bucket, b.bal_bucket
+  FROM lshcand p JOIN keyed a ON a.c_custkey = p.ka
+                 JOIN keyed b ON b.c_custkey = p.kb
+  WHERE a.c_mktsegment = b.c_mktsegment
+){_SCORE_TAIL_SQL}
 """
 
 
@@ -547,7 +626,9 @@ QUERIES: dict[str, QuerySpec] = {
     "entity_canonicalize": QuerySpec(entity_canonicalize, ENTITY_CANONICALIZE_SQL, ("entity",)),
     "entity_match_blocked": QuerySpec(entity_match_blocked, ENTITY_MATCH_BLOCKED_SQL, ("entity", "similarity-join")),
     "entity_match_lsh_extended": QuerySpec(
-        entity_match_lsh_extended, None, ("entity", "similarity-join", "lsh")
+        entity_match_lsh_extended,
+        _entity_match_lsh_extended_sql,
+        ("entity", "similarity-join", "lsh", "portable"),
     ),
     "entity_merge_repoint": QuerySpec(entity_merge_repoint, ENTITY_MERGE_REPOINT_SQL, ("entity", "merge")),
 }

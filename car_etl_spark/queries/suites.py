@@ -301,32 +301,63 @@ FROM ({HYBRID_PORTER_IVF_SQL})
 
 
 def lsh_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three seeded-hash candidate generators — MinHash+LSH,
-    SimHash subset blocking, hyperplane-LSH embeddings — tagged on one
-    (method, id_a, id_b, score) grain.  Rows-only by design (seeded
-    xxhash64 has no DuckDB twin); the exact companions suite is the
-    oracle-checked ground truth for the same similarity math."""
+    """The three LSH candidate generators — MinHash+LSH, SimHash subset
+    blocking, hyperplane-LSH embeddings — tagged on one
+    (method, id_a, id_b, score) grain.
+
+    Since round 6 the suite serves from the PORTABLE hash family
+    (operators/portable.py: md5-60bit + exact affine/integer
+    arithmetic), which has a value-identical DuckDB twin — so this row
+    is a FULL oracle row exercising signatures, banding, the candidate
+    join, and verification end to end.  The xxhash64 production family
+    keeps the hot path (benched fine-grained via minhash_lsh_neardup et
+    al.); family recall equivalence is pinned in tests/test_portable.py,
+    and the exact companions suite remains the brute-force ground
+    truth."""
     from car_etl_spark.queries.dedup import (
-        embedding_neardup_lsh,
-        minhash_lsh_neardup,
-        simhash_neardup,
+        embedding_portable_neardup,
+        minhash_portable_neardup,
+        simhash_portable_neardup,
     )
 
     parts = [
-        minhash_lsh_neardup(spark, sf_dir).select(
+        minhash_portable_neardup(spark, sf_dir).select(
             F.lit("minhash_jaccard").alias("method"), "id_a", "id_b",
             F.round("jaccard", 6).alias("score"),
         ),
-        simhash_neardup(spark, sf_dir).select(
+        simhash_portable_neardup(spark, sf_dir).select(
             F.lit("simhash_hamming").alias("method"), "id_a", "id_b",
             F.col("hamming").cast("double").alias("score"),
         ),
-        embedding_neardup_lsh(spark, sf_dir).select(
+        embedding_portable_neardup(spark, sf_dir).select(
             F.lit("embedding_cosine").alias("method"), "id_a", "id_b",
             F.round("cosine_sim", 6).alias("score"),
         ),
     ]
     return _tagged_union(parts).orderBy("method", "id_a", "id_b")
+
+
+def _lsh_neardup_suite_sql(sf_dir: str) -> str:
+    """Oracle builder: the blocking/banding plans depend on the corpus
+    footer counts, so the SQL is assembled per sf_dir with the SAME
+    plan calls the Spark side makes."""
+    from car_etl_spark.operators import portable as P
+    from car_etl_spark.tables import parquet_rowcount
+
+    nd = parquet_rowcount(sf_dir, "documents")
+    ne = parquet_rowcount(sf_dir, "embeddings")
+    return f"""
+SELECT * FROM (
+SELECT 'minhash_jaccard' AS method, id_a, id_b, ROUND(jaccard, 6) AS score
+FROM ({P.portable_minhash_sql(threshold=0.5)})
+UNION ALL
+SELECT 'simhash_hamming' AS method, id_a, id_b, CAST(hamming AS DOUBLE) AS score
+FROM ({P.portable_simhash_sql(nd)})
+UNION ALL
+SELECT 'embedding_cosine' AS method, id_a, id_b, ROUND(cosine_sim, 6) AS score
+FROM ({P.portable_embedding_sql(ne)})
+) ORDER BY method, id_a, id_b
+"""
 
 
 def exact_neardup_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,7 +752,9 @@ def build_suite_queries() -> dict[str, QuerySpec]:
         "hybrid_search_modes": QuerySpec(
             hybrid_search_modes, _hybrid_modes_sql(), ("search", "rrf", "suite")
         ),
-        "lsh_neardup_suite": QuerySpec(lsh_neardup_suite, None, ("dedup", "lsh")),
+        "lsh_neardup_suite": QuerySpec(
+            lsh_neardup_suite, _lsh_neardup_suite_sql, ("dedup", "lsh", "portable")
+        ),
         "exact_neardup_companions": QuerySpec(
             exact_neardup_companions, _exact_companions_sql(), ("dedup",)
         ),

@@ -1,0 +1,164 @@
+"""Portable (cross-engine-reproducible) LSH family tests.
+
+Three claims: (1) every Spark arm is VALUE-identical to its DuckDB SQL
+twin on real testdata, (2) the portable family's recall matches the
+xxhash64 production family on planted near-dups, (3) the arithmetic
+foundations (md5-60bit parse, integer quantization) are exact."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from car_etl_spark.operators import portable as P
+from car_etl_spark.operators import similarity as S
+from car_etl_spark.tables import parquet_rowcount
+from tests.conftest import SF_SMALL
+
+
+def _oracle(sf_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_h0_matches_python_md5(spark):
+    """The portable 60-bit hash is the top 15 md5 hex chars — pinned
+    against hashlib so BOTH engine twins are anchored to the spec."""
+    samples = ["hello world", "", "a b c", "Ünïcode ☃", "x" * 500]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r.s: r.h for r in df.select("s", P.h0(F.col("s")).alias("h")).collect()}
+    for s in samples:
+        expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[s] == expect, s
+
+
+def test_quantization_is_exact_integer_arithmetic():
+    """floor(x*1000 + 0.5) on float32-origin doubles must be the same
+    integer in numpy (the Spark batch path) and pure Python (the IEEE
+    reference) — including the exact-tie cases like 0.0625*1000."""
+    vals = np.array([0.0625, -0.5, 0.1234567, 1.0, -1.0, 0.0015, 62.4999], dtype=np.float32)
+    via_numpy = np.floor(vals.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+    via_python = [int(math.floor(float(v) * 1000.0 + 0.5)) for v in vals]
+    assert via_numpy.tolist() == via_python
+
+
+def test_portable_minhash_matches_duckdb(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = _rows(
+        P.portable_minhash_pairs(docs).select("id_a", "id_b", "jaccard")
+    )
+    want = sorted(
+        tuple(r) for r in _oracle(SF_SMALL).execute(P.portable_minhash_sql()).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_portable_simhash_matches_duckdb(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n = parquet_rowcount(SF_SMALL, "documents")
+    got = _rows(
+        P.portable_simhash_pairs(docs, expected_docs=n).select("id_a", "id_b", "hamming")
+    )
+    want = sorted(
+        tuple(r) for r in _oracle(SF_SMALL).execute(P.portable_simhash_sql(n)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_portable_embedding_matches_duckdb(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n = parquet_rowcount(SF_SMALL, "embeddings")
+    got = _rows(
+        P.portable_embedding_pairs(emb, expected_n=n).select("id_a", "id_b", "cosine_sim")
+    )
+    want = sorted(
+        tuple(r)
+        for r in _oracle(SF_SMALL).execute(P.portable_embedding_sql(n)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """Same construction as tests/test_similarity.py: 60 base docs + 20
+    near-duplicates at ~90% token overlap."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(60):
+        toks = [rng.choice(vocab) for _ in range(80)]
+        rows.append((i, " ".join(toks)))
+    for j in range(20):
+        base_id, base_text = rows[j]
+        toks = base_text.split()
+        for _ in range(6):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        rows.append((1000 + base_id, " ".join(toks)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_portable_family_recall_matches_production(spark, planted_docs):
+    """Family swap must not change the recall class: both the xxhash64
+    production MinHash and the portable MinHash recover the planted
+    pairs (hash values differ; banding statistics do not)."""
+    planted = {(j, 1000 + j) for j in range(20)}
+    prod = {
+        (r.id_a, r.id_b)
+        for r in S.minhash_near_duplicates(
+            planted_docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    port = {
+        (r.id_a, r.id_b)
+        for r in P.portable_minhash_pairs(planted_docs, threshold=0.5).collect()
+    }
+    assert len(planted & prod) >= 18
+    assert len(planted & port) >= 18
+    # verification is exact in both families: identical accepted pairs
+    # wherever both surfaced the candidate
+    assert planted & prod & port == (planted & prod) & (planted & port)
+
+
+def test_portable_lsh_name_pairs_adds_middle_edit_recall(spark):
+    """The entity LSH leg on the portable family still catches the
+    double-affix-edit class that exact affix blocking provably misses
+    (same planted twins as tests/test_resolution.py, same 12x2 knee)."""
+    from car_etl_spark.queries.entity import (
+        affix_pairs,
+        canonical_frame,
+        portable_lsh_name_pairs,
+    )
+
+    rows = [
+        (1, "BUILDING", "acme holdings international corporation", 100.0),
+        (2, "BUILDING", "acme holdngs international corporaton", 100.0),
+        (3, "MACHINERY", "pacific northwest property management", 200.0),
+        (4, "MACHINERY", "pacific nrthwest property managment", 200.0),
+        (5, "BUILDING", "completely unrelated enterprises", 300.0),
+        (6, "MACHINERY", "zenith industrial logistics partners", 400.0),
+    ]
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_name string, c_acctbal double"
+    )
+    canon = canonical_frame(cust)
+    affix = {(r.ka, r.kb) for r in affix_pairs(canon).collect()}
+    assert (1, 2) not in affix and (3, 4) not in affix
+    lsh = {
+        (r.ka, r.kb)
+        for r in portable_lsh_name_pairs(canon, num_hashes=24, bands=12).collect()
+    }
+    assert (1, 2) in lsh and (3, 4) in lsh
