@@ -103,11 +103,23 @@ def portable_minhash_sigs(
     return staged.groupBy(id_col).agg(*aggs)
 
 
+def _check_banding(num_hashes: int, bands: int) -> int:
+    """Bands must divide the signature evenly — a remainder would be
+    silently dropped by the Spark structs but grouped into an extra
+    partial band by the SQL's ``i // rpb``, breaking the
+    value-identical contract.  Checked in BOTH generators."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"portable banding requires bands | num_hashes, got {num_hashes}/{bands}"
+        )
+    return num_hashes // bands
+
+
 def portable_band_pairs(
     sigs: DataFrame, id_col: str, bands: int, num_hashes: int
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) from string band keys."""
-    rpb = num_hashes // bands
+    rpb = _check_banding(num_hashes, bands)
     structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -200,6 +212,35 @@ toks AS MATERIALIZED (
 )"""
 
 
+def minhash_cand_ctes(
+    shingle_cte: str, id_col: str, num_hashes: int, bands: int, prefix: str = ""
+) -> str:
+    """The hm → members → bandkeys → cand CTE chain over an existing
+    (id, gram) CTE — the ONE SQL generator for the portable MinHash
+    candidate pipeline, shared by the document-dedup twin below and the
+    entity name-LSH twin (queries/entity.py), so the family's SQL
+    cannot fork.  ``prefix`` namespaces the CTEs (``ncand`` etc.)."""
+    rpb = _check_banding(num_hashes, bands)
+    a, b = affine_consts(num_hashes)
+    consts = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(num_hashes))
+    p = prefix
+    return f"""{p}hm AS MATERIALIZED (
+  SELECT {id_col}, {H0_SQL.format(expr='gram')} % {MOD31} AS hm FROM {shingle_cte}
+), {p}members AS MATERIALIZED (
+  SELECT {id_col}, c.i, MIN((c.a * hm + c.b) % {MOD32}) AS m
+  FROM {p}hm CROSS JOIN (VALUES {consts}) AS c(i, a, b)
+  GROUP BY {id_col}, c.i
+), {p}bandkeys AS MATERIALIZED (
+  SELECT {id_col}, i // {rpb} AS band,
+         string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
+  FROM {p}members GROUP BY {id_col}, i // {rpb}
+), {p}cand AS MATERIALIZED (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM {p}bandkeys a JOIN {p}bandkeys b
+    ON a.band = b.band AND a.key = b.key AND a.{id_col} < b.{id_col}
+)"""
+
+
 def portable_minhash_sql(
     threshold: float = 0.5,
     num_hashes: int = 48,
@@ -209,25 +250,8 @@ def portable_minhash_sql(
     text_col: str = "text",
 ) -> str:
     """DuckDB twin of :func:`portable_minhash_pairs` (value-identical)."""
-    a, b = affine_consts(num_hashes)
-    consts = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(num_hashes))
-    rpb = num_hashes // bands
     return f"""
-WITH {_shingle_ctes(table, id_col, text_col)}, hm AS MATERIALIZED (
-  SELECT {id_col}, {H0_SQL.format(expr='gram')} % {MOD31} AS hm FROM sh
-), members AS MATERIALIZED (
-  SELECT {id_col}, c.i, MIN((c.a * hm + c.b) % {MOD32}) AS m
-  FROM hm CROSS JOIN (VALUES {consts}) AS c(i, a, b)
-  GROUP BY {id_col}, c.i
-), bandkeys AS MATERIALIZED (
-  SELECT {id_col}, i // {rpb} AS band,
-         string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
-  FROM members GROUP BY {id_col}, i // {rpb}
-), cand AS MATERIALIZED (
-  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
-  FROM bandkeys a JOIN bandkeys b
-    ON a.band = b.band AND a.key = b.key AND a.{id_col} < b.{id_col}
-), shsets AS MATERIALIZED (
+WITH {_shingle_ctes(table, id_col, text_col)}, {minhash_cand_ctes('sh', id_col, num_hashes, bands)}, shsets AS MATERIALIZED (
   SELECT {id_col}, list(DISTINCT gram) AS s FROM sh GROUP BY {id_col}
 )
 SELECT id_a, id_b, jaccard FROM (

@@ -1,8 +1,10 @@
 """Near-dup dedup queries over ``documents``/``embeddings``.
 
-LSH-based operators are checked rows-only (seeded xxhash64 has no DuckDB
-twin); each has an exact blocked companion query that IS oracle-checked,
-validating the same similarity math end-to-end.
+Two hash families serve these semantics: the seeded-xxhash64 production
+family (fast JVM intrinsics — benched fine-grained) and, since round 6,
+the PORTABLE family (``operators/portable.py``) whose DuckDB twins make
+the LSH registry rows full oracle rows.  The exact blocked companion
+queries remain the brute-force ground truth for the similarity math.
 """
 
 from __future__ import annotations
@@ -164,6 +166,27 @@ ORDER BY id_a, id_b
 # family recall equivalence is pinned in tests/test_portable.py.
 
 
+def portable_plan_rowcount(sf_dir: str, table: str) -> int:
+    """Corpus size for the portable-family blocking plans — footer
+    stats first, DuckDB count fallback.  BOTH the Spark arms and the
+    SQL builders resolve n through this one function: if the Spark
+    side counted while the SQL side planned from the -1 sentinel, the
+    two would derive DIFFERENT blocking layouts and the oracle gate
+    would fail on a plan skew, not a real drift."""
+    import os
+
+    from car_etl_spark.tables import parquet_rowcount
+
+    n = parquet_rowcount(sf_dir, table)
+    if n >= 0:
+        return n
+    import duckdb
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    glob = os.path.join(path, "**", "*.parquet") if os.path.isdir(path) else path
+    return duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{glob}')").fetchone()[0]
+
+
 def minhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(48) + LSH(12 bands) near-dup at Jaccard >= 0.5 on the
     portable family — exact DuckDB twin."""
@@ -175,27 +198,24 @@ def minhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60 near-dup at Hamming <= 6, scale-derived subset
-    blocking, portable family — exact DuckDB twin."""
+    blocking, portable family — exact DuckDB twin (plan n resolved via
+    :func:`portable_plan_rowcount`, same as the SQL builder)."""
     from car_etl_spark.operators import portable as P
-    from car_etl_spark.tables import parquet_rowcount
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    n = parquet_rowcount(sf_dir, "documents")
-    if n < 0:
-        n = docs.count()
+    n = portable_plan_rowcount(sf_dir, "documents")
     return P.portable_simhash_pairs(docs, expected_docs=n).orderBy("id_a", "id_b")
 
 
 def embedding_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized hyperplane LSH + exact-cosine verify at 0.3,
-    plan from the corpus size, portable family — exact DuckDB twin."""
+    plan from the corpus size, portable family — exact DuckDB twin
+    (plan n resolved via :func:`portable_plan_rowcount`, same as the
+    SQL builder)."""
     from car_etl_spark.operators import portable as P
-    from car_etl_spark.tables import parquet_rowcount
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    n = parquet_rowcount(sf_dir, "embeddings")
-    if n < 0:
-        n = emb.count()
+    n = portable_plan_rowcount(sf_dir, "embeddings")
     return P.portable_embedding_pairs(emb, threshold=0.3, expected_n=n).orderBy(
         "id_a", "id_b"
     )

@@ -456,7 +456,11 @@ def entity_match_lsh_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = canonical_frame(cust)
     pairs = (
         affix_pairs(canon, hot_keys=_gated_hot_keys(canon, sf_dir))
-        .unionByName(portable_lsh_name_pairs(canon, num_hashes=48, bands=3))
+        .unionByName(
+            portable_lsh_name_pairs(
+                canon, num_hashes=_LSH_NAME_HASHES, bands=_LSH_NAME_BANDS
+            )
+        )
         .dropDuplicates(["ka", "kb"])
     )
     return score_pair_rollup(pairs)
@@ -524,45 +528,41 @@ WITH {_CANON_KEYED_SQL}, cand AS (
 """
 
 
+#: the registry configuration for the name-LSH leg — ONE definition
+#: consumed by both the Spark call site (entity_match_lsh_extended) and
+#: the SQL builder, so the two sides cannot desync.  3 bands x 16 rows:
+#: the knee sits above this corpus's template background similarity
+#: (see entity_match_lsh_extended's docstring).
+_LSH_NAME_HASHES = 48
+_LSH_NAME_BANDS = 3
+
+
 def _entity_match_lsh_extended_sql(sf_dir: str) -> str:
     """Oracle builder for the LSH-extended match: the affix arms plus
-    the portable MinHash(48, 3 bands) candidate arm over char-3-gram
-    shingled names, all through the same scoring tail.  ``sf_dir`` is
+    the portable MinHash candidate arm over char-3-gram shingled names
+    (the shared :func:`~car_etl_spark.operators.portable.minhash_cand_ctes`
+    generator), all through the same scoring tail.  ``sf_dir`` is
     unused (no corpus-derived plan) but keeps the callable-oracle
     signature."""
-    from car_etl_spark.operators.portable import MOD31, MOD32, affine_consts
+    from car_etl_spark.operators.portable import minhash_cand_ctes
 
-    a, b = affine_consts(48)
-    consts = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(48))
-    rpb = 48 // 3
+    cand_ctes = minhash_cand_ctes(
+        "nsh", "c_custkey", _LSH_NAME_HASHES, _LSH_NAME_BANDS, prefix="n"
+    )
     return f"""
 WITH {_CANON_KEYED_SQL}, nsh AS MATERIALIZED (
   SELECT DISTINCT c_custkey, substr(norm_name, i, 3) AS gram
   FROM (SELECT c_custkey, norm_name,
                unnest(generate_series(1, GREATEST(LENGTH(norm_name) - 2, 1))) AS i
         FROM keyed)
-), nhm AS MATERIALIZED (
-  SELECT c_custkey, ('0x' || substr(md5(gram), 1, 15))::BIGINT % {MOD31} AS hm FROM nsh
-), nmembers AS MATERIALIZED (
-  SELECT c_custkey, c.i, MIN((c.a * hm + c.b) % {MOD32}) AS m
-  FROM nhm CROSS JOIN (VALUES {consts}) AS c(i, a, b)
-  GROUP BY c_custkey, c.i
-), nbands AS MATERIALIZED (
-  SELECT c_custkey, i // {rpb} AS band,
-         string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
-  FROM nmembers GROUP BY c_custkey, i // {rpb}
-), lshcand AS MATERIALIZED (
-  SELECT DISTINCT x.c_custkey AS ka, y.c_custkey AS kb
-  FROM nbands x JOIN nbands y
-    ON x.band = y.band AND x.key = y.key AND x.c_custkey < y.c_custkey
-), cand AS (
+), {cand_ctes}, cand AS (
   {_AFFIX_CAND_ARMS_SQL}
   UNION
   SELECT a.c_custkey, b.c_custkey, a.c_mktsegment,
          a.norm_name, b.norm_name,
          a.bal_bucket, b.bal_bucket
-  FROM lshcand p JOIN keyed a ON a.c_custkey = p.ka
-                 JOIN keyed b ON b.c_custkey = p.kb
+  FROM ncand p JOIN keyed a ON a.c_custkey = p.id_a
+               JOIN keyed b ON b.c_custkey = p.id_b
   WHERE a.c_mktsegment = b.c_mktsegment
 ){_SCORE_TAIL_SQL}
 """

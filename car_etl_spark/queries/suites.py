@@ -342,10 +342,10 @@ def _lsh_neardup_suite_sql(sf_dir: str) -> str:
     footer counts, so the SQL is assembled per sf_dir with the SAME
     plan calls the Spark side makes."""
     from car_etl_spark.operators import portable as P
-    from car_etl_spark.tables import parquet_rowcount
+    from car_etl_spark.queries.dedup import portable_plan_rowcount
 
-    nd = parquet_rowcount(sf_dir, "documents")
-    ne = parquet_rowcount(sf_dir, "embeddings")
+    nd = portable_plan_rowcount(sf_dir, "documents")
+    ne = portable_plan_rowcount(sf_dir, "embeddings")
     return f"""
 SELECT * FROM (
 SELECT 'minhash_jaccard' AS method, id_a, id_b, ROUND(jaccard, 6) AS score
