@@ -1,0 +1,82 @@
+"""Model-ready training-data export: deterministic shards with a
+reproducible global pseudo-shuffle.
+
+The terminal stage of a training-data pipeline (after the mix/dedup/
+quality stages in ``queries/mix.py`` and ``queries/dedup.py``): the
+curated corpus must land as N fixed shards that (a) every training run
+reads IDENTICALLY — shard membership and intra-shard order are pure
+functions of the row key, never ``rand()`` or partition scheduling —
+and (b) interleave sources, so a sequential reader never sees a long
+run of one source (hash order is the classic "global shuffle without a
+global sort by random key you can't reproduce").
+
+Plan shape at 100 TB: one ``repartition(num_shards, shard)`` shuffle,
+then ``sortWithinPartitions`` (shard LEADS the sort — FileFormatWriter
+re-sorts by partition columns otherwise and would silently drop the
+intra-shard order), one pass, no driver materialization.  Readers of a
+single shard prune to its directory (PartitionFilters).
+
+Reference behavior covered: the reference exports curated document
+sets for downstream consumption (``src/documents/export.py``); this is
+the distributed, reproducible form of that contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: salt for the intra-shard order hash — a DIFFERENT function than the
+#: shard-assignment hash, so order within a shard is independent of the
+#: assignment (reusing one hash would sort each shard by the same value
+#: that chose it, i.e. a constant residue class — not a shuffle).
+ORDER_SALT = 7_919
+
+
+def shard_col(key, num_shards: int):
+    """Deterministic shard id for a row key column."""
+    return F.pmod(F.xxhash64(key), F.lit(num_shards)).cast("int")
+
+
+def order_col(key):
+    """Deterministic intra-shard order key (independent of shard_col)."""
+    return F.xxhash64(key, F.lit(ORDER_SALT))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    key_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Land ``df`` as ``shard=<i>/`` parquet directories with a
+    reproducible global pseudo-shuffle.
+
+    Every row appears in exactly one shard; re-running on the same
+    input reproduces identical shard membership AND identical row order
+    inside each file (the written ``__order`` column is the proof key —
+    readers that need the order sort by it, readers that don't ignore
+    it)."""
+    staged = df.withColumn("shard", shard_col(F.col(key_col), num_shards)).withColumn(
+        "__order", order_col(F.col(key_col))
+    )
+    (
+        staged.repartition(num_shards, "shard")
+        # shard must LEAD the sort: FileFormatWriter re-sorts rows by
+        # the partition columns before writing, and only a sort that
+        # already leads with them survives into the files
+        .sortWithinPartitions("shard", "__order")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def read_training_shard(spark: SparkSession, path: str, shard: int | None = None) -> DataFrame:
+    """Read back the export — one shard (directory-pruned) or all —
+    in the deterministic training order."""
+    df = spark.read.parquet(path)
+    if shard is not None:
+        df = df.filter(F.col("shard") == shard)
+    return df.orderBy("shard", "__order")

@@ -1,0 +1,77 @@
+"""Deterministic training-shard export contracts."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from car_etl_spark.operators.export import (
+    read_training_shard,
+    write_training_shards,
+)
+
+
+def _corpus(spark, n=2000, sources=4):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % sources).cast("string")).alias("source"),
+        F.concat(F.lit("text of document "), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_shards_partition_every_row_exactly_once(spark, tmp_path):
+    docs = _corpus(spark)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, num_shards=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.select("doc_id").distinct().count() == 2000
+    assert back.select("shard").distinct().count() == 8
+    # balance: uniform hash sharding keeps shards within ~2x of each other
+    counts = [r["count"] for r in back.groupBy("shard").count().collect()]
+    assert max(counts) <= 2 * min(counts), counts
+
+
+def test_export_is_deterministic_across_reruns(spark, tmp_path):
+    """Same input -> identical shard membership AND identical physical
+    row order inside every shard file (read back WITHOUT sorting)."""
+    docs = _corpus(spark)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, p1, num_shards=4)
+    write_training_shards(docs, p2, num_shards=4)
+    for shard in range(4):
+        f1 = sorted((tmp_path / "a" / f"shard={shard}").glob("*.parquet"))
+        f2 = sorted((tmp_path / "b" / f"shard={shard}").glob("*.parquet"))
+        ids1 = [i for f in f1 for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()]
+        ids2 = [i for f in f2 for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()]
+        assert ids1 == ids2 and len(ids1) > 0  # membership AND order
+
+
+def test_shard_order_interleaves_sources(spark, tmp_path):
+    """The pseudo-shuffle must break source runs: in hash order, the
+    chance of 12 consecutive same-source rows (4 sources) is ~4^-11 per
+    position — a run that long means the shuffle is broken."""
+    docs = _corpus(spark)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, num_shards=2)
+    rows = read_training_shard(spark, path, shard=0).select("source").collect()
+    longest, run = 1, 1
+    for prev, cur in zip(rows, rows[1:]):
+        run = run + 1 if cur.source == prev.source else 1
+        longest = max(longest, run)
+    assert longest < 12, f"source run of {longest} — not shuffled"
+
+
+def test_single_shard_read_prunes_to_directory(spark, tmp_path):
+    docs = _corpus(spark)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, num_shards=8)
+    one = read_training_shard(spark, path, shard=3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert pf and "shard" in pf[0], plan[:2000]
+    # and the shard holds exactly the rows whose hash maps to 3
+    from car_etl_spark.operators.export import shard_col
+
+    expect = docs.filter(shard_col(F.col("doc_id"), 8) == 3).count()
+    assert one.count() == expect > 0
