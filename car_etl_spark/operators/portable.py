@@ -199,7 +199,7 @@ def _shingle_ctes(table: str, id_col: str, text_col: str) -> str:
     return f"""
 toks AS MATERIALIZED (
   SELECT {id_col},
-         list_filter(string_split_regex(TRIM(LOWER({text_col})), '\\s+'), x -> x <> '') AS w
+         list_filter(string_split_regex(TRIM(LOWER({text_col})), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS w
   FROM {table}
 ), sh AS MATERIALIZED (
   SELECT DISTINCT {id_col}, gram FROM (

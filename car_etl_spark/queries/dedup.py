@@ -104,7 +104,7 @@ def token_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_JACCARD_SQL = """
 WITH tok AS (
   SELECT doc_id, doc_id % 25 AS block,
-         list_distinct(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> ''))
+         list_distinct(list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))
            AS tokset
   FROM documents
 ), pairs AS (

@@ -53,11 +53,11 @@ WITH src AS (
          TRIM(regexp_replace(
            regexp_replace(
              TRIM(regexp_replace(regexp_replace(LOWER(raw_name), '[^a-z0-9 \t]', '', 'g'),
-                                 '\\s+', ' ', 'g')),
+                                 '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
              '\\b(llc|inc|corp|ltd|lp)\\b', '', 'g'),
-           '\\s+', ' ', 'g')) AS canonical_name,
+           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS canonical_name,
          TRIM(regexp_replace(regexp_replace(LOWER(raw_name), '[^a-z0-9]+', ' ', 'g'),
-                             '\\s+', ' ', 'g')) AS match_text
+                             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS match_text
   FROM src
 )
 SELECT c_custkey, raw_name, canonical_name, match_text FROM canon
@@ -472,7 +472,7 @@ def entity_match_lsh_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CANON_KEYED_SQL = """canon AS (
   SELECT c_custkey, c_mktsegment,
          TRIM(regexp_replace(regexp_replace(LOWER(c_name), '[^a-z0-9]+', ' ', 'g'),
-                             '\\s+', ' ', 'g')) AS norm_name,
+                             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm_name,
          ROUND(c_acctbal, 0) AS bal_bucket
   FROM customer
 ), keyed AS (

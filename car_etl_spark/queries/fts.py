@@ -229,7 +229,7 @@ def fts_posting_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 FTS_POSTING_SEARCH_SQL = f"""
 WITH toked AS (
   SELECT doc_id,
-         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM documents
 ), posted AS (
   SELECT doc_id,
@@ -319,7 +319,7 @@ def _fts_batch_sql() -> str:
     return f"""
 WITH toked AS (
   SELECT doc_id,
-         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM documents
 ), posted AS (
   SELECT doc_id,
@@ -387,7 +387,7 @@ WITH rolled AS MATERIALIZED (
            CASE WHEN generate_subscripts(toks, 1) - 1 < {HEADER_TOKENS} THEN {HEADER_WEIGHT} ELSE {BODY_WEIGHT} END AS weight
     FROM (
       SELECT doc_id,
-             list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+             list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
       FROM documents
     )
   )

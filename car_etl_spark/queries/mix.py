@@ -145,7 +145,7 @@ def training_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAINING_MIX_SUITE_SQL = f"""
 WITH toks AS MATERIALIZED (
   SELECT doc_id, source,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+         string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS w
   FROM documents
 ), grams AS MATERIALIZED (
   SELECT doc_id, source, array_to_string(w[i:i+{NGRAM - 1}], ' ') AS gram

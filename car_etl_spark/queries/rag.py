@@ -36,8 +36,8 @@ def rag_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 RAG_CONTEXT_BUDGET_SQL = """
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks,
-         len(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')) AS token_count
+         list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks,
+         len(list_filter(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS token_count
   FROM documents
 ), scored AS (
   SELECT doc_id, token_count,
@@ -198,7 +198,7 @@ def _rag_context_modes_sql(sf_dir: str) -> str:
     bpe_sql = f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM documents
 ), scored AS (
   SELECT doc_id, toks,
@@ -269,7 +269,7 @@ def rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 RAG_CHUNK_WINDOWS_SQL = """
 WITH toked AS (
   SELECT doc_id,
-         string_split_regex(TRIM(text), '\\s+') AS toks
+         string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
   FROM documents
   WHERE TRIM(text) <> ''
 ), exploded AS (

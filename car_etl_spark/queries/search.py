@@ -201,7 +201,7 @@ WITH rolled AS MATERIALIZED (
            CASE WHEN generate_subscripts(toks, 1) - 1 < 5 THEN 2.0 ELSE 1.0 END AS weight
     FROM (
       SELECT doc_id,
-             list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+             list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
       FROM documents
     )
   )
@@ -244,7 +244,7 @@ HYBRID_PORTER_IVF_SQL = _hybrid_porter_sql()
 HYBRID_RRF_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM documents
 ), kw_scored AS (
   SELECT doc_id,

@@ -71,7 +71,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_QUALITY_SQL = f"""
 WITH tok AS (
   SELECT doc_id, lang,
-         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM documents
 ), m AS (
   SELECT doc_id, lang, len(toks) AS n,
@@ -174,7 +174,7 @@ def doc_keyword_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_KEYWORD_SEARCH_SQL = """
 WITH tok AS (
   SELECT doc_id, lang,
-         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM documents
 ), scored AS (
   SELECT doc_id, lang,
@@ -243,7 +243,7 @@ def _highlight_sql() -> str:
         f"regexp_replace(d.text, '(?i)({alts})', '<mark>\\1</mark>', 'g')"
     )
     head = f"substring({marked}, 1, 150)"
-    cut = f"regexp_replace({head}, '\\s+\\S*$', '')"
+    cut = f"regexp_replace({head}, '[ \\t\\n\\x0B\\f\\r]+[^ \\t\\n\\x0B\\f\\r]*$', '')"
     snip = (
         f"CASE WHEN length({marked}) <= 150 THEN {marked} "
         f"ELSE (CASE WHEN length({cut}) > 0 THEN {cut} ELSE {head} END) || '...' END"
@@ -254,7 +254,7 @@ def _highlight_sql() -> str:
     return f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM documents
 ), top AS (
   SELECT doc_id, score
@@ -323,7 +323,7 @@ def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_CORPUS_PROFILE_SQL = f"""
 WITH tok AS (
   SELECT source, lang, n_chars,
-         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS toks,
+         list_filter(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks,
          {T.bpe_token_count_sql('text')} AS bn
   FROM documents
 ), m AS (
@@ -394,7 +394,7 @@ WITH fp AS (
          sha256(array_to_string(
            list_sort(list_distinct(
              list_transform(
-               list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+               list_filter(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
                x -> LOWER(x)))),
            ' ')) AS fp
   FROM documents
@@ -482,7 +482,7 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_REPETITION_SQL = """
 WITH toked AS (
   SELECT doc_id,
-         list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
   FROM documents
 ), tok AS (
   SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM toked
@@ -565,7 +565,7 @@ FROM (
          sha256(array_to_string(
            list_sort(list_distinct(
              list_transform(
-               list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+               list_filter(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
                x -> LOWER(x)))),
            ' ')) AS fp
   FROM documents

@@ -164,3 +164,26 @@ def test_portable_lsh_name_pairs_adds_middle_edit_recall(spark):
         for r in portable_lsh_name_pairs(canon, num_hashes=24, bands=12).collect()
     }
     assert (1, 2) in lsh and (3, 4) in lsh
+
+
+def test_tokenizer_class_matches_java_whitespace(spark, tmp_path):
+    """The oracle SQL tokenizes with the explicit class
+    [ \\t\\n\\x0B\\f\\r]+ because RE2's \\s EXCLUDES vertical tab while
+    Java's \\s includes it — adversarial text containing \\x0B used to
+    tokenize differently across engines.  Full-pipeline pin: a corpus
+    with \\x0B-separated near-dup twins stays value-identical."""
+    rows = [
+        (1, "alpha\x0bbeta gamma delta shared tail tokens here"),
+        (2, "alpha beta gamma delta shared tail tokens here"),
+        (3, "one\ttwo\nthree\ffour\rfive six seven eight nine"),
+        (4, "completely different text with no overlap at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    got = _rows(P.portable_minhash_pairs(docs, threshold=0.3).select("id_a", "id_b", "jaccard"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = sorted(tuple(r) for r in con.execute(P.portable_minhash_sql(threshold=0.3)).fetchall())
+    assert got == want
+    assert (1, 2) in {(a, b) for a, b, _ in got}  # the \x0B twin pair survives
