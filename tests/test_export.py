@@ -75,3 +75,26 @@ def test_single_shard_read_prunes_to_directory(spark, tmp_path):
 
     expect = docs.filter(shard_col(F.col("doc_id"), 8) == 3).count()
     assert one.count() == expect > 0
+
+
+def test_sampled_mix_exports_deterministically(spark, tmp_path):
+    """End-to-end mix -> export: the deterministic stratified sample
+    (queries/mix.sample_hash) lands as shards, and re-running the whole
+    pipeline reproduces the identical shard contents — the reproducible-
+    ablation contract (same subset, same order, every run)."""
+    from car_etl_spark.queries.mix import sample_hash, source_rate
+
+    docs = _corpus(spark)
+    sampled = docs.filter(
+        sample_hash(F.col("doc_id")) < (source_rate() * 4294967296).cast("long")
+    )
+    p1, p2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+    write_training_shards(sampled, p1, num_shards=4)
+    write_training_shards(sampled, p2, num_shards=4)
+    b1, b2 = spark.read.parquet(p1), spark.read.parquet(p2)
+    assert b1.count() == b2.count() > 0
+    assert b1.exceptAll(b2).count() == 0
+    # mixing rates survive the export (src0 rate 1.0 vs src2 rate 0.25)
+    per_src = {r.source: r["count"] for r in b1.groupBy("source").count().collect()}
+    assert per_src["src0"] == 500  # rate 1.0 keeps every doc
+    assert 0 < per_src["src2"] < per_src["src0"] / 2  # rate 0.25 thins
