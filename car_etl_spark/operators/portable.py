@@ -35,6 +35,20 @@ bands/bits), so the two sides cannot drift.  The xxhash64 family stays
 the production default (faster); recall equivalence of the two families
 on planted duplicates is pinned in ``tests/test_portable.py``.
 
+**Agreement domain.**  Portability is exact over the primitives above;
+the one residual divergence lives UPSTREAM of hashing, in Unicode case
+mapping: Spark's ``lower()`` applies full case mapping (Turkish İ
+U+0130 → ``i`` + combining dot, 2 codepoints) while DuckDB applies
+simple mapping (→ ``i``), so text containing the handful of
+full-mapping specials (İ, ligature expansions) tokenizes differently
+before either engine hashes anything.  This is an engine property, not
+a family property — it affects every lower()-based oracle in the repo
+equally — and is pinned by a canary test
+(``test_unicode_case_mapping_divergence_canary``) so we notice if the
+engines ever converge.  Whitespace, by contrast, IS unified: the
+tokenizing SQL uses the explicit ``[ \\t\\n\\x0B\\f\\r]`` class because
+RE2's ``\\s`` excludes vertical tab while Java's includes it.
+
 Reference behavior covered: the dedup semantics of
 ``src/documents/dedup.py`` (near-duplicate detection before indexing),
 re-expressed as engine-portable LSH rather than difflib loops.

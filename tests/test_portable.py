@@ -187,3 +187,19 @@ def test_tokenizer_class_matches_java_whitespace(spark, tmp_path):
     want = sorted(tuple(r) for r in con.execute(P.portable_minhash_sql(threshold=0.3)).fetchall())
     assert got == want
     assert (1, 2) in {(a, b) for a, b, _ in got}  # the \x0B twin pair survives
+
+
+def test_unicode_case_mapping_divergence_canary(spark):
+    """KNOWN cross-engine boundary (see operators/portable.py docstring):
+    Spark lower() applies FULL Unicode case mapping, DuckDB SIMPLE —
+    U+0130 is the witness.  This canary pins the divergence so a future
+    engine upgrade that converges (or widens) the gap is noticed and the
+    agreement-domain docs updated."""
+    s = "İSTANBUL"
+    spark_lower = (
+        spark.createDataFrame([(s,)], "s string").select(F.lower("s")).first()[0]
+    )
+    duck_lower = duckdb.connect().execute("SELECT lower(?)", [s]).fetchone()[0]
+    assert spark_lower == "i̇stanbul"  # full mapping: i + combining dot
+    assert duck_lower == "istanbul"  # simple mapping
+    assert spark_lower != duck_lower
