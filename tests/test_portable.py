@@ -203,3 +203,30 @@ def test_unicode_case_mapping_divergence_canary(spark):
     assert spark_lower == "i̇stanbul"  # full mapping: i + combining dot
     assert duck_lower == "istanbul"  # simple mapping
     assert spark_lower != duck_lower
+
+
+from hypothesis import given, settings, strategies as st
+
+_doc_text = st.text(
+    alphabet=st.sampled_from(list("ab c.!\t\n\x0b\f\r-'0")), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=12))
+def test_portable_minhash_parity_fuzz(spark, texts):
+    """Randomized corpora (short/empty/duplicate docs, punctuation, every
+    Java whitespace char) must stay value-identical across engines —
+    the fuzz net under the fixed-corpus parity tests."""
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _rows(
+        P.portable_minhash_pairs(docs, threshold=0.2).select("id_a", "id_b", "jaccard")
+    )
+    con = duckdb.connect()
+    con.register("documents_src", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+    want = sorted(
+        tuple(r) for r in con.execute(P.portable_minhash_sql(threshold=0.2)).fetchall()
+    )
+    assert got == want
