@@ -22,6 +22,7 @@ READ_ALLOWED = {
     os.path.join("operators", "multimodal.py"),   # binaryFile landing dirs
     os.path.join("operators", "ingest.py"),       # read_landed: tenant filter IS the partition predicate
     os.path.join("operators", "scale.py"),        # write_partitioned readback
+    os.path.join("operators", "export.py"),       # reads back its OWN shard artifact
     os.path.join("streaming", "cdc.py"),
     os.path.join("streaming", "incremental_dedup.py"),
     os.path.join("streaming", "jobs.py"),
