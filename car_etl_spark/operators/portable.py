@@ -129,6 +129,43 @@ def _check_banding(num_hashes: int, bands: int) -> int:
     return num_hashes // bands
 
 
+def portable_minhash_array_sigs(
+    exploded: DataFrame, num_hashes: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig array<long>) form of :func:`portable_minhash_sigs` —
+    the signature-store shape (``streaming/incremental_dedup.py``),
+    drop-in for ``minhash_from_exploded`` with portable values."""
+    wide = portable_minhash_sigs(exploded, num_hashes, id_col)
+    return wide.select(
+        id_col, F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def portable_banded_signatures(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 12, num_hashes: int = 48
+) -> DataFrame:
+    """(id, band, bucket) rows from ARRAY-form portable signatures —
+    drop-in for ``similarity.banded_signatures`` with string bucket
+    keys (member values concatenated; no second hash to reproduce)."""
+    rpb = _check_banding(num_hashes, bands)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col("sig").getItem(bi * rpb + j).cast("string")
+                    for j in range(rpb)
+                ],
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def portable_band_pairs(
     sigs: DataFrame, id_col: str, bands: int, num_hashes: int
 ) -> DataFrame:

@@ -19,9 +19,16 @@ micro-batch as:
    that keep text access;
 4. append the new signatures to the store.
 
-Determinism: hashing is the same seeded xxhash64 as the batch path, so
-the UNION of candidate pairs over any batch split equals the batch
-job's candidate set on the full corpus — pinned by a test.
+Determinism: hashing is the same family as the batch path, so the
+UNION of candidate pairs over any batch split equals the batch job's
+candidate set on the full corpus — pinned by a test.
+
+Two families are supported (``family=``): ``"xxhash64"`` (default, the
+production hot path) and ``"portable"`` (operators/portable.py — the
+cross-engine-reproducible family, so an incremental ingest's dedup
+decisions can be audited outside the JVM).  The store refuses to mix
+families (sidecar-recorded), exactly like it refuses construction-
+version mismatches within a family.
 """
 
 from __future__ import annotations
@@ -49,6 +56,18 @@ class SignatureStoreVersionError(RuntimeError):
     matching code version); mixing families yields garbage joins."""
 
 
+def _family_fns(name: str):
+    """(signature_fn, banding_fn) for a registered family — both take
+    the same argument shapes, so :func:`dedup_batch` is family-blind."""
+    if name == "xxhash64":
+        return S.minhash_from_exploded, S.banded_signatures
+    if name == "portable":
+        from car_etl_spark.operators import portable as P
+
+        return P.portable_minhash_array_sigs, P.portable_banded_signatures
+    raise ValueError(f"unknown MinHash family: {name!r}")
+
+
 def estimated_jaccard(sig_a, sig_b):
     """MinHash similarity estimate: fraction of agreeing components."""
     matches = F.size(
@@ -66,6 +85,7 @@ def dedup_batch(
     shingle_n: int = 3,
     num_hashes: int = S.DEFAULT_NUM_HASHES,
     bands: int = S.DEFAULT_BANDS,
+    family: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch: returns (near-dup pairs touching this batch,
     this batch's signatures to append to the store).
@@ -73,7 +93,8 @@ def dedup_batch(
     Pure DataFrame-in/DataFrame-out so it is the ``foreachBatch`` body
     AND batch-testable, like ``cdc.apply_change_batch``.
     """
-    sigs_new = S.minhash_from_exploded(
+    sig_fn, band_fn = _family_fns(family)
+    sigs_new = sig_fn(
         S.exploded_shingle_rows(new_docs, text_col, shingle_n, id_col),
         num_hashes,
         id_col,
@@ -87,8 +108,8 @@ def dedup_batch(
     # store-vs-store pairs (already emitted in earlier batches) never
     # reappear.  id inequality (not a<b) because new-vs-old pairs must
     # survive regardless of id ordering; new-vs-new dedupes by a<b.
-    new_b = S.banded_signatures(sigs_new, id_col, bands, num_hashes)
-    all_b = S.banded_signatures(union, id_col, bands, num_hashes)
+    new_b = band_fn(sigs_new, id_col, bands, num_hashes)
+    all_b = band_fn(union, id_col, bands, num_hashes)
     new_ids = sigs_new.select(F.col(id_col).alias("id_b"), F.lit(True).alias("__new_b"))
     cand = (
         new_b.alias("a")
@@ -145,17 +166,19 @@ class IncrementalDeduper:
         A store with no sidecar predates versioning == family 1."""
         import json
 
+        mine = (self.params.get("family", "xxhash64"), SIGNATURE_FAMILY_VERSION)
         if os.path.exists(self.meta_path):
             with open(self.meta_path) as f:
-                stored = json.load(f).get("sig_version")
+                meta = json.load(f)
+            stored = (meta.get("family", "xxhash64"), meta.get("sig_version"))
         elif os.path.exists(self.sig_path):
-            stored = 1  # pre-versioning store: the round-2 family
+            stored = ("xxhash64", 1)  # pre-versioning store: the round-2 family
         else:
             return  # no store yet
-        if stored != SIGNATURE_FAMILY_VERSION:
+        if stored != mine:
             raise SignatureStoreVersionError(
                 f"signature store at {self.sig_path} was written by MinHash "
-                f"family v{stored}; this code computes v{SIGNATURE_FAMILY_VERSION} "
+                f"family {stored}; this code computes {mine} "
                 "— rebuild the store before resuming incremental dedup"
             )
 
@@ -164,7 +187,13 @@ class IncrementalDeduper:
 
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"sig_version": SIGNATURE_FAMILY_VERSION}, f)
+            json.dump(
+                {
+                    "sig_version": SIGNATURE_FAMILY_VERSION,
+                    "family": self.params.get("family", "xxhash64"),
+                },
+                f,
+            )
         os.replace(tmp, self.meta_path)
 
     def signatures(self) -> DataFrame | None:
