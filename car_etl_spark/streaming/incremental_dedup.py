@@ -222,8 +222,13 @@ class IncrementalDeduper:
         pairs, sigs_new = dedup_batch(new_docs, store, **self.params)
         pairs = pairs.localCheckpoint(eager=True)  # materialize BEFORE store append
         pairs.write.mode("append").parquet(self.pair_path)
-        sigs_new.write.mode("append").parquet(self.sig_path)
+        # meta BEFORE the signature append: a crash between the first
+        # append and a trailing meta write would leave a store that a
+        # later resume mis-reads as the pre-versioning xxhash64 family
+        # and spuriously refuses; writing the sidecar first is safe in
+        # every window (meta with no sigs just describes an empty store)
         self._write_store_meta()
+        sigs_new.write.mode("append").parquet(self.sig_path)
         return pairs
 
     def pairs(self) -> DataFrame | None:

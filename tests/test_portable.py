@@ -260,3 +260,31 @@ def test_portable_incremental_dedup_equals_batch(spark, tmp_path, planted_docs):
     xx = IncrementalDeduper(spark, str(tmp_path / "state"), threshold=0.5)
     with pytest.raises(SignatureStoreVersionError):
         xx.signatures()
+
+
+def test_store_meta_written_before_first_signature_append(spark, tmp_path, monkeypatch):
+    """Crash-ordering: if the first batch dies right after the signature
+    append, the sidecar must already be on disk — otherwise a resume
+    mis-reads the store as the pre-versioning family and refuses."""
+    import os
+
+    from car_etl_spark.streaming import incremental_dedup as inc
+
+    dd = inc.IncrementalDeduper(
+        spark, str(tmp_path / "state"), family="portable", threshold=0.5
+    )
+    seen = {}
+    real_meta = inc.IncrementalDeduper._write_store_meta
+
+    def spying_meta(self):
+        seen["sig_exists_at_meta_write"] = os.path.exists(self.sig_path)
+        real_meta(self)
+
+    monkeypatch.setattr(inc.IncrementalDeduper, "_write_store_meta", spying_meta)
+    docs = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    dd.process_batch(docs)
+    assert seen["sig_exists_at_meta_write"] is False  # meta landed first
+    # and the store resumes cleanly under the same family
+    assert inc.IncrementalDeduper(
+        spark, str(tmp_path / "state"), family="portable", threshold=0.5
+    ).signatures().count() == 1
