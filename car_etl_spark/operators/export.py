@@ -26,21 +26,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: salt for the intra-shard order hash — a DIFFERENT function than the
-#: shard-assignment hash, so order within a shard is independent of the
+from car_etl_spark.operators.portable import h0
+
+#: suffix for the intra-shard order hash — a DIFFERENT hash input than
+#: the shard assignment, so order within a shard is independent of the
 #: assignment (reusing one hash would sort each shard by the same value
 #: that chose it, i.e. a constant residue class — not a shuffle).
-ORDER_SALT = 7_919
+ORDER_SUFFIX = "|order"
 
 
 def shard_col(key, num_shards: int):
-    """Deterministic shard id for a row key column."""
-    return F.pmod(F.xxhash64(key), F.lit(num_shards)).cast("int")
+    """Deterministic shard id for a row key column — built on the
+    PORTABLE 60-bit hash (md5 of the key's string form), so shard
+    membership is recomputable in any engine with md5:
+    ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % n``
+    in DuckDB gives the identical assignment (pinned in tests)."""
+    return F.pmod(h0(key.cast("string")), F.lit(num_shards)).cast("int")
 
 
 def order_col(key):
-    """Deterministic intra-shard order key (independent of shard_col)."""
-    return F.xxhash64(key, F.lit(ORDER_SALT))
+    """Deterministic intra-shard order key (independent of shard_col,
+    same portable-hash construction)."""
+    return h0(F.concat(key.cast("string"), F.lit(ORDER_SUFFIX)))
 
 
 def write_training_shards(
@@ -58,25 +65,46 @@ def write_training_shards(
     inside each file (the written ``__order`` column is the proof key —
     readers that need the order sort by it, readers that don't ignore
     it)."""
+    clash = {"shard", "__order"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"write_training_shards would overwrite input column(s) {sorted(clash)}; "
+            "rename them before exporting"
+        )
     staged = df.withColumn("shard", shard_col(F.col(key_col), num_shards)).withColumn(
         "__order", order_col(F.col(key_col))
     )
     (
-        staged.repartition(num_shards, "shard")
+        # 4x the partitions, still keyed on shard: every shard value
+        # hashes to exactly ONE partition (layout and determinism keep),
+        # but shard ids no longer collide balls-in-bins into the same
+        # task — repartition(n, shard) left ~1/3 of n tasks empty and
+        # the busiest carrying 3-4 shards
+        staged.repartition(num_shards * 4, "shard")
         # shard must LEAD the sort: FileFormatWriter re-sorts rows by
         # the partition columns before writing, and only a sort that
-        # already leads with them survives into the files
-        .sortWithinPartitions("shard", "__order")
+        # already leads with them survives into the files.  key_col
+        # breaks __order-collision ties (a duplicate key, or a 60-bit
+        # collision at 10^10 docs, would otherwise order by shuffle
+        # arrival — nondeterministic across reruns)
+        .sortWithinPartitions("shard", "__order", key_col)
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)
     )
 
 
-def read_training_shard(spark: SparkSession, path: str, shard: int | None = None) -> DataFrame:
+def read_training_shard(
+    spark: SparkSession,
+    path: str,
+    shard: int | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
     """Read back the export — one shard (directory-pruned) or all —
-    in the deterministic training order."""
+    in the deterministic training order (``key_col`` breaks the rare
+    ``__order`` ties, mirroring the write-side sort)."""
     df = spark.read.parquet(path)
     if shard is not None:
         df = df.filter(F.col("shard") == shard)
-    return df.orderBy("shard", "__order")
+    ties = [key_col] if key_col in df.columns else []
+    return df.orderBy("shard", "__order", *ties)

@@ -169,26 +169,20 @@ def portable_banded_signatures(
 def portable_band_pairs(
     sigs: DataFrame, id_col: str, bands: int, num_hashes: int
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) from string band keys."""
-    rpb = _check_banding(num_hashes, bands)
-    structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"__m{bi * rpb + j}").cast("string") for j in range(rpb)]
-            ).alias("key"),
-        )
-        for bi in range(bands)
-    ]
-    banded = sigs.select(id_col, F.explode(F.array(*structs)).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    """Distinct candidate pairs (a < b) from string band keys — the
+    band-key expression itself lives ONLY in
+    :func:`portable_banded_signatures` (wide sigs are arrayed and routed
+    through it), so batch and incremental banding cannot drift."""
+    arr = sigs.select(
+        id_col, F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig")
     )
+    banded = portable_banded_signatures(arr, id_col, bands, num_hashes)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

@@ -98,3 +98,35 @@ def test_sampled_mix_exports_deterministically(spark, tmp_path):
     per_src = {r.source: r["count"] for r in b1.groupBy("source").count().collect()}
     assert per_src["src0"] == 500  # rate 1.0 keeps every doc
     assert 0 < per_src["src2"] < per_src["src0"] / 2  # rate 0.25 thins
+
+
+def test_shard_assignment_recomputable_in_duckdb(spark, tmp_path):
+    """The shard id derives from the PORTABLE hash, so an auditor can
+    recompute every row's shard outside Spark — pinned against DuckDB."""
+    import duckdb
+
+    docs = _corpus(spark, n=300)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, num_shards=8)
+    got = {
+        (r.doc_id, r.shard)
+        for r in spark.read.parquet(path).select("doc_id", "shard").collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(
+            "SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 "
+            f"FROM read_parquet('{path}/*/*.parquet', hive_partitioning=false)"
+        )
+        .fetchall()
+    }
+    assert got == want and len(got) == 300
+
+
+def test_export_refuses_reserved_columns(spark, tmp_path):
+    import pytest
+
+    docs = _corpus(spark).withColumn("shard", F.lit(1))
+    with pytest.raises(ValueError, match="shard"):
+        write_training_shards(docs, str(tmp_path / "x"), num_shards=4)
