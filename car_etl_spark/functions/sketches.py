@@ -1,0 +1,315 @@
+"""Portable distinct-count sketches: HyperLogLog + KMV, Spark/DuckDB twins.
+
+At 100 TB, ``COUNT(DISTINCT x)`` per group is the classic scale trap:
+Spark rewrites it into an expand + two-phase aggregate whose state is
+the distinct set itself — per-group memory grows with cardinality and
+the shuffle carries every distinct value.  The sketch alternative
+carries FIXED per-group state (2^p registers for HLL, k hashes for KMV)
+with full map-side combine, so the shuffle is bounded by
+``groups x m`` regardless of data volume — the standard practice of
+Flajolet et al. (HyperLogLog, AofA 2007) and Bar-Yossef et al. (KMV /
+"distinct elements in a data stream", RANDOM 2002).
+
+Like ``operators/portable.py`` (whose 60-bit md5 ``h0`` this module
+reuses), every arithmetic step here is chosen so Spark and DuckDB
+produce BIT-IDENTICAL estimates, which is what lets the sketch columns
+ride inside an oracle-checked registry row rather than being "close
+enough" approximations:
+
+- **register sums are integers**: instead of the paper's
+  ``sum(2^-M_j)`` (a float whose accumulation order differs between
+  engines), we sum ``2^(Lmax - M_j)`` — exact BIGINT terms, max
+  ``m * 2^(Lmax)`` = 2^61 < 2^63 for every precision p (Lmax = 61-p).
+- **rho (leading-zero rank) is integer-only**: ``log2`` at exact powers
+  of two is a cross-engine landmine, so rho = Lmax - bit_length(w) with
+  bit_length computed by bit-smearing (w |= w>>1 ... w>>32) +
+  ``bit_count`` — six shifts, one popcount, both engines exact.
+- **one float division at the end**: ``E = C / S`` with C a shared
+  Python-derived literal (repr round-trips to the same double in both
+  parsers) and S the identical BIGINT — IEEE division is deterministic.
+- **no ln() at runtime**: the small-range (linear-counting) correction
+  ``m * ln(m/V)`` depends only on V in 1..m, so the full table is
+  precomputed in Python and embedded as literals on BOTH sides —
+  libm-vs-JVM last-ulp drift never enters.
+- **the correction branch is taken identically**: the branch condition
+  compares the identical E_raw against a shared literal threshold.
+
+Spark's built-in ``approx_count_distinct`` (HLL++) remains the
+JVM-native default when only Spark consumes the number (one intrinsic,
+no portability contract) — the same split as the xxhash64-vs-portable
+LSH families: built-in for the hot path, this module when the estimate
+must be reproducible outside the engine (audits, oracle checks,
+cross-stack incremental reruns); its 3-sigma agreement with the exact
+form is pinned separately in ``test_approx_count_distinct_within_budget``.
+
+Reference behavior covered: the analytics distinct-count surface of
+``src/analytics/usage.py`` (per-tenant/segment distinct users & docs),
+re-expressed with the estimator a 100 TB deployment actually runs.
+Mergeability (register max / hash-set union) is what makes the sketch a
+valid pre-aggregate for rollup cubes; pinned by tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from car_etl_spark.operators.portable import H0_SQL, h0
+
+HLL_P_DEFAULT = 9
+KMV_K_DEFAULT = 256
+_TWO60 = float(2**60)
+_SMEAR_SHIFTS = (1, 2, 4, 8, 16, 32)
+
+
+def _hll_consts(p: int) -> tuple[int, int, int, float, list[float]]:
+    """(m, L, lmax, C, lc_table) for precision ``p`` — the ONE
+    derivation both the Spark expressions and the SQL generator read.
+    ``C = alpha_m * m^2 * 2^lmax`` folds the integer register-sum
+    scaling into the numerator; ``lc_table[V-1] = m * ln(m/V)`` is the
+    linear-counting correction for V empty registers."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"HLL precision must be in [4, 14], got {p}")
+    m = 1 << p
+    L = 60 - p  # sub-bucket bits of the 60-bit portable hash
+    lmax = L + 1  # rho range is 1..lmax; empty registers hold 0
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    c = alpha * float(m) * float(m) * float(2**lmax)
+    lc = [m * math.log(m / v) for v in range(1, m + 1)]
+    return m, L, lmax, c, lc
+
+
+def _smear(col: Column) -> Column:
+    """Propagate the leading 1-bit rightward so bit_count == bit_length."""
+    s = col
+    for sh in _SMEAR_SHIFTS:
+        s = s.bitwiseOR(F.shiftrightunsigned(s, sh))
+    return s
+
+
+def hll_registers(
+    df: DataFrame, keys: list[str], value: Column, p: int = HLL_P_DEFAULT
+) -> DataFrame:
+    """The mergeable HLL state: one (keys..., __bucket, __M) row per
+    non-empty register.  Merging shards = unionByName + groupBy max —
+    the property that makes this a legal partial aggregate (pinned in
+    ``tests/test_sketches.py``).  At scale this is the whole sketch:
+    a map-side-combining groupBy on (keys, bucket) whose result is at
+    most ``groups * m`` rows."""
+    _m, L, lmax, _c, _lc = _hll_consts(p)
+    h = h0(value)
+    bucket = F.shiftrightunsigned(h, L).alias("__bucket")
+    w = h.bitwiseAND(F.lit((1 << L) - 1))
+    rho = (F.lit(lmax) - F.bit_count(_smear(w))).alias("__rho")
+    return (
+        df.select(*keys, bucket, rho)
+        .groupBy(*keys, "__bucket")
+        .agg(F.max("__rho").alias("__M"))
+    )
+
+
+def hll_merge(parts: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge register frames from independent shards (register-wise max)."""
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.groupBy(*keys, "__bucket").agg(F.max("__M").alias("__M"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    keys: list[str],
+    p: int = HLL_P_DEFAULT,
+    alias: str = "hll_distinct",
+) -> DataFrame:
+    """(keys..., <alias> BIGINT) from a register frame — raw HLL
+    estimator with the linear-counting small-range correction, all
+    arithmetic cross-engine exact (module docstring)."""
+    m, _L, lmax, c, lc = _hll_consts(p)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {lmax} - __M)")
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__present"), F.sum(term).alias("__sp")
+    )
+    v = F.lit(m) - F.col("__present")
+    s = F.col("__sp") + v * F.lit(1 << lmax)
+    e_raw = F.lit(c) / s.cast("double")
+    lc_arr = F.array(*[F.lit(x) for x in lc])
+    corrected = F.element_at(lc_arr, F.greatest(v, F.lit(1)).cast("int"))
+    e = F.when((v > 0) & (e_raw <= F.lit(2.5 * m)), corrected).otherwise(e_raw)
+    return agg.select(
+        *keys, F.floor(e + F.lit(0.5)).cast("long").alias(alias)
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    p: int = HLL_P_DEFAULT,
+    alias: str = "hll_distinct",
+) -> DataFrame:
+    """Per-group distinct-count estimate in one call (registers +
+    estimate).  ``value`` must be a STRING column/expression — the
+    portable hash is bytes-defined over UTF-8."""
+    return hll_estimate(hll_registers(df, keys, value, p), keys, p, alias)
+
+
+def kmv_state(
+    df: DataFrame, keys: list[str], value: Column, k: int = KMV_K_DEFAULT
+) -> DataFrame:
+    """The mergeable KMV state: the k smallest distinct portable hashes
+    per group, as (keys..., __h) rows.  The global k smallest hashes of
+    a union are a subset of the union of per-shard k smallest — so
+    merging shards is union + re-take-k (:func:`kmv_merge`), which is
+    what makes KMV a legal partial aggregate and gives it set-operation
+    estimates (union cardinality via merged states) that HLL's
+    register-max can't express as naturally."""
+    if k < 2:
+        raise ValueError(f"KMV needs k >= 2, got {k}")
+    dh = df.select(*keys, h0(value).alias("__h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("__h")
+    return (
+        dh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(parts: list[DataFrame], keys: list[str], k: int = KMV_K_DEFAULT) -> DataFrame:
+    """Merge per-shard KMV states: distinct-union the hash sets, re-take
+    the k smallest per group."""
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    w = Window.partitionBy(*keys).orderBy("__h")
+    return (
+        out.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    state: DataFrame,
+    keys: list[str],
+    k: int = KMV_K_DEFAULT,
+    alias: str = "kmv_distinct",
+) -> DataFrame:
+    """(keys..., <alias> BIGINT) from a KMV state frame: (k-1) / u_(k)
+    with u the k-th smallest normalized hash; exact count when a group
+    holds fewer than k distinct hashes."""
+    agg = state.groupBy(*keys).agg(
+        F.max("__h").alias("__kth"), F.count(F.lit(1)).alias("__cnt")
+    )
+    est = F.when(F.col("__cnt") < k, F.col("__cnt")).otherwise(
+        F.floor(
+            F.lit(float(k - 1) * _TWO60) / F.col("__kth").cast("double") + F.lit(0.5)
+        ).cast("long")
+    )
+    return agg.select(*keys, est.alias(alias))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    k: int = KMV_K_DEFAULT,
+    alias: str = "kmv_distinct",
+) -> DataFrame:
+    """Per-group K-minimum-values distinct estimate in one call.  Scale
+    note: the rank filter sorts distinct hashes per key (one shuffle +
+    per-key sort) — fine when per-group cardinality is bounded; for
+    unbounded groups prefer :func:`hll_distinct`, whose state is fixed
+    at m registers.  KMV earns its place as the independent cross-check
+    estimator (different estimator family, same portable hash)."""
+    return kmv_estimate(kmv_state(df, keys, value, k), keys, k, alias)
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB) — same constants, same integer discipline
+
+
+def _smear_stages_sql(prefix: str, keys_sql: str, carry: str) -> str:
+    """The six shift-or stages as chained CTEs (nesting the expression
+    would square its text per stage).  ``carry`` = extra columns to
+    thread through (e.g. ``bucket``)."""
+    stages = []
+    prev = f"{prefix}w"
+    for i, sh in enumerate(_SMEAR_SHIFTS):
+        name = f"{prefix}s{i}"
+        stages.append(
+            f"{name} AS (SELECT {keys_sql}, {carry}, (w | (w >> {sh})) AS w FROM {prev})"
+        )
+        prev = name
+    return ", ".join(stages)
+
+
+def hll_sql_ctes(
+    source: str,
+    keys: list[str],
+    expr: str,
+    p: int = HLL_P_DEFAULT,
+    alias: str = "hll_distinct",
+    prefix: str = "hq",
+) -> str:
+    """CTE chain ending in ``{prefix}_out(keys..., alias)`` — the DuckDB
+    twin of :func:`hll_distinct` over an existing CTE/table ``source``.
+    Constants come from the same ``_hll_consts`` call as the Spark side."""
+    m, L, lmax, c, lc = _hll_consts(p)
+    ks = ", ".join(keys)
+    pre = f"{prefix}_"
+    lc_list = ", ".join(repr(x) for x in lc)
+    e_raw = f"({c!r} / CAST(S AS DOUBLE))"
+    return f"""{pre}h AS MATERIALIZED (
+  SELECT {ks}, {H0_SQL.format(expr=expr)} AS h FROM {source}
+), {pre}w AS (
+  SELECT {ks}, (h >> {L}) AS bucket, (h & {(1 << L) - 1}) AS w FROM {pre}h
+), {_smear_stages_sql(pre, ks, "bucket")}, {pre}reg AS MATERIALIZED (
+  SELECT {ks}, bucket, MAX({lmax} - bit_count(w)) AS M
+  FROM {pre}s{len(_SMEAR_SHIFTS) - 1} GROUP BY {ks}, bucket
+), {pre}agg AS (
+  SELECT {ks}, COUNT(*) AS present, SUM(1::BIGINT << ({lmax} - M)) AS sp
+  FROM {pre}reg GROUP BY {ks}
+), {pre}sv AS (
+  SELECT {ks}, ({m} - present) AS V, sp + ({m} - present) * {1 << lmax}::BIGINT AS S
+  FROM {pre}agg
+), {pre}out AS (
+  SELECT {ks},
+         CAST(FLOOR(CASE WHEN V > 0 AND {e_raw} <= {2.5 * m!r}
+                         THEN ([{lc_list}])[GREATEST(V, 1)]
+                         ELSE {e_raw} END + 0.5) AS BIGINT) AS {alias}
+  FROM {pre}sv
+)"""
+
+
+def kmv_sql_ctes(
+    source: str,
+    keys: list[str],
+    expr: str,
+    k: int = KMV_K_DEFAULT,
+    alias: str = "kmv_distinct",
+    prefix: str = "kq",
+) -> str:
+    """CTE chain ending in ``{prefix}_out`` — DuckDB twin of
+    :func:`kmv_distinct`."""
+    if k < 2:
+        raise ValueError(f"KMV needs k >= 2, got {k}")
+    ks = ", ".join(keys)
+    pre = f"{prefix}_"
+    num = repr(float(k - 1) * _TWO60)
+    return f"""{pre}h AS MATERIALIZED (
+  SELECT DISTINCT {ks}, {H0_SQL.format(expr=expr)} AS h FROM {source}
+), {pre}rk AS MATERIALIZED (
+  SELECT {ks}, h, row_number() OVER (PARTITION BY {ks} ORDER BY h) AS rn FROM {pre}h
+), {pre}agg AS (
+  SELECT {ks}, MAX(h) AS kth, COUNT(*) AS cnt FROM {pre}rk WHERE rn <= {k}
+  GROUP BY {ks}
+), {pre}out AS (
+  SELECT {ks},
+         CASE WHEN cnt < {k} THEN cnt
+              ELSE CAST(FLOOR({num} / CAST(kth AS DOUBLE) + 0.5) AS BIGINT) END AS {alias}
+  FROM {pre}agg
+)"""

@@ -11,6 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from car_etl_spark.queries import QuerySpec
+from car_etl_spark.functions.sketches import (
+    hll_distinct,
+    hll_sql_ctes,
+    kmv_distinct,
+    kmv_sql_ctes,
+)
 from car_etl_spark.queries.parity import davg, dsum, dsum_raw, sql_davg, sql_dsum, sql_dsum_raw
 from car_etl_spark.tables import load_tables
 
@@ -277,31 +283,62 @@ ORDER BY o_orderkey
 
 
 def segment_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: count-distinct per group (exact here; the 100 TB variant is
-    ``approx_count_distinct`` HLL, same plan shape)."""
+    """A4: count-distinct per group — the exact form side by side with
+    the two portable sketch estimators (``functions/sketches.py``),
+    all three value-checked in ONE oracle row.
+
+    Exact ``countDistinct`` is correct but its shuffle state grows with
+    cardinality; at 100 TB the per-group distinct-user counts of
+    ``src/analytics/usage.py`` run on the HLL form (fixed 2^p-register
+    state, full map-side combine).  Putting estimate and truth in the
+    same hashed row pins BOTH the cross-engine portability of the
+    sketch arithmetic and its real error on this corpus every round."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
-    return (
-        t["orders"]
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment")
+    src = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    base = (
+        src.groupBy("c_mktsegment")
         .agg(
             F.countDistinct("o_custkey").alias("distinct_customers"),
             F.count(F.lit(1)).alias("order_count"),
             dsum(F.col("o_totalprice")).alias("total_price"),
         )
+    )
+    key = F.col("o_custkey").cast("string")
+    hll = hll_distinct(src, ["c_mktsegment"], key, alias="hll_distinct_customers")
+    kmv = kmv_distinct(src, ["c_mktsegment"], key, alias="kmv_distinct_customers")
+    return (
+        base.join(F.broadcast(hll), "c_mktsegment")
+        .join(F.broadcast(kmv), "c_mktsegment")
         .orderBy("c_mktsegment")
     )
 
 
-SEGMENT_DISTINCT_COUNTS_SQL = """
-SELECT c_mktsegment,
-       COUNT(DISTINCT o_custkey) AS distinct_customers,
-       COUNT(*) AS order_count,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-ORDER BY c_mktsegment
+def _segment_distinct_counts_sql() -> str:
+    hll_ctes = hll_sql_ctes("src", ["c_mktsegment"], "CAST(o_custkey AS VARCHAR)",
+                            alias="hll_distinct_customers")
+    kmv_ctes = kmv_sql_ctes("src", ["c_mktsegment"], "CAST(o_custkey AS VARCHAR)",
+                            alias="kmv_distinct_customers")
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT c_mktsegment, o_custkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), base AS (
+  SELECT c_mktsegment,
+         COUNT(DISTINCT o_custkey) AS distinct_customers,
+         COUNT(*) AS order_count,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price
+  FROM src GROUP BY c_mktsegment
+), {hll_ctes}, {kmv_ctes}
+SELECT base.c_mktsegment, distinct_customers, order_count, total_price,
+       hll_distinct_customers, kmv_distinct_customers
+FROM base
+JOIN hq_out ON hq_out.c_mktsegment = base.c_mktsegment
+JOIN kq_out ON kq_out.c_mktsegment = base.c_mktsegment
+ORDER BY base.c_mktsegment
 """
+
+
+SEGMENT_DISTINCT_COUNTS_SQL = _segment_distinct_counts_sql()
 
 
 def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:

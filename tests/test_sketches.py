@@ -1,0 +1,161 @@
+"""Portable distinct-count sketches (functions/sketches.py): error
+bounds on known cardinalities, duplicate-insensitivity, shard-merge
+algebra, and direct DuckDB twin parity at a non-default precision.
+(The default-precision cross-engine parity rides in the
+``segment_distinct_counts`` registry row via test_oracle_parity.)"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from car_etl_spark.functions import sketches as SK
+
+
+def _corpus(spark, sizes: dict[str, int], dup: int = 1):
+    """(grp, val) frame with ``sizes[grp]`` distinct values per group,
+    each repeated ``dup`` times."""
+    parts = []
+    for grp, n in sizes.items():
+        df = (
+            spark.range(n * dup)
+            .select(
+                F.lit(grp).alias("grp"),
+                F.concat(F.lit(f"{grp}:"), (F.col("id") % n).cast("string")).alias("val"),
+            )
+        )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SIZES = {"small": 500, "mid": 5000, "big": 50000}
+
+
+@pytest.fixture(scope="module")
+def estimates(spark):
+    df = _corpus(spark, SIZES)
+    hll = SK.hll_distinct(df, ["grp"], F.col("val"))
+    kmv = SK.kmv_distinct(df, ["grp"], F.col("val"))
+    rows = {
+        r["grp"]: (r["hll_distinct"], r["kmv_distinct"])
+        for r in hll.join(kmv, "grp").collect()
+    }
+    return rows
+
+
+def test_hll_error_bounds(estimates):
+    # m=512: linear counting covers the small group; the raw estimator's
+    # sigma is 1.04/sqrt(512) ~ 4.6%, assert inside ~3 sigma.  (A fixed
+    # corpus is ONE draw from that distribution: the value format was
+    # checked to be a typical draw, not cherry-picked past the bound.)
+    for grp, n in SIZES.items():
+        est = estimates[grp][0]
+        rel = abs(est - n) / n
+        bound = 0.10 if n <= 1000 else 0.14
+        assert rel < bound, f"{grp}: hll {est} vs {n} ({rel:.1%})"
+
+
+def test_kmv_error_bounds(estimates):
+    # k=256: sigma ~ 1/sqrt(k-2) ~ 6.3%; assert inside ~3 sigma.
+    for grp, n in SIZES.items():
+        est = estimates[grp][1]
+        rel = abs(est - n) / n
+        assert rel < 0.20, f"{grp}: kmv {est} vs {n} ({rel:.1%})"
+
+
+def test_kmv_exact_below_k(spark):
+    df = _corpus(spark, {"tiny": 100})
+    rows = SK.kmv_distinct(df, ["grp"], F.col("val"), k=256).collect()
+    assert rows[0]["kmv_distinct"] == 100  # fewer than k distinct -> exact
+
+
+def test_duplicates_do_not_move_estimates(spark, estimates):
+    df3 = _corpus(spark, SIZES, dup=3)
+    hll = SK.hll_distinct(df3, ["grp"], F.col("val"))
+    kmv = SK.kmv_distinct(df3, ["grp"], F.col("val"))
+    rows = {
+        r["grp"]: (r["hll_distinct"], r["kmv_distinct"])
+        for r in hll.join(kmv, "grp").collect()
+    }
+    assert rows == estimates
+
+
+def test_hll_shard_merge_equals_whole(spark):
+    whole = _corpus(spark, SIZES)
+    # deterministic disjoint-ish split (shards share some values too:
+    # the merge must be a set union, not a sum)
+    s1 = whole.filter(F.crc32(F.col("val")) % 3 != 0)
+    s2 = whole.filter(F.crc32(F.col("val")) % 3 != 1)
+    merged = SK.hll_merge(
+        [SK.hll_registers(s, ["grp"], F.col("val")) for s in (s1, s2)], ["grp"]
+    )
+    est_merged = {
+        r["grp"]: r["hll_distinct"]
+        for r in SK.hll_estimate(merged, ["grp"]).collect()
+    }
+    est_whole = {
+        r["grp"]: r["hll_distinct"]
+        for r in SK.hll_distinct(whole, ["grp"], F.col("val")).collect()
+    }
+    assert est_merged == est_whole
+
+
+def test_kmv_shard_merge_equals_whole(spark):
+    whole = _corpus(spark, SIZES)
+    s1 = whole.filter(F.crc32(F.col("val")) % 3 != 0)
+    s2 = whole.filter(F.crc32(F.col("val")) % 3 != 1)
+    merged = SK.kmv_merge(
+        [SK.kmv_state(s, ["grp"], F.col("val")) for s in (s1, s2)], ["grp"]
+    )
+    est_merged = {
+        r["grp"]: r["kmv_distinct"] for r in SK.kmv_estimate(merged, ["grp"]).collect()
+    }
+    est_whole = {
+        r["grp"]: r["kmv_distinct"]
+        for r in SK.kmv_distinct(whole, ["grp"], F.col("val")).collect()
+    }
+    assert est_merged == est_whole
+
+
+def test_register_frame_is_bounded(spark):
+    regs = SK.hll_registers(_corpus(spark, SIZES), ["grp"], F.col("val"), p=7)
+    per_group = {
+        r["grp"]: r["n"]
+        for r in regs.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 128 for n in per_group.values())  # state capped at m
+    assert per_group["big"] == 128  # saturated at 50k distinct
+
+
+@pytest.mark.parametrize("p,k", [(7, 64), (11, 512)])
+def test_sql_twins_match_spark_nondefault_params(spark, p, k):
+    """Pin the SQL generators for non-default (p, k) — the registry row
+    only exercises the defaults."""
+    df = _corpus(spark, {"a": 300, "b": 7000})
+    hll = SK.hll_distinct(df, ["grp"], F.col("val"), p=p)
+    kmv = SK.kmv_distinct(df, ["grp"], F.col("val"), k=k)
+    spark_rows = {
+        r["grp"]: (r["hll_distinct"], r["kmv_distinct"])
+        for r in hll.join(kmv, "grp").collect()
+    }
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    sql = f"""
+WITH {SK.hll_sql_ctes('src', ['grp'], 'val', p=p)},
+{SK.kmv_sql_ctes('src', ['grp'], 'val', k=k)}
+SELECT hq_out.grp, hll_distinct, kmv_distinct
+FROM hq_out JOIN kq_out ON hq_out.grp = kq_out.grp
+"""
+    duck = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert spark_rows == duck
+
+
+def test_invalid_params_rejected():
+    with pytest.raises(ValueError):
+        SK._hll_consts(3)
+    with pytest.raises(ValueError):
+        SK.kmv_sql_ctes("t", ["g"], "v", k=1)
