@@ -44,6 +44,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Spark's default INT96 timestamps carry NO parquet min/max
+        # statistics, so timestamp predicates can never skip files or
+        # row groups on tables we write — a silent full-scan tax on
+        # every time-ranged query at 100 TB.  TIMESTAMP_MICROS restores
+        # footer stats (and is the modern spec type).
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # 10 MB default is conservative; dims (region/nation/part/supplier)
         # comfortably broadcast far beyond it on real executors.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
