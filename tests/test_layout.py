@@ -96,6 +96,22 @@ def test_nulls_cluster_at_origin(spark, layouts):
     assert df.select(L.zorder_key(edges, 6).alias("k")).collect()[0].k == 0
 
 
+def test_registry_query_reads_zordered_copy_identically(spark, layouts, tmp_path):
+    """The layout is a drop-in storage stage for the production
+    queries: a registry query over a z-ordered copy of the events
+    table returns exactly the raw-table result (while its ts/user_id
+    predicates gain footer skipping, per the fraction tests above)."""
+    from car_etl_spark.queries.eventsq import events_user_running_total
+
+    ev = load_tables(spark, SF_ORACLE, ("events",))["events"]
+    L.write_zordered(
+        ev, str(tmp_path / "events.parquet"), ["ts", "user_id"], bits_per_col=6, num_files=8
+    )
+    got = events_user_running_total(spark, str(tmp_path)).collect()
+    want = events_user_running_total(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_key_validation():
     edges = {"a": [0.5], "b": [0.5]}
     with pytest.raises(ValueError):
