@@ -46,6 +46,7 @@ MAGIC_BYTES = {
     "application/zip": [(0, b"PK\x03\x04")],
     "image/bmp": [(0, b"BM")],
     "audio/wav": [(0, b"RIFF"), (8, b"WAVE")],
+    "video/avi": [(0, b"RIFF"), (8, b"AVI ")],
 }
 
 MEDIA_SCHEMA = StructType(
@@ -611,6 +612,166 @@ def synth_jpeg(width: int, height: int) -> bytes:
     )
 
 
+# --- video: RIFF/AVI container ---------------------------------------------
+
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("mime_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_ms", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("feature_hash", StringType()),
+    ]
+)
+
+
+def synth_avi(width: int, height: int, n_frames: int, frame_ms: int) -> bytes:
+    """Minimal spec-correct AVI (Microsoft RIFF 'AVI ' form): hdrl LIST
+    with a 56-byte ``avih`` MainAVIHeader + one 'vids' strl, then a
+    movi LIST of ``00dc`` frame chunks.  Frame payloads are
+    deterministic odd-length byte runs so the RIFF even-padding rule is
+    exercised on every asset; pixel encoding stays absent by design
+    (codec-bound) — the REAL artifact is the container walk in
+    :func:`_decode_avi`."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I",
+        frame_ms * 1000,  # dwMicroSecPerFrame
+        0, 0, 0,  # dwMaxBytesPerSec, dwPaddingGranularity, dwFlags
+        n_frames,  # dwTotalFrames
+        0, 1, 0,  # dwInitialFrames, dwStreams, dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vidsDIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, frame_ms, 1000, 0, n_frames, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, width * height * 3, 0, 0, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    frames = b"".join(
+        chunk(b"00dc", bytes([(i * 37 + j) % 256 for j in range(2 * i + 1)]))
+        for i in range(n_frames)
+    )
+    movi = list_chunk(b"movi", frames)
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _walk_riff(content: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) over a RIFF chunk run,
+    honoring the even-padding rule."""
+    import struct
+
+    while pos + 8 <= end:
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", content, pos + 4)
+        yield cid, pos + 8, clen
+        pos += 8 + clen + (clen % 2)
+
+
+def _decode_avi(content: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """REAL container kernel for RIFF/AVI: chunk walk to the avih
+    header (dimensions, frame count, frame interval) and the movi list
+    (actual ``##dc``/``##db`` frame payloads).  Returns (width, height,
+    n_frames, frame_ms, frame_payloads); raises ValueError when the
+    header's dwTotalFrames disagrees with the frames physically present
+    — same 'real result or explicit failure' contract as the other
+    kernels."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    try:
+        avih = None
+        frames: list[bytes] = []
+        for cid, start, clen in _walk_riff(content, 12, len(content)):
+            if cid != b"LIST":
+                continue
+            kind = content[start : start + 4]
+            if kind == b"hdrl":
+                for sub, s2, l2 in _walk_riff(content, start + 4, start + clen):
+                    if sub == b"avih":
+                        avih = struct.unpack_from("<14I", content, s2)
+                        break
+            elif kind == b"movi":
+                for sub, s2, l2 in _walk_riff(content, start + 4, start + clen):
+                    if sub[2:4] in (b"dc", b"db"):
+                        frames.append(content[s2 : s2 + l2])
+        if avih is None:
+            raise ValueError("no avih header")
+    except struct.error as e:
+        raise ValueError(f"corrupt AVI stream: {e}") from e
+    usecpf, total, width, height = avih[0], avih[4], avih[8], avih[9]
+    if total != len(frames):
+        raise ValueError(
+            f"header declares {total} frames, movi contains {len(frames)}"
+        )
+    return width, height, len(frames), usecpf // 1000, frames
+
+
+def _fake_video(content: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for codec-bound containers (mp4/mkv need
+    ffmpeg, not in this container)."""
+    h = hashlib.sha256(content or b"").digest()
+    return 64 * (1 + h[0] % 8), 64 * (1 + h[1] % 8), 10 + h[2], 20 + h[3] % 80
+
+
+def extract_video_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Video feature-extract via mapInPandas — the video column of the
+    multimodal contract.  RIFF/AVI containers parse FOR REAL
+    (:func:`_decode_avi`); codec-bound containers use the deterministic
+    fake or fail loudly under ``strict=True``."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row["content"]
+                raw = bytes(content) if content is not None else b""
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    w, h, nf, fms, _frames = _decode_avi(raw)
+                elif strict:
+                    raise NotImplementedError(
+                        "real decode beyond RIFF/AVI requires codec "
+                        "libraries (not in container)"
+                    )
+                else:
+                    w, h, nf, fms = _fake_video(raw)
+                rows.append(
+                    {
+                        "path": row["path"],
+                        "mime_type": row["mime_type"],
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf,
+                        "frame_ms": fms,
+                        "duration_ms": nf * fms,
+                        "feature_hash": hashlib.sha256(raw).hexdigest()[:16],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(decode_batches, VIDEO_FEATURES_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("path", StringType()),
@@ -620,19 +781,35 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
-    """Frame-sampling plumbing for video-shaped binaries: one output row
-    per sampled 'frame' (byte window stand-in).  Real decoder slots into
-    the same mapInPandas contract; output explodes rows per input —
-    the UDTF shape (§2.10)."""
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 1024, every_n_frames: int = 1
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame — the UDTF
+    shape (§2.10, rows explode per input).  RIFF/AVI containers sample
+    their REAL ``00dc`` frame chunks (every ``every_n_frames``-th,
+    original frame_index preserved); other binaries fall back to byte
+    windows of ``every_n_bytes`` as the stand-in a codec decoder would
+    replace."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                content = row["content"] or b""
-                for i, start in enumerate(range(0, len(content), every_n_bytes)):
-                    window = bytes(content[start : start + every_n_bytes])
+                content = bytes(row["content"] or b"")
+                if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+                    payloads = _decode_avi(content)[4]
+                    windows = [
+                        (i, payloads[i])
+                        for i in range(0, len(payloads), every_n_frames)
+                    ]
+                else:
+                    windows = [
+                        (i, content[start : start + every_n_bytes])
+                        for i, start in enumerate(
+                            range(0, len(content), every_n_bytes)
+                        )
+                    ]
+                for i, window in windows:
                     rows.append(
                         {
                             "path": row["path"],

@@ -1,14 +1,18 @@
 """Hard-signal row for the multimodal decode kernels (SURVEY.md §2.1
 S2 / §2.10 multimodal boundary).
 
-The pipeline synthesizes PNG/BMP/WAV/JPEG binaries whose parameters
-(dimensions, gray level, sample rate, channels, duration, amplitude)
-are pure arithmetic over ``doc_id``, routes them through the REAL
-decode path — magic-byte dispatch (:func:`multimodal.detect_mime`),
-the zlib/RFC 2083 PNG kernel (all five scanline filters, one per
-asset), the 24-bit BMP kernel, the PCM16 WAV kernel (strict mode), and
-the T.81 JPEG SOF header parse — and aggregates the DECODED features
-per format.  The DuckDB oracle recomputes the expected aggregates from
+The pipeline synthesizes PNG/BMP/WAV/JPEG/AVI binaries whose parameters
+(dimensions, gray level, sample rate, channels, duration, amplitude,
+frame count, frame interval) are pure arithmetic over ``doc_id``,
+routes them through the REAL decode path — magic-byte dispatch
+(:func:`multimodal.detect_mime`), the zlib/RFC 2083 PNG kernel (all
+five scanline filters, one per asset), the 24-bit BMP kernel, the
+PCM16 WAV kernel (strict mode), the T.81 JPEG SOF header parse, and
+the RIFF/AVI container walk (strict mode, header-vs-movi frame-count
+cross-check) — and aggregates the DECODED features per format.  The
+video leg also runs the frame SAMPLER over the real ``00dc`` chunks:
+every-2nd-frame row counts must equal ``ceil(n_frames/2)`` recomputed
+arithmetically by the oracle.  The DuckDB oracle recomputes the expected aggregates from
 the same arithmetic WITHOUT touching a byte, so any decode regression,
 mime misroute, or silent fall-through to the deterministic fake
 (whose dimensions are >= 64, far off the synthesized 4-16 range)
@@ -38,7 +42,7 @@ def _asset_params(docs: DataFrame) -> DataFrame:
     d = F.col("doc_id")
     return docs.filter(d % ASSET_STRIDE == 0).select(
         "doc_id",
-        (d % 4).cast("int").alias("fmt_code"),
+        (d % 5).cast("int").alias("fmt_code"),
         (F.lit(4) + d % 13).cast("int").alias("w"),
         (F.lit(3) + d % 7).cast("int").alias("h"),
         (d % 256).cast("int").alias("gray"),
@@ -47,6 +51,13 @@ def _asset_params(docs: DataFrame) -> DataFrame:
         (F.lit(1) + d % 2).cast("int").alias("ch"),
         (F.lit(100) + F.lit(10) * (d % 20)).cast("int").alias("ms"),
         (d % 1000).cast("int").alias("amp"),
+        (F.lit(3) + d % 12).cast("int").alias("nframes"),
+        # frame interval restricted to exact-millisecond rates
+        # (5/10/20/25 fps) so duration arithmetic is integer on both sides
+        F.element_at(
+            F.array(F.lit(200), F.lit(100), F.lit(50), F.lit(40)),
+            ((d % 4) + 1).cast("int"),
+        ).cast("int").alias("mspf"),
     )
 
 
@@ -56,6 +67,7 @@ def synthesize_media(params: DataFrame) -> DataFrame:
     encoders live beside the decode kernels in
     ``operators/multimodal.py``)."""
     from car_etl_spark.operators.multimodal import (
+        synth_avi,
         synth_bmp,
         synth_jpeg,
         synth_png,
@@ -74,6 +86,8 @@ def synthesize_media(params: DataFrame) -> DataFrame:
                 elif code == 2:
                     frames = int(r.sr) * int(r.ms) // 1000
                     content = synth_wav(int(r.sr), int(r.ch), frames, int(r.amp))
+                elif code == 4:
+                    content = synth_avi(int(r.w), int(r.h), int(r.nframes), int(r.mspf))
                 else:
                     content = synth_jpeg(int(r.w), int(r.h))
                 rows.append({"path": str(r.doc_id), "content": content})
@@ -88,6 +102,8 @@ def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         detect_mime,
         extract_audio_features,
         extract_image_features,
+        extract_video_features,
+        sample_frames,
     )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
@@ -100,7 +116,9 @@ def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real header dimensions with a stubbed luma, which the aggregate
     # excludes — detect_mime is part of what the hash checks (a
     # misrouted asset lands in the wrong group)
-    imgs = extract_image_features(media.filter(F.col("mime_type") != "audio/wav"))
+    imgs = extract_image_features(
+        media.filter(~F.col("mime_type").isin("audio/wav", "video/avi"))
+    )
     img_agg = imgs.groupBy(F.col("mime_type").alias("format")).agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("width").cast("long").alias("sum_width"),
@@ -112,6 +130,35 @@ def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("sum_channels"),
         null_l.alias("sum_duration_ms"),
         null_l.alias("sum_amplitude"),
+        null_l.alias("sum_frames"),
+        null_l.alias("sum_sampled"),
+    )
+
+    # video leg: real RIFF/AVI container walk (strict mode), plus the
+    # frame SAMPLER as part of the hash — every-2nd-frame row counts
+    # must equal ceil(n_frames/2) recomputed in SQL
+    vids_src = media.filter(F.col("mime_type") == "video/avi")
+    vids = extract_video_features(vids_src, strict=True)
+    sampled = (
+        sample_frames(vids_src, every_n_frames=2)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    vid_agg = (
+        vids.join(sampled, "path")
+        .groupBy(F.col("mime_type").alias("format"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            null_l.alias("sum_luma"),
+            null_l.alias("sum_sample_rate"),
+            null_l.alias("sum_channels"),
+            F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+            null_l.alias("sum_amplitude"),
+            F.sum("n_frames").cast("long").alias("sum_frames"),
+            F.sum("n_sampled").cast("long").alias("sum_sampled"),
+        )
     )
 
     # audio leg: strict mode — a non-PCM16 or corrupt stream raises
@@ -126,31 +173,40 @@ def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_channels").cast("long").alias("sum_channels"),
         F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
         F.sum("mean_abs_amplitude").cast("long").alias("sum_amplitude"),
+        null_l.alias("sum_frames"),
+        null_l.alias("sum_sampled"),
     )
-    return img_agg.unionByName(aud_agg).orderBy("format")
+    return img_agg.unionByName(aud_agg).unionByName(vid_agg).orderBy("format")
 
 
 MEDIA_FEATURES_SQL = """
 WITH p AS (
-  SELECT doc_id, doc_id % 4 AS fmt_code,
+  SELECT doc_id, doc_id % 5 AS fmt_code,
          4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, doc_id % 256 AS gray,
          8000 * (1 + doc_id % 3) AS sr, 1 + doc_id % 2 AS ch,
-         100 + 10 * (doc_id % 20) AS ms, doc_id % 1000 AS amp
+         100 + 10 * (doc_id % 20) AS ms, doc_id % 1000 AS amp,
+         3 + doc_id % 12 AS nframes,
+         CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 100
+                         WHEN 2 THEN 50 ELSE 40 END AS mspf
   FROM documents WHERE doc_id % 7 = 0
 ), tagged AS (
   SELECT *, CASE fmt_code WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
-                          WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg' END AS format
+                          WHEN 2 THEN 'audio/wav' WHEN 4 THEN 'video/avi'
+                          ELSE 'image/jpeg' END AS format
   FROM p
 )
 SELECT format,
        COUNT(*) AS n_assets,
-       CAST(SUM(CASE WHEN fmt_code IN (0, 1, 3) THEN w END) AS BIGINT) AS sum_width,
-       CAST(SUM(CASE WHEN fmt_code IN (0, 1, 3) THEN h END) AS BIGINT) AS sum_height,
+       CAST(SUM(CASE WHEN fmt_code IN (0, 1, 3, 4) THEN w END) AS BIGINT) AS sum_width,
+       CAST(SUM(CASE WHEN fmt_code IN (0, 1, 3, 4) THEN h END) AS BIGINT) AS sum_height,
        CAST(SUM(CASE WHEN fmt_code IN (0, 1) THEN gray END) AS BIGINT) AS sum_luma,
        CAST(SUM(CASE WHEN fmt_code = 2 THEN sr END) AS BIGINT) AS sum_sample_rate,
        CAST(SUM(CASE WHEN fmt_code = 2 THEN ch END) AS BIGINT) AS sum_channels,
-       CAST(SUM(CASE WHEN fmt_code = 2 THEN ms END) AS BIGINT) AS sum_duration_ms,
-       CAST(SUM(CASE WHEN fmt_code = 2 THEN amp END) AS BIGINT) AS sum_amplitude
+       CAST(SUM(CASE WHEN fmt_code = 2 THEN ms
+                     WHEN fmt_code = 4 THEN nframes * mspf END) AS BIGINT) AS sum_duration_ms,
+       CAST(SUM(CASE WHEN fmt_code = 2 THEN amp END) AS BIGINT) AS sum_amplitude,
+       CAST(SUM(CASE WHEN fmt_code = 4 THEN nframes END) AS BIGINT) AS sum_frames,
+       CAST(SUM(CASE WHEN fmt_code = 4 THEN (nframes + 1) // 2 END) AS BIGINT) AS sum_sampled
 FROM tagged GROUP BY format ORDER BY format
 """
 

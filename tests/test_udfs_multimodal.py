@@ -525,3 +525,71 @@ def test_package_synth_encoders_roundtrip_through_real_kernels():
     assert mime_of(synth_bmp(4, 3, 0)) == "image/bmp"
     assert mime_of(synth_wav(8000, 1, 10, 0)) == "audio/wav"
     assert mime_of(synth_jpeg(4, 3)) == "image/jpeg"
+
+
+def test_avi_container_roundtrip_and_strictness():
+    """RIFF/AVI: synthesis parameters decode back through the real
+    container walk (odd-length frame payloads exercise the even-padding
+    rule); a header/movi frame-count disagreement raises."""
+    import struct
+
+    from car_etl_spark.operators.multimodal import _decode_avi, synth_avi
+
+    for w, h, n, ms in [(4, 3, 1, 200), (16, 9, 5, 40), (320, 240, 24, 50)]:
+        gw, gh, gn, gms, frames = _decode_avi(synth_avi(w, h, n, ms))
+        assert (gw, gh, gn, gms) == (w, h, n, ms)
+        assert len(frames) == n and all(len(f) == 2 * i + 1 for i, f in enumerate(frames))
+    b = bytearray(synth_avi(8, 8, 4, 40))
+    struct.pack_into("<I", b, b.find(b"avih") + 8 + 16, 9)  # lie about dwTotalFrames
+    with pytest.raises(ValueError, match="declares 9 frames"):
+        _decode_avi(bytes(b))
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        _decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_video_features_and_real_frame_sampling(spark):
+    """extract_video_features + sample_frames over real AVI assets:
+    features match synthesis, strict mode rejects non-AVI, and the
+    sampler emits the real 00dc chunks at the requested stride with
+    original frame indices."""
+    import pandas as pd
+
+    from car_etl_spark.operators.multimodal import (
+        detect_mime,
+        extract_video_features,
+        sample_frames,
+        synth_avi,
+    )
+
+    params = [(16, 9, 7, 40), (8, 8, 4, 100)]
+    pdf = pd.DataFrame(
+        {
+            "path": [f"v{i}" for i in range(len(params))],
+            "content": [synth_avi(*p) for p in params],
+        }
+    )
+    media = spark.createDataFrame(pdf).withColumn(
+        "mime_type", detect_mime(F.col("content"))
+    )
+    assert {r.mime_type for r in media.select("mime_type").collect()} == {"video/avi"}
+
+    feats = {r.path: r for r in extract_video_features(media, strict=True).collect()}
+    for i, (w, h, n, ms) in enumerate(params):
+        r = feats[f"v{i}"]
+        assert (r.width, r.height, r.n_frames, r.frame_ms, r.duration_ms) == (
+            w, h, n, ms, n * ms,
+        )
+
+    sampled = sample_frames(media, every_n_frames=3).collect()
+    by_path = {}
+    for r in sampled:
+        by_path.setdefault(r.path, []).append(r.frame_index)
+    assert sorted(by_path["v0"]) == [0, 3, 6]  # 7 frames, stride 3
+    assert sorted(by_path["v1"]) == [0, 3]  # 4 frames, stride 3
+
+    # strict mode: a non-AVI binary must fail loudly, never fake
+    junk = spark.createDataFrame(
+        pd.DataFrame({"path": ["x"], "content": [b"\x00\x01\x02"]})
+    ).withColumn("mime_type", F.lit("video/mp4"))
+    with pytest.raises(Exception, match="real decode beyond RIFF/AVI"):
+        extract_video_features(junk, strict=True).collect()
