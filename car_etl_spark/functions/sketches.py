@@ -229,6 +229,171 @@ def kmv_distinct(
 
 
 # ---------------------------------------------------------------------------
+# Equi-width histogram quantiles (bounded-state percentile sketch)
+
+
+def histogram_frame(df: DataFrame, keys: list[str], value: Column) -> DataFrame:
+    """The per-group (lo, hi) bin frame.  For incremental/sharded use,
+    compute it ONCE and pass it to every :func:`histogram_state` call —
+    the frozen-quantizer discipline (same as the IVF store's frozen
+    centroids): shard states only merge exactly when they binned
+    against the same frame.  Values outside a frozen frame clamp to the
+    edge bins, which keeps counts valid (quantile error stays bounded
+    by the clamped mass)."""
+    v = value.cast("double")
+    return df.groupBy(*keys).agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    bins: int = 64,
+    frame: DataFrame | None = None,
+) -> DataFrame:
+    """The mergeable quantile-sketch state: per-group (lo, hi, bin,
+    cnt) rows — at most ``bins`` counters per group, map-side combined,
+    merged across shards by adding counts (:func:`histogram_merge`,
+    valid when shards were built against one shared ``frame``).  Exact
+    percentiles sort every group's values; this is the fixed-memory
+    alternative whose error is bounded by one bin width of the value
+    range.
+
+    Cross-engine exactness: the bin index is
+    ``least(floor((v - lo) / (hi - lo) * bins), bins - 1)`` — identical
+    IEEE doubles in, identical bin out; counts are integers from there.
+    """
+    if bins < 2:
+        raise ValueError(f"histogram needs bins >= 2, got {bins}")
+    v = value.cast("double")
+    mm = frame if frame is not None else histogram_frame(df, keys, value)
+    src = df.select(*keys, v.alias("__v")).join(F.broadcast(mm), keys)
+    width_pos = F.col("__hi") > F.col("__lo")
+    b = F.when(
+        width_pos,
+        F.greatest(
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * F.lit(bins)
+                ),
+                F.lit(bins - 1).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        src.groupBy(*keys, "__lo", "__hi", b.alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def histogram_merge(parts: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge shard states sharing a (lo, hi) frame: counts add."""
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.groupBy(*keys, "__lo", "__hi", "__bin").agg(
+        F.sum("__cnt").alias("__cnt")
+    )
+
+
+def histogram_quantiles(
+    state: DataFrame, keys: list[str], quantiles: list[tuple[float, str]], bins: int = 64
+) -> DataFrame:
+    """(keys..., <alias> ...) estimates from a histogram state: find the
+    bin whose cumulative count crosses ``q*n``, linear-interpolate
+    within it.  Every float step (q*n target, crossing test, the
+    interpolation ``lo + (bin + frac) * (hi - lo) / bins``) is the same
+    IEEE expression the SQL twin evaluates, so estimates are
+    cross-engine bit-identical."""
+    w = Window.partitionBy(*keys).orderBy("__bin")
+    cum = state.select(
+        *keys, "__lo", "__hi", "__bin", "__cnt",
+        F.sum("__cnt").over(w).alias("__cum"),
+        F.sum("__cnt").over(Window.partitionBy(*keys)).alias("__n"),
+    )
+    aggs = []
+    for q, alias in quantiles:
+        t = F.lit(q) * F.col("__n").cast("double")
+        crossing = (F.col("__cum").cast("double") >= t) & (
+            (F.col("__cum") - F.col("__cnt")).cast("double") < t
+        )
+        frac = (t - (F.col("__cum") - F.col("__cnt")).cast("double")) / F.col(
+            "__cnt"
+        ).cast("double")
+        est = F.col("__lo") + (F.col("__bin").cast("double") + frac) * (
+            F.col("__hi") - F.col("__lo")
+        ) / F.lit(float(bins))
+        aggs.append(
+            F.max(F.when(crossing, F.floor(est * 1e6 + F.lit(0.5)) / 1e6)).alias(alias)
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+def histogram_quantile_estimates(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    quantiles: list[tuple[float, str]],
+    bins: int = 64,
+) -> DataFrame:
+    """One-call form: state + estimates."""
+    return histogram_quantiles(
+        histogram_state(df, keys, value, bins), keys, quantiles, bins
+    )
+
+
+def histogram_quantiles_sql_ctes(
+    source: str,
+    keys: list[str],
+    expr: str,
+    quantiles: list[tuple[float, str]],
+    bins: int = 64,
+    prefix: str = "qq",
+) -> str:
+    """CTE chain ending in ``{prefix}_out`` — DuckDB twin of
+    :func:`histogram_quantile_estimates`, same formulas verbatim."""
+    if bins < 2:
+        raise ValueError(f"histogram needs bins >= 2, got {bins}")
+    ks = ", ".join(keys)
+    pre = f"{prefix}_"
+    jk = " AND ".join(f"{pre}mm.{k} = s.{k}" for k in keys)
+    sks = ", ".join(f"s.{k}" for k in keys)
+    est_cols = []
+    for q, alias in quantiles:
+        t = f"({q!r} * CAST(n AS DOUBLE))"
+        frac = f"(({t} - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))"
+        est = f"(lo + (CAST(bin AS DOUBLE) + {frac}) * (hi - lo) / {float(bins)!r})"
+        est_cols.append(
+            f"MAX(CASE WHEN CAST(cum AS DOUBLE) >= {t} AND CAST(cum - cnt AS DOUBLE) < {t} "
+            f"THEN FLOOR({est} * 1e6 + 0.5) / 1e6 END) AS {alias}"
+        )
+    return f"""{pre}mm AS MATERIALIZED (
+  SELECT {ks}, MIN(CAST({expr} AS DOUBLE)) AS lo, MAX(CAST({expr} AS DOUBLE)) AS hi
+  FROM {source} GROUP BY {ks}
+), {pre}hist AS MATERIALIZED (
+  SELECT {sks}, lo, hi,
+         CASE WHEN hi > lo
+              THEN GREATEST(LEAST(CAST(FLOOR((CAST({expr} AS DOUBLE) - lo) / (hi - lo) * {bins}) AS BIGINT),
+                                  {bins - 1}), 0)
+              ELSE 0 END AS bin,
+         COUNT(*) AS cnt
+  FROM {source} s JOIN {pre}mm ON {jk}
+  GROUP BY {sks}, lo, hi, bin
+), {pre}cum AS MATERIALIZED (
+  SELECT {ks}, lo, hi, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY {ks} ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY {ks}) AS n
+  FROM {pre}hist
+), {pre}out AS (
+  SELECT {ks}, {", ".join(est_cols)}
+  FROM {pre}cum GROUP BY {ks}
+)"""
+
+
+# ---------------------------------------------------------------------------
 # SQL twins (DuckDB) — same constants, same integer discipline
 
 

@@ -345,6 +345,56 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+#: (quantile, output column) spec shared by the exact arm above and the
+#: histogram-sketch arm below — same names, so the suite unions cleanly
+HIST_QUANTILES = [(0.5, "p50_value"), (0.9, "p90_value"), (0.99, "p99_value")]
+HIST_BINS = 64
+
+
+def events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state percentile path the exact arm's scale note
+    promises: equi-width histogram quantiles
+    (``functions/sketches.py``) — at most 64 counters per group with
+    full map-side combine, vs the exact form's per-group sort.  Served
+    beside the exact arm in the ``events_profile`` suite so the
+    sketch's cross-engine portability AND its error on this corpus are
+    both in the driver hash every round."""
+    from car_etl_spark.functions.sketches import (
+        histogram_quantiles,
+        histogram_state,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    state = histogram_state(ev, ["event_type"], F.col("value"), HIST_BINS)
+    est = histogram_quantiles(state, ["event_type"], HIST_QUANTILES, HIST_BINS)
+    nm = state.groupBy("event_type").agg(
+        F.sum("__cnt").alias("n_events"),
+        F.round(F.max("__hi"), 6).alias("max_value"),
+    )
+    return (
+        est.join(nm, "event_type")
+        .select("event_type", "n_events", "p50_value", "p90_value", "p99_value", "max_value")
+        .orderBy("event_type")
+    )
+
+
+def events_hist_quantiles_sql() -> str:
+    from car_etl_spark.functions.sketches import histogram_quantiles_sql_ctes
+
+    ctes = histogram_quantiles_sql_ctes(
+        "events", ["event_type"], "value", HIST_QUANTILES, HIST_BINS
+    )
+    return f"""
+WITH {ctes}, qq_nm AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events,
+         ROUND(MAX(hi), 6) AS max_value
+  FROM qq_hist GROUP BY event_type
+)
+SELECT qq_out.event_type, n_events, p50_value, p90_value, p99_value, max_value
+FROM qq_out JOIN qq_nm ON qq_nm.event_type = qq_out.event_type
+ORDER BY qq_out.event_type
+"""
+
 
 
 

@@ -453,9 +453,12 @@ FROM ({EVENTS_MULTIRES_SQL})
 
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group event profiles in one tagged slot: the JSON-prop bucket
-    rollup (F15) and the exact per-type value percentiles, harmonized
-    on (kind, group_key, n, avg_value, p50/p90/p99/max)."""
+    rollup (F15), the exact per-type value percentiles, and the
+    bounded-state histogram-quantile sketch (same columns, so exact vs
+    estimate sit one tag apart in the hashed result), harmonized on
+    (kind, group_key, n, avg_value, p50/p90/p99/max)."""
     from car_etl_spark.queries.eventsq import (
+        events_hist_quantiles,
         events_json_props,
         events_value_percentiles,
     )
@@ -481,13 +484,24 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_value",
         "max_value",
     )
-    return jp.unionByName(pc).orderBy("kind", "group_key")
+    hq = events_hist_quantiles(spark, sf_dir).select(
+        F.lit("type_hist_quantiles").alias("kind"),
+        F.col("event_type").alias("group_key"),
+        F.col("n_events").alias("n"),
+        null_d.alias("avg_value"),
+        "p50_value",
+        "p90_value",
+        "p99_value",
+        "max_value",
+    )
+    return jp.unionByName(pc).unionByName(hq).orderBy("kind", "group_key")
 
 
 def _events_profile_sql() -> str:
     from car_etl_spark.queries.eventsq import (
         EVENTS_JSON_PROPS_SQL,
         EVENTS_PERCENTILES_SQL,
+        events_hist_quantiles_sql,
     )
 
     return f"""
@@ -500,6 +514,10 @@ UNION ALL
 SELECT 'type_percentiles' AS kind, event_type AS group_key, n_events AS n,
        CAST(NULL AS DOUBLE) AS avg_value, p50_value, p90_value, p99_value, max_value
 FROM ({EVENTS_PERCENTILES_SQL})
+UNION ALL
+SELECT 'type_hist_quantiles' AS kind, event_type AS group_key, n_events AS n,
+       CAST(NULL AS DOUBLE) AS avg_value, p50_value, p90_value, p99_value, max_value
+FROM ({events_hist_quantiles_sql()})
 ) ORDER BY kind, group_key
 """
 

@@ -159,3 +159,92 @@ def test_invalid_params_rejected():
         SK._hll_consts(3)
     with pytest.raises(ValueError):
         SK.kmv_sql_ctes("t", ["g"], "v", k=1)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+
+
+HQ = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+
+
+def _values(spark, n_per_group: int):
+    """Deterministic skewed-ish values: v = (id % 997) ** 1.5 per group."""
+    return (
+        spark.range(2 * n_per_group)
+        .select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
+            F.pow((F.col("id") % 997).cast("double"), 1.5).alias("v"),
+        )
+    )
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    df = _values(spark, 20000)
+    est = {
+        r["grp"]: r
+        for r in SK.histogram_quantile_estimates(df, ["grp"], F.col("v"), HQ, bins=64).collect()
+    }
+    exact = {
+        r["grp"]: r
+        for r in df.groupBy("grp")
+        .agg(
+            *[F.percentile("v", q).alias(a) for q, a in HQ],
+            ((F.max("v") - F.min("v")) / 64).alias("bin_width"),
+        )
+        .collect()
+    }
+    for g in ("a", "b"):
+        for _q, a in HQ:
+            err = abs(est[g][a] - exact[g][a])
+            assert err <= exact[g]["bin_width"], (g, a, err, exact[g]["bin_width"])
+
+
+def test_histogram_shard_merge_equals_whole(spark):
+    df = _values(spark, 5000)
+    frame = SK.histogram_frame(df, ["grp"], F.col("v"))
+    s1 = df.filter(F.col("id") % 3 == 0)
+    s2 = df.filter(F.col("id") % 3 != 0)
+    merged = SK.histogram_merge(
+        [SK.histogram_state(s, ["grp"], F.col("v"), 64, frame=frame) for s in (s1, s2)],
+        ["grp"],
+    )
+    est_m = {r["grp"]: tuple(r[a] for _q, a in HQ)
+             for r in SK.histogram_quantiles(merged, ["grp"], HQ, 64).collect()}
+    est_w = {r["grp"]: tuple(r[a] for _q, a in HQ)
+             for r in SK.histogram_quantile_estimates(df, ["grp"], F.col("v"), HQ, 64).collect()}
+    assert est_m == est_w
+
+
+def test_histogram_state_is_bounded(spark):
+    state = SK.histogram_state(_values(spark, 20000), ["grp"], F.col("v"), bins=32)
+    per_group = {r["grp"]: r["n"] for r in state.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 32 for n in per_group.values())
+
+
+def test_histogram_frozen_frame_clamps_outliers(spark):
+    df = _values(spark, 1000)
+    frame = SK.histogram_frame(df.filter(F.col("v") < 1000), ["grp"], F.col("v"))
+    state = SK.histogram_state(df, ["grp"], F.col("v"), 16, frame=frame)
+    bins = [r["__bin"] for r in state.collect()]
+    assert all(0 <= b <= 15 for b in bins)  # out-of-frame mass clamps to edge bins
+    total = state.groupBy().agg(F.sum("__cnt")).collect()[0][0]
+    assert total == df.count()  # no rows lost to clamping
+
+
+def test_histogram_sql_twin_matches_spark_nondefault_bins(spark):
+    df = _values(spark, 3000)
+    spark_rows = {
+        r["grp"]: tuple(r[a] for _q, a in HQ)
+        for r in SK.histogram_quantile_estimates(df, ["grp"], F.col("v"), HQ, bins=48).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    sql = f"""
+WITH {SK.histogram_quantiles_sql_ctes('src', ['grp'], 'v', HQ, bins=48)}
+SELECT grp, p50, p90, p99 FROM qq_out
+"""
+    duck = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert spark_rows == duck
