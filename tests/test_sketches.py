@@ -248,3 +248,90 @@ SELECT grp, p50, p90, p99 FROM qq_out
 """
     duck = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
     assert spark_rows == duck
+
+
+# ---------------------------------------------------------------------------
+# Incremental sketch maintenance (streaming/incremental_sketches.py)
+
+
+def _drops(spark):
+    """Three overlapping micro-batches (shared values across drops: the
+    merge must be set-algebra, not addition)."""
+    whole = _corpus(spark, {"a": 3000, "b": 800})
+    return (
+        whole.filter(F.crc32("val") % 3 == 0),
+        whole.filter(F.crc32("val") % 3 == 1),
+        whole.filter(F.crc32("val") % 3 != 1),  # overlaps drop 1
+        whole,
+    )
+
+
+def test_incremental_sketch_equals_batch(spark, tmp_path):
+    from car_etl_spark.streaming.incremental_sketches import IncrementalDistinctSketch
+
+    d1, d2, d3, whole = _drops(spark)
+    sk = IncrementalDistinctSketch(spark, str(tmp_path), ["grp"], "val")
+    assert sk.estimates() is None
+    for d in (d1, d2, d3):
+        sk.process_batch(d)
+    inc = {r["grp"]: (r["hll_distinct"], r["kmv_distinct"]) for r in sk.estimates().collect()}
+    hll = SK.hll_distinct(whole, ["grp"], F.col("val"))
+    kmv = SK.kmv_distinct(whole, ["grp"], F.col("val"))
+    batch = {
+        r["grp"]: (r["hll_distinct"], r["kmv_distinct"])
+        for r in hll.join(kmv, "grp").collect()
+    }
+    assert inc == batch
+
+
+def test_incremental_sketch_replay_is_noop_and_restart_resumes(spark, tmp_path):
+    from car_etl_spark.streaming.incremental_sketches import IncrementalDistinctSketch
+
+    d1, d2, _d3, _whole = _drops(spark)
+    sk = IncrementalDistinctSketch(spark, str(tmp_path), ["grp"], "val")
+    sk.process_batch(d1)
+    sk.process_batch(d2)
+    before = {r["grp"]: tuple(r)[1:] for r in sk.estimates().collect()}
+    sk.process_batch(d2)  # replayed drop: max/set-union absorb it
+    after = {r["grp"]: tuple(r)[1:] for r in sk.estimates().collect()}
+    assert before == after
+    # a fresh object over the same state_dir serves the same estimates
+    sk2 = IncrementalDistinctSketch(spark, str(tmp_path), ["grp"], "val")
+    resumed = {r["grp"]: tuple(r)[1:] for r in sk2.estimates().collect()}
+    assert resumed == after
+
+
+def test_incremental_sketch_refuses_param_drift(spark, tmp_path):
+    from car_etl_spark.streaming.incremental_sketches import (
+        IncrementalDistinctSketch,
+        SketchStoreParamError,
+    )
+
+    d1, _d2, _d3, _w = _drops(spark)
+    IncrementalDistinctSketch(spark, str(tmp_path), ["grp"], "val", p=9).process_batch(d1)
+    with pytest.raises(SketchStoreParamError, match="rebuild the state"):
+        IncrementalDistinctSketch(spark, str(tmp_path), ["grp"], "val", p=11).estimates()
+
+
+def test_incremental_sketch_stream_drain(spark, tmp_path):
+    """availableNow drain of a parquet landing dir == batch sketch over
+    the same files — the T1 parity contract for the sketch maintainer."""
+    from car_etl_spark.streaming.incremental_sketches import (
+        IncrementalDistinctSketch,
+        run_distinct_maintenance,
+    )
+
+    d1, d2, _d3, _w = _drops(spark)
+    landing = str(tmp_path / "landing")
+    d1.write.mode("append").parquet(landing)
+    d2.write.mode("append").parquet(landing)
+    sk = IncrementalDistinctSketch(spark, str(tmp_path / "state"), ["grp"], "val")
+    run_distinct_maintenance(
+        spark, landing, "grp string, val string", sk, str(tmp_path / "ckpt")
+    )
+    streamed = {r["grp"]: tuple(r)[1:] for r in sk.estimates().collect()}
+    union = d1.unionByName(d2)
+    hll = SK.hll_distinct(union, ["grp"], F.col("val"))
+    kmv = SK.kmv_distinct(union, ["grp"], F.col("val"))
+    batch = {r["grp"]: tuple(r)[1:] for r in hll.join(kmv, "grp").collect()}
+    assert streamed == batch
