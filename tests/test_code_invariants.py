@@ -25,6 +25,7 @@ READ_ALLOWED = {
     os.path.join("operators", "export.py"),       # reads back its OWN shard artifact
     os.path.join("streaming", "cdc.py"),
     os.path.join("streaming", "incremental_dedup.py"),
+    os.path.join("streaming", "incremental_sketches.py"),  # reads its OWN versioned state sidecar
     os.path.join("streaming", "jobs.py"),
 }
 
