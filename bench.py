@@ -85,6 +85,9 @@ HEADLINE = (
     # FTS posting-list search (suffix analyzer + full-Porter analyzer)
     "fts_posting_search",
     "fts_porter_search",
+    # Okapi BM25 over the same porter store (r6; subtract alongside the
+    # other r6 additions when comparing totals to r05)
+    "fts_bm25_search",
     # EAV pivot + versioning pipeline
     "eav_pivot_effective_rent",
     "versioned_extractions",

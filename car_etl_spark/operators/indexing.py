@@ -54,7 +54,7 @@ import os
 import shutil
 import zlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from car_etl_spark.functions import text as T
@@ -64,7 +64,11 @@ from car_etl_spark.functions import vectors as V
 #     partitions so parquet row-group min/max stats prune within a bucket
 # v3: meta rides INSIDE base/ (atomic with the layout swap); tombstones
 #     carry the tenant key on tenant-partitioned stores
-POSTING_VERSION = 3
+# v4: posting rows carry the weighted document length ``dl`` (the BM25
+#     norm, denormalized Lucene-style so a pruned read serves scores
+#     with zero extra join) + a doc-grain ``_doclens`` sidecar inside
+#     base/ and exact corpus stats (n_docs, sum_dl) in meta
+POSTING_VERSION = 4
 ANALYZER_VERSION = 2
 # v2: meta carries per-cluster radii/counts for exact probing
 # v3: batch-tagged assignments + LSM delta/tombstone maintenance
@@ -97,6 +101,12 @@ AVG_TOKEN_BYTES = 6
 HEADER_TOKENS = 5
 HEADER_WEIGHT = 2.0
 BODY_WEIGHT = 1.0
+
+#: BM25 shape parameters (Robertson/Sparck Jones defaults — the values
+#: Lucene/Elasticsearch ship).  Pinned here so the serving method and
+#: the oracle twins in queries/fts.py cannot drift.
+BM25_K1 = 1.2
+BM25_B = 0.75
 
 
 def index_root() -> str:
@@ -247,8 +257,22 @@ def build_posting_rows(
         stemmed = rolled.withColumn("term", T.stem(F.col("raw_term")))
     else:
         raise ValueError(f"unknown analyzer: {analyzer!r}")
+    # weighted document length (the BM25 norm): one window sum at build
+    # time, denormalized onto every posting row — weights are small
+    # integers in double, so dl is exact and engine-order-independent
+    wdoc = Window.partitionBy(*extra, "doc_id")
     return stemmed.withColumn(
-        "term_bucket", term_bucket_col(F.col("term"), num_buckets)
+        "dl", F.sum(F.col("tf") * F.col("weight")).over(wdoc)
+    ).withColumn("term_bucket", term_bucket_col(F.col("term"), num_buckets))
+
+
+def doclens_from_rows(rows: DataFrame, tenant_col: str | None = None) -> DataFrame:
+    """Doc-grain length sidecar rows ``([tenant,] doc_id, dl)`` from
+    posting rows — the corpus-stat maintenance grain (one row per doc,
+    orders of magnitude smaller than the posting table)."""
+    keys = ([tenant_col] if tenant_col else []) + ["doc_id"]
+    return rows.groupBy(*keys).agg(
+        F.sum(F.col("tf") * F.col("weight")).alias("dl")
     )
 
 
@@ -274,7 +298,14 @@ def _tree_bytes(d: str) -> int:
 COMPACT_DELTA_FRACTION = 0.2
 
 
-def _swap_layout(live_dir: str, tmp: str, delta_dir: str, tomb_dir: str, store_path: str) -> None:
+def _swap_layout(
+    live_dir: str,
+    tmp: str,
+    delta_dir: str,
+    tomb_dir: str,
+    store_path: str,
+    extra_clear: tuple[str, ...] = (),
+) -> None:
     """Atomically swap a freshly-built layout (meta already stamped
     inside it) over the live directory, then clear stale maintenance
     state — deltas, tombstones, and batch sentinels (a rebuild must
@@ -290,6 +321,8 @@ def _swap_layout(live_dir: str, tmp: str, delta_dir: str, tomb_dir: str, store_p
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(delta_dir, ignore_errors=True)
     shutil.rmtree(tomb_dir, ignore_errors=True)
+    for d in extra_clear:
+        shutil.rmtree(d, ignore_errors=True)
     for f in os.listdir(store_path):
         if f.startswith("_applied_"):
             os.remove(os.path.join(store_path, f))
@@ -327,6 +360,12 @@ class PostingStore:
         #: where a reopened handle could prune with the wrong bucket
         #: count against a fresh layout
         self.meta_path = os.path.join(self.base_dir, "_meta.json")
+        #: doc-grain length sidecar: base rides INSIDE base/ (underscore
+        #: prefix = invisible to the posting read, swapped atomically
+        #: with the layout); deltas append beside the posting deltas and
+        #: share the tombstone liveness rule
+        self.doclen_base = os.path.join(self.base_dir, "_doclens")
+        self.doclen_delta = os.path.join(path, "doclens_delta")
         #: row-group size for store writes (parquet.block.size); None =
         #: parquet default (~128 MB).  Small values exist so tests can
         #: exercise row-group pruning on tiny corpora.
@@ -396,10 +435,11 @@ class PostingStore:
 
     # -- build -----------------------------------------------------------
 
-    def _swap_in_base(self, tmp: str, schema) -> None:
-        """Stamp meta (including the exact dataset schema) into the tmp
-        layout, then atomically swap it in — layout and meta change
-        together (see :func:`_swap_layout`)."""
+    def _swap_in_base(self, tmp: str, schema, stats: dict | None = None) -> None:
+        """Stamp meta (including the exact dataset schema and the BM25
+        corpus stats) into the tmp layout, then atomically swap it in —
+        layout, sidecar, meta, and stats change together (see
+        :func:`_swap_layout`)."""
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(
                 {
@@ -408,10 +448,33 @@ class PostingStore:
                     "analyzer": self.analyzer,
                     "tenant_col": self.tenant_col,
                     "schema": schema.jsonValue(),
+                    "stats": stats,
                 },
                 f,
             )
-        _swap_layout(self.base_dir, tmp, self.delta_dir, self.tomb_dir, self.path)
+        _swap_layout(
+            self.base_dir,
+            tmp,
+            self.delta_dir,
+            self.tomb_dir,
+            self.path,
+            extra_clear=(self.doclen_delta,),
+        )
+
+    def _sidecar_and_stats(self, doclens: DataFrame, tmp: str) -> dict:
+        """Write the doc-length sidecar into a tmp layout (batch 0) and
+        return the exact corpus stats ``{n_docs, sum_dl}`` — one
+        doc-grain aggregate, orders of magnitude below posting volume."""
+        dls = doclens.withColumn("batch", F.lit(0).cast("long"))
+        target = os.path.join(tmp, "_doclens")
+        dls.write.mode("overwrite").parquet(target)
+        # aggregate the WRITTEN sidecar (doc-grain, tiny) rather than
+        # re-running the doclens lineage over the posting layout
+        written = dls.sparkSession.read.schema(dls.schema).parquet(target)
+        row = written.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+        return {"n_docs": int(row["n"] or 0), "sum_dl": float(row["s"] or 0.0)}
 
     def build(self, docs: DataFrame) -> None:
         """Full (re)build of the base layout from the corpus."""
@@ -421,7 +484,14 @@ class PostingStore:
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         self._write_store(rows, tmp, "overwrite")
-        self._swap_in_base(tmp, rows.schema)
+        # derive the sidecar from the WRITTEN layout (not the lineage,
+        # which would re-tokenize the corpus): dl rides on every row,
+        # so doc grain is a distinct-rollup of the stored columns
+        written = rows.sparkSession.read.schema(rows.schema).parquet(tmp)
+        keys = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
+        doclens = written.groupBy(*keys).agg(F.max("dl").alias("dl"))
+        stats = self._sidecar_and_stats(doclens, tmp)
+        self._swap_in_base(tmp, rows.schema, stats)
 
     # -- incremental maintenance ----------------------------------------
 
@@ -463,6 +533,12 @@ class PostingStore:
             # delta files are batch-sized, so sorting them is cheap and
             # keeps row-group pruning effective on the merged read path
             self._write_store(rows, self.delta_dir, "append")
+            # doc-length sidecar delta (same batch tag, same tombstone
+            # liveness rule) — keeps the BM25 corpus stats EXACT under
+            # maintenance at doc-grain cost, not posting-grain
+            doclens_from_rows(rows, self.tenant_col).withColumn(
+                "batch", F.lit(batch).cast("long")
+            ).coalesce(1).write.mode("append").parquet(self.doclen_delta)
             tomb_parts.append(upserts.select(*tomb_key).distinct())
         if deleted_ids:
             if self.tenant_col and not all(
@@ -493,9 +569,79 @@ class PostingStore:
                 tomb = tomb.unionByName(p)
             tomb = tomb.distinct().withColumn("batch", F.lit(batch).cast("long"))
             tomb.coalesce(1).write.mode("append").parquet(self.tomb_dir)
+        # refresh corpus stats from the live doclens view — one pass
+        # over doc-grain rows per maintenance batch (10^9 docs is a few
+        # GB, amortized at batch cadence, never paid at query time).
+        # Crash between here and the sentinel replays the whole batch:
+        # delta reads dedup exact-duplicate rows and the stats
+        # recompute is idempotent, so the replay converges.
+        self._refresh_stats(spark)
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
         return True
+
+    def read_doclens(self, spark: SparkSession) -> DataFrame:
+        """The live doc-length view ``([tenant,] doc_id, dl, batch)`` —
+        base sidecar + deltas under the SAME tombstone liveness rule as
+        the posting rows."""
+        sch = "doc_id long, dl double, batch long"
+        if self.tenant_col:
+            sch = f"{self.tenant_col} string, " + sch
+        stored = self._stored_schema()
+        if stored is not None:
+            from pyspark.sql.types import StructField, StructType
+
+            cols = ([self.tenant_col] if self.tenant_col else []) + [
+                "doc_id", "dl", "batch"
+            ]
+            sch = StructType([StructField(c, stored[c].dataType) for c in cols])
+        df = spark.read.schema(sch).parquet(self.doclen_base)
+        if self._has_parquet(self.doclen_delta):
+            delta = spark.read.schema(sch).parquet(self.doclen_delta)
+            dedup_key = ([self.tenant_col] if self.tenant_col else []) + [
+                "doc_id", "batch"
+            ]
+            df = df.unionByName(delta.dropDuplicates(dedup_key))
+        if self._has_parquet(self.tomb_dir):
+            tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
+            tomb = (
+                spark.read.parquet(self.tomb_dir)
+                .groupBy(*tomb_key)
+                .agg(F.max("batch").alias("__tb"))
+            )
+            df = (
+                df.join(F.broadcast(tomb), tomb_key, "left")
+                .filter(F.col("__tb").isNull() | (F.col("__tb") <= F.col("batch")))
+                .drop("__tb")
+            )
+        return df
+
+    def _refresh_stats(self, spark: SparkSession) -> None:
+        """Recompute exact (n_docs, sum_dl) from the live doclens view
+        and publish atomically (os.replace on meta)."""
+        row = self.read_doclens(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+        meta = self._meta()
+        meta["stats"] = {
+            "n_docs": int(row["n"] or 0),
+            "sum_dl": float(row["s"] or 0.0),
+        }
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)
+
+    def stats(self) -> dict:
+        """The exact BM25 corpus stats stamped by build/apply/compact:
+        ``{"n_docs": int, "sum_dl": float}``."""
+        st = (self._meta() or {}).get("stats")
+        if not st or not st.get("n_docs"):
+            raise ValueError(
+                f"posting store at {self.path} has no corpus stats — "
+                "pre-v4 store or empty corpus; rebuild it"
+            )
+        return st
 
     # -- read ------------------------------------------------------------
 
@@ -597,6 +743,64 @@ class PostingStore:
             .limit(limit)
         )
 
+    def bm25_search(
+        self,
+        spark: SparkSession,
+        stemmed_terms: list[str],
+        tenant=None,
+        limit: int = 20,
+    ) -> DataFrame:
+        """Okapi BM25 over the pruned posting partitions — the ranking
+        function Lucene/Elasticsearch serve, beyond the reference's
+        ``ts_rank`` weighted-tf (``044_keyword_search.sql:78-90``).
+
+        Serving cost stays ∝ matched postings: ``dl`` rides on every
+        posting row (the denormalized Lucene norm), per-term document
+        frequencies come from the SAME pruned rows, and the corpus
+        constants (N, avgdl) are meta lookups — no unpruned scan, no
+        extra join.  idf is the standard ln(1 + (N - df + ½)/(df + ½));
+        tf is the header-boosted weighted frequency (BM25F-style field
+        boost, consistent with :meth:`term_search`'s scoring).  Exact
+        under LSM maintenance: deltas carry their own dl, tombstones
+        drop dead rows before any aggregate, and apply_batch/compact
+        restamp (N, sum_dl) exactly from the live doclens sidecar."""
+        terms = sorted(set(stemmed_terms))
+        buckets = sorted({self.bucket_of(t) for t in terms})
+        idx = self.read(spark, buckets=buckets, tenant=tenant).filter(
+            F.col("term").isin(terms)
+        )
+        st = self.stats()
+        n_docs = float(st["n_docs"])
+        # identical to the oracle's SUM(dl)/COUNT(*): both divisions see
+        # the same exact-integer operands, so the double is bit-equal
+        avgdl = st["sum_dl"] / st["n_docs"]
+        per = idx.groupBy("doc_id", "term").agg(
+            F.sum(F.col("tf") * F.col("weight")).alias("tfw"),
+            F.max("dl").alias("dl"),
+        )
+        dfreq = per.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        contrib = (
+            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tfw") * (BM25_K1 + 1.0))
+            / (
+                F.col("tfw")
+                + BM25_K1
+                * (F.lit(1.0 - BM25_B) + BM25_B * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        scored = per.join(F.broadcast(dfreq), "term").groupBy("doc_id").agg(
+            # floor(x*100 + 0.5)/100: HALF-UP on both engines (DuckDB
+            # ROUND is banker's); the 2 dp absorb cross-libm ln ulp and
+            # ≤|terms|-element sum-order noise
+            (F.floor(F.sum(contrib) * 100 + F.lit(0.5)) / 100).alias("rank_score"),
+            F.countDistinct("term").alias("terms_matched"),
+        )
+        return (
+            scored.orderBy(F.desc("rank_score"), F.asc("doc_id"))
+            .limit(limit)
+            .select("doc_id", "rank_score", "terms_matched")
+        )
+
     def compact(self, spark: SparkSession) -> None:
         """Fold deltas/tombstones into a fresh base (batch reset to 0,
         term-sorted row groups restored store-wide).  The live view
@@ -606,7 +810,12 @@ class PostingStore:
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         self._write_store(live, tmp, "overwrite")
-        self._swap_in_base(tmp, live.schema)
+        # fold the doc-length sidecar the same way (batch resets to 0)
+        # and restamp exact corpus stats into the fresh meta
+        keys = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
+        doclens = self.read_doclens(spark).select(*keys, "dl")
+        stats = self._sidecar_and_stats(doclens, tmp)
+        self._swap_in_base(tmp, live.schema, stats)
 
 
 #: in-process memo of built index paths — an os.stat-cheap staleness

@@ -163,6 +163,32 @@ def fts_plainto_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared(spark, "fts_plainto_search", sf_dir, ("documents.parquet",), build)
 
 
+def fts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking over the porter posting store — the scoring
+    function the rest of the industry serves (Lucene/Elasticsearch
+    default), beyond the reference's ``ts_rank`` weighted-tf
+    (``044_keyword_search.sql:78-90``).  idf = ln(1 + (N−df+½)/(df+½)),
+    tf saturation k1=1.2, length normalization b=0.75 against the
+    weighted doc length ``dl`` that rides on every posting row.
+
+    Serving shape: same bucket-pruned read as :func:`fts_porter_search`
+    — df comes from the pruned rows themselves, (N, avgdl) are meta
+    constants stamped exactly at build/apply/compact — so per-call cost
+    stays ∝ matched postings at any corpus size.  The oracle twin
+    re-derives everything (postings, dl, N, avgdl, df) from raw text in
+    DuckDB; scores round HALF-UP to 2 dp on both sides, absorbing
+    cross-libm ``ln`` ulp and sum-order noise."""
+    from car_etl_spark.functions.porter import porter_py
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir, analyzer="porter")
+        terms = sorted({porter_py(t) for t in FTS_QUERY_TERMS})
+        return store.bm25_search(spark, terms, limit=20)
+
+    return prepared(spark, "fts_bm25_search", sf_dir, ("documents.parquet",), build)
+
+
 def fts_posting_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21 BUILD-PATH TWIN: the same weighted-tf relevance derived from
     the raw corpus per call — the shape used before the posting table
@@ -408,6 +434,75 @@ LIMIT 20
 
 FTS_PORTER_SEARCH_SQL = _porter_search_sql()
 FTS_PLAINTO_SEARCH_SQL = _porter_search_sql(require_all=True)
+
+
+def _bm25_search_sql() -> str:
+    """The BM25 oracle: identical posting derivation to the porter
+    oracle, then the full Okapi pipeline re-derived from raw text —
+    doc lengths from the rolled token table, corpus (N, Σdl), per-term
+    document frequencies, and the exact expression shape of
+    ``PostingStore.bm25_search`` (operator-for-operator, so every
+    IEEE intermediate matches; the 2 dp HALF-UP round absorbs the two
+    engines' ``ln`` ulp difference)."""
+    from car_etl_spark.functions.porter import (
+        porter_py,
+        porter_sql_guard,
+        porter_sql_stages,
+    )
+    from car_etl_spark.operators.indexing import BM25_B, BM25_K1
+
+    terms = sorted({porter_py(t) for t in FTS_QUERY_TERMS})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    stages = porter_sql_stages("raw_term")
+    chain = "SELECT * FROM rolled"
+    for name, expr in stages:
+        chain = f"SELECT *, {expr} AS {name} FROM ({chain})"
+    guard = porter_sql_guard("raw_term", stages[-1][0])
+    return f"""
+WITH rolled AS MATERIALIZED (
+  SELECT doc_id, raw_term, weight, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(toks) AS raw_term,
+           CASE WHEN generate_subscripts(toks, 1) - 1 < {HEADER_TOKENS} THEN {HEADER_WEIGHT} ELSE {BODY_WEIGHT} END AS weight
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+      FROM documents
+    )
+  )
+  GROUP BY doc_id, raw_term, weight
+), stemmed AS MATERIALIZED (
+  SELECT doc_id, weight, tf, {guard} AS term FROM ({chain})
+), doclen AS MATERIALIZED (
+  SELECT doc_id, SUM(tf * weight) AS dl FROM rolled GROUP BY doc_id
+), corpus AS MATERIALIZED (
+  SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM doclen
+), matched AS MATERIALIZED (
+  SELECT doc_id, term, SUM(tf * weight) AS tfw
+  FROM stemmed WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+), dfreq AS MATERIALIZED (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM matched GROUP BY term
+)
+SELECT m.doc_id,
+       FLOOR(SUM(
+         LN(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * (m.tfw * ({BM25_K1} + 1.0))
+         / (m.tfw + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * d.dl / (c.sdl / c.n)))
+       ) * 100 + 0.5) / 100 AS rank_score,
+       COUNT(DISTINCT m.term) AS terms_matched
+FROM matched m
+JOIN doclen d ON m.doc_id = d.doc_id
+JOIN dfreq f ON m.term = f.term
+CROSS JOIN corpus c
+GROUP BY m.doc_id
+ORDER BY rank_score DESC, m.doc_id ASC
+LIMIT 20
+"""
+
+
+FTS_BM25_SEARCH_SQL = _bm25_search_sql()
 
 
 def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,6 +44,7 @@ def fts_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.  serving == scan parity is part of the hash."""
     from car_etl_spark.queries.fts import (
         fts_batch_search,
+        fts_bm25_search,
         fts_plainto_search,
         fts_porter_search,
         fts_posting_scan,
@@ -55,6 +56,7 @@ def fts_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("suffix_scan", fts_posting_scan),
         ("porter", fts_porter_search),
         ("plainto", fts_plainto_search),
+        ("bm25", fts_bm25_search),
     ]
     parts = [
         fn(spark, sf_dir).select(
@@ -75,6 +77,7 @@ def fts_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fts_suite_sql() -> str:
     from car_etl_spark.queries.fts import (
         FTS_BATCH_SEARCH_SQL,
+        FTS_BM25_SEARCH_SQL,
         FTS_PLAINTO_SEARCH_SQL,
         FTS_PORTER_SEARCH_SQL,
         FTS_POSTING_SEARCH_SQL,
@@ -85,6 +88,7 @@ def _fts_suite_sql() -> str:
         ("suffix_scan", FTS_POSTING_SEARCH_SQL),
         ("porter", FTS_PORTER_SEARCH_SQL),
         ("plainto", FTS_PLAINTO_SEARCH_SQL),
+        ("bm25", FTS_BM25_SEARCH_SQL),
     ]
     parts = [
         f"SELECT '{tag}' AS query_id, doc_id, rank_score, terms_matched FROM ({sql})"
@@ -720,6 +724,7 @@ def fine_grained_queries() -> dict:
         "fts_porter_search": fts.fts_porter_search,
         "fts_plainto_search": fts.fts_plainto_search,
         "fts_batch_search": fts.fts_batch_search,
+        "fts_bm25_search": fts.fts_bm25_search,
         "vector_topk": vector.vector_topk,
         "vector_ivf_topk": vector.vector_ivf_topk,
         "vector_topk_adaptive": vector.vector_topk_adaptive,

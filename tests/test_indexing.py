@@ -445,3 +445,106 @@ def test_rebuild_clears_sentinels_and_meta_swaps_atomically(spark, tmp_path, inc
     assert os.path.exists(os.path.join(inc_store.base_dir, "_meta.json"))
     # a reopened handle binds to the swapped-in meta
     assert IX.PostingStore(inc_store.path).num_buckets == inc_store.num_buckets
+
+
+# -- 4. BM25 serving (dl norms + exact corpus stats) --------------------------
+
+
+def _py_bm25(docs, query_terms, k1=IX.BM25_K1, b=IX.BM25_B):
+    """Independent literal-Python BM25 over raw doc rows — weighted tf
+    and dl derived the same way the store derives them (header boost on
+    the first HEADER_TOKENS positions), scores rounded HALF-UP 2 dp."""
+    import math
+
+    from car_etl_spark.functions.porter import porter_py
+
+    tfw, dl = {}, {}
+    for doc_id, _lang, text in docs:
+        toks = text.lower().split()
+        dl[doc_id] = 0.0
+        for pos, raw in enumerate(toks):
+            w = IX.HEADER_WEIGHT if pos < IX.HEADER_TOKENS else IX.BODY_WEIGHT
+            dl[doc_id] += w
+            t = porter_py(raw)
+            if t in query_terms:
+                tfw[(doc_id, t)] = tfw.get((doc_id, t), 0.0) + w
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for (d, t) in tfw:
+        df[t] = df.get(t, 0) + 1
+    scores, matched = {}, {}
+    for (d, t), f_ in tfw.items():
+        idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+        contrib = idf * (f_ * (k1 + 1.0)) / (f_ + k1 * ((1.0 - b) + b * dl[d] / avgdl))
+        scores[d] = scores.get(d, 0.0) + contrib
+        matched[d] = matched.get(d, 0) + 1
+    import math as m
+
+    return {
+        d: (m.floor(s * 100 + 0.5) / 100, matched[d]) for d, s in scores.items()
+    }
+
+
+def test_bm25_matches_literal_python(spark, tmp_path):
+    """Store-served BM25 == a from-scratch literal-Python Okapi
+    computation on the same corpus (norms, idf, saturation, rounding)."""
+    from car_etl_spark.functions.porter import porter_py
+
+    store = IX.PostingStore(str(tmp_path / "p"), analyzer="porter")
+    store.build(_docs_df(spark, DOCS_V0))
+    terms = sorted({porter_py(t) for t in ("alpha", "merges", "spark")})
+    got = {
+        r.doc_id: (r.rank_score, r.terms_matched)
+        for r in store.bm25_search(spark, terms).collect()
+    }
+    assert got == _py_bm25(DOCS_V0, set(terms))
+
+
+def test_bm25_stats_and_scores_exact_under_maintenance(spark, tmp_path, inc_store):
+    """(N, Σdl) and the served BM25 scores stay EXACT through upserts,
+    deletes, and compaction — equal to a fresh rebuild of the final
+    corpus state (Lucene serves stale stats between merges; this store
+    restamps them per batch from the doc-grain sidecar)."""
+    from car_etl_spark.functions.porter import porter_py
+
+    inc = IX.PostingStore(str(tmp_path / "porter"), analyzer="porter")
+    inc.build(_docs_df(spark, DOCS_V0))
+    inc.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    inc.apply_batch(spark, _docs_df(spark, DOCS_B2), [3], batch=2)
+    rebuilt = IX.PostingStore(str(tmp_path / "rb-porter"), analyzer="porter")
+    rebuilt.build(_docs_df(spark, FINAL_DOCS))
+    assert inc.stats() == rebuilt.stats()
+    terms = sorted({porter_py(t) for t in ("spark", "alpha", "vocabulary")})
+    assert _rows(inc.bm25_search(spark, terms)) == _rows(
+        rebuilt.bm25_search(spark, terms)
+    )
+    # compaction folds the sidecar and restamps identical stats
+    inc.compact(spark)
+    assert inc.stats() == rebuilt.stats()
+    assert _rows(inc.bm25_search(spark, terms)) == _rows(
+        rebuilt.bm25_search(spark, terms)
+    )
+    assert not store_has_files(inc.doclen_delta)
+
+
+def test_bm25_rare_term_outranks_common(spark, tmp_path):
+    """idf sanity: a doc matching only a RARE term outscores a doc
+    matching only a COMMON term at equal tf and length."""
+    docs = [
+        (1, "en", "filler filler filler filler filler rare token pad pad"),
+        (2, "en", "filler filler filler filler filler common token pad pad"),
+        (3, "en", "filler filler filler filler filler common other pad pad"),
+        (4, "en", "filler filler filler filler filler common more pad pad"),
+    ]
+    store = IX.PostingStore(str(tmp_path / "idf"), analyzer="porter")
+    store.build(_docs_df(spark, docs))
+    from car_etl_spark.functions.porter import porter_py
+
+    got = {
+        r.doc_id: r.rank_score
+        for r in store.bm25_search(
+            spark, sorted({porter_py("rare"), porter_py("common")})
+        ).collect()
+    }
+    assert got[1] > got[2] == got[3] == got[4]
