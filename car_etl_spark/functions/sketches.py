@@ -229,6 +229,165 @@ def kmv_distinct(
 
 
 # ---------------------------------------------------------------------------
+# Count-min frequency sketch (heavy-hitter / point-frequency estimates)
+# ---------------------------------------------------------------------------
+# Cormode & Muthukrishnan (J. Algorithms 2005): d hash rows x w counters;
+# est(x) = min_i counter[i][h_i(x)] — never under-counts, over-counts by
+# <= (e/w)·N with probability >= 1 - e^-d.  Counters are ADDITIVE, so the
+# state is a legal partial aggregate (shard merge = counter sum) with
+# per-group size fixed at d·w regardless of item cardinality — the
+# frequency member of the family (distinct -> HLL/KMV, quantiles ->
+# histogram, frequencies -> CMS).  Portability: the row hashes are the
+# same pairwise-independent affine family over the portable 60-bit hash
+# the LSH stack uses (operators/portable.py), all arithmetic integer, so
+# Spark and DuckDB produce BIT-IDENTICAL counters and estimates; probe
+# keys are precomputed driver-side with h0_py and injected as literals
+# into both engines (a point lookup hashes nothing in-engine).
+
+CMS_D_DEFAULT = 4
+CMS_W_DEFAULT = 1024
+
+
+def _cms_consts(d: int, w: int) -> tuple[list[int], list[int]]:
+    from car_etl_spark.operators.portable import affine_consts
+
+    if d < 1 or w < 2:
+        raise ValueError(f"CMS needs d >= 1 and w >= 2, got d={d}, w={w}")
+    return affine_consts(d)
+
+
+def cms_state(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    d: int = CMS_D_DEFAULT,
+    w: int = CMS_W_DEFAULT,
+) -> DataFrame:
+    """The mergeable CMS state: (keys..., __r, __c, __n) — one row per
+    non-empty counter (absent counter == 0).  Explode-then-aggregate
+    (never per-row HOF arrays): the d (row, col) pairs stage through a
+    projected array, and the groupBy count combines map-side, so the
+    shuffle carries at most ``groups x d x w`` counter rows."""
+    from car_etl_spark.operators.portable import MOD31, MOD32, h0
+
+    a, b = _cms_consts(d, w)
+    staged = df.select(*keys, (h0(value) % F.lit(MOD31)).alias("__hm"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (
+                    (F.lit(a[i]) * F.col("__hm") + F.lit(b[i])) % F.lit(MOD32)
+                    % F.lit(w)
+                ).alias("c"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        staged.select(*keys, F.explode(pairs).alias("__p"))
+        .select(*keys, F.col("__p.r").alias("__r"), F.col("__p.c").alias("__c"))
+        .groupBy(*keys, "__r", "__c")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+
+
+def cms_merge(parts: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge per-shard CMS states: counter-wise SUM (the additive
+    algebra that makes CMS a legal pre-aggregate for rollups)."""
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.groupBy(*keys, "__r", "__c").agg(F.sum("__n").alias("__n"))
+
+
+def cms_probe_rows(
+    items: list[str], d: int = CMS_D_DEFAULT, w: int = CMS_W_DEFAULT
+) -> list[tuple[str, int, int]]:
+    """Driver-side probe precomputation: (item, row, col) literals via
+    the Python twin of the portable hash — injected identically into
+    the Spark plan and the SQL twin, so a point lookup never hashes
+    in-engine."""
+    from car_etl_spark.operators.portable import MOD31, MOD32, h0_py
+
+    a, b = _cms_consts(d, w)
+    out = []
+    for it in items:
+        hm = h0_py(it) % MOD31
+        for i in range(d):
+            out.append((it, i, (a[i] * hm + b[i]) % MOD32 % w))
+    return out
+
+
+def cms_estimate(
+    state: DataFrame,
+    keys: list[str],
+    items: list[str],
+    d: int = CMS_D_DEFAULT,
+    w: int = CMS_W_DEFAULT,
+    alias: str = "cms_freq",
+    item_alias: str = "item",
+) -> DataFrame:
+    """(keys..., <item_alias>, <alias> BIGINT): min over the d probed
+    counters, absent counters counting 0.  The probe set broadcasts
+    (|items|·d rows); per (group, item) exactly d joined rows feed the
+    min, so estimate cost is independent of data volume."""
+    spark = state.sparkSession
+    probes = spark.createDataFrame(
+        cms_probe_rows(items, d, w), f"{item_alias} string, __r int, __c long"
+    )
+    if keys:
+        probes = state.select(*keys).distinct().crossJoin(F.broadcast(probes))
+    joined = probes.join(F.broadcast(state), [*keys, "__r", "__c"], "left")
+    return (
+        joined.groupBy(*keys, item_alias)
+        .agg(F.min(F.coalesce(F.col("__n"), F.lit(0))).alias(alias))
+    )
+
+
+def cms_sql_ctes(
+    source: str,
+    keys: list[str],
+    expr: str,
+    items: list[str],
+    d: int = CMS_D_DEFAULT,
+    w: int = CMS_W_DEFAULT,
+    alias: str = "cms_freq",
+    item_alias: str = "item",
+    prefix: str = "cq",
+) -> str:
+    """CTE chain ending in ``{prefix}_out(keys..., item, alias)`` — the
+    DuckDB twin of :func:`cms_state` + :func:`cms_estimate`, same affine
+    constants, same precomputed probe literals."""
+    from car_etl_spark.operators.portable import H0_SQL, MOD31, MOD32
+
+    a, b = _cms_consts(d, w)
+    ks = ", ".join(keys)
+    ks_pre = (ks + ", ") if keys else ""
+    pre = f"{prefix}_"
+    fam = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(d))
+    probes = ", ".join(f"('{it}', {r}, {c})" for it, r, c in cms_probe_rows(items, d, w))
+    key_join = f"CROSS JOIN (SELECT DISTINCT {ks} FROM {source})" if keys else ""
+    on_keys = " AND ".join(f"s.{k} = p.{k}" for k in keys)
+    on = (on_keys + " AND " if keys else "") + "s.r = p.r AND s.c = p.c"
+    sel_keys = ", ".join(f"p.{k}" for k in keys)
+    sel_pre = (sel_keys + ", ") if keys else ""
+    return f"""{pre}h AS MATERIALIZED (
+  SELECT {ks_pre}{H0_SQL.format(expr=expr)} % {MOD31} AS hm FROM {source}
+), {pre}state AS MATERIALIZED (
+  SELECT {ks_pre}fam.i AS r, (fam.a * hm + fam.b) % {MOD32} % {w} AS c, COUNT(*) AS n
+  FROM {pre}h, (VALUES {fam}) fam(i, a, b)
+  GROUP BY {ks_pre}fam.i, (fam.a * hm + fam.b) % {MOD32} % {w}
+), {pre}probe AS (
+  SELECT * FROM (VALUES {probes}) pr({item_alias}, r, c) {key_join}
+), {pre}out AS (
+  SELECT {sel_pre}p.{item_alias}, MIN(COALESCE(s.n, 0)) AS {alias}
+  FROM {pre}probe p LEFT JOIN {pre}state s ON {on}
+  GROUP BY {sel_pre}p.{item_alias}
+)"""
+
+
+# ---------------------------------------------------------------------------
 # Equi-width histogram quantiles (bounded-state percentile sketch)
 
 

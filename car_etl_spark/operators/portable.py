@@ -98,6 +98,16 @@ def h0(c: Column) -> Column:
 H0_SQL = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def h0_py(s: str) -> int:
+    """Driver-side twin of :func:`h0` — identical 60-bit value for the
+    same string (UTF-8 md5, first 15 hex chars), so probe/lookup keys
+    can be precomputed as literals on BOTH engine sides with no
+    in-engine hashing (the count-min probe path)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 # ---------------------------------------------------------------------------
 # MinHash
 

@@ -398,6 +398,86 @@ ORDER BY qq_out.event_type
 
 
 
+#: fixed per-user activity probes for the count-min arm (user ids are
+#: dense from 0 at every SF, so the probe set exists at all scales)
+CMS_PROBE_USERS = tuple(str(u) for u in range(8))
+CMS_D = 4
+CMS_W = 1024
+
+
+def events_user_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency estimates of per-user event counts
+    (``functions/sketches.py``) — the frequency member of the sketch
+    family, the usage-counter shape of ``src/analytics/usage.py`` at
+    100 TB: state fixed at d·w counters with full map-side combine and
+    counter-sum shard merge, vs the exact groupBy whose state grows
+    with user cardinality.  Probes are driver-side literals (no
+    in-engine hashing); served beside the exact arm in the
+    ``events_profile`` suite so portability AND real over-count on this
+    corpus sit in the driver hash."""
+    from car_etl_spark.functions.sketches import cms_estimate, cms_state
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    state = cms_state(ev, [], F.col("user_id").cast("string"), CMS_D, CMS_W)
+    return (
+        cms_estimate(
+            state, [], list(CMS_PROBE_USERS), CMS_D, CMS_W,
+            alias="n_events", item_alias="user_key",
+        )
+        .orderBy("user_key")
+    )
+
+
+def events_user_exact_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact twin of the CMS probes: true per-user event counts for
+    the same probe set (absent users count 0, mirroring the sketch's
+    absent-counter semantics)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    spark_probes = spark.createDataFrame(
+        [(u,) for u in CMS_PROBE_USERS], "user_key string"
+    )
+    counts = (
+        ev.select(F.col("user_id").cast("string").alias("user_key"))
+        .filter(F.col("user_key").isin(list(CMS_PROBE_USERS)))
+        .groupBy("user_key")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return (
+        spark_probes.join(counts, "user_key", "left")
+        .select(
+            "user_key",
+            F.coalesce(F.col("__cnt"), F.lit(0).cast("long")).alias("n_events"),
+        )
+        .orderBy("user_key")
+    )
+
+
+def events_user_cms_sql() -> str:
+    from car_etl_spark.functions.sketches import cms_sql_ctes
+
+    ctes = cms_sql_ctes(
+        "(SELECT CAST(user_id AS VARCHAR) AS uk FROM events)",
+        [], "uk", list(CMS_PROBE_USERS), CMS_D, CMS_W,
+        alias="n_events", item_alias="user_key",
+    )
+    return f"WITH {ctes} SELECT user_key, n_events FROM cq_out ORDER BY user_key"
+
+
+def events_user_exact_sql() -> str:
+    probes = ", ".join(f"('{u}')" for u in CMS_PROBE_USERS)
+    in_list = ", ".join(f"'{u}'" for u in CMS_PROBE_USERS)
+    return f"""
+WITH pr(user_key) AS (VALUES {probes}), cnt AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_key, COUNT(*) AS n
+  FROM events WHERE CAST(user_id AS VARCHAR) IN ({in_list})
+  GROUP BY CAST(user_id AS VARCHAR)
+)
+SELECT pr.user_key, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_events
+FROM pr LEFT JOIN cnt ON pr.user_key = cnt.user_key
+ORDER BY pr.user_key
+"""
+
+
 def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): attribute each purchase to the
     user's most recent click at-or-before it — the canonical backward

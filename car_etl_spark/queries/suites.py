@@ -464,6 +464,8 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from car_etl_spark.queries.eventsq import (
         events_hist_quantiles,
         events_json_props,
+        events_user_cms_freq,
+        events_user_exact_freq,
         events_value_percentiles,
     )
 
@@ -498,7 +500,29 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_value",
         "max_value",
     )
-    return jp.unionByName(pc).unionByName(hq).orderBy("kind", "group_key")
+    # count-min point-frequency probes beside their exact twin — the
+    # frequency sketch rides the same hash as the quantile sketch
+    def _freq_arm(tag, fn):
+        return fn(spark, sf_dir).select(
+            F.lit(tag).alias("kind"),
+            F.col("user_key").alias("group_key"),
+            F.col("n_events").alias("n"),
+            null_d.alias("avg_value"),
+            null_d.alias("p50_value"),
+            null_d.alias("p90_value"),
+            null_d.alias("p99_value"),
+            null_d.alias("max_value"),
+        )
+
+    cm = _freq_arm("user_cms_freq", events_user_cms_freq)
+    ce = _freq_arm("user_exact_freq", events_user_exact_freq)
+    return (
+        jp.unionByName(pc)
+        .unionByName(hq)
+        .unionByName(cm)
+        .unionByName(ce)
+        .orderBy("kind", "group_key")
+    )
 
 
 def _events_profile_sql() -> str:
@@ -506,8 +530,15 @@ def _events_profile_sql() -> str:
         EVENTS_JSON_PROPS_SQL,
         EVENTS_PERCENTILES_SQL,
         events_hist_quantiles_sql,
+        events_user_cms_sql,
+        events_user_exact_sql,
     )
 
+    nulls = (
+        "CAST(NULL AS DOUBLE) AS avg_value, CAST(NULL AS DOUBLE) AS p50_value, "
+        "CAST(NULL AS DOUBLE) AS p90_value, CAST(NULL AS DOUBLE) AS p99_value, "
+        "CAST(NULL AS DOUBLE) AS max_value"
+    )
     return f"""
 SELECT * FROM (
 SELECT 'json_k_bucket' AS kind, CAST(k_bucket AS VARCHAR) AS group_key, n,
@@ -522,6 +553,12 @@ UNION ALL
 SELECT 'type_hist_quantiles' AS kind, event_type AS group_key, n_events AS n,
        CAST(NULL AS DOUBLE) AS avg_value, p50_value, p90_value, p99_value, max_value
 FROM ({events_hist_quantiles_sql()})
+UNION ALL
+SELECT 'user_cms_freq' AS kind, user_key AS group_key, n_events AS n, {nulls}
+FROM ({events_user_cms_sql()})
+UNION ALL
+SELECT 'user_exact_freq' AS kind, user_key AS group_key, n_events AS n, {nulls}
+FROM ({events_user_exact_sql()})
 ) ORDER BY kind, group_key
 """
 

@@ -176,3 +176,132 @@ def run_distinct_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+class IncrementalFreqSketch:
+    """Maintains a count-min frequency state under micro-batch appends.
+
+    Counter addition is NOT replay-idempotent (unlike HLL's max / KMV's
+    set-union), so this maintainer keeps the one piece of bookkeeping
+    the distinct sketches can avoid: the sidecar records the last
+    applied batch id, and replayed ids short-circuit — the standard
+    exactly-once ``foreachBatch`` ledger, same contract as the posting
+    store's ``_applied_<batch>`` sentinels.  Everything else mirrors
+    :class:`IncrementalDistinctSketch`: versioned state files, atomic
+    sidecar flip, parameter-drift refusal."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        keys: list[str],
+        value_col: str,
+        d: int = SK.CMS_D_DEFAULT,
+        w: int = SK.CMS_W_DEFAULT,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.d = d
+        self.w = w
+        self.meta_path = os.path.join(state_dir, "cms_meta.json")
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _meta(self) -> dict | None:
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                return json.load(f)
+        return None
+
+    def _check_params(self, meta: dict) -> None:
+        stored = (meta.get("d"), meta.get("w"), meta.get("keys"), meta.get("value_col"))
+        mine = (self.d, self.w, self.keys, self.value_col)
+        if stored != mine:
+            raise SketchStoreParamError(
+                f"CMS state at {self.state_dir} was built with "
+                f"(d, w, keys, value)={stored}; this code computes {mine} — "
+                "rebuild the state before resuming maintenance"
+            )
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self.state_dir, f"cms_v{version}.parquet")
+
+    def _current(self) -> tuple[DataFrame, int, int] | None:
+        meta = self._meta()
+        if meta is None:
+            return None
+        self._check_params(meta)
+        return (
+            self.spark.read.parquet(self._path(meta["version"])),
+            meta["version"],
+            meta["last_batch"],
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> bool:
+        """Add one micro-batch's counters and publish the next version.
+        Returns False for a replayed batch id (counter addition would
+        double-count; the ledger makes the replay a no-op)."""
+        from pyspark.sql import functions as F
+
+        cur = self._current()
+        last = cur[2] if cur is not None else -1
+        if batch_id <= last:
+            return False
+        value = F.col(self.value_col).cast("string")
+        new = SK.cms_state(batch, self.keys, value, self.d, self.w)
+        if cur is None:
+            merged, version = new, 0
+        else:
+            merged = SK.cms_merge([cur[0], new], self.keys)
+            version = cur[1] + 1
+        merged.write.mode("overwrite").parquet(self._path(version))
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "d": self.d,
+                    "w": self.w,
+                    "keys": self.keys,
+                    "value_col": self.value_col,
+                    "version": version,
+                    "last_batch": int(batch_id),
+                },
+                f,
+            )
+        os.replace(tmp, self.meta_path)
+        if version > 0:
+            import shutil
+
+            shutil.rmtree(self._path(version - 1), ignore_errors=True)
+        return True
+
+    def estimates(self, items: list[str]) -> DataFrame | None:
+        """(keys..., item, cms_freq) for the probe set from the current
+        state, or None before the first batch."""
+        cur = self._current()
+        if cur is None:
+            return None
+        return SK.cms_estimate(cur[0], self.keys, items, self.d, self.w)
+
+
+def run_freq_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str,
+    sketch: IncrementalFreqSketch,
+    checkpoint_dir: str,
+) -> None:
+    """Drain a parquet landing dir into the CMS state — the batch id
+    flows through to the ledger (exactly-once under replays)."""
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: sketch.process_batch(df, int(bid))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -335,3 +335,190 @@ def test_incremental_sketch_stream_drain(spark, tmp_path):
     kmv = SK.kmv_distinct(union, ["grp"], F.col("val"))
     batch = {r["grp"]: tuple(r)[1:] for r in hll.join(kmv, "grp").collect()}
     assert streamed == batch
+
+
+# -- count-min frequency sketch ----------------------------------------------
+
+
+def _freq_corpus(spark, freqs: dict[str, int]):
+    """(val) frame where item x appears freqs[x] times — a heavy-tail
+    frequency profile (the CMS target workload).  Built from one local
+    list (a per-item union would cost a 200-way plan analysis)."""
+    data = [(x,) for x, n in sorted(freqs.items()) for _ in range(n)]
+    return spark.createDataFrame(data, "val string").repartition(8)
+
+
+CMS_FREQS = {"hot": 4000, "warm": 400, **{f"cold{i}": 7 for i in range(200)}}
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """The CMS hard guarantee (est >= true) plus the probabilistic
+    bound est <= true + (e/w)·N, checked on a fixed heavy-tail corpus
+    (d=4 -> per-item overshoot odds e^-4; this corpus is one pinned
+    draw, all probes inside the bound)."""
+    import math
+
+    df = _freq_corpus(spark, CMS_FREQS)
+    n_total = sum(CMS_FREQS.values())
+    d, w = 4, 256
+    st = SK.cms_state(df, [], F.col("val"), d=d, w=w)
+    items = ["hot", "warm", "cold0", "cold199", "absent"]
+    est = {
+        r["item"]: r["cms_freq"]
+        for r in SK.cms_estimate(st, [], items, d=d, w=w).collect()
+    }
+    slack = math.e / w * n_total
+    for it in items:
+        true = CMS_FREQS.get(it, 0)
+        assert est[it] >= true, (it, est[it], true)
+        assert est[it] <= true + slack, (it, est[it], true, slack)
+
+
+def test_cms_shard_merge_equals_whole(spark):
+    """Counter addition is the merge algebra: two half-corpus states
+    merged == the single-pass state, estimate-for-estimate."""
+    df = _freq_corpus(spark, CMS_FREQS)
+    half1 = _freq_corpus(spark, {k: v // 2 for k, v in CMS_FREQS.items() if v // 2})
+    half2_freqs = {k: v - v // 2 for k, v in CMS_FREQS.items()}
+    half2 = _freq_corpus(spark, {k: v for k, v in half2_freqs.items() if v})
+    items = ["hot", "warm", "cold5", "absent"]
+    whole = SK.cms_estimate(SK.cms_state(df, [], F.col("val")), [], items)
+    merged = SK.cms_estimate(
+        SK.cms_merge(
+            [SK.cms_state(half1, [], F.col("val")), SK.cms_state(half2, [], F.col("val"))],
+            [],
+        ),
+        [],
+        items,
+    )
+    as_map = lambda rows: {r["item"]: r["cms_freq"] for r in rows.collect()}
+    assert as_map(whole) == as_map(merged)
+
+
+def test_cms_state_is_bounded(spark):
+    """State never exceeds d·w counter rows no matter the cardinality."""
+    d, w = 3, 64
+    df = _freq_corpus(spark, {f"x{i}": 3 for i in range(2000)})
+    st = SK.cms_state(df, [], F.col("val"), d=d, w=w)
+    assert st.count() <= d * w
+
+
+def test_cms_sql_twin_matches_spark_nondefault_params_and_keys(spark):
+    """Bit-parity at non-default (d, w) AND through the grouped-keys
+    path (per-group states, probes crossed against the key set)."""
+    df = _corpus(spark, {"a": 120, "b": 900}, dup=3)
+    d, w = 5, 128
+    items = ["a:0", "b:7", "nope"]
+    st = SK.cms_state(df, ["grp"], F.col("val"), d=d, w=w)
+    got = {
+        (r["grp"], r["item"]): r["cms_freq"]
+        for r in SK.cms_estimate(st, ["grp"], items, d=d, w=w).collect()
+    }
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    sql = f"WITH {SK.cms_sql_ctes('src', ['grp'], 'val', items, d=d, w=w)} SELECT grp, item, cms_freq FROM cq_out"
+    duck = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    assert got == duck
+    # the duplicated corpus counts occurrences, not distinct values
+    assert got[("a", "a:0")] >= 3 and got[("b", "b:7")] >= 3
+    # an absent item can only be counted via collisions, never negative
+    assert got[("a", "nope")] >= 0
+
+
+def test_cms_invalid_params_rejected():
+    with pytest.raises(ValueError):
+        SK._cms_consts(0, 64)
+    with pytest.raises(ValueError):
+        SK._cms_consts(4, 1)
+
+
+# -- incremental CMS (additive counters + batch ledger) ------------------------
+
+
+def _freq_drops(spark):
+    whole = _freq_corpus(spark, CMS_FREQS)
+    return (
+        whole.filter(F.crc32("val") % 3 == 0),
+        whole.filter(F.crc32("val") % 3 == 1),
+        whole.filter(F.crc32("val") % 3 == 2),
+        whole,
+    )
+
+
+CMS_ITEMS = ["hot", "warm", "cold0", "absent"]
+
+
+def test_incremental_cms_equals_batch(spark, tmp_path):
+    from car_etl_spark.streaming.incremental_sketches import IncrementalFreqSketch
+
+    d1, d2, d3, whole = _freq_drops(spark)
+    sk = IncrementalFreqSketch(spark, str(tmp_path), [], "val")
+    assert sk.estimates(CMS_ITEMS) is None
+    for bid, d in enumerate((d1, d2, d3)):
+        assert sk.process_batch(d, bid) is True
+    inc = {r["item"]: r["cms_freq"] for r in sk.estimates(CMS_ITEMS).collect()}
+    batch = {
+        r["item"]: r["cms_freq"]
+        for r in SK.cms_estimate(
+            SK.cms_state(whole, [], F.col("val")), [], CMS_ITEMS
+        ).collect()
+    }
+    assert inc == batch
+
+
+def test_incremental_cms_replay_is_noop_via_ledger(spark, tmp_path):
+    """THE property the distinct sketches get for free and CMS cannot:
+    counter addition double-counts a replayed batch, so the ledger must
+    short-circuit it — counts unchanged, return False."""
+    from car_etl_spark.streaming.incremental_sketches import IncrementalFreqSketch
+
+    d1, d2, _d3, _w = _freq_drops(spark)
+    sk = IncrementalFreqSketch(spark, str(tmp_path), [], "val")
+    sk.process_batch(d1, 0)
+    sk.process_batch(d2, 1)
+    before = {r["item"]: r["cms_freq"] for r in sk.estimates(CMS_ITEMS).collect()}
+    assert sk.process_batch(d2, 1) is False  # replay
+    assert sk.process_batch(d1, 0) is False  # older replay
+    after = {r["item"]: r["cms_freq"] for r in sk.estimates(CMS_ITEMS).collect()}
+    assert before == after
+    # restart resumes from the sidecar (state AND ledger)
+    sk2 = IncrementalFreqSketch(spark, str(tmp_path), [], "val")
+    assert sk2.process_batch(d2, 1) is False
+    resumed = {r["item"]: r["cms_freq"] for r in sk2.estimates(CMS_ITEMS).collect()}
+    assert resumed == after
+
+
+def test_incremental_cms_refuses_param_drift(spark, tmp_path):
+    from car_etl_spark.streaming.incremental_sketches import (
+        IncrementalFreqSketch,
+        SketchStoreParamError,
+    )
+
+    d1, _d2, _d3, _w = _freq_drops(spark)
+    IncrementalFreqSketch(spark, str(tmp_path), [], "val", w=1024).process_batch(d1, 0)
+    with pytest.raises(SketchStoreParamError, match="rebuild the state"):
+        IncrementalFreqSketch(spark, str(tmp_path), [], "val", w=2048).estimates(CMS_ITEMS)
+
+
+def test_incremental_cms_stream_drain(spark, tmp_path):
+    """availableNow drain == batch CMS over the same landing files."""
+    from car_etl_spark.streaming.incremental_sketches import (
+        IncrementalFreqSketch,
+        run_freq_maintenance,
+    )
+
+    d1, d2, _d3, _w = _freq_drops(spark)
+    landing = str(tmp_path / "landing")
+    d1.write.mode("append").parquet(landing)
+    d2.write.mode("append").parquet(landing)
+    sk = IncrementalFreqSketch(spark, str(tmp_path / "state"), [], "val")
+    run_freq_maintenance(spark, landing, "val string", sk, str(tmp_path / "ckpt"))
+    drained = {r["item"]: r["cms_freq"] for r in sk.estimates(CMS_ITEMS).collect()}
+    both = d1.unionByName(d2)
+    batch = {
+        r["item"]: r["cms_freq"]
+        for r in SK.cms_estimate(
+            SK.cms_state(both, [], F.col("val")), [], CMS_ITEMS
+        ).collect()
+    }
+    assert drained == batch
