@@ -8,6 +8,7 @@ so switching is mechanical:
 |---|---|
 | ``POST /api/v1/search`` (mode=vector/keyword/hybrid, rerank) | :func:`search` |
 | ``POST /api/v1/search`` under tenant RLS context (keyword) | :func:`tenant_search` |
+| same, BM25 scoring with tenant-scoped ranking statistics | :func:`tenant_bm25_search` |
 | same, mode=vector (RLS ``match_document_chunks``) | :func:`tenant_vector_search` |
 | same, mode=hybrid (both legs tenant-partition-pruned) | :func:`tenant_hybrid_search` |
 | ``POST /api/v1/ask`` (RAG with citations) | :func:`ask` |
@@ -142,6 +143,29 @@ def tenant_search(
     limit = min(limit, SEARCH_RESULT_CAP)
     stems = sorted({stem_fn(t.lower()) for t in terms})
     return posting_store.term_search(spark, stems, tenant=tenant, limit=limit)
+
+
+def tenant_bm25_search(
+    spark,
+    posting_store,
+    terms: tuple[str, ...],
+    tenant: str,
+    limit: int = 20,
+) -> DataFrame:
+    """Tenant-scoped Okapi BM25 over a tenant-partitioned posting
+    store.  Beyond row isolation, the RANKING STATISTICS are
+    RLS-scoped: idf and avgdl come from the tenant's own (n_docs,
+    sum_dl) meta pair and df from the tenant-pruned rows, so scores
+    equal a store built from that tenant's corpus alone — another
+    tenant's corpus shape can never show through the numbers
+    (pinned in ``tests/test_tenancy.py``)."""
+    if posting_store.analyzer == "porter":
+        from car_etl_spark.functions.porter import porter_py as stem_fn
+    else:
+        from car_etl_spark.functions.text import stem_py as stem_fn
+    limit = min(limit, SEARCH_RESULT_CAP)
+    stems = sorted({stem_fn(t.lower()) for t in terms})
+    return posting_store.bm25_search(spark, stems, tenant=tenant, limit=limit)
 
 
 def tenant_vector_search(

@@ -471,10 +471,31 @@ class PostingStore:
         # aggregate the WRITTEN sidecar (doc-grain, tiny) rather than
         # re-running the doclens lineage over the posting layout
         written = dls.sparkSession.read.schema(dls.schema).parquet(target)
-        row = written.agg(
+        return self._stats_of(written)
+
+    def _stats_of(self, doclens: DataFrame) -> dict:
+        """Exact corpus stats from a doclens view: overall (n_docs,
+        sum_dl) plus, on tenant-partitioned stores, the same pair PER
+        TENANT — BM25 idf/avgdl for a tenant-scoped query must come
+        from the tenant's OWN corpus (global stats would leak other
+        tenants' corpus shape into the ranking, the statistics analog
+        of an RLS bypass).  Tenant grain is control-plane bounded, the
+        same budget as the IVF store's per-tenant certificate stats."""
+        row = doclens.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
         ).collect()[0]
-        return {"n_docs": int(row["n"] or 0), "sum_dl": float(row["s"] or 0.0)}
+        stats = {"n_docs": int(row["n"] or 0), "sum_dl": float(row["s"] or 0.0)}
+        if self.tenant_col:
+            per = doclens.groupBy(self.tenant_col).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+            ).collect()
+            stats["tenants"] = {
+                str(r[self.tenant_col]): {
+                    "n_docs": int(r["n"]), "sum_dl": float(r["s"])
+                }
+                for r in per
+            }
+        return stats
 
     def build(self, docs: DataFrame) -> None:
         """Full (re)build of the base layout from the corpus."""
@@ -619,29 +640,36 @@ class PostingStore:
     def _refresh_stats(self, spark: SparkSession) -> None:
         """Recompute exact (n_docs, sum_dl) from the live doclens view
         and publish atomically (os.replace on meta)."""
-        row = self.read_doclens(spark).agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).collect()[0]
         meta = self._meta()
-        meta["stats"] = {
-            "n_docs": int(row["n"] or 0),
-            "sum_dl": float(row["s"] or 0.0),
-        }
+        meta["stats"] = self._stats_of(self.read_doclens(spark))
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self.meta_path)
 
-    def stats(self) -> dict:
+    def stats(self, tenant=None) -> dict:
         """The exact BM25 corpus stats stamped by build/apply/compact:
-        ``{"n_docs": int, "sum_dl": float}``."""
+        ``{"n_docs": int, "sum_dl": float}`` — the given tenant's own
+        pair on tenant-partitioned stores (ranking statistics are
+        RLS-scoped like the data: a tenant's idf/avgdl never reflect
+        another tenant's corpus)."""
         st = (self._meta() or {}).get("stats")
         if not st or not st.get("n_docs"):
             raise ValueError(
                 f"posting store at {self.path} has no corpus stats — "
                 "pre-v4 store or empty corpus; rebuild it"
             )
-        return st
+        if tenant is None:
+            return st
+        if not self.tenant_col:
+            raise ValueError("store was not built with a tenant_col")
+        ts = (st.get("tenants") or {}).get(str(tenant))
+        if not ts:
+            raise ValueError(
+                f"no corpus stats for tenant {tenant!r} at {self.path} — "
+                "unknown tenant or fully-deleted corpus"
+            )
+        return ts
 
     # -- read ------------------------------------------------------------
 
@@ -769,7 +797,11 @@ class PostingStore:
         idx = self.read(spark, buckets=buckets, tenant=tenant).filter(
             F.col("term").isin(terms)
         )
-        st = self.stats()
+        # tenant-scoped ranking uses the tenant's OWN corpus stats (and
+        # df comes from the tenant-pruned rows), so scores are identical
+        # to a store built from that tenant's corpus alone — isolation
+        # extends to the ranking statistics, not just the row set
+        st = self.stats(tenant=tenant)
         n_docs = float(st["n_docs"])
         # identical to the oracle's SUM(dl)/COUNT(*): both divisions see
         # the same exact-integer operands, so the double is bit-equal

@@ -484,3 +484,63 @@ def test_api_tenant_hybrid_route(spark, tmp_path):
     )
     assert all(r.kw_rank is None for r in leak.collect())  # leg miss = NULL rank,
     # the same absent-leg encoding api.search uses (one shared _rrf_fuse)
+
+
+# -- BM25: ranking statistics are RLS-scoped too -------------------------------
+
+
+def test_bm25_tenant_stats_equal_single_tenant_store(spark, tmp_path, tenant_store):
+    """THE statistics-isolation property: tenant-scoped BM25 over the
+    shared store == BM25 over a store built from that tenant's corpus
+    ALONE.  Global stats here would differ (N and avgdl include the
+    other tenant), so equality proves idf/avgdl never see the other
+    tenant's corpus shape — the ranking analog of the RLS row guarantee."""
+    from car_etl_spark.api import tenant_bm25_search
+
+    docs = _two_tenant_docs(spark)
+    solo = IX.PostingStore(str(tmp_path / "solo"))
+    solo.build(
+        docs.filter(F.col("tenant_id") == "acme").select("doc_id", "lang", "text")
+    )
+    terms = ("shared", "doc2")
+    got = sorted(
+        tuple(r)
+        for r in tenant_bm25_search(
+            spark, tenant_store, terms, tenant="acme", limit=100
+        ).collect()
+    )
+    stems = sorted({stem_py(t) for t in terms})
+    want = sorted(tuple(r) for r in solo.bm25_search(spark, stems, limit=100).collect())
+    assert got == want
+    # the per-tenant stats pair itself matches the solo store's
+    assert tenant_store.stats(tenant="acme") == solo.stats()
+
+
+def test_bm25_tenant_stats_exact_under_maintenance(spark, tenant_store):
+    """An upsert for one tenant must not move the OTHER tenant's BM25
+    scores (its n_docs/sum_dl/df are untouched), while the upserted
+    tenant's stats restamp exactly."""
+    stems = [stem_py("shared")]
+    before_g = sorted(
+        tuple(r)
+        for r in tenant_store.bm25_search(spark, stems, tenant="globex", limit=100).collect()
+    )
+    before_acme_stats = tenant_store.stats(tenant="acme")
+    up = spark.createDataFrame(
+        [(0, "en", "acme", "shared shared much longer rewritten doc with extra tokens")],
+        "doc_id long, lang string, tenant_id string, text string",
+    )
+    assert tenant_store.apply_batch(spark, up, None, batch=1)
+    after_g = sorted(
+        tuple(r)
+        for r in tenant_store.bm25_search(spark, stems, tenant="globex", limit=100).collect()
+    )
+    assert after_g == before_g
+    after_acme_stats = tenant_store.stats(tenant="acme")
+    assert after_acme_stats["n_docs"] == before_acme_stats["n_docs"]  # upsert, not insert
+    assert after_acme_stats["sum_dl"] != before_acme_stats["sum_dl"]  # longer doc
+
+
+def test_bm25_unknown_tenant_refused(spark, tenant_store):
+    with pytest.raises(ValueError, match="no corpus stats for tenant"):
+        tenant_store.bm25_search(spark, [stem_py("shared")], tenant="initech")
