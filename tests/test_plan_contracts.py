@@ -66,12 +66,13 @@ CONTRACTS = [
      ["TakeOrderedAndProject", "PartitionFilters: [term_bucket"], ["SortMergeJoin"]),
     ("fts_plainto_search", 2,
      ["TakeOrderedAndProject", "PartitionFilters: [term_bucket"], ["SortMergeJoin"]),
-    # BM25: same bucket-pruned store read; df-counts branch re-aggregates
-    # the pruned rows and broadcasts back (never sort-merge); dl rides on
-    # the rows so length normalization adds no join
-    ("fts_bm25_search", 5,
-     ["TakeOrderedAndProject", "PartitionFilters: [term_bucket",
-      "BroadcastHashJoin"], ["SortMergeJoin"]),
+    # BM25: one bucket-pruned store pass — (doc,term) agg, df via a
+    # whole-partition window on the same grain (no second aggregation
+    # branch, no join), final doc agg; dl rides on the rows so length
+    # normalization adds nothing
+    ("fts_bm25_search", 3,
+     ["TakeOrderedAndProject", "PartitionFilters: [term_bucket", "Window"],
+     ["SortMergeJoin", "BroadcastHashJoin"]),
     # both hybrid legs index-resident: bucket-pruned postings + IVF
     # partition pruning.  (The full-outer fusion join itself may
     # sort-merge — full outer cannot broadcast — but only over the two
