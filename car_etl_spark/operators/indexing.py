@@ -469,7 +469,10 @@ class PostingStore:
         target = os.path.join(tmp, "_doclens")
         dls.write.mode("overwrite").parquet(target)
         # aggregate the WRITTEN sidecar (doc-grain, tiny) rather than
-        # re-running the doclens lineage over the posting layout
+        # re-running the doclens lineage over the posting layout.
+        # (Spark logs "All paths were ignored" for an explicitly-given
+        # underscore root, then reads it anyway — benign; correctness of
+        # this readback is pinned by the stats-exactness tests.)
         written = dls.sparkSession.read.schema(dls.schema).parquet(target)
         return self._stats_of(written)
 

@@ -115,7 +115,8 @@ def main() -> None:
         nb = IX.derive_num_buckets(est)
         store = IX.PostingStore(os.path.join(ROOT, f"store-{n}"), num_buckets=nb)
         build_s = None
-        if not store._has_parquet(store.base_dir):
+        # rebuild pre-v4 cached stores (no dl norms / corpus stats)
+        if not store._has_parquet(store.base_dir) or not (store._meta() or {}).get("stats"):
             t0 = time.perf_counter()
             store.build(spark.read.parquet(src))
             build_s = round(time.perf_counter() - t0, 2)
@@ -123,7 +124,11 @@ def main() -> None:
         def q():
             store.term_search(spark, PROBE_TERMS).collect()
 
+        def qb():
+            store.bm25_search(spark, PROBE_TERMS).collect()
+
         q()
+        qb()
         matched = (
             store.read(spark, buckets=sorted({store.bucket_of(t) for t in PROBE_TERMS}))
             .filter(F.col("term").isin(PROBE_TERMS))
@@ -136,6 +141,7 @@ def main() -> None:
             "matched_postings": matched,
             "store_mb": round(IX._tree_bytes(store.base_dir) / 1e6, 1),
             "query_warm_sec": timed(q),
+            "bm25_warm_sec": timed(qb),
         }
         if build_s is not None:
             row["build_sec"] = build_s
@@ -144,7 +150,16 @@ def main() -> None:
 
     for n in VEC_SIZES:
         k = IX.derive_num_centroids(n)
-        store = IX.IvfStore(os.path.join(ROOT, f"ivf-{n}"))
+        ivf_path = os.path.join(ROOT, f"ivf-{n}")
+        # self-heal stale cached layouts from older store versions (the
+        # constructor refuses a layout without meta rather than guess)
+        if os.path.isdir(ivf_path) and not os.path.exists(
+            os.path.join(ivf_path, "assignments", "_meta.json")
+        ):
+            import shutil
+
+            shutil.rmtree(ivf_path)
+        store = IX.IvfStore(ivf_path)
         build_s = None
         if not os.path.exists(store.meta_path):
             t0 = time.perf_counter()
