@@ -37,8 +37,9 @@ added fts_porter_search and hybrid_porter_ivf_search (+~0.4 s warm) —
 compare totals per-query, or subtract the added rows when comparing
 r04 totals against r03.  r06 added hybrid_rerank_page (the baseline's
 450 ms hybrid+rerank row, previously unbenched), pii_entity_counts,
-media_features_report, rag_context_modes, and training_mix_suite —
-subtract those five when comparing r06 totals against r05.
+media_features_report, rag_context_modes, training_mix_suite, and
+fts_bm25_search — subtract those six when comparing r06 totals
+against r05.
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's
