@@ -37,9 +37,9 @@ added fts_porter_search and hybrid_porter_ivf_search (+~0.4 s warm) —
 compare totals per-query, or subtract the added rows when comparing
 r04 totals against r03.  r06 added hybrid_rerank_page (the baseline's
 450 ms hybrid+rerank row, previously unbenched), pii_entity_counts,
-media_features_report, rag_context_modes, training_mix_suite, and
-fts_bm25_search — subtract those six when comparing r06 totals
-against r05.
+media_features_report, rag_context_modes, training_mix_suite,
+fts_bm25_search, and fts_phrase_search — subtract those seven when
+comparing r06 totals against r05.
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's
@@ -86,9 +86,10 @@ HEADLINE = (
     # FTS posting-list search (suffix analyzer + full-Porter analyzer)
     "fts_posting_search",
     "fts_porter_search",
-    # Okapi BM25 over the same porter store (r6; subtract alongside the
-    # other r6 additions when comparing totals to r05)
+    # Okapi BM25 + positional phrase search over the same porter store
+    # (r6; subtract alongside the other r6 additions vs r05 totals)
     "fts_bm25_search",
+    "fts_phrase_search",
     # EAV pivot + versioning pipeline
     "eav_pivot_effective_rent",
     "versioned_extractions",

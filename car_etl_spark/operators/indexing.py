@@ -68,7 +68,11 @@ from car_etl_spark.functions import vectors as V
 #     norm, denormalized Lucene-style so a pruned read serves scores
 #     with zero extra join) + a doc-grain ``_doclens`` sidecar inside
 #     base/ and exact corpus stats (n_docs, sum_dl) in meta
-POSTING_VERSION = 4
+# v5: posting rows carry token ``positions`` (sorted int array per
+#     (doc, term, weight) — Lucene's DOCS_AND_FREQS_AND_POSITIONS
+#     default), enabling phrase/proximity queries; column-pruned away
+#     by every non-positional query, so only phrase reads pay for it
+POSTING_VERSION = 5
 ANALYZER_VERSION = 2
 # v2: meta carries per-cluster radii/counts for exact probing
 # v3: batch-tagged assignments + LSM delta/tombstone maintenance
@@ -240,7 +244,10 @@ def build_posting_rows(
         )
     )
     rolled = posted.groupBy("doc_id", "lang", *extra, "raw_term", "weight").agg(
-        F.count(F.lit(1)).alias("tf")
+        F.count(F.lit(1)).alias("tf"),
+        # token positions (sorted for determinism — collect_list order
+        # is not): phrase adjacency = position arithmetic at query time
+        F.sort_array(F.collect_list("pos")).alias("positions"),
     )
     if analyzer == "porter":
         from car_etl_spark.functions.porter import with_porter
@@ -769,6 +776,66 @@ class PostingStore:
             .agg(
                 F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
                 F.countDistinct("term").alias("terms_matched"),
+            )
+            .orderBy(F.desc("rank_score"), F.asc("doc_id"))
+            .limit(limit)
+        )
+
+    def phrase_search(
+        self,
+        spark: SparkSession,
+        stemmed_terms: list[str],
+        tenant=None,
+        limit: int = 20,
+    ) -> DataFrame:
+        """Exact phrase matching over the positional posting rows — the
+        ``phraseto_tsquery`` / Lucene PhraseQuery capability: a doc
+        matches where the stemmed terms occur at CONSECUTIVE token
+        positions, ranked by occurrence count.
+
+        Serving shape: ONE bucket-pruned pass, one aggregation — each
+        phrase term's positions pivot into a per-doc array column via
+        conditional collect (flattened across the header/body weight
+        split, so a phrase crossing the boundary still matches), and
+        adjacency is pure array arithmetic (count of p in positions[0]
+        with p+i in positions[i] for every later term).  Cost ∝ matched
+        postings, like every other serving path; the positions column
+        is column-pruned away from all non-phrase queries."""
+        if len(stemmed_terms) < 2:
+            raise ValueError("a phrase needs at least 2 terms")
+        uniq = sorted(set(stemmed_terms))
+        buckets = sorted({self.bucket_of(t) for t in uniq})
+        idx = self.read(spark, buckets=buckets, tenant=tenant).filter(
+            F.col("term").isin(uniq)
+        )
+        per = idx.groupBy("doc_id").agg(
+            *[
+                F.sort_array(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(F.col("term") == t, F.col("positions"))
+                        )
+                    )
+                ).alias(f"__p{i}")
+                for i, t in enumerate(stemmed_terms)
+            ]
+        )
+
+        def _adjacent(p):
+            cond = None
+            for i in range(1, len(stemmed_terms)):
+                ci = F.array_contains(F.col(f"__p{i}"), p + i)
+                cond = ci if cond is None else (cond & ci)
+            return cond
+
+        scored = per.withColumn(
+            "phrase_count", F.size(F.filter(F.col("__p0"), _adjacent))
+        ).filter(F.col("phrase_count") > 0)
+        return (
+            scored.select(
+                "doc_id",
+                F.col("phrase_count").cast("double").alias("rank_score"),
+                F.lit(len(stemmed_terms)).cast("long").alias("terms_matched"),
             )
             .orderBy(F.desc("rank_score"), F.asc("doc_id"))
             .limit(limit)

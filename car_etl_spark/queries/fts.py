@@ -189,6 +189,30 @@ def fts_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared(spark, "fts_bm25_search", sf_dir, ("documents.parquet",), build)
 
 
+#: the phrase benchmark query — present at every SF (~30 docs match)
+FTS_PHRASE = ("table", "scan")
+
+
+def fts_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (``phraseto_tsquery`` / Lucene PhraseQuery)
+    over the positional porter posting store: docs where the stemmed
+    phrase terms occur at consecutive token positions, ranked by
+    occurrence count.  One bucket-pruned pass; adjacency is array
+    arithmetic on the per-(doc, term) position lists (flattened across
+    the header/body weight split, so boundary-crossing phrases match).
+    The oracle twin re-derives stemmed token positions from raw text
+    and replays the same arithmetic in DuckDB list functions."""
+    from car_etl_spark.functions.porter import porter_py
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir, analyzer="porter")
+        terms = [porter_py(t) for t in FTS_PHRASE]
+        return store.phrase_search(spark, terms, limit=20)
+
+    return prepared(spark, "fts_phrase_search", sf_dir, ("documents.parquet",), build)
+
+
 def fts_posting_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F21 BUILD-PATH TWIN: the same weighted-tf relevance derived from
     the raw corpus per call — the shape used before the posting table
@@ -503,6 +527,68 @@ LIMIT 20
 
 
 FTS_BM25_SEARCH_SQL = _bm25_search_sql()
+
+
+def _phrase_search_sql() -> str:
+    """The phrase oracle: stemmed token positions re-derived from raw
+    text (same rollup-before-stem shape as the porter oracle, keeping
+    positions as lists), then the identical adjacency arithmetic in
+    DuckDB list functions."""
+    from car_etl_spark.functions.porter import (
+        porter_py,
+        porter_sql_guard,
+        porter_sql_stages,
+    )
+
+    terms = [porter_py(t) for t in FTS_PHRASE]
+    stages = porter_sql_stages("raw_term")
+    chain = "SELECT * FROM rolled"
+    for name, expr in stages:
+        chain = f"SELECT *, {expr} AS {name} FROM ({chain})"
+    guard = porter_sql_guard("raw_term", stages[-1][0])
+    arm_ctes = ", ".join(
+        f"""p{i} AS MATERIALIZED (
+  SELECT doc_id, flatten(list(positions)) AS pos
+  FROM stemmed WHERE term = '{t}' GROUP BY doc_id
+)"""
+        for i, t in enumerate(terms)
+    )
+    joins = " ".join(
+        f"JOIN p{i} ON p0.doc_id = p{i}.doc_id" for i in range(1, len(terms))
+    )
+    adj = " AND ".join(
+        f"list_contains(p{i}.pos, p + {i})" for i in range(1, len(terms))
+    )
+    return f"""
+WITH rolled AS MATERIALIZED (
+  SELECT doc_id, raw_term, list(pos) AS positions
+  FROM (
+    SELECT doc_id,
+           unnest(toks) AS raw_term,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+      FROM documents
+    )
+  )
+  GROUP BY doc_id, raw_term
+), stemmed AS MATERIALIZED (
+  SELECT doc_id, positions, {guard} AS term FROM ({chain})
+), {arm_ctes}, counted AS (
+  SELECT p0.doc_id,
+         len(list_filter(p0.pos, p -> {adj})) AS phrase_count
+  FROM p0 {joins}
+)
+SELECT doc_id, CAST(phrase_count AS DOUBLE) AS rank_score,
+       CAST({len(terms)} AS BIGINT) AS terms_matched
+FROM counted WHERE phrase_count > 0
+ORDER BY rank_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+FTS_PHRASE_SEARCH_SQL = _phrase_search_sql()
 
 
 def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,6 +45,7 @@ def fts_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from car_etl_spark.queries.fts import (
         fts_batch_search,
         fts_bm25_search,
+        fts_phrase_search,
         fts_plainto_search,
         fts_porter_search,
         fts_posting_scan,
@@ -57,6 +58,7 @@ def fts_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("porter", fts_porter_search),
         ("plainto", fts_plainto_search),
         ("bm25", fts_bm25_search),
+        ("phrase", fts_phrase_search),
     ]
     parts = [
         fn(spark, sf_dir).select(
@@ -78,6 +80,7 @@ def _fts_suite_sql() -> str:
     from car_etl_spark.queries.fts import (
         FTS_BATCH_SEARCH_SQL,
         FTS_BM25_SEARCH_SQL,
+        FTS_PHRASE_SEARCH_SQL,
         FTS_PLAINTO_SEARCH_SQL,
         FTS_PORTER_SEARCH_SQL,
         FTS_POSTING_SEARCH_SQL,
@@ -89,6 +92,7 @@ def _fts_suite_sql() -> str:
         ("porter", FTS_PORTER_SEARCH_SQL),
         ("plainto", FTS_PLAINTO_SEARCH_SQL),
         ("bm25", FTS_BM25_SEARCH_SQL),
+        ("phrase", FTS_PHRASE_SEARCH_SQL),
     ]
     parts = [
         f"SELECT '{tag}' AS query_id, doc_id, rank_score, terms_matched FROM ({sql})"
@@ -762,6 +766,7 @@ def fine_grained_queries() -> dict:
         "fts_plainto_search": fts.fts_plainto_search,
         "fts_batch_search": fts.fts_batch_search,
         "fts_bm25_search": fts.fts_bm25_search,
+        "fts_phrase_search": fts.fts_phrase_search,
         "vector_topk": vector.vector_topk,
         "vector_ivf_topk": vector.vector_ivf_topk,
         "vector_topk_adaptive": vector.vector_topk_adaptive,

@@ -548,3 +548,75 @@ def test_bm25_rare_term_outranks_common(spark, tmp_path):
         ).collect()
     }
     assert got[1] > got[2] == got[3] == got[4]
+
+
+# -- 5. phrase search (positional postings) ------------------------------------
+
+
+def test_phrase_search_counts_and_boundary_crossing(spark, tmp_path):
+    """Planted phrases: occurrence counts are exact, a phrase whose only
+    occurrence CROSSES the header/body weight boundary (positions 4-5)
+    still matches (positions flatten across the weight split), and
+    near-misses (reversed order, gap) do not match."""
+    docs = [
+        # two occurrences of "red fox" (positions 5-6 and 8-9, body)
+        (1, "en", "pad pad pad pad pad red fox then red fox"),
+        # boundary crossing: "red" at pos 4 (header), "fox" at pos 5 (body)
+        (2, "en", "pad pad pad pad red fox pad pad"),
+        # reversed order — no match
+        (3, "en", "pad pad pad pad pad fox red pad"),
+        # gap — no match
+        (4, "en", "pad pad pad pad pad red pad fox"),
+        # header-only occurrence (positions 0-1)
+        (5, "en", "red fox pad pad pad pad pad pad"),
+    ]
+    store = IX.PostingStore(str(tmp_path / "ph"), analyzer="porter")
+    store.build(_docs_df(spark, docs))
+    from car_etl_spark.functions.porter import porter_py
+
+    terms = [porter_py("red"), porter_py("fox")]
+    got = {r.doc_id: r.rank_score for r in store.phrase_search(spark, terms).collect()}
+    assert got == {1: 2.0, 2: 1.0, 5: 1.0}
+
+
+def test_phrase_search_repeated_term(spark, tmp_path):
+    """A phrase with a repeated term ('batch batch') matches only true
+    consecutive repeats, counted once per starting position."""
+    docs = [
+        (1, "en", "pad pad pad pad pad batch batch batch pad"),  # 2 starts
+        (2, "en", "pad pad pad pad pad batch pad batch pad"),    # none
+    ]
+    store = IX.PostingStore(str(tmp_path / "ph2"), analyzer="porter")
+    store.build(_docs_df(spark, docs))
+    from car_etl_spark.functions.porter import porter_py
+
+    t = porter_py("batch")
+    got = {r.doc_id: r.rank_score for r in store.phrase_search(spark, [t, t]).collect()}
+    assert got == {1: 2.0}
+
+
+def test_phrase_search_survives_maintenance(spark, tmp_path):
+    """Positions ride the LSM path: delta rows carry their own arrays,
+    tombstones drop stale ones — phrase results equal a fresh rebuild."""
+    from car_etl_spark.functions.porter import porter_py
+
+    inc = IX.PostingStore(str(tmp_path / "ph3"), analyzer="porter")
+    inc.build(_docs_df(spark, DOCS_V0))
+    inc.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    inc.apply_batch(spark, _docs_df(spark, DOCS_B2), [3], batch=2)
+    rebuilt = IX.PostingStore(str(tmp_path / "ph3-rb"), analyzer="porter")
+    rebuilt.build(_docs_df(spark, FINAL_DOCS))
+    terms = [porter_py("alpha"), porter_py("beta")]
+    assert _rows(inc.phrase_search(spark, terms)) == _rows(
+        rebuilt.phrase_search(spark, terms)
+    )
+    inc.compact(spark)
+    assert _rows(inc.phrase_search(spark, terms)) == _rows(
+        rebuilt.phrase_search(spark, terms)
+    )
+
+
+def test_phrase_needs_two_terms(spark, tmp_path):
+    store = IX.PostingStore(str(tmp_path / "ph4"))
+    with pytest.raises(ValueError, match="at least 2 terms"):
+        store.phrase_search(spark, ["solo"])

@@ -73,6 +73,11 @@ CONTRACTS = [
     ("fts_bm25_search", 3,
      ["TakeOrderedAndProject", "PartitionFilters: [term_bucket", "Window"],
      ["SortMergeJoin", "BroadcastHashJoin"]),
+    # phrase: one pruned pass, one agg exchange — per-term position
+    # arrays pivot via conditional collect, adjacency is array math
+    ("fts_phrase_search", 1,
+     ["TakeOrderedAndProject", "PartitionFilters: [term_bucket"],
+     ["SortMergeJoin", "BroadcastHashJoin"]),
     # both hybrid legs index-resident: bucket-pruned postings + IVF
     # partition pruning.  (The full-outer fusion join itself may
     # sort-merge — full outer cannot broadcast — but only over the two
