@@ -9,6 +9,7 @@ so switching is mechanical:
 | ``POST /api/v1/search`` (mode=vector/keyword/hybrid, rerank) | :func:`search` |
 | ``POST /api/v1/search`` under tenant RLS context (keyword) | :func:`tenant_search` |
 | same, BM25 scoring with tenant-scoped ranking statistics | :func:`tenant_bm25_search` |
+| same, positional phrase matching under tenant RLS | :func:`tenant_phrase_search` |
 | same, mode=vector (RLS ``match_document_chunks``) | :func:`tenant_vector_search` |
 | same, mode=hybrid (both legs tenant-partition-pruned) | :func:`tenant_hybrid_search` |
 | ``POST /api/v1/ask`` (RAG with citations) | :func:`ask` |
@@ -166,6 +167,27 @@ def tenant_bm25_search(
     limit = min(limit, SEARCH_RESULT_CAP)
     stems = sorted({stem_fn(t.lower()) for t in terms})
     return posting_store.bm25_search(spark, stems, tenant=tenant, limit=limit)
+
+
+def tenant_phrase_search(
+    spark,
+    posting_store,
+    phrase: tuple[str, ...],
+    tenant: str,
+    limit: int = 20,
+) -> DataFrame:
+    """Tenant-scoped positional phrase search — the phrase leg of the
+    RLS-scoped search surface: the positional read prunes to the
+    tenant's (tenant, term_bucket) directories like every other
+    tenant route, so phrase matching can never touch another tenant's
+    positions."""
+    if posting_store.analyzer == "porter":
+        from car_etl_spark.functions.porter import porter_py as stem_fn
+    else:
+        from car_etl_spark.functions.text import stem_py as stem_fn
+    limit = min(limit, SEARCH_RESULT_CAP)
+    stems = [stem_fn(t.lower()) for t in phrase]  # ordered, not deduped
+    return posting_store.phrase_search(spark, stems, tenant=tenant, limit=limit)
 
 
 def tenant_vector_search(

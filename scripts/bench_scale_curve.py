@@ -115,8 +115,11 @@ def main() -> None:
         nb = IX.derive_num_buckets(est)
         store = IX.PostingStore(os.path.join(ROOT, f"store-{n}"), num_buckets=nb)
         build_s = None
-        # rebuild pre-v4 cached stores (no dl norms / corpus stats)
-        if not store._has_parquet(store.base_dir) or not (store._meta() or {}).get("stats"):
+        # rebuild cached stores from older layout versions
+        if (
+            not store._has_parquet(store.base_dir)
+            or (store._meta() or {}).get("version") != IX.POSTING_VERSION
+        ):
             t0 = time.perf_counter()
             store.build(spark.read.parquet(src))
             build_s = round(time.perf_counter() - t0, 2)
@@ -127,8 +130,12 @@ def main() -> None:
         def qb():
             store.bm25_search(spark, PROBE_TERMS).collect()
 
+        def qp():
+            store.phrase_search(spark, PROBE_TERMS[:2]).collect()
+
         q()
         qb()
+        qp()
         matched = (
             store.read(spark, buckets=sorted({store.bucket_of(t) for t in PROBE_TERMS}))
             .filter(F.col("term").isin(PROBE_TERMS))
@@ -142,6 +149,7 @@ def main() -> None:
             "store_mb": round(IX._tree_bytes(store.base_dir) / 1e6, 1),
             "query_warm_sec": timed(q),
             "bm25_warm_sec": timed(qb),
+            "phrase_warm_sec": timed(qp),
         }
         if build_s is not None:
             row["build_sec"] = build_s

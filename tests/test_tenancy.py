@@ -544,3 +544,26 @@ def test_bm25_tenant_stats_exact_under_maintenance(spark, tenant_store):
 def test_bm25_unknown_tenant_refused(spark, tenant_store):
     with pytest.raises(ValueError, match="no corpus stats for tenant"):
         tenant_store.bm25_search(spark, [stem_py("shared")], tenant="initech")
+
+
+def test_phrase_tenant_isolation(spark, tenant_store):
+    """Tenant-scoped phrase search matches only the tenant's docs, and
+    a phrase whose words only co-occur in the OTHER tenant's docs never
+    matches (positions are tenant-partition-pruned like everything)."""
+    from car_etl_spark.api import tenant_phrase_search
+
+    got = tenant_phrase_search(
+        spark, tenant_store, ("spark", "windows"), tenant="acme", limit=100
+    )
+    ids = {r.doc_id for r in got.collect()}
+    assert ids and ids == {i for i in range(40) if i % 2 == 0}
+    # each tenant's docs embed their own secret AFTER 'term'; the other
+    # tenant's phrase ('term globexsecret') must not match under acme
+    leak = tenant_phrase_search(
+        spark, tenant_store, ("term", "globexsecret"), tenant="acme", limit=100
+    )
+    assert leak.count() == 0
+    own = tenant_phrase_search(
+        spark, tenant_store, ("term", "acmesecret"), tenant="acme", limit=100
+    )
+    assert own.count() == 20
