@@ -91,8 +91,9 @@ DEFAULT_NUM_BUCKETS = 16
 #: property, exactly like a GIN page tree under one index relation.
 MIN_BUCKETS = 16
 MAX_BUCKETS = 4096
-#: target live posting rows per bucket (~30 B/row -> ~120 MB partitions,
-#: a comfortable single-task scan unit)
+#: target live posting rows per bucket (~45 B/row with the v5
+#: positions array -> ~180 MB partitions, still a comfortable
+#: single-task scan unit; non-positional queries column-prune to ~30 B)
 TARGET_POSTINGS_PER_BUCKET = 4_000_000
 #: crude tokens-per-text-byte estimate (avg english token ~5 chars + 1
 #: separator) — only feeds a power-of-2 clamp, so 2x error moves the
