@@ -142,13 +142,14 @@ def _fake_decode(content: bytes) -> tuple[int, int, int]:
     return width, height, mean_luma
 
 
-def _decode_bmp(content: bytes) -> tuple[int, int, int]:
-    """REAL decode kernel for uncompressed 24-bit BMP (the one raster
+def _bmp_raster(content: bytes) -> tuple[int, int, bytes]:
+    """REAL pixel decode for uncompressed 24-bit BMP (the one raster
     format whose spec is simple enough for a dependency-free decoder):
     BITMAPFILEHEADER (14 B, pixel offset at 10) + BITMAPINFOHEADER
     (width/height int32 at 18/22, bpp uint16 at 28, compression uint32
     at 30 == BI_RGB), rows padded to 4 bytes, bottom-up when height>0.
-    Returns (width, height, mean BT.601 luma).  Raises ValueError on
+    Returns (width, height, RGB triplets in TOP-DOWN row order — the
+    bottom-up storage is flipped, BGR reordered).  Raises ValueError on
     anything it cannot faithfully decode — the strict-mode contract is
     'real result or explicit failure', never a silent fake."""
     import struct
@@ -168,15 +169,27 @@ def _decode_bmp(content: bytes) -> tuple[int, int, int]:
     need = pixel_off + row_stride * abs_h
     if len(content) < need:
         raise ValueError("truncated BMP pixel data")
-    total = 0
+    out = bytearray(width * abs_h * 3)
     for r in range(abs_h):
-        base = pixel_off + r * row_stride
+        stored = abs_h - 1 - r if height > 0 else r
+        base = pixel_off + stored * row_stride
         row = content[base : base + width * 3]
-        # BGR byte order; BT.601 integer luma
-        for i in range(0, width * 3, 3):
-            b, g, rr = row[i], row[i + 1], row[i + 2]
-            total += (299 * rr + 587 * g + 114 * b) // 1000
-    return width, abs_h, total // (width * abs_h)
+        o = r * width * 3
+        for i in range(0, width * 3, 3):  # BGR -> RGB
+            out[o + i] = row[i + 2]
+            out[o + i + 1] = row[i + 1]
+            out[o + i + 2] = row[i]
+    return width, abs_h, bytes(out)
+
+
+def _decode_bmp(content: bytes) -> tuple[int, int, int]:
+    """(width, height, mean BT.601 integer luma) over the real BMP
+    raster (:func:`_bmp_raster`)."""
+    width, height, rgb = _bmp_raster(content)
+    total = 0
+    for i in range(0, len(rgb), 3):
+        total += (299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]) // 1000
+    return width, height, total // (width * height)
 
 
 def _decode_png(content: bytes) -> tuple[int, int, int]:
@@ -203,6 +216,25 @@ def _decode_png(content: bytes) -> tuple[int, int, int]:
 
 
 def _decode_png_body(content: bytes) -> tuple[int, int, int]:
+    width, height, channels, raster = _png_raster(content)
+    stride = width * channels
+    total = 0
+    for r in range(height):
+        line = raster[r * stride : (r + 1) * stride]
+        for x in range(0, stride, channels):
+            if channels >= 3:
+                rr, g, b = line[x], line[x + 1], line[x + 2]
+                total += (299 * rr + 587 * g + 114 * b) // 1000
+            else:
+                total += line[x]  # gray (alpha ignored for luma)
+    return width, height, total // (width * height)
+
+
+def _png_raster(content: bytes) -> tuple[int, int, int, bytes]:
+    """The unfiltered PNG raster: (width, height, channels, top-down
+    scanline bytes) — chunk walk + zlib inflate + the five RFC 2083
+    filter reconstructions.  Shared by the luma kernel and the resize
+    path."""
     import struct
     import zlib
 
@@ -236,7 +268,7 @@ def _decode_png_body(content: bytes) -> tuple[int, int, int]:
     if len(raw) < (stride + 1) * height:
         raise ValueError("truncated PNG pixel data")
     prev = bytearray(stride)
-    total = 0
+    raster = bytearray(stride * height)
     for r in range(height):
         base = r * (stride + 1)
         ftype = raw[base]
@@ -262,14 +294,9 @@ def _decode_png_body(content: bytes) -> tuple[int, int, int]:
                 line[i] = (line[i] + pred) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter type {ftype}")
-        for x in range(0, stride, channels):
-            if channels >= 3:
-                rr, g, b = line[x], line[x + 1], line[x + 2]
-                total += (299 * rr + 587 * g + 114 * b) // 1000
-            else:
-                total += line[x]  # gray (alpha ignored for luma)
+        raster[r * stride : (r + 1) * stride] = line
         prev = line
-    return width, height, total // (width * height)
+    return width, height, channels, bytes(raster)
 
 
 def _decode_wav(content: bytes) -> tuple[int, int, int, int]:
@@ -488,6 +515,132 @@ def extract_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Resize — the fourth multimodal primitive (decode / feature-extract /
+# RESIZE / frame-sample).  Real nearest-neighbor resampling over the
+# real BMP/PNG rasters; output re-encoded as uncompressed 24-bit BMP
+# (the dependency-free interchange container — a production deployment
+# would swap the encoder for libvips/PIL without touching the dataflow
+# or the sampling arithmetic).
+
+
+def image_raster_rgb(content: bytes) -> tuple[int, int, bytes]:
+    """(width, height, top-down RGB triplets) for any format with a
+    real pixel decoder (24-bit BMP; 8-bit non-interlaced PNG — gray
+    replicated to RGB, alpha dropped).  ValueError otherwise ('real
+    result or explicit failure', same contract as the luma kernels)."""
+    import struct
+    import zlib
+
+    raw = bytes(content or b"")
+    if raw[:2] == b"BM":
+        return _bmp_raster(raw)
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            width, height, channels, raster = _png_raster(raw)
+        except (struct.error, zlib.error) as e:
+            raise ValueError(f"corrupt PNG stream: {e}") from e
+        if channels == 3:
+            return width, height, raster
+        rgb = bytearray(width * height * 3)
+        stride = width * channels
+        for r in range(height):
+            for x in range(width):
+                px = raster[r * stride + x * channels : r * stride + (x + 1) * channels]
+                o = (r * width + x) * 3
+                if channels >= 3:
+                    rgb[o : o + 3] = px[:3]  # RGBA: drop alpha
+                else:
+                    rgb[o] = rgb[o + 1] = rgb[o + 2] = px[0]  # gray / gray+alpha
+        return width, height, bytes(rgb)
+    raise ValueError("no real pixel decoder for this format")
+
+
+def encode_bmp_rgb(width: int, height: int, rgb: bytes) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP from top-down RGB triplets
+    (stored bottom-up, BGR, rows padded to 4 bytes — the exact layout
+    :func:`_bmp_raster` reads back)."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    pixels = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up storage
+        o = r * width * 3
+        row = bytearray()
+        for i in range(0, width * 3, 3):
+            row += bytes((rgb[o + i + 2], rgb[o + i + 1], rgb[o + i]))
+        pixels += row + b"\x00" * (row_stride - width * 3)
+    size = 54 + len(pixels)
+    header = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(pixels)
+
+
+def resize_image_bytes(content: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample to (out_w, out_h): source pixel for
+    output (x, y) is ((x·in_w)//out_w, (y·in_h)//out_h) — pure integer
+    floor mapping, deterministic and arithmetically replayable by the
+    oracle.  Returns a 24-bit BMP."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("degenerate resize target")
+    w, h, rgb = image_raster_rgb(content)
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        srow = ((y * h) // out_h) * w * 3
+        orow = y * out_w * 3
+        for x in range(out_w):
+            sx = (x * w) // out_w
+            out[orow + 3 * x : orow + 3 * x + 3] = rgb[srow + 3 * sx : srow + 3 * sx + 3]
+    return encode_bmp_rgb(out_w, out_h, bytes(out))
+
+
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("mime_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas resize stage: (path, content, out_w, out_h) rows →
+    resized binaries (+ actual output dims).  ``strict=True`` raises on
+    any input without a real pixel decoder; the default drops it (the
+    thumbnail-pipeline convention: undecodable assets simply get no
+    thumbnail, they don't kill the batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                raw = bytes(row["content"]) if row["content"] is not None else b""
+                try:
+                    data = resize_image_bytes(raw, int(row["out_w"]), int(row["out_h"]))
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                rows.append(
+                    {
+                        "path": row["path"],
+                        "mime_type": "image/bmp",
+                        "content": data,
+                        "width": int(row["out_w"]),
+                        "height": int(row["out_h"]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_IMAGE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, RESIZED_IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic synthetic-asset encoders — the INVERSE twins of the
 # decode kernels above, spec-faithful (a real decoder reads them), used
 # by the correctness harness: the registry's media row synthesizes
@@ -512,6 +665,22 @@ def synth_bmp(width: int, height: int, gray: int) -> bytes:
     header = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
     return header + info + bytes(pixels)
+
+
+def synth_gradient_bmp(width: int, height: int) -> bytes:
+    """24-bit BMP whose pixel (x, y) is the constant-gray triplet
+    g(x, y) = (7x + 13y) mod 256 — every pixel's luma is exactly
+    g(x, y), so a nearest-neighbor resize has a closed-form expected
+    raster: out(x, y) = g((x·W)//w, (y·H)//h).  The strong-signal
+    fixture for the resize kernel (constant-gray assets can't catch a
+    wrong sampling coordinate)."""
+    rgb = bytearray(width * height * 3)
+    for y in range(height):
+        for x in range(width):
+            g = (7 * x + 13 * y) % 256
+            o = (y * width + x) * 3
+            rgb[o] = rgb[o + 1] = rgb[o + 2] = g
+    return encode_bmp_rgb(width, height, bytes(rgb))
 
 
 def _png_filter_line(ftype: int, line: bytes, prev: bytes, channels: int) -> bytes:

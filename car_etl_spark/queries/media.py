@@ -103,6 +103,7 @@ def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_audio_features,
         extract_image_features,
         extract_video_features,
+        resize_images,
         sample_frames,
     )
 
@@ -126,6 +127,35 @@ def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("mime_type") != "image/jpeg", F.col("mean_luma"))
         ).cast("long").alias("sum_luma"),
+        null_l.alias("sum_sample_rate"),
+        null_l.alias("sum_channels"),
+        null_l.alias("sum_duration_ms"),
+        null_l.alias("sum_amplitude"),
+        null_l.alias("sum_frames"),
+        null_l.alias("sum_sampled"),
+    )
+
+    # resize leg: the PNG/BMP assets resample to (w//2+1, h//2+1)
+    # through the REAL raster -> nearest-neighbor -> BMP re-encode
+    # pipeline, then RE-DECODE through the real kernel — constant-gray
+    # sources must come back at the target dims with luma == gray
+    # exactly, all recomputable arithmetically by the oracle.  A
+    # sampling/flip/channel bug shows in the gradient unit test; a
+    # format/round-trip regression flips this hash.
+    params = _asset_params(docs).select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.expr("w DIV 2 + 1").cast("int").alias("out_w"),
+        F.expr("h DIV 2 + 1").cast("int").alias("out_h"),
+    )
+    resize_src = media.filter(
+        F.col("mime_type").isin("image/png", "image/bmp")
+    ).join(params, "path")
+    rimgs = extract_image_features(resize_images(resize_src, strict=True), strict=True)
+    rs_agg = rimgs.groupBy(F.lit("image/resized").alias("format")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("mean_luma").cast("long").alias("sum_luma"),
         null_l.alias("sum_sample_rate"),
         null_l.alias("sum_channels"),
         null_l.alias("sum_duration_ms"),
@@ -176,7 +206,12 @@ def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("sum_frames"),
         null_l.alias("sum_sampled"),
     )
-    return img_agg.unionByName(aud_agg).unionByName(vid_agg).orderBy("format")
+    return (
+        img_agg.unionByName(aud_agg)
+        .unionByName(vid_agg)
+        .unionByName(rs_agg)
+        .orderBy("format")
+    )
 
 
 MEDIA_FEATURES_SQL = """
@@ -195,6 +230,7 @@ WITH p AS (
                           ELSE 'image/jpeg' END AS format
   FROM p
 )
+SELECT * FROM (
 SELECT format,
        COUNT(*) AS n_assets,
        CAST(SUM(CASE WHEN fmt_code IN (0, 1, 3, 4) THEN w END) AS BIGINT) AS sum_width,
@@ -207,7 +243,24 @@ SELECT format,
        CAST(SUM(CASE WHEN fmt_code = 2 THEN amp END) AS BIGINT) AS sum_amplitude,
        CAST(SUM(CASE WHEN fmt_code = 4 THEN nframes END) AS BIGINT) AS sum_frames,
        CAST(SUM(CASE WHEN fmt_code = 4 THEN (nframes + 1) // 2 END) AS BIGINT) AS sum_sampled
-FROM tagged GROUP BY format ORDER BY format
+FROM tagged GROUP BY format
+UNION ALL
+-- the resize leg: (w DIV 2 + 1, h DIV 2 + 1) nearest-neighbor targets;
+-- constant-gray sources keep luma == gray exactly through the
+-- raster -> resample -> BMP re-encode -> re-decode round trip
+SELECT 'image/resized' AS format,
+       COUNT(*) AS n_assets,
+       CAST(SUM(w // 2 + 1) AS BIGINT) AS sum_width,
+       CAST(SUM(h // 2 + 1) AS BIGINT) AS sum_height,
+       CAST(SUM(gray) AS BIGINT) AS sum_luma,
+       CAST(NULL AS BIGINT) AS sum_sample_rate,
+       CAST(NULL AS BIGINT) AS sum_channels,
+       CAST(NULL AS BIGINT) AS sum_duration_ms,
+       CAST(NULL AS BIGINT) AS sum_amplitude,
+       CAST(NULL AS BIGINT) AS sum_frames,
+       CAST(NULL AS BIGINT) AS sum_sampled
+FROM tagged WHERE fmt_code IN (0, 1)
+) ORDER BY format
 """
 
 

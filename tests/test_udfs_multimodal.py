@@ -593,3 +593,75 @@ def test_video_features_and_real_frame_sampling(spark):
     ).withColumn("mime_type", F.lit("video/mp4"))
     with pytest.raises(Exception, match="real decode beyond RIFF/AVI"):
         extract_video_features(junk, strict=True).collect()
+
+
+# -- resize kernel -------------------------------------------------------------
+
+
+def test_resize_gradient_exact_nearest_neighbor():
+    """Pixel-exact nearest-neighbor contract on a gradient: out(x,y) ==
+    g((x*W)//w, (y*H)//h) for every output pixel — a wrong sampling
+    coordinate, row flip, or channel swap all break equality."""
+    from car_etl_spark.operators import multimodal as MM
+
+    src = MM.synth_gradient_bmp(8, 6)
+    out = MM.resize_image_bytes(src, 4, 3)
+    w, h, rgb = MM.image_raster_rgb(out)
+    assert (w, h) == (4, 3)
+    for y in range(3):
+        for x in range(4):
+            want = (7 * ((x * 8) // 4) + 13 * ((y * 6) // 3)) % 256
+            o = (y * 4 + x) * 3
+            assert tuple(rgb[o : o + 3]) == (want, want, want), (x, y)
+
+
+def test_resize_upscale_and_png_input():
+    """Upscale replicates source pixels (floor mapping), and the PNG
+    raster path (gray -> RGB replication) feeds the same resampler."""
+    from car_etl_spark.operators import multimodal as MM
+
+    src = MM.synth_gradient_bmp(3, 2)
+    out = MM.resize_image_bytes(src, 6, 4)
+    w, h, rgb = MM.image_raster_rgb(out)
+    assert (w, h) == (6, 4)
+    # output (x,y) samples source ((x*3)//6, (y*2)//4) = (x//2, y//2)
+    for y in range(4):
+        for x in range(6):
+            want = (7 * (x // 2) + 13 * (y // 2)) % 256
+            assert rgb[(y * 6 + x) * 3] == want
+    # gray PNG input: constant gray stays constant through resize
+    png = MM.synth_png(5, 4, 123, filter_type=2)
+    back = MM.resize_image_bytes(png, 2, 2)
+    _w, _h, rgb2 = MM.image_raster_rgb(back)
+    assert set(rgb2) == {123}
+
+
+def test_resize_images_operator(spark):
+    """The mapInPandas stage: decodable assets come back at the target
+    dims with real content; undecodable ones drop (lenient) or raise
+    (strict)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from car_etl_spark.operators import multimodal as MM
+
+    rows = [
+        ("a.bmp", bytearray(MM.synth_gradient_bmp(8, 6)), 4, 3),
+        ("b.png", bytearray(MM.synth_png(6, 5, 77, filter_type=4)), 3, 2),
+        ("c.jpg", bytearray(MM.synth_jpeg(9, 9)), 2, 2),  # no pixel decoder
+    ]
+    df = spark.createDataFrame(
+        rows, "path string, content binary, out_w int, out_h int"
+    )
+    got = {r.path: (r.width, r.height, bytes(r.content)) for r in
+           MM.resize_images(df).collect()}
+    assert set(got) == {"a.bmp", "b.png"}
+    assert got["a.bmp"][:2] == (4, 3)
+    # round-trip: the emitted BMP re-decodes to the target dims and
+    # preserves constant-gray luma
+    w, h, luma = MM._decode_bmp(got["b.png"][2])
+    assert (w, h, luma) == (3, 2, 77)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no real pixel decoder"):
+        MM.resize_images(df, strict=True).collect()
