@@ -329,16 +329,25 @@ def cms_estimate(
     item_alias: str = "item",
 ) -> DataFrame:
     """(keys..., <item_alias>, <alias> BIGINT): min over the d probed
-    counters, absent counters counting 0.  The probe set broadcasts
-    (|items|·d rows); per (group, item) exactly d joined rows feed the
-    min, so estimate cost is independent of data volume."""
+    counters, absent counters counting 0.
+
+    Scale shape: the only broadcast is the |items|·d probe (r, c) pair
+    set — the full state is NEVER broadcast (it is bounded per group,
+    but grows linearly with group count).  The state first semi-joins
+    down to the probed counters (≤ groups·|items|·d rows), then the
+    probes outer-join that small remainder; per (group, item) exactly
+    d rows feed the min, so estimate cost is independent of data
+    volume and safe at any group cardinality."""
     spark = state.sparkSession
     probes = spark.createDataFrame(
         cms_probe_rows(items, d, w), f"{item_alias} string, __r int, __c long"
     )
+    hit = state.join(
+        F.broadcast(probes.select("__r", "__c").distinct()), ["__r", "__c"], "leftsemi"
+    )
     if keys:
         probes = state.select(*keys).distinct().crossJoin(F.broadcast(probes))
-    joined = probes.join(F.broadcast(state), [*keys, "__r", "__c"], "left")
+    joined = probes.join(hit, [*keys, "__r", "__c"], "left")
     return (
         joined.groupBy(*keys, item_alias)
         .agg(F.min(F.coalesce(F.col("__n"), F.lit(0))).alias(alias))
@@ -366,7 +375,12 @@ def cms_sql_ctes(
     ks_pre = (ks + ", ") if keys else ""
     pre = f"{prefix}_"
     fam = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(d))
-    probes = ", ".join(f"('{it}', {r}, {c})" for it, r, c in cms_probe_rows(items, d, w))
+    # SQL string literals: double embedded quotes so any probe value
+    # (e.g. "o'brien") generates parseable VALUES rows
+    probes = ", ".join(
+        "('{}', {}, {})".format(it.replace("'", "''"), r, c)
+        for it, r, c in cms_probe_rows(items, d, w)
+    )
     key_join = f"CROSS JOIN (SELECT DISTINCT {ks} FROM {source})" if keys else ""
     on_keys = " AND ".join(f"s.{k} = p.{k}" for k in keys)
     on = (on_keys + " AND " if keys else "") + "s.r = p.r AND s.c = p.c"

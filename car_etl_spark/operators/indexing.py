@@ -492,21 +492,28 @@ class PostingStore:
         tenants' corpus shape into the ranking, the statistics analog
         of an RLS bypass).  Tenant grain is control-plane bounded, the
         same budget as the IVF store's per-tenant certificate stats."""
-        row = doclens.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).collect()[0]
-        stats = {"n_docs": int(row["n"] or 0), "sum_dl": float(row["s"] or 0.0)}
         if self.tenant_col:
+            # ONE per-tenant pass; the global pair is the exact sum of
+            # the per-tenant pairs (dl values are integer-valued
+            # doubles, so the driver-side re-sum is exact)
             per = doclens.groupBy(self.tenant_col).agg(
                 F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
             ).collect()
-            stats["tenants"] = {
+            tenants = {
                 str(r[self.tenant_col]): {
                     "n_docs": int(r["n"]), "sum_dl": float(r["s"])
                 }
                 for r in per
             }
-        return stats
+            return {
+                "n_docs": sum(t["n_docs"] for t in tenants.values()),
+                "sum_dl": float(sum(t["sum_dl"] for t in tenants.values())),
+                "tenants": tenants,
+            }
+        row = doclens.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+        return {"n_docs": int(row["n"] or 0), "sum_dl": float(row["s"] or 0.0)}
 
     def build(self, docs: DataFrame) -> None:
         """Full (re)build of the base layout from the corpus."""
@@ -552,6 +559,18 @@ class PostingStore:
             raise ValueError("batch must be > 0 (0 is the base build)")
         if os.path.exists(self._sentinel(batch)):
             return False
+        # layout-version guard BEFORE any write: appending v5 deltas to
+        # an older base would half-apply the batch and then crash in
+        # the stats refresh (no _doclens sidecar) — and the old stored
+        # schema would silently drop the new dl/positions columns on
+        # read.  Same clear contract as stats(): rebuild first.
+        meta = self._meta()
+        if meta.get("version") != POSTING_VERSION:
+            raise ValueError(
+                f"posting store at {self.path} has layout version "
+                f"{meta.get('version')} (current {POSTING_VERSION}) — "
+                "rebuild it before applying maintenance batches"
+            )
         # tombstone key: (tenant, doc_id) on tenant-partitioned stores —
         # doc ids are only unique WITHIN a tenant (the reference's
         # per-tenant id spaces), so a doc-id-only tombstone from tenant
@@ -767,6 +786,7 @@ class PostingStore:
         mirroring the reference's RLS-scoped keyword search
         (``042_match_function.sql:23-39``): a tenant's query can only
         ever scan that tenant's partition directories."""
+        self._require_tenant_scope(tenant)
         terms = sorted(set(stemmed_terms))
         buckets = sorted({self.bucket_of(t) for t in terms})
         idx = self.read(spark, buckets=buckets, tenant=tenant).filter(
@@ -781,6 +801,20 @@ class PostingStore:
             .orderBy(F.desc("rank_score"), F.asc("doc_id"))
             .limit(limit)
         )
+
+    def _require_tenant_scope(self, tenant) -> None:
+        """Serving queries on a tenant-partitioned store MUST be
+        tenant-scoped: doc ids are only unique WITHIN a tenant (the
+        reference's per-tenant id spaces), so an unscoped groupBy on
+        doc_id would merge different tenants' documents — fabricating
+        phrase matches from two tenants' positions, summing BM25 tf
+        across unrelated docs.  Cross-tenant analytics go through
+        :meth:`read` with the tenant column in the grouping key."""
+        if self.tenant_col and tenant is None:
+            raise ValueError(
+                "tenant-partitioned store: serving queries require "
+                "tenant=...; use read() for cross-tenant analytics"
+            )
 
     def phrase_search(
         self,
@@ -802,6 +836,7 @@ class PostingStore:
         with p+i in positions[i] for every later term).  Cost ∝ matched
         postings, like every other serving path; the positions column
         is column-pruned away from all non-phrase queries."""
+        self._require_tenant_scope(tenant)
         if len(stemmed_terms) < 2:
             raise ValueError("a phrase needs at least 2 terms")
         uniq = sorted(set(stemmed_terms))
@@ -863,6 +898,7 @@ class PostingStore:
         under LSM maintenance: deltas carry their own dl, tombstones
         drop dead rows before any aggregate, and apply_batch/compact
         restamp (N, sum_dl) exactly from the live doclens sidecar."""
+        self._require_tenant_scope(tenant)
         terms = sorted(set(stemmed_terms))
         buckets = sorted({self.bucket_of(t) for t in terms})
         idx = self.read(spark, buckets=buckets, tenant=tenant).filter(

@@ -464,8 +464,9 @@ def events_user_cms_sql() -> str:
 
 
 def events_user_exact_sql() -> str:
-    probes = ", ".join(f"('{u}')" for u in CMS_PROBE_USERS)
-    in_list = ", ".join(f"'{u}'" for u in CMS_PROBE_USERS)
+    esc = [u.replace("'", "''") for u in CMS_PROBE_USERS]
+    probes = ", ".join(f"('{u}')" for u in esc)
+    in_list = ", ".join(f"'{u}'" for u in esc)
     return f"""
 WITH pr(user_key) AS (VALUES {probes}), cnt AS (
   SELECT CAST(user_id AS VARCHAR) AS user_key, COUNT(*) AS n

@@ -260,6 +260,8 @@ SELECT 'image/resized' AS format,
        CAST(NULL AS BIGINT) AS sum_frames,
        CAST(NULL AS BIGINT) AS sum_sampled
 FROM tagged WHERE fmt_code IN (0, 1)
+GROUP BY 1  -- grouped like the per-format arms: zero rows on an
+            -- assetless corpus, matching Spark's empty-groupBy
 ) ORDER BY format
 """
 

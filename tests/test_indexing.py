@@ -501,7 +501,7 @@ def test_bm25_matches_literal_python(spark, tmp_path):
     assert got == _py_bm25(DOCS_V0, set(terms))
 
 
-def test_bm25_stats_and_scores_exact_under_maintenance(spark, tmp_path, inc_store):
+def test_bm25_stats_and_scores_exact_under_maintenance(spark, tmp_path):
     """(N, Σdl) and the served BM25 scores stay EXACT through upserts,
     deletes, and compaction — equal to a fresh rebuild of the final
     corpus state (Lucene serves stale stats between merges; this store
@@ -620,3 +620,19 @@ def test_phrase_needs_two_terms(spark, tmp_path):
     store = IX.PostingStore(str(tmp_path / "ph4"))
     with pytest.raises(ValueError, match="at least 2 terms"):
         store.phrase_search(spark, ["solo"])
+
+
+def test_apply_batch_refuses_older_layout_version(spark, tmp_path, inc_store):
+    """Maintenance on a store from an older layout version must fail
+    BEFORE any write (a half-applied delta without the doclens sidecar
+    would crash later in the stats refresh with a raw path error)."""
+    import json
+
+    meta = inc_store._meta()
+    meta["version"] = IX.POSTING_VERSION - 1
+    with open(inc_store.meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="rebuild it before applying"):
+        inc_store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    assert not store_has_files(inc_store.delta_dir)
+    assert not store_has_files(inc_store.doclen_delta)

@@ -567,3 +567,36 @@ def test_phrase_tenant_isolation(spark, tenant_store):
         spark, tenant_store, ("term", "acmesecret"), tenant="acme", limit=100
     )
     assert own.count() == 20
+
+
+def test_unscoped_serving_refused_on_tenant_store(spark, tenant_store):
+    """Doc ids are only unique WITHIN a tenant, so an unscoped serving
+    query would merge different tenants' documents (fabricated phrase
+    matches, cross-doc BM25 sums) — the store refuses instead."""
+    for call in (
+        lambda: tenant_store.term_search(spark, [stem_py("shared")]),
+        lambda: tenant_store.bm25_search(spark, [stem_py("shared")]),
+        lambda: tenant_store.phrase_search(spark, [stem_py("spark"), stem_py("windows")]),
+    ):
+        with pytest.raises(ValueError, match="require tenant"):
+            call()
+
+
+def test_cross_tenant_phrase_never_fabricated(spark, tmp_path):
+    """The concrete failure the guard prevents: acme doc 1 has 'red
+    wolf', globex doc 1 has 'cat fox' — no document contains 'red fox',
+    and no API path can manufacture one from the two tenants' position
+    arrays."""
+    from car_etl_spark.functions.porter import porter_py
+
+    rows = [
+        (1, "en", "acme", "pad pad pad pad pad red wolf here"),
+        (1, "en", "globex", "pad pad pad pad pad cat fox here"),
+    ]
+    store = IX.PostingStore(str(tmp_path / "xt"), analyzer="porter", tenant_col="tenant_id")
+    store.build(spark.createDataFrame(
+        rows, "doc_id long, lang string, tenant_id string, text string"
+    ))
+    terms = [porter_py("red"), porter_py("fox")]
+    for t in ("acme", "globex"):
+        assert store.phrase_search(spark, terms, tenant=t).count() == 0
