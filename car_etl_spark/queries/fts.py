@@ -631,7 +631,7 @@ ORDER BY l.user_id
 """
 
 
-# the five FTS variants registered through suites.fts_search_suite
+# the seven FTS variants registered through suites.fts_search_suite
 # since round 5 (registry consolidation, COVERAGE.md merge table);
 # the functions remain the per-mode serving API and bench surface
 QUERIES: dict[str, QuerySpec] = {
