@@ -198,16 +198,25 @@ def main() -> None:
         sf_value = float(sf_label)
     except ValueError:
         sf_value = sf_label
+    # The driver captures a bounded TAIL of stdout and parses the last
+    # JSON line out of it (BENCH_r06 was cut mid-line when warm + cold
+    # dicts pushed the single line past the window).  So: full detail
+    # (cold runs, prep) goes to stderr, and the FINAL stdout line is the
+    # compact required form — short enough to always land whole inside
+    # the tail window.
+    detail = {
+        "queries_cold": timings_cold,
+        "total_cold": round(sum(timings_cold.values()), 4),
+        "index_prep_sec": index_prep,
+        "mode": "warm_2nd_run (cold run on stderr detail line)",
+    }
+    print("# detail " + json.dumps(detail), file=sys.stderr)
     result = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "queries_cold": timings_cold,
-        "total_cold": round(sum(timings_cold.values()), 4),
-        "index_prep_sec": index_prep,
         "job_floor_sec": job_floor,
-        "mode": "warm_2nd_run (cold run reported alongside)",
         "sf": sf_value,
     }
     print(json.dumps(result))

@@ -952,6 +952,18 @@ class PostingStore:
         term-sorted row groups restored store-wide).  The live view
         fully materializes into the tmp layout before the swap deletes
         the directories it reads."""
+        # same layout-version guard as apply_batch, BEFORE any work:
+        # compacting a pre-v5 store would write the full tmp base and
+        # then crash in read_doclens (no _doclens sidecar), leaving an
+        # orphan base.tmp behind — fail with the explicit rebuild
+        # message instead
+        meta = self._meta()
+        if meta.get("version") != POSTING_VERSION:
+            raise ValueError(
+                f"posting store at {self.path} has layout version "
+                f"{meta.get('version')} (current {POSTING_VERSION}) — "
+                "rebuild it before applying maintenance batches"
+            )
         live = self.read(spark).withColumn("batch", F.lit(0).cast("long"))
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)

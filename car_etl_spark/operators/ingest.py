@@ -144,15 +144,21 @@ def read_landed(
     path: str,
     tenant_id: str | None = None,
     on_date: str | None = None,
+    since_date=None,
 ) -> DataFrame:
     """Read back the landed table with the pruning predicates applied
     FIRST, so Catalyst turns them into PartitionFilters (directory
-    pruning) rather than row filters."""
+    pruning) rather than row filters.  ``since_date`` (inclusive lower
+    bound) is the incremental-reader form: a sync batch's idempotency
+    readback only needs partitions its own rows could have landed in,
+    not the tenant's full history."""
     df = spark.read.parquet(path)
     if tenant_id is not None:
         df = df.filter(F.col("tenant_id") == tenant_id)
     if on_date is not None:
         df = df.filter(F.col("ingest_date") == on_date)
+    if since_date is not None:
+        df = df.filter(F.col("ingest_date") >= since_date)
     return df
 
 

@@ -914,7 +914,15 @@ def extract_video_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 content = row["content"]
                 raw = bytes(content) if content is not None else b""
                 if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
-                    w, h, nf, fms, _frames = _decode_avi(raw)
+                    # a malformed/truncated AVI must not kill the whole
+                    # job under the non-strict contract — fall back to
+                    # the deterministic fake like every other format
+                    try:
+                        w, h, nf, fms, _frames = _decode_avi(raw)
+                    except ValueError:
+                        if strict:
+                            raise
+                        w, h, nf, fms = _fake_video(raw)
                 elif strict:
                     raise NotImplementedError(
                         "real decode beyond RIFF/AVI requires codec "
@@ -965,8 +973,15 @@ def sample_frames(
             rows = []
             for _, row in pdf.iterrows():
                 content = bytes(row["content"] or b"")
+                payloads = None
                 if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
-                    payloads = _decode_avi(content)[4]
+                    # malformed AVI -> byte-window fallback, never a
+                    # job-killing ValueError (non-strict contract)
+                    try:
+                        payloads = _decode_avi(content)[4]
+                    except ValueError:
+                        payloads = None
+                if payloads is not None:
                     windows = [
                         (i, payloads[i])
                         for i in range(0, len(payloads), every_n_frames)

@@ -26,14 +26,29 @@ def token_budget_fold(
     budget: int = CONTEXT_TOKEN_BUDGET,
     rank_col: str = "rank",
     tokens_col: str = "token_count",
+    partition_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """F25: greedy budget fold as a running-sum window filter.
 
     Keep a chunk iff the cumulative token count *through it* (in rank
     order) stays within budget — exactly the reference's greedy loop,
     but distributed (per query-partition in the multi-query case).
+
+    BOUNDED-INPUT CONTRACT: the single-query form runs the cumulative
+    sum through a GLOBAL window (no partitionBy — everything moves to
+    one partition), so ``ranked`` must already be a bounded slice.
+    When every row has ``token_count >= 1`` (true whenever rows were
+    selected by a match score > 0), ``.orderBy(rank).limit(budget)``
+    upstream is lossless: cum_tokens at rank r is >= r, so no row past
+    rank ``budget`` can pass the filter.  Callers rank AFTER such a
+    limit (see ``queries/rag.py``), which compiles to
+    TakeOrderedAndProject and keeps both global windows on a
+    <= budget-row slice.  Multi-query callers pass ``partition_by``
+    (query id / mode) so the running sum hash-partitions by group
+    instead of going global.
     """
-    w = Window.orderBy(F.asc(rank_col)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy(*partition_by) if partition_by else Window
+    w = base.orderBy(F.asc(rank_col)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         ranked.withColumn("cum_tokens", F.sum(tokens_col).over(w))
         .filter(F.col("cum_tokens") <= budget)

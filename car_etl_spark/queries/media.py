@@ -32,8 +32,9 @@ from pyspark.sql import functions as F
 from car_etl_spark.queries import QuerySpec
 from car_etl_spark.tables import load_tables
 
-#: every 7th document becomes a synthetic asset; cycling doc_id % 4
-#: over multiples of 7 covers all four formats (gcd(7,4)=1)
+#: every 7th document becomes a synthetic asset; cycling doc_id % 5
+#: over multiples of 7 covers all five formats (PNG/BMP/WAV/JPEG/AVI,
+#: gcd(7,5)=1)
 ASSET_STRIDE = 7
 
 

@@ -20,9 +20,18 @@ def rag_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = keyword_scores(docs, ("spark", "data", "join"), "doc_id", "text").filter(
         F.col("score") > 0
     )
+    # Bound the match set BEFORE any global window: score > 0 means the
+    # doc contains at least one query term, so token_count >= 1 and the
+    # running sum at rank r is >= r — no row past rank `budget` can ever
+    # survive token_budget_fold's filter.  limit(budget) here is
+    # therefore lossless, compiles to TakeOrderedAndProject (per-
+    # partition top-k + driver merge, no full-set shuffle to one
+    # partition), and both downstream global windows operate on a
+    # <= budget-row slice.
+    bounded = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(R.CONTEXT_TOKEN_BUDGET)
     from car_etl_spark.functions import text as T
 
-    with_tokens = scored.select(
+    with_tokens = bounded.select(
         "doc_id", "score", T.token_count(F.col("text")).cast("long").alias("token_count")
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -46,9 +55,12 @@ WITH tok AS (
          + len(list_filter(toks, x -> x = 'join')) AS score
   FROM tok
 ), ranked AS (
+  -- mirror of the Spark side's lossless limit(6000): score > 0 implies
+  -- token_count >= 1, so ranks past the budget never pass the fold
   SELECT doc_id, score, token_count,
          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-  FROM scored WHERE score > 0
+  FROM (SELECT * FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 6000)
 ), folded AS (
   SELECT rank, doc_id, score, token_count,
          SUM(token_count) OVER (ORDER BY rank ASC
@@ -148,40 +160,83 @@ def rag_context_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned-subword counts, not the regex approximation.  The oracle
     verifies the learned arm through the store's vocabulary twin
     (word -> n_tokens join + sum), so the distributed counting pipeline
-    is value-hash-checked end to end."""
+    is value-hash-checked end to end.
+
+    SERVING SHAPE (r7): the retrieval leg reads the bucket-pruned
+    POSTING STORE (the reference retriever reads its GIN index,
+    ``042_match_function.sql:35-46``) — raw_term tf sums are value-
+    identical to the raw-text regexp score (pinned by
+    ``doc_keyword_search``'s oracle row, and by this row's raw-scan
+    oracle twin).  The match set is bounded by a LOSSLESS
+    ``limit(budget)`` before any global window: score > 0 implies
+    token_count >= 1 under BOTH counting backends, so cum_tokens at
+    rank r is >= r and ranks past the budget never survive the fold.
+    Only the <= budget winners ever touch the raw text (join for the
+    token-count columns), rank is computed ONCE (it depends only on
+    (score, doc_id), identical across arms), and the two arms unpivot
+    from one slice with a mode-partitioned fold — one corpus-free
+    serving pass instead of two corpus scans."""
     from car_etl_spark.functions import text as T
     from car_etl_spark.functions.bpe import bpe_token_counts
+    from car_etl_spark.functions.text import stem_py
     from car_etl_spark.operators.bpe_store import ensure_bpe_merges
+    from car_etl_spark.operators.indexing import ensure_posting_index
+    from car_etl_spark.queries import prepared
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    scored = keyword_scores(docs, ("spark", "data", "join"), "doc_id", "text").filter(
-        F.col("score") > 0
-    )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    terms = ("spark", "data", "join")
 
-    def fold(arm: DataFrame, tag: str) -> DataFrame:
-        ranked = arm.withColumn("rank", F.row_number().over(w).cast("long"))
-        kept = R.token_budget_fold(ranked, budget=R.CONTEXT_TOKEN_BUDGET)
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir)
+        buckets = sorted({store.bucket_of(stem_py(t)) for t in terms})
+        top = (
+            store.read(spark, buckets=buckets)
+            .filter(F.col("raw_term").isin(list(terms)))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(R.CONTEXT_TOKEN_BUDGET)
+        )
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        # text fetch for the winners only — broadcast the <= budget-row
+        # top side (never the corpus): map-only probe over documents
+        bounded = docs.select("doc_id", "text").join(F.broadcast(top), "doc_id")
+        merges = ensure_bpe_merges(spark, sf_dir, num_merges=RAG_BPE_MERGES)
+        both = bpe_token_counts(bounded, merges, "text", "bpe_tokens").withColumn(
+            "ws_tokens", T.token_count(F.col("text")).cast("long")
+        ).drop("text")
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = both.withColumn("rank", F.row_number().over(w).cast("long"))
+        stacked = ranked.select(
+            "rank",
+            "doc_id",
+            "score",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("regex_ws").alias("mode"),
+                        F.col("ws_tokens").cast("long").alias("token_count"),
+                    ),
+                    F.struct(
+                        F.lit("learned_bpe").alias("mode"),
+                        F.col("bpe_tokens").cast("long").alias("token_count"),
+                    ),
+                )
+            ).alias("mt"),
+        ).select("mt.mode", "rank", "doc_id", "score", "mt.token_count")
+        kept = R.token_budget_fold(
+            stacked, budget=R.CONTEXT_TOKEN_BUDGET, partition_by=("mode",)
+        )
         return kept.select(
-            F.lit(tag).alias("mode"),
+            "mode",
             "rank",
             "doc_id",
             "score",
             F.col("token_count").cast("long").alias("token_count"),
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
-        )
+        ).orderBy("mode", "rank")
 
-    regex_arm = scored.select(
-        "doc_id", "score", T.token_count(F.col("text")).cast("long").alias("token_count")
-    )
-    merges = ensure_bpe_merges(spark, sf_dir, num_merges=RAG_BPE_MERGES)
-    bpe_arm = bpe_token_counts(
-        scored.select("doc_id", "score", "text"), merges, "text", "token_count"
-    ).drop("text")
-    return (
-        fold(regex_arm, "regex_ws")
-        .unionByName(fold(bpe_arm, "learned_bpe"))
-        .orderBy("mode", "rank")
+    return prepared(
+        spark, "rag_context_modes", sf_dir, ("documents.parquet",), build
     )
 
 
@@ -212,10 +267,13 @@ WITH tok AS (
   JOIN read_parquet('{vocab}') v ON words.w = v.word
   GROUP BY doc_id
 ), ranked AS (
-  SELECT s.doc_id, s.score, b.token_count,
-         ROW_NUMBER() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rank
-  FROM scored s JOIN bpe b ON s.doc_id = b.doc_id
-  WHERE s.score > 0
+  -- lossless limit(6000) mirror, as in RAG_CONTEXT_BUDGET_SQL
+  SELECT doc_id, score, token_count,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (SELECT s.doc_id, s.score, b.token_count
+        FROM scored s JOIN bpe b ON s.doc_id = b.doc_id
+        WHERE s.score > 0
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 6000)
 ), folded AS (
   SELECT rank, doc_id, score, token_count,
          SUM(token_count) OVER (ORDER BY rank ASC

@@ -351,10 +351,20 @@ class ConnectorSync:
                     "tenant_id", F.lit(self.tenant_id)
                 ).withColumn("ingest_date", F.to_date(F.col("synced_at")))
                 try:
+                    # Bounded-per-batch readback: a replayed batch lands
+                    # rows with the SAME ingest_date (derived from the
+                    # feed's synced_at, not the wall clock), so only
+                    # partitions >= this batch's earliest date can hold
+                    # its duplicates — prune the rest by directory
+                    # instead of scanning the tenant's full landing
+                    # history every sync.  new_versions is already
+                    # checkpointed, so the min() is a bounded local job.
+                    min_date = to_land.agg(F.min("ingest_date")).first()[0]
                     already = read_landed(
                         new_versions.sparkSession,
                         self.landing_path,
                         tenant_id=self.tenant_id,
+                        since_date=min_date,
                     ).select("doc_id", "version")
                     to_land = to_land.join(already, ["doc_id", "version"], "left_anti")
                 except AnalysisException:

@@ -636,3 +636,20 @@ def test_apply_batch_refuses_older_layout_version(spark, tmp_path, inc_store):
         inc_store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
     assert not store_has_files(inc_store.delta_dir)
     assert not store_has_files(inc_store.doclen_delta)
+
+
+def test_compact_refuses_older_layout_version(spark, tmp_path, inc_store):
+    """compact() mirrors apply_batch's layout-version guard: a pre-v5
+    store fails with the explicit rebuild message BEFORE any tmp write
+    (previously it wrote the full tmp base, crashed in read_doclens,
+    and left an orphan base.tmp behind)."""
+    import json
+    import os
+
+    meta = inc_store._meta()
+    meta["version"] = IX.POSTING_VERSION - 1
+    with open(inc_store.meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="rebuild it before applying"):
+        inc_store.compact(spark)
+    assert not os.path.exists(inc_store.base_dir + ".tmp")

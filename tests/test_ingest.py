@@ -157,6 +157,13 @@ def test_landing_partition_pruning_two_tenants_two_days(spark, tmp_path):
     pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
     assert pf and "tenant_id" in pf[0] and "ingest_date" in pf[0], plan[:2000]
     assert "PartitionFilters: []" not in plan
+    # incremental-readback form: since_date prunes history partitions
+    # by directory (>= bound), the ConnectorSync idempotency path
+    inc = I.read_landed(spark, path, tenant_id="t1", since_date="2026-01-02")
+    assert sorted(r.doc for r in inc.collect()) == ["d2", "d2x"]
+    plan2 = inc._jdf.queryExecution().executedPlan().toString()
+    pf2 = [line for line in plan2.splitlines() if "PartitionFilters" in line]
+    assert pf2 and "ingest_date" in pf2[0], plan2[:2000]
 
 
 def test_ingest_binary_dir_carries_landing_partition_columns(spark, zip_dir):

@@ -99,6 +99,21 @@ CONTRACTS = [
     # PII counts: one corpus pass, map-side partial agg, ONE exchange for
     # the global rollup, explode on the single aggregated row
     ("pii_entity_counts", 1, [], ["SortMergeJoin", "CartesianProduct"]),
+    # RAG context fold (registry row): retrieval from the bucket-pruned
+    # posting store; the match set is bounded by a LOSSLESS limit(6000)
+    # (score > 0 => token_count >= 1 => cum_tokens(r) >= r) that
+    # compiles to TakeOrderedAndProject BEFORE any global window, and
+    # the bounded top side is the broadcast build of the text fetch —
+    # both global windows only ever see a <= budget-row slice
+    ("rag_context_modes", 3,
+     ["TakeOrderedAndProject(limit=6000", "PartitionFilters: [term_bucket",
+      "BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    # RAG context fold (raw-scan twin): one corpus pass, lossless
+    # limit(6000) -> TakeOrderedAndProject, ZERO exchanges — the rank
+    # and cum-sum windows run over the bounded slice only
+    ("rag_context_budget", 0,
+     ["TakeOrderedAndProject(limit=6000"], ["Exchange"]),
 ]
 
 

@@ -665,3 +665,37 @@ def test_resize_images_operator(spark):
 
     with _pytest.raises(Exception, match="no real pixel decoder"):
         MM.resize_images(df, strict=True).collect()
+
+
+def test_malformed_avi_falls_back_outside_strict(spark):
+    """A truncated/inconsistent AVI must not kill the mapInPandas job
+    under the non-strict contract: extract_video_features falls back to
+    the deterministic fake (like every other format) and sample_frames
+    falls back to byte-window sampling; strict mode still raises."""
+    import struct
+
+    import pytest as _pytest
+
+    from car_etl_spark.operators.multimodal import (
+        _fake_video,
+        extract_video_features,
+        sample_frames,
+        synth_avi,
+    )
+
+    b = bytearray(synth_avi(8, 8, 4, 40))
+    struct.pack_into("<I", b, b.find(b"avih") + 8 + 16, 9)  # lie: 9 frames
+    bad = bytes(b)
+    media = spark.createDataFrame(
+        [("bad.avi", "video/x-msvideo", bytearray(bad))],
+        "path string, mime_type string, content binary",
+    )
+    row = extract_video_features(media).collect()[0]
+    fw, fh, fn, fms = _fake_video(bad)
+    assert (row.width, row.height, row.n_frames, row.frame_ms) == (fw, fh, fn, fms)
+    with _pytest.raises(Exception, match="declares 9 frames"):
+        extract_video_features(media, strict=True).collect()
+    # sampler: byte windows instead of a job-killing ValueError
+    frames = sample_frames(media, every_n_bytes=64).collect()
+    assert len(frames) == (len(bad) + 63) // 64
+    assert [f.frame_index for f in frames] == list(range(len(frames)))
