@@ -883,6 +883,7 @@ class PostingStore:
         stemmed_terms: list[str],
         tenant=None,
         limit: int = 20,
+        df_via: str = "window",
     ) -> DataFrame:
         """Okapi BM25 over the pruned posting partitions — the ranking
         function Lucene/Elasticsearch serve, beyond the reference's
@@ -917,14 +918,36 @@ class PostingStore:
             F.sum(F.col("tf") * F.col("weight")).alias("tfw"),
             F.max("dl").alias("dl"),
         )
-        # df via a whole-partition window over the (doc, term) grain —
-        # one row per matching doc per term, so count == document
-        # frequency exactly, with NO second aggregation branch over the
-        # pruned rows and no broadcast join (measured ~1.7x faster than
-        # the re-aggregate+broadcast form at sf0.1)
-        per = per.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
+        # df (document frequency per term), two measured shapes
+        # (scripts/bench_bm25_fuse.py, interleaved at sf0.1):
+        #
+        # - "window" (default): whole-partition window over the
+        #   (doc, term) grain — one row per matching doc per term, so
+        #   count == df exactly; ONE pruned-store pass, full map-side
+        #   partial agg; 0.27 s median.  The term partition concentrates
+        #   DOC-grain rows (one per matching doc) — fine for ordinary
+        #   terms, the hazard only for stop-word-class terms.
+        # - "broadcast": tiny per-term re-aggregate broadcast back — no
+        #   single-partition concentration anywhere (scale-safest for
+        #   hot terms), but Spark does not reuse the (doc,term)
+        #   exchange across the two consumers, so the pruned bucket
+        #   scans twice; 0.32 s median locally.
+        #
+        # A third shape (repartition-by-term so ONE exchange feeds both
+        # the agg and the window) measured fastest (0.25 s, −1
+        # exchange) and was REJECTED: it forfeits map-side partial
+        # aggregation, concentrating a hot term's RAW POSTING rows in
+        # one partition — strictly worse at 100x scale than either
+        # shipped shape.
+        if df_via == "window":
+            per = per.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+            )
+        elif df_via == "broadcast":
+            dfc = per.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            per = per.join(F.broadcast(dfc), "term")
+        else:
+            raise ValueError(f"df_via must be 'window' or 'broadcast', got {df_via!r}")
         contrib = (
             F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
             * (F.col("tfw") * (BM25_K1 + 1.0))

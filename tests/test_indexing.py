@@ -499,6 +499,15 @@ def test_bm25_matches_literal_python(spark, tmp_path):
         for r in store.bm25_search(spark, terms).collect()
     }
     assert got == _py_bm25(DOCS_V0, set(terms))
+    # the hot-term df shape (tiny broadcast re-aggregate, no
+    # single-partition concentration) is value-identical
+    got_b = {
+        r.doc_id: (r.rank_score, r.terms_matched)
+        for r in store.bm25_search(spark, terms, df_via="broadcast").collect()
+    }
+    assert got_b == got
+    with pytest.raises(ValueError, match="df_via"):
+        store.bm25_search(spark, terms, df_via="nope")
 
 
 def test_bm25_stats_and_scores_exact_under_maintenance(spark, tmp_path):
