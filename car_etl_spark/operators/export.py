@@ -56,7 +56,8 @@ def write_training_shards(
     num_shards: int,
     key_col: str = "doc_id",
     mode: str = "overwrite",
-) -> None:
+    tenant_col: str | None = None,
+) -> dict | None:
     """Land ``df`` as ``shard=<i>/`` parquet directories with a
     reproducible global pseudo-shuffle.
 
@@ -64,34 +65,62 @@ def write_training_shards(
     input reproduces identical shard membership AND identical row order
     inside each file (the written ``__order`` column is the proof key —
     readers that need the order sort by it, readers that don't ignore
-    it)."""
+    it).
+
+    MULTI-TENANT form (``tenant_col``): the layout becomes
+    ``<tenant>=<t>/shard=<i>/`` — each tenant owns its own complete
+    shard set (a tenant's training run reads ONLY its directories, the
+    reference's RLS discipline, ``020_documents.sql:51-60``), shard
+    membership hashes (tenant, key) so one tenant's assignment is
+    independent of any other's corpus, and the return value is a
+    per-tenant EXPORT MANIFEST ``{tenant: {shard: n_rows}}`` (computed
+    at tenant x shard grain — control-plane size) that consumers pin in
+    their run configs.  Tenant-blind export returns None."""
     clash = {"shard", "__order"} & set(df.columns)
     if clash:
         raise ValueError(
             f"write_training_shards would overwrite input column(s) {sorted(clash)}; "
             "rename them before exporting"
         )
-    staged = df.withColumn("shard", shard_col(F.col(key_col), num_shards)).withColumn(
-        "__order", order_col(F.col(key_col))
+    shard_key = (
+        F.concat(F.col(tenant_col).cast("string"), F.lit("|"), F.col(key_col).cast("string"))
+        if tenant_col
+        else F.col(key_col)
     )
+    staged = df.withColumn("shard", shard_col(shard_key, num_shards)).withColumn(
+        "__order", order_col(shard_key)
+    )
+    pcols = ([tenant_col] if tenant_col else []) + ["shard"]
     (
-        # 4x the partitions, still keyed on shard: every shard value
-        # hashes to exactly ONE partition (layout and determinism keep),
-        # but shard ids no longer collide balls-in-bins into the same
-        # task — repartition(n, shard) left ~1/3 of n tasks empty and
-        # the busiest carrying 3-4 shards
-        staged.repartition(num_shards * 4, "shard")
-        # shard must LEAD the sort: FileFormatWriter re-sorts rows by
-        # the partition columns before writing, and only a sort that
-        # already leads with them survives into the files.  key_col
-        # breaks __order-collision ties (a duplicate key, or a 60-bit
-        # collision at 10^10 docs, would otherwise order by shuffle
-        # arrival — nondeterministic across reruns)
-        .sortWithinPartitions("shard", "__order", key_col)
+        # 4x the partitions, still keyed on the layout columns: every
+        # (tenant,) shard value hashes to exactly ONE partition (layout
+        # and determinism keep), but ids no longer collide
+        # balls-in-bins into the same task — repartition(n, shard) left
+        # ~1/3 of n tasks empty and the busiest carrying 3-4 shards
+        staged.repartition(num_shards * 4, *pcols)
+        # partition cols must LEAD the sort: FileFormatWriter re-sorts
+        # rows by the partition columns before writing, and only a sort
+        # that already leads with them survives into the files.
+        # key_col breaks __order-collision ties (a duplicate key, or a
+        # 60-bit collision at 10^10 docs, would otherwise order by
+        # shuffle arrival — nondeterministic across reruns)
+        .sortWithinPartitions(*pcols, "__order", key_col)
         .write.mode(mode)
-        .partitionBy("shard")
+        .partitionBy(*pcols)
         .parquet(path)
     )
+    if not tenant_col:
+        return None
+    counts = (
+        df.sparkSession.read.parquet(path)
+        .groupBy(tenant_col, "shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    manifest: dict = {}
+    for r in counts:
+        manifest.setdefault(str(r[tenant_col]), {})[int(r["shard"])] = int(r["n"])
+    return manifest
 
 
 def read_training_shard(
@@ -99,11 +128,23 @@ def read_training_shard(
     path: str,
     shard: int | None = None,
     key_col: str = "doc_id",
+    tenant_col: str | None = None,
+    tenant=None,
 ) -> DataFrame:
     """Read back the export — one shard (directory-pruned) or all —
     in the deterministic training order (``key_col`` breaks the rare
-    ``__order`` ties, mirroring the write-side sort)."""
+    ``__order`` ties, mirroring the write-side sort).  On a
+    tenant-partitioned export, ``tenant`` prunes to that tenant's
+    directories FIRST (required when ``tenant_col`` is given: an
+    unscoped read of a multi-tenant export is a cross-tenant leak)."""
+    if tenant_col and tenant is None:
+        raise ValueError(
+            "tenant-partitioned export: reads require tenant=...; "
+            "cross-tenant audits should read the parquet root explicitly"
+        )
     df = spark.read.parquet(path)
+    if tenant_col:
+        df = df.filter(F.col(tenant_col) == tenant)
     if shard is not None:
         df = df.filter(F.col("shard") == shard)
     ties = [key_col] if key_col in df.columns else []

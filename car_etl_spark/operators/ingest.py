@@ -128,14 +128,50 @@ def land_documents(
     path: str,
     partition_cols: tuple[str, ...] = LANDING_PARTITIONS,
     mode: str = "append",
+    zorder_cols: tuple[str, ...] = (),
+    bits_per_col: int = 6,
+    num_files: int = 32,
 ) -> None:
     """S2/S5 landing contract: ingested/synced documents land as
     parquet partitioned by (tenant, date) via
     :func:`car_etl_spark.operators.scale.write_partitioned` — append
     mode, so each ingest batch adds its partitions without rewriting
-    history."""
+    history.
+
+    ``zorder_cols`` (e.g. ``("doc_id", "file_size")``) additionally
+    Z-orders the rows WITHIN each landed partition directory
+    (``operators/layout.py`` Morton key over per-batch equi-depth
+    edges): directory pruning handles (tenant, date) predicates, and
+    the within-directory clustering gives footer min/max skipping on
+    the secondary columns — row groups tight on every z-column instead
+    of only insertion order.  Edges are per-batch (each append is its
+    own z-space; footer stats are per-file, so batches never need a
+    shared space)."""
     from car_etl_spark.operators.scale import write_partitioned
 
+    if zorder_cols:
+        from car_etl_spark.operators.layout import (
+            _stats_timestamps,
+            equidepth_edges,
+            zorder_key,
+        )
+
+        edges = equidepth_edges(df, list(zorder_cols), bits_per_col)
+        staged = (
+            df.withColumn("__z", zorder_key(edges, bits_per_col))
+            # range partitioning on (pcols, z): a big tenant-day splits
+            # across MANY tasks/files (parallel write, each file a
+            # contiguous z-range inside its directory) instead of
+            # hash-collapsing each directory onto one task
+            .repartitionByRange(
+                num_files, *[F.col(c) for c in partition_cols], F.col("__z")
+            )
+            .sortWithinPartitions(*partition_cols, "__z")
+            .drop("__z")
+        )
+        with _stats_timestamps(df):
+            write_partitioned(staged, path, partition_cols, mode=mode)
+        return
     write_partitioned(df, path, partition_cols, mode=mode)
 
 
@@ -160,6 +196,112 @@ def read_landed(
     if since_date is not None:
         df = df.filter(F.col("ingest_date") >= since_date)
     return df
+
+
+def landing_partition_files(path: str) -> dict[str, int]:
+    """Data-file count per landed partition directory — pure filesystem
+    stats (no Spark job), the maintenance-policy input.  Keys are
+    relative partition paths (``tenant_id=t0/ingest_date=2026-01-01``)."""
+    import os
+
+    out: dict[str, int] = {}
+    for root, dirs, files in os.walk(path):
+        # skip hidden/underscore dirs (in-flight compaction tmps,
+        # metadata) — same rule as Spark's file index
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            out[os.path.relpath(root, path)] = n
+    return out
+
+
+def optimize_landing(
+    spark,
+    path: str,
+    tenant_id: str | None = None,
+    since_date=None,
+    max_files: int = 8,
+    target_files: int = 1,
+    zorder_cols: tuple[str, ...] = (),
+    bits_per_col: int = 6,
+) -> dict:
+    """Small-file compaction for the landed layout — the lake OPTIMIZE
+    primitive the append-per-batch landing contract needs at scale:
+    every sync appends a few files per touched partition, so a
+    tenant-day accumulates file counts that tax listing, footers, and
+    task scheduling long before data volume does.
+
+    Each qualifying partition directory (> ``max_files`` data files,
+    restricted to one tenant and/or a date lower bound — maintenance is
+    tenant-scopable like every other store here) is rewritten to
+    ``target_files`` files, optionally Z-ORDERED on ``zorder_cols``
+    (per-partition equi-depth edges; gives appended-batch data the same
+    footer-skipping property `land_documents(zorder_cols=...)` writes),
+    then ATOMICALLY swapped in (tmp write -> rename; a crash leaves
+    either the old directory intact or the new one complete — the
+    posting store's swap discipline).  Partitions at or under the
+    threshold are untouched, so re-runs are idempotent no-ops.
+    Single-writer assumption, like all maintenance here: don't compact
+    a partition a sync is concurrently appending to.
+
+    Returns ``{partition: (files_before, files_after)}``."""
+    import os
+    import shutil
+
+    todo = []
+    for rel, n in landing_partition_files(path).items():
+        parts = dict(
+            seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg
+        )
+        if tenant_id is not None and parts.get("tenant_id") != str(tenant_id):
+            continue
+        if since_date is not None and parts.get("ingest_date", "") < str(since_date):
+            continue
+        if n > max_files:
+            todo.append((rel, n))
+
+    report: dict[str, tuple[int, int]] = {}
+    for rel, n_before in sorted(todo):
+        pdir = os.path.join(path, rel)
+        # tmp/old live beside the partition dir under HIDDEN names:
+        # Spark's partition discovery ignores dot-prefixed directories,
+        # so a concurrent reader never sees the in-flight layouts as
+        # bogus partition values
+        parent, leaf = os.path.dirname(pdir), os.path.basename(pdir)
+        tmp = os.path.join(parent, f".{leaf}.compact.tmp")
+        old = os.path.join(parent, f".{leaf}.old")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        # read the directory directly: rows come back WITHOUT partition
+        # columns (they live in the directory name), which is exactly
+        # what the rewritten files must contain
+        rows = spark.read.parquet(pdir)
+        if zorder_cols:
+            from car_etl_spark.operators.layout import (
+                _stats_timestamps,
+                equidepth_edges,
+                zorder_key,
+            )
+
+            edges = equidepth_edges(rows, list(zorder_cols), bits_per_col)
+            staged = (
+                rows.withColumn("__z", zorder_key(edges, bits_per_col))
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            with _stats_timestamps(rows):
+                staged.write.mode("overwrite").parquet(tmp)
+        else:
+            rows.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old, ignore_errors=True)
+        n_after = sum(
+            1 for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+        report[rel] = (n_before, n_after)
+    return report
 
 
 # --- S7 parser routing -----------------------------------------------------

@@ -129,22 +129,34 @@ def write_zordered(
     bits_per_col: int = 6,
     num_files: int = 32,
     mode: str = "overwrite",
+    partition_cols: tuple[str, ...] = (),
 ) -> dict[str, list[float]]:
     """Re-cluster ``df`` along the Morton curve of ``cols`` and write
     ``num_files`` parquet files, each covering a contiguous z-range.
     Returns the bin edges used (callers persisting incrementally should
-    reuse them so new files land in the same z-space)."""
+    reuse them so new files land in the same z-space).
+
+    ``partition_cols`` (e.g. ``("tenant_id",)``) combines directory
+    pruning with z-clustering: the layout becomes
+    ``<pcol>=<v>/part-*.parquet`` with files INSIDE each directory
+    covering contiguous z-ranges (the range partitioner keys on
+    (pcols..., __z) and the sort leads with the partition columns, so
+    FileFormatWriter preserves the z-order into each file).  Bin edges
+    stay GLOBAL — one approxQuantile pass, shared z-space — so
+    incremental per-partition rewrites stay mutually comparable; a
+    tenant whose value distribution diverges wildly re-clusters alone
+    by passing its own slice."""
     edges = equidepth_edges(df, cols, bits_per_col)
     zkey = zorder_key(edges, bits_per_col)
+    staged = df.withColumn("__z", zkey).repartitionByRange(
+        num_files, *[F.col(c) for c in partition_cols], F.col("__z")
+    )
+    staged = staged.sortWithinPartitions(*partition_cols, "__z").drop("__z")
     with _stats_timestamps(df):
-        (
-            df.withColumn("__z", zkey)
-            .repartitionByRange(num_files, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-            .write.mode(mode)
-            .parquet(path)
-        )
+        w = staged.write.mode(mode)
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
     return edges
 
 

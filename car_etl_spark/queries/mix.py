@@ -65,22 +65,94 @@ def source_rate() -> F.Column:
     )
 
 
-def _doc_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, gram) for every word 8-gram.  Tokenization is
-    the cross-engine formula: lower, collapse whitespace, split on a
-    single space; docs shorter than 8 tokens produce no grams."""
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    tenant_col: str | None = None,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling with CONFIGURED rates — the
+    production form of the suite's CASE table: ``rates`` maps
+    ``source -> rate`` (tenant-blind) or ``(tenant, source) -> rate``
+    when ``tenant_col`` is given — per-tenant mix rates, the multi-
+    tenant pipeline's contract (one tenant tuning its mix cannot touch
+    another's subset).
+
+    Isolation is structural, not just configured: with ``tenant_col``
+    the accept hash covers (tenant, key), so tenant A's decisions are a
+    pure function of A's own rows and rates — adding, removing, or
+    re-rating tenant B changes nothing for A (pinned in
+    tests/test_mix.py).  Map-only at any scale: the rate lookup is a
+    literal CASE chain (config is control-plane grain), no shuffle, no
+    state.  Unknown strata sample at ``default_rate`` (0.0 = fail
+    closed)."""
+    if tenant_col:
+        pairs = [
+            ((F.col(tenant_col).cast("string") == str(t)) & (F.col(source_col) == s), r)
+            for (t, s), r in rates.items()
+        ]
+        # hash (tenant, key): exact-integer mix of the tenant hash into
+        # the key BEFORE the Knuth multiply, still overflow-free
+        key = (
+            (F.col(key_col) + F.pmod(F.xxhash64(F.col(tenant_col).cast("string")), F.lit(KEY_MOD)))
+            % F.lit(KEY_MOD)
+        )
+    else:
+        pairs = [(F.col(source_col) == s, r) for s, r in rates.items()]
+        key = F.col(key_col) % F.lit(KEY_MOD)
+    rate = F.lit(float(default_rate))
+    for cond, r in reversed(pairs):
+        rate = F.when(cond, F.lit(float(r))).otherwise(rate)
+    u = key * F.lit(HASH_MULT) % F.lit(HASH_MOD)
+    cut = (rate * HASH_MOD).cast("long")
+    return df.filter(u < cut)
+
+
+def contamination_screen(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tenant_col: str | None = None,
+    tenant=None,
+) -> DataFrame:
+    """Flag corpus documents sharing any 8-word shingle with the
+    benchmark set — distinct (doc_id[, tenant], source) rows.
+
+    The benchmark side is bounded (suites are small by nature) so its
+    distinct grams BROADCAST; the corpus side streams map-side in one
+    pass.  TENANT scope: a tenant-partitioned corpus must be screened
+    per tenant (``tenant=``) — the filter lands before the gram
+    explode, so on a landed table it prunes to the tenant's directories
+    and the screen never reads another tenant's bytes (benchmarks are
+    public reference data, shared across tenants by design)."""
+    if tenant_col and tenant is None:
+        raise ValueError(
+            "tenant-partitioned corpus: screening requires tenant=...; "
+            "cross-tenant audits iterate tenants explicitly"
+        )
+    keep = ["doc_id"] + ([tenant_col] if tenant_col else []) + ["source"]
+    if tenant_col:
+        corpus = corpus.filter(F.col(tenant_col) == tenant)
+    bench_grams = _doc_grams(benchmark, keep=["doc_id"]).select("gram").distinct()
+    grams = _doc_grams(corpus.select(*keep, "text"), keep=keep)
+    return grams.join(F.broadcast(bench_grams), "gram").select(*keep).distinct()
+
+
+def _doc_grams(docs: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """(doc_id, source, gram) for every word 8-gram (``keep`` overrides
+    the carried id columns).  Tokenization is the cross-engine formula:
+    lower, collapse whitespace, split on a single space; docs shorter
+    than 8 tokens produce no grams."""
+    keep = keep if keep is not None else ["doc_id", "source"]
     words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
-    staged = docs.select("doc_id", "source", words.alias("w")).filter(
-        F.size("w") >= NGRAM
-    )
+    staged = docs.select(*keep, words.alias("w")).filter(F.size("w") >= NGRAM)
     return staged.select(
-        "doc_id",
-        "source",
+        *keep,
         F.explode(F.sequence(F.lit(1), F.size("w") - (NGRAM - 1))).alias("i"),
         "w",
     ).select(
-        "doc_id",
-        "source",
+        *keep,
         F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), NGRAM)).alias("gram"),
     )
 

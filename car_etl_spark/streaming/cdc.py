@@ -230,6 +230,7 @@ class ConnectorSync:
         connector_id: str,
         tenant_id: str = "t0",
         landing_path: str | None = None,
+        landing_zorder_cols: tuple[str, ...] = (),
     ) -> None:
         self.spark = spark
         self.tokens = DeltaTokenStore(state_dir, connector_id)
@@ -243,6 +244,12 @@ class ConnectorSync:
         # under that tenant's directory only.
         self.tenant_id = tenant_id
         self.landing_path = landing_path
+        # optional within-directory Z-order for landed batches (e.g.
+        # ("doc_id", "file_size") — see ingest.land_documents): footer
+        # skipping on secondary columns where the data actually lands.
+        # Periodic optimize_landing compaction re-clusters accumulated
+        # small per-sync files the same way.
+        self.landing_zorder_cols = landing_zorder_cols
 
     # -- state-table accessors -------------------------------------------
     def docs(self) -> DataFrame:
@@ -371,7 +378,14 @@ class ConnectorSync:
                     pass  # first batch: nothing landed yet
                 # materialize before the append: the anti-join plan READS
                 # the landing log the write is about to extend
-                land_documents(to_land.localCheckpoint(eager=True), self.landing_path)
+                # num_files bounded low: a sync batch is small, and the
+                # periodic optimize_landing pass owns the final layout
+                land_documents(
+                    to_land.localCheckpoint(eager=True),
+                    self.landing_path,
+                    zorder_cols=self.landing_zorder_cols,
+                    num_files=4,
+                )
             updated = demote_superseded(existing, new_versions).unionByName(new_versions)
             updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.docs_path)
         if n_dead:

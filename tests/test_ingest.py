@@ -172,3 +172,101 @@ def test_ingest_binary_dir_carries_landing_partition_columns(spark, zip_dir):
     rows = media.select("tenant_id", "ingest_date").collect()
     assert rows and all(r.tenant_id == "t7" and r.ingest_date is not None for r in rows)
     assert dict(media.dtypes)["ingest_date"] == "date"
+
+
+def test_landing_zorder_secondary_column_skipping(spark, tmp_path):
+    """land_documents(zorder_cols=...) makes footer min/max skipping on
+    the SECONDARY columns real inside a landed partition: a narrow
+    file_size probe touches a strictly smaller fraction of t0's files
+    than under the plain landing of the same rows, while the partition
+    pruning contract is unchanged."""
+    from datetime import date
+
+    from car_etl_spark.operators.layout import candidate_file_fraction, file_column_ranges
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("t0").alias("tenant_id"),
+            F.lit(date(2026, 2, 1)).alias("ingest_date"),
+            ((F.col("id") * 37) % 10_000).alias("file_size"),
+        )
+        .repartition(8)  # shuffled input: plain landing has no order
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    I.land_documents(df, plain)
+    I.land_documents(df, zed, zorder_cols=("doc_id", "file_size"), num_files=8)
+    pdir = f"{plain}/tenant_id=t0/ingest_date=2026-02-01"
+    zdir = f"{zed}/tenant_id=t0/ingest_date=2026-02-01"
+    probe = (4000, 4400)  # narrow file_size band
+    f_plain = candidate_file_fraction(
+        file_column_ranges(pdir, ["file_size"]), "file_size", *probe
+    )
+    f_z = candidate_file_fraction(
+        file_column_ranges(zdir, ["file_size"]), "file_size", *probe
+    )
+    assert f_plain == 1.0  # every unordered file spans the probe
+    assert f_z < 0.6, (f_plain, f_z)
+    # same rows, and directory pruning still engages
+    got = I.read_landed(spark, zed, tenant_id="t0", on_date="2026-02-01")
+    assert got.count() == n
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "PartitionFilters: []" not in plan
+
+
+def test_optimize_landing_compacts_atomically(spark, tmp_path):
+    """Small-file compaction: multi-batch appends leave many files per
+    partition; optimize_landing rewrites qualifying partitions to
+    target_files with the row set byte-preserved, leaves compliant and
+    out-of-scope partitions untouched, is an idempotent no-op on rerun,
+    and cleans up a crashed run's leftover tmp layout."""
+    import os
+    from datetime import date
+
+    def batch(i):
+        return spark.range(i * 100, i * 100 + 100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("tenant_id"),
+            F.lit(date(2026, 3, 1)).alias("ingest_date"),
+            ((F.col("id") * 37) % 500).alias("file_size"),
+        ).repartition(3)
+
+    path = str(tmp_path / "landing")
+    for i in range(4):  # 4 appends x 3 files = 12 files per partition
+        I.land_documents(batch(i), path)
+    stats = I.landing_partition_files(path)
+    assert all(n == 12 for n in stats.values()), stats
+    before = spark.read.parquet(path)
+    n_rows, chk = before.count(), before.agg(F.sum("doc_id")).collect()[0][0]
+
+    # tenant-scoped: only t0 compacts; t1 untouched
+    report = I.optimize_landing(spark, path, tenant_id="t0", target_files=2)
+    key0 = os.path.join("tenant_id=t0", "ingest_date=2026-03-01")
+    key1 = os.path.join("tenant_id=t1", "ingest_date=2026-03-01")
+    assert report == {key0: (12, 2)}
+    stats = I.landing_partition_files(path)
+    assert stats[key0] == 2 and stats[key1] == 12
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("doc_id")).collect()[0][0] == chk
+    # rerun: t0 now compliant -> no-op
+    assert I.optimize_landing(spark, path, tenant_id="t0", target_files=2) == {}
+
+    # crashed-run leftover tmp is invisible to stats and cleaned on retry
+    leftover = os.path.join(path, "tenant_id=t1", ".ingest_date=2026-03-01.compact.tmp")
+    os.makedirs(leftover)
+    assert key1 in I.landing_partition_files(path)
+    report = I.optimize_landing(
+        spark, path, zorder_cols=("doc_id", "file_size"), target_files=4
+    )
+    assert report[key1][0] == 12 and not os.path.isdir(leftover)
+    # z-ordered compaction: footer skipping now real inside t1's dir
+    from car_etl_spark.operators.layout import candidate_file_fraction, file_column_ranges
+
+    ranges = file_column_ranges(os.path.join(path, key1), ["doc_id"])
+    assert len(ranges) == 4
+    assert candidate_file_fraction(ranges, "doc_id", 150, 190) < 1.0
+    final = spark.read.parquet(path)
+    assert final.count() == n_rows and final.agg(F.sum("doc_id")).collect()[0][0] == chk

@@ -118,3 +118,42 @@ def test_key_validation():
         L.zorder_key({"a": [0.5]}, 4)  # needs >= 2 columns
     with pytest.raises(ValueError):
         L.zorder_key(edges, 32)  # 2 x 32 bits overflows the BIGINT key
+
+
+def test_partitioned_zorder_layout(spark, tmp_path):
+    """partition_cols combines directory pruning with within-directory
+    z-clustering: tenant dirs exist, every file inside a tenant dir
+    covers a contiguous z-range (disjoint doc_id spans per file for the
+    synthetic monotone corpus), and the row set is a permutation."""
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("tenant_id"),
+            ((F.col("id") * 37) % 1000).alias("file_size"),
+        )
+        # shuffle the input so clustering is the layout's doing
+        .repartition(16)
+    )
+    path = str(tmp_path / "pz")
+    L.write_zordered(
+        df, path, ["doc_id", "file_size"], bits_per_col=5, num_files=16,
+        partition_cols=("tenant_id",),
+    )
+    import os
+
+    t0_dir = os.path.join(path, "tenant_id=t0")
+    assert os.path.isdir(t0_dir) and os.path.isdir(os.path.join(path, "tenant_id=t1"))
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.agg(F.sum("doc_id")).collect()[0][0] == n * (n - 1) // 2
+    # within one tenant dir: BOTH z-columns skip files under a narrow
+    # probe (the Morton property, measured from real footers), which a
+    # single-column or insertion-order layout cannot do
+    ranges = L.file_column_ranges(t0_dir, ["doc_id", "file_size"])
+    assert len(ranges) >= 4
+    f_doc = L.candidate_file_fraction(ranges, "doc_id", n * 40 // 100, n * 45 // 100)
+    f_size = L.candidate_file_fraction(ranges, "file_size", 400, 450)
+    assert f_doc < 0.75, (f_doc, f_size)
+    assert f_size < 0.75, (f_doc, f_size)

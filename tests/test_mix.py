@@ -56,3 +56,71 @@ def test_doc_grams_skips_short_docs(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert X._doc_grams(docs).count() == 0
+
+
+def _tenant_docs(spark, n=4000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("tenant_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+        F.concat(F.lit("doc body "), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_stratified_sample_per_tenant_rates_and_isolation(spark):
+    """Per-(tenant, source) rates are honored, decisions are
+    deterministic, and tenant A's subset is a pure function of A's own
+    rows + rates — re-rating or removing tenant B changes nothing."""
+    docs = _tenant_docs(spark)
+    rates = {
+        ("t0", "src0"): 1.0, ("t0", "src1"): 0.25, ("t0", "src2"): 0.0,
+        ("t1", "src0"): 0.5, ("t1", "src1"): 0.5, ("t1", "src2"): 0.5,
+    }
+    out = X.stratified_sample(docs, rates, tenant_col="tenant_id")
+    got = {
+        (r.tenant_id, r.source): r.n
+        for r in out.groupBy("tenant_id", "source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # rate 1.0 keeps everything, 0.0 keeps nothing, fractions approximate
+    assert got[("t0", "src0")] == docs.filter(
+        (F.col("tenant_id") == "t0") & (F.col("source") == "src0")
+    ).count()
+    assert ("t0", "src2") not in got
+    n01 = docs.filter((F.col("tenant_id") == "t0") & (F.col("source") == "src1")).count()
+    assert 0.15 * n01 < got[("t0", "src1")] < 0.35 * n01
+    # isolation: drop tenant t1 and re-rate it wildly — t0 subset identical
+    only0 = docs.filter(F.col("tenant_id") == "t0")
+    rates2 = {**rates, ("t1", "src0"): 0.001}
+    a = sorted(r.doc_id for r in out.filter(F.col("tenant_id") == "t0").collect())
+    b = sorted(r.doc_id for r in X.stratified_sample(only0, rates2, tenant_col="tenant_id").collect())
+    assert a == b
+    # tenant-blind form still works with source-keyed rates
+    blind = X.stratified_sample(docs, {"src0": 1.0, "src1": 0.0, "src2": 0.0})
+    assert blind.count() == docs.filter(F.col("source") == "src0").count()
+
+
+def test_contamination_screen_tenant_scoped(spark):
+    """Screening is per tenant: requires tenant= on a tenant-scoped
+    corpus, flags only that tenant's docs, and never reads the other
+    tenant's rows (the flagged set from a physically-isolated slice is
+    identical)."""
+    import pytest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (1, "t0", "src0", base + " tail one"),        # contaminated, t0
+        (2, "t0", "src0", "clean words only here no overlap at all"),
+        (3, "t1", "src1", base + " tail two"),        # contaminated, t1
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, tenant_id string, source string, text string")
+    bench = spark.createDataFrame([(100, base + " suffix")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="requires tenant="):
+        X.contamination_screen(corpus, bench, tenant_col="tenant_id")
+    t0 = X.contamination_screen(corpus, bench, tenant_col="tenant_id", tenant="t0")
+    assert [(r.doc_id, r.tenant_id) for r in t0.collect()] == [(1, "t0")]
+    # physically isolated slice -> identical result (nothing leaked in)
+    iso = X.contamination_screen(
+        corpus.filter(F.col("tenant_id") == "t0"), bench,
+        tenant_col="tenant_id", tenant="t0",
+    )
+    assert sorted(map(tuple, iso.collect())) == sorted(map(tuple, t0.collect()))

@@ -914,3 +914,37 @@ def test_cdc_landing_crash_retry_converges(spark, tmp_path, monkeypatch):
     out2 = sync.sync_once(feed)
     assert out2["new_versions"] == 0
     assert spark.read.parquet(landing).count() == 2
+
+
+def test_cdc_landing_with_zorder_cols(spark, tmp_path):
+    """ConnectorSync(landing_zorder_cols=...) lands the identical row
+    set as plain landing (clustering is layout-only), keeps the
+    partition directories, and stays idempotent across a replayed
+    sync."""
+    from datetime import datetime
+
+    from car_etl_spark.streaming.cdc import ConnectorSync
+
+    def changes(rows, day):
+        return spark.createDataFrame(
+            [(p, h, "upsert", datetime(2026, 4, day, 0, 0, i)) for i, (p, h) in enumerate(rows)],
+            "source_path string, file_hash string, change_type string, changed_at timestamp",
+        )
+
+    landing = str(tmp_path / "landing")
+    sync = ConnectorSync(
+        spark, str(tmp_path / "c1"), "cz1", tenant_id="t1",
+        landing_path=landing, landing_zorder_cols=("version", "synced_at"),
+    )
+    feed = [("d%d" % i, "h%d" % i) for i in range(6)]
+    sync.sync_once(lambda tok: (changes(feed, day=1), "k1"))
+    landed = spark.read.parquet(landing)
+    assert landed.count() == 6
+    assert (tmp_path / "landing" / "tenant_id=t1" / "ingest_date=2026-04-01").is_dir()
+    # replayed batch (same change feed): anti-join lands nothing new
+    sync2 = ConnectorSync(
+        spark, str(tmp_path / "c1"), "cz1", tenant_id="t1",
+        landing_path=landing, landing_zorder_cols=("version", "synced_at"),
+    )
+    sync2.sync_once(lambda tok: (changes(feed, day=1), "k1"))
+    assert spark.read.parquet(landing).count() == 6
