@@ -82,6 +82,12 @@ ANALYZER_VERSION = 2
 #     tombstones carry the tenant key on tenant-partitioned stores
 IVF_VERSION = 5
 
+#: cardinality ceiling for DECLARED filterable attributes (per-
+#: (centroid, value) counts live in meta — centroids x values entries;
+#: beyond this a column belongs in scan-time predicate pushdown, not
+#: index metadata)
+FILTER_VALUE_CAP = 1024
+
 #: fallback bucket count for stores built without corpus statistics
 DEFAULT_NUM_BUCKETS = 16
 #: bucket-count derivation bounds.  The floor keeps tiny corpora from
@@ -1155,6 +1161,7 @@ class IvfStore:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         keep: tuple[str, ...] = ("label",),
+        filter_cols: tuple[str, ...] = (),
     ) -> None:
         from car_etl_spark.operators.similarity import ivf_assign, kmeans_refine
 
@@ -1198,6 +1205,9 @@ class IvfStore:
         rows = centroids.select("centroid_id", "centroid_vec").collect()
         if self.tenant_col and self.tenant_col not in keep:
             keep = tuple(keep) + (self.tenant_col,)
+        for c in filter_cols:
+            if c not in keep and c != id_col:
+                keep = tuple(keep) + (c,)
         assigned = ivf_assign(
             emb, centroids, id_col, vec_col, centroid_rows=rows, keep=keep
         ).withColumn("batch", F.lit(0).cast("long"))
@@ -1239,6 +1249,8 @@ class IvfStore:
         }
         if tstats is not None:
             meta["tenants"] = tstats
+        if filter_cols:
+            meta["filters"] = self._filter_stats(written, list(filter_cols))
         meta["schema"] = assigned.schema.jsonValue()
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(meta, f)
@@ -1304,6 +1316,39 @@ class IvfStore:
             )
             for r in stats
         }
+
+    def _filter_stats(self, assigned: DataFrame, filter_cols: list[str]) -> dict:
+        """Per-(centroid, value) member counts for each DECLARED
+        filterable attribute — the statistics that extend the
+        certified-exact probe walk to metadata-filtered search (the
+        vector-DB "filterable attribute" contract: attributes are
+        declared at index build, like Lucene doc values).  Grain is
+        centroids x distinct values per column — control-plane sized,
+        enforced by :data:`FILTER_VALUE_CAP` (a high-cardinality column
+        belongs in the predicate pushdown of a full scan, not in index
+        metadata).  NULL-valued rows are excluded: an IN-filter can
+        never match NULL, so their absence keeps counts and predicate
+        agreeing."""
+        out: dict = {}
+        for c in filter_cols:
+            rows = (
+                assigned.filter(F.col(c).isNotNull())
+                .groupBy("centroid_id", c)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            n_values = len({r[c] for r in rows})
+            if n_values > FILTER_VALUE_CAP:
+                raise ValueError(
+                    f"filter column {c!r} has {n_values} distinct values "
+                    f"(cap {FILTER_VALUE_CAP}): too high-cardinality for "
+                    "index-resident filter statistics"
+                )
+            entry: dict = {}
+            for r in rows:
+                entry.setdefault(str(int(r.centroid_id)), {})[str(r[c])] = int(r.n)
+            out[c] = entry
+        return out
 
     def _tenant_stats(self, assigned: DataFrame, cents, vec_col: str) -> dict:
         """Per-(tenant, centroid) (max angular radius, member count) —
@@ -1375,6 +1420,10 @@ class IvfStore:
         cents = sorted(zip(m["centroid_ids"], m["centroids"]))
         if self.tenant_col and self.tenant_col not in keep:
             keep = tuple(keep) + (self.tenant_col,)
+        filter_cols = list(m.get("filters") or {})
+        for c in filter_cols:
+            if c not in keep and c != id_col:
+                keep = tuple(keep) + (c,)
         tomb_ids: set = set()
         batch_entry: dict = {"counts": {}, "radii": {}, "tombs": 0}
         if upserts is not None:
@@ -1396,6 +1445,12 @@ class IvfStore:
             batch_entry["radii"] = {
                 str(cid): r for cid, (r, _n) in stats.items() if r is not None
             }
+            if filter_cols:
+                # per-batch filterable-attribute counts: the filtered
+                # walk ADDS these when present; their absence (pre-
+                # feature batches, pessimistic write) undercounts, which
+                # only extends the walk — safe
+                batch_entry["filters"] = self._filter_stats(assigned, filter_cols)
             # control-plane collect: bounded by the MICRO-BATCH's distinct
             # id count (connector pages are O(100-1000) rows), never by
             # store size — same ceiling argument as the CDC token path
@@ -1438,6 +1493,10 @@ class IvfStore:
         #    values (keyed by batch id, so replays overwrite).
         pessimistic = dict(batch_entry)
         pessimistic["counts"] = {}
+        # filters counts must ALSO wait for the delta write: counting
+        # not-yet-visible matching rows would certify the filtered
+        # walk's L too early (the one direction that loses recall)
+        pessimistic.pop("filters", None)
         m.setdefault("batches", {})[str(batch)] = pessimistic
         self._write_meta(m)
         if tomb_ids:
@@ -1565,6 +1624,12 @@ class IvfStore:
         m["batches"] = {}
         if tstats is not None:
             m["tenants"] = tstats
+        if m.get("filters"):
+            # restamp filterable-attribute counts TIGHT from the live
+            # rows (same discipline as radii/counts)
+            m["filters"] = self._filter_stats(
+                spark.read.schema(live.schema).parquet(tmp), list(m["filters"])
+            )
         m["schema"] = live.schema.jsonValue()
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(m, f)
@@ -1598,7 +1663,9 @@ class IvfStore:
         order = np.lexsort((ids, -sims))  # sim desc, id asc
         return [int(i) for i in ids[order][:nprobe]]
 
-    def probe_ids_exact(self, qvec: list[float], k: int, tenant=None) -> list[int]:
+    def probe_ids_exact(
+        self, qvec: list[float], k: int, tenant=None, where=None
+    ) -> list[int]:
         """EXACT probe set via the cluster-radius triangle bound —
         still zero Spark jobs, still driver-side numpy.
 
@@ -1614,11 +1681,48 @@ class IvfStore:
         corpora this probes a few partitions; on unclusterable (near-
         random) data radii approach pi/2 and it degrades to the full
         scan exactness requires.  A 1e-6 slack on L absorbs the 6-dp
-        output rounding at the k-th boundary."""
+        output rounding at the k-th boundary.
+
+        FILTERED search (``where=(col, values)``): the radius bound
+        holds for ANY subset of a cluster's members, so the SAME walk
+        certifies metadata-filtered top-k when the per-cluster counts
+        are the MATCHING member counts — read from the per-(centroid,
+        value) statistics of a DECLARED filter column (build with
+        ``filter_cols=``, the vector-DB filterable-attribute contract).
+        Batch filter counts fold in when present; their absence
+        undercounts, which only extends the walk.  Combining ``tenant``
+        and ``where`` is refused: min of the two marginals
+        OVERestimates the intersection, the one unsafe direction —
+        per-(tenant, centroid, value) stats are the extension point."""
         import numpy as np
 
         m, ids, _sims, thetas = self._centroid_angles(qvec)
-        if tenant is not None:
+        fstats = vset = None
+        if where is not None:
+            if tenant is not None:
+                raise ValueError(
+                    "filtered search cannot be tenant-scoped: per-"
+                    "(tenant, centroid, value) statistics are not kept, "
+                    "and min(tenant, filter) marginals over-certify"
+                )
+            col, values = where
+            fstats = (m.get("filters") or {}).get(col)
+            if fstats is None:
+                raise ValueError(
+                    f"{col!r} is not a declared filter column of this "
+                    "store — rebuild with filter_cols=(...)"
+                )
+            vset = [str(v) for v in values]
+        if fstats is not None:
+            radii = np.asarray(m["radii"], dtype="float64")
+            counts = np.asarray(
+                [
+                    float(sum(fstats.get(str(int(c)), {}).get(v, 0) for v in vset))
+                    for c in ids
+                ],
+                dtype="float64",
+            )
+        elif tenant is not None:
             # tenant-scoped certificate: that tenant's per-cluster
             # (radius, count) from meta.  A cluster with no tenant rows
             # contributes count 0 / radius 0 — probing it would scan
@@ -1648,7 +1752,14 @@ class IvfStore:
         pos = {int(cid): i for i, cid in enumerate(ids)}
         for bentry in (m.get("batches") or {}).values():
             pending_tombs += int(bentry.get("tombs", 0))
-            if tenant is None:
+            if fstats is not None:
+                # filtered walk: add the batch's MATCHING counts (absent
+                # on pessimistic/pre-feature entries -> undercount -> safe)
+                bf = (bentry.get("filters") or {}).get(where[0]) or {}
+                for cid, vals in bf.items():
+                    if int(cid) in pos:
+                        counts[pos[int(cid)]] += sum(int(vals.get(v, 0)) for v in vset)
+            elif tenant is None:
                 for cid, n in (bentry.get("counts") or {}).items():
                     if int(cid) in pos:
                         counts[pos[int(cid)]] += int(n)
@@ -1676,15 +1787,22 @@ class IvfStore:
         vec_col: str = "embedding",
         extra_cols: tuple[str, ...] = ("label",),
         tenant=None,
+        where=None,
     ) -> DataFrame:
         """Exact-rescored top-k over the probed partitions: ONE Spark
         job, scanning only the probed fraction of the corpus
         (``PartitionFilters`` on centroid_id).  ``nprobe=None`` (the
         default) derives a CERTIFIED-exact probe set from the cluster
         radii (:meth:`probe_ids_exact`); an integer nprobe is the
-        fixed-budget approximate mode (recall < 1 possible)."""
+        fixed-budget approximate mode (recall < 1 possible).
+
+        ``where=(col, values)`` is metadata-FILTERED search: the probe
+        set certifies against the matching member counts
+        (:meth:`probe_ids_exact`) and the IN-predicate is pushed into
+        the pruned parquet scan, so both the certificate and the bytes
+        read track the filtered corpus."""
         probes = (
-            self.probe_ids_exact(qvec, k, tenant=tenant)
+            self.probe_ids_exact(qvec, k, tenant=tenant, where=where)
             if nprobe is None
             else self.probe_ids(qvec, nprobe)
         )
@@ -1701,9 +1819,12 @@ class IvfStore:
             sim = F.round(V.cosine_similarity(F.col(vec_col), qlit), 6)
         else:
             sim = F.round(_cosine_pairs_pandas(F.col(vec_col), qlit), 6)
+        scan = self.read_assignments(spark, probes=probes, id_col=id_col, tenant=tenant)
+        if where is not None:
+            col, values = where
+            scan = scan.filter(F.col(col).isin(list(values)))
         return (
-            self.read_assignments(spark, probes=probes, id_col=id_col, tenant=tenant)
-            .select(id_col, *extra_cols, sim.alias("cosine_sim"))
+            scan.select(id_col, *extra_cols, sim.alias("cosine_sim"))
             .orderBy(F.desc("cosine_sim"), F.asc(id_col))
             .limit(k)
         )
@@ -1733,6 +1854,7 @@ def ensure_ivf_index(
     sf_dir: str,
     num_centroids: int | None = None,
     refine_iterations: int = 2,
+    filter_cols: tuple[str, ...] = ("label",),
 ) -> IvfStore:
     source = os.path.join(sf_dir, "embeddings.parquet")
     if num_centroids is None:
@@ -1741,7 +1863,7 @@ def ensure_ivf_index(
         from car_etl_spark.tables import parquet_rowcount
 
         num_centroids = derive_num_centroids(parquet_rowcount(sf_dir, "embeddings"))
-    params = f"c{num_centroids}|r{refine_iterations}"
+    params = f"c{num_centroids}|r{refine_iterations}|f{','.join(filter_cols)}"
     digest = _source_digest("ivf", IVF_VERSION, source, params)
     path = os.path.join(index_root(), f"ivf-{digest}")
     store = IvfStore(path)
@@ -1754,6 +1876,6 @@ def ensure_ivf_index(
         tune_session(spark)
         emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
         os.makedirs(index_root(), exist_ok=True)
-        store.build(emb, num_centroids, refine_iterations)
+        store.build(emb, num_centroids, refine_iterations, filter_cols=filter_cols)
     _ENSURED.add(path)
     return store

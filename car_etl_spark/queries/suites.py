@@ -113,10 +113,14 @@ def _fts_suite_sql() -> str:
 
 
 def vector_topk_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 suite: brute-force exact, certified-exact IVF serving, and the
-    cost-based adaptive dispatch — three arms that must agree row-for-
-    row (all share the brute-force oracle), tagged and unioned."""
+    """O1 suite: brute-force exact, certified-exact IVF serving, the
+    cost-based adaptive dispatch (three arms that must agree row-for-
+    row, all sharing the brute-force oracle), and the metadata-FILTERED
+    serving arm (r7: per-(centroid, label) counts certify the probe
+    walk over matching members; its oracle is the filtered brute
+    force), tagged and unioned."""
     from car_etl_spark.queries.vector import (
+        vector_filtered_topk,
         vector_ivf_topk,
         vector_topk,
         vector_topk_adaptive,
@@ -126,6 +130,7 @@ def vector_topk_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("exact", vector_topk),
         ("ivf", vector_ivf_topk),
         ("adaptive", vector_topk_adaptive),
+        ("filtered", vector_filtered_topk),
     ]
     parts = [
         fn(spark, sf_dir).select(
@@ -137,11 +142,17 @@ def vector_topk_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _vector_modes_sql() -> str:
-    from car_etl_spark.queries.vector import VECTOR_TOPK_SQL
+    from car_etl_spark.queries.vector import (
+        VECTOR_FILTERED_TOPK_SQL,
+        VECTOR_TOPK_SQL,
+    )
 
     parts = [
         f"SELECT '{tag}' AS mode, vec_id, label, cosine_sim FROM ({VECTOR_TOPK_SQL})"
         for tag in ("exact", "ivf", "adaptive")
+    ] + [
+        "SELECT 'filtered' AS mode, vec_id, label, cosine_sim "
+        f"FROM ({VECTOR_FILTERED_TOPK_SQL})"
     ]
     return (
         "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts)

@@ -414,6 +414,54 @@ def vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: the declared filterable-attribute predicate of the filtered-search
+#: registry arm — labels are the embeddings table's metadata column
+#: (the reference filters its vector matches by document metadata the
+#: same way, ``042_match_function.sql:23-39``)
+FILTERED_TOPK_LABELS = (2, 5)
+
+
+def vector_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 FILTERED serving path: metadata-filtered cosine top-k from
+    the persisted IVF layout — the vector-DB "filterable attribute"
+    contract (Postgres: a WHERE clause beside the pgvector ``<=>``
+    scan, ``042_match_function.sql:35-46``; Lucene/vespa: filter
+    queries over doc values).
+
+    The probe set certifies against per-(centroid, label) counts kept
+    in index meta (the radius bound holds for any subset of a
+    cluster's members, so the certified walk over MATCHING counts is
+    still exact — :meth:`IvfStore.probe_ids_exact`), and the label
+    IN-predicate pushes into the pruned parquet scan.  Result equals
+    the brute-force filtered top-k by construction, so the filtered
+    brute SQL is the oracle."""
+    from car_etl_spark.operators.indexing import ensure_ivf_index
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        qvec = _query_vec_list(emb, cache_key=sf_dir)
+        store = ensure_ivf_index(spark, sf_dir)
+        return store.probe_topk(
+            spark, qvec, k=20, where=("label", list(FILTERED_TOPK_LABELS))
+        )
+
+    return prepared(
+        spark, "vector_filtered_topk", sf_dir, ("embeddings.parquet",), build
+    )
+
+
+VECTOR_FILTERED_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]), 6) AS cosine_sim
+FROM embeddings, q
+WHERE label IN {FILTERED_TOPK_LABELS}
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 20
+"""
+
+
 #: corpora below this row count brute-force scan faster than the IVF
 #: layout amortizes (index build + probe bookkeeping beat a single
 #: map-only scan only once the scan itself dominates); derived from

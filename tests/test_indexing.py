@@ -662,3 +662,111 @@ def test_compact_refuses_older_layout_version(spark, tmp_path, inc_store):
     with pytest.raises(ValueError, match="rebuild it before applying"):
         inc_store.compact(spark)
     assert not os.path.exists(inc_store.base_dir + ".tmp")
+
+
+# -- filtered vector search (r7: declared filterable attributes) ------------
+
+
+def _brute_filtered(emb, qvec, labels, k=10):
+    from car_etl_spark.functions import vectors as V
+
+    return [
+        tuple(r)
+        for r in emb.filter(F.col("label").isin(labels))
+        .select(
+            "vec_id", "label",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), V.literal_vector(qvec)), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_filtered_probe_certified_exact_on_clusters(spark, tmp_path):
+    """Metadata-filtered top-k from the IVF store equals the filtered
+    brute force (the certificate walks MATCHING counts), both when the
+    filter matches the query's own cluster and when it names a far one;
+    same-cluster filters still prune the probe set."""
+    emb = _clustered_emb(spark)  # label == planted cluster
+    store = IX.IvfStore(str(tmp_path / "fivf"))
+    store.build(emb, num_centroids=4, refine_iterations=2, filter_cols=("label",))
+    qvec = list(emb.filter(F.col("vec_id") == 45).select("embedding").first()[0])  # cluster 1
+    # filter == query's own cluster: certified with a pruned probe set
+    probes = store.probe_ids_exact(qvec, k=10, where=("label", [1]))
+    assert 0 < len(probes) < 4, probes
+    got = [
+        tuple(r)
+        for r in store.probe_topk(spark, qvec, k=10, where=("label", [1])).collect()
+    ]
+    assert got == _brute_filtered(emb, qvec, [1])
+    # filter names a FAR cluster: still exact (walk extends to it)
+    got_far = [
+        tuple(r)
+        for r in store.probe_topk(spark, qvec, k=10, where=("label", [3])).collect()
+    ]
+    assert got_far == _brute_filtered(emb, qvec, [3])
+    # multi-value filter
+    got_multi = [
+        tuple(r)
+        for r in store.probe_topk(spark, qvec, k=10, where=("label", [0, 3])).collect()
+    ]
+    assert got_multi == _brute_filtered(emb, qvec, [0, 3])
+
+
+def test_filtered_probe_refusals(spark, tmp_path):
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "rivf"))
+    store.build(emb, num_centroids=4, filter_cols=("label",))
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    with pytest.raises(ValueError, match="not a declared filter column"):
+        store.probe_ids_exact(q, 10, where=("vec_id", [1]))
+    with pytest.raises(ValueError, match="cannot be tenant-scoped"):
+        store.probe_ids_exact(q, 10, tenant="t0", where=("label", [1]))
+    # high-cardinality columns refuse at build (index metadata budget)
+    big = IX.IvfStore(str(tmp_path / "bivf"))
+    import unittest.mock as mock
+
+    with mock.patch.object(IX, "FILTER_VALUE_CAP", 3):
+        with pytest.raises(ValueError, match="too high-cardinality"):
+            big.build(emb, num_centroids=4, filter_cols=("vec_id",))
+
+
+def test_filtered_exact_under_maintenance_and_compact(spark, tmp_path):
+    """apply_batch keeps the filtered certificate exact: new matching
+    vectors (with per-batch filter counts) and tombstoned matching ids
+    both land in the filtered top-k correctly, and compact restamps
+    tight filter stats."""
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "mivf"))
+    store.build(emb, num_centroids=4, refine_iterations=2, filter_cols=("label",))
+    qvec = list(emb.filter(F.col("vec_id") == 45).select("embedding").first()[0])
+    # batch 1: upsert near-duplicates of the query INTO label 3 (far
+    # cluster by geometry, matching by label) + delete a label-1 vector
+    import math
+
+    jit = [x + 0.01 for x in qvec]
+    nrm = math.sqrt(sum(v * v for v in jit))
+    newv = [v / nrm for v in jit]
+    ups = spark.createDataFrame(
+        [(1000, 3, newv), (1001, 3, [-v for v in newv])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    store.apply_batch(spark, ups, [45], batch=1)
+    live = emb.filter(~F.col("vec_id").isin([45])).unionByName(ups)
+    for labels in ([1], [3], [1, 3]):
+        got = [
+            tuple(r)
+            for r in store.probe_topk(spark, qvec, k=10, where=("label", labels)).collect()
+        ]
+        assert got == _brute_filtered(live, qvec, labels), labels
+    store.compact(spark)
+    m = store.meta()
+    assert m["batches"] == {} and "label" in m["filters"]
+    got = [
+        tuple(r)
+        for r in store.probe_topk(spark, qvec, k=10, where=("label", [3])).collect()
+    ]
+    assert got == _brute_filtered(live, qvec, [3])
