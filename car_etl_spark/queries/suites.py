@@ -780,6 +780,7 @@ def fine_grained_queries() -> dict:
         "fts_phrase_search": fts.fts_phrase_search,
         "vector_topk": vector.vector_topk,
         "vector_ivf_topk": vector.vector_ivf_topk,
+        "vector_filtered_topk": vector.vector_filtered_topk,
         "vector_topk_adaptive": vector.vector_topk_adaptive,
         "vector_topk_batch": vector.vector_topk_batch,
         "vector_ivf_topk_batch": vector.vector_ivf_topk_batch,
