@@ -25,6 +25,7 @@ import random
 import pandas as pd  # annotation target for pandas_udf type inference
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from car_etl_spark.functions import text as T
 from car_etl_spark.functions import vectors as V
@@ -181,6 +182,88 @@ def exact_jaccard(a_set: Column, b_set: Column) -> Column:
     inter = F.size(F.array_intersect(a_set, b_set))
     union = F.size(F.array_union(a_set, b_set))
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    tau_num: int = 4,
+    tau_den: int = 5,
+) -> DataFrame:
+    """EXACT, UNBLOCKED set-similarity self-join at Jaccard >= tau via
+    global-frequency-ordered prefix filtering — the All-Pairs / PPJoin
+    candidate scheme (Bayardo et al. WWW'07; Xiao et al. WWW'08),
+    complementing LSH with a zero-recall-loss guarantee:
+
+    1. one corpus pass computes per-element document frequency;
+    2. each set orders its elements rarest-first (total order:
+       ``(df, element)``) and keeps only its PREFIX of length
+       ``|S| - ceil(tau*|S|) + 1`` — any two sets with J >= tau MUST
+       share an element inside both prefixes (prefix-filter lemma),
+       so the equi-join on prefix elements loses nothing;
+    3. the join carries the length filter ``tau*|A| <= |B| <= |A|/tau``
+       (J >= tau forces near-equal sizes), pruning cross-size pairs
+       before they materialize;
+    4. candidates (tiny — they scale with TRUE near-dups, not n^2) are
+       verified with exact Jaccard on the full sets.
+
+    Scale shape: prefix explode is ``(1-tau)`` of the full explode; the
+    shuffle key is the prefix element, and rarest-first ordering is the
+    built-in skew answer — high-df elements (stop-shingles) land in a
+    prefix only when a set has almost nothing rarer, so hot join keys
+    are structurally suppressed rather than salted after the fact.
+
+    ``tau = tau_num/tau_den`` is kept in EXACT INTEGER arithmetic
+    (``ceil(tau*n) == (tau_num*n + tau_den - 1) div tau_den``) so the
+    DuckDB oracle twin computes bit-identical prefix lengths.  The
+    final output is the exact ``{(a, b): J(a, b) >= tau}`` set and is
+    independent of df tie-breaking (any consistent total order yields
+    the same verified result).
+
+    Reference parity: the reference scores candidate pairs all-pairs in
+    Python (``src/entities/matching.py:67-110``); this is the exact-
+    recall scale path for the same >= threshold semantics.
+    """
+    sized = df.select(id_col, set_col).withColumn("__sz", F.size(F.col(set_col)))
+    expl = sized.select(id_col, "__sz", F.explode(set_col).alias("__tok"))
+    tok_df = expl.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    plen = (
+        F.col("__sz")
+        - F.expr(f"(__sz * {tau_num} + {tau_den - 1}) div {tau_den}")
+        + F.lit(1)
+    )
+    w = Window.partitionBy(id_col).orderBy("__df", "__tok")
+    pref = (
+        expl.join(tok_df, "__tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= plen)
+        .select(id_col, "__sz", "__tok")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (tau_num * F.col("a.__sz") <= tau_den * F.col("b.__sz"))
+            & (tau_num * F.col("b.__sz") <= tau_den * F.col("a.__sz")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sized.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("__set_a"))
+    sb = sized.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("__set_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", exact_jaccard(F.col("__set_a"), F.col("__set_b")))
+        .filter(F.col("jaccard") >= F.lit(tau_num) / F.lit(tau_den))
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_near_duplicates(

@@ -121,6 +121,91 @@ ORDER BY id_a, id_b
 """
 
 
+#: shingle width for the prefix-filtered n-gram arm.  3-token shingles
+#: (not unigrams) because prefix filtering prunes by element RARITY:
+#: this corpus has a 31-word vocabulary (every unigram is hot — df ~
+#: 0.75n, measured), while its 3-gram shingle space is ~16k elements at
+#: sf0.01 with a long rare tail — the shape real text has.  Same lesson
+#: as the LSH banding knee: the candidate unit must be rare relative to
+#: the corpus's background similarity.
+_SHINGLE_N = 3
+
+
+def _token_shingle_sets(text: F.Column, n: int = _SHINGLE_N) -> F.Column:
+    """Distinct n-token shingles of whitespace-tokenized lowercased
+    text as an array-set Column; whole-remainder fallback for texts
+    shorter than n tokens (``F.get`` returns NULL out of range and
+    ``concat_ws`` skips NULLs — same semantics as the DuckDB twin's
+    1-based list indexing)."""
+    toks = T.tokenize(F.lower(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + j - 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def shingle_prefix_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup, EXACT and UNBLOCKED, via the All-Pairs
+    prefix filter (:func:`~car_etl_spark.operators.similarity.
+    prefix_filtered_jaccard_pairs`): every document pair with 3-token-
+    shingle Jaccard >= 0.8 — no blocking recall loss (the mod-block
+    ground-truth arm misses cross-block pairs BY DESIGN; this arm's
+    guarantee is corpus-wide)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sets = docs.select("doc_id", _token_shingle_sets(F.col("text")).alias("shset"))
+    pairs = S.prefix_filtered_jaccard_pairs(sets, "doc_id", "shset", 4, 5)
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+SHINGLE_PREFIX_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')
+           AS toks
+  FROM documents
+), sized AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(len(toks) - 2, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shset
+  FROM raw
+), expl AS (
+  SELECT doc_id, len(shset) AS sz, unnest(shset) AS tok FROM sized
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM expl GROUP BY tok
+), ranked AS (
+  SELECT e.doc_id, e.sz, e.tok,
+         ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.tok) AS rn
+  FROM expl e JOIN df d USING (tok)
+), pref AS MATERIALIZED (
+  SELECT doc_id, sz, tok FROM ranked WHERE rn <= sz - ((4*sz + 4) // 5) + 1
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND 4*a.sz <= 5*b.sz AND 4*b.sz <= 5*a.sz
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN len(list_distinct(ta.shset || tb.shset)) > 0
+              THEN CAST(len(list_intersect(ta.shset, tb.shset)) AS DOUBLE)
+                   / len(list_distinct(ta.shset || tb.shset))
+              ELSE 1.0 END AS jaccard
+  FROM cand c JOIN sized ta ON ta.doc_id = c.id_a
+              JOIN sized tb ON tb.doc_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 def embedding_neardup_exact_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup within label blocks — oracle ground truth
     for the hyperplane-LSH variant."""

@@ -380,11 +380,15 @@ FROM ({P.portable_embedding_sql(ne)})
 
 
 def exact_neardup_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checked exact ground truth for the LSH suite: blocked
-    token-set Jaccard and blocked embedding cosine, tagged on the same
-    (method, id_a, id_b, score) grain."""
+    """Oracle-checked exact ground truth for the LSH suite — blocked
+    token-set Jaccard and blocked embedding cosine — plus the
+    prefix-filtered n-gram arm (round 7): EXACT UNBLOCKED 3-token-
+    shingle Jaccard >= 0.8 via the All-Pairs prefix filter, the
+    zero-recall-loss scale path the blocked arms approximate.  All on
+    one (method, id_a, id_b, score) grain."""
     from car_etl_spark.queries.dedup import (
         embedding_neardup_exact_block,
+        shingle_prefix_neardup,
         token_jaccard_blocked,
     )
 
@@ -397,6 +401,10 @@ def exact_neardup_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("embedding_cosine").alias("method"), "id_a", "id_b",
             F.col("cosine_sim").alias("score"),
         ),
+        shingle_prefix_neardup(spark, sf_dir).select(
+            F.lit("shingle3_prefix_jaccard").alias("method"), "id_a", "id_b",
+            F.col("jaccard").alias("score"),
+        ),
     ]
     return _tagged_union(parts).orderBy("method", "id_a", "id_b")
 
@@ -404,6 +412,7 @@ def exact_neardup_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _exact_companions_sql() -> str:
     from car_etl_spark.queries.dedup import (
         EMBEDDING_NEARDUP_EXACT_SQL,
+        SHINGLE_PREFIX_SQL,
         TOKEN_JACCARD_SQL,
     )
 
@@ -414,6 +423,9 @@ FROM ({TOKEN_JACCARD_SQL})
 UNION ALL
 SELECT 'embedding_cosine' AS method, id_a, id_b, cosine_sim AS score
 FROM ({EMBEDDING_NEARDUP_EXACT_SQL})
+UNION ALL
+SELECT 'shingle3_prefix_jaccard' AS method, id_a, id_b, jaccard AS score
+FROM ({SHINGLE_PREFIX_SQL})
 ) ORDER BY method, id_a, id_b
 """
 

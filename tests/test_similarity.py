@@ -358,3 +358,85 @@ def test_embedding_candidates_per_doc_bounded(spark):
             f"n={n}: {per_doc[n]:.1f} candidates/doc vs model {expected:.1f}"
         )
     assert per_doc[4_000] <= 4 * per_doc[1_000] + 1.0
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (All-Pairs / PPJoin family)
+
+
+def _brute_jaccard_pairs(sets: dict[int, set], tau: float):
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = len(sets[a] | sets[b])
+            j = (len(sets[a] & sets[b]) / u) if u else 1.0
+            if j >= tau:
+                out[(a, b)] = j
+    return out
+
+
+def test_prefix_filter_matches_bruteforce_exactly(spark):
+    """The prefix filter is EXACT: over a random corpus with planted
+    near-dups, the result equals brute-force all-pairs {J >= tau} —
+    no pair lost (the lemma), no extra pair kept (the verify)."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    sets = {}
+    for i in range(60):
+        sets[i] = set(rng.sample(vocab, rng.randint(5, 30)))
+    # planted: high-overlap pairs at several sizes, incl. exact dup
+    nid = 100
+    for base in (3, 17, 41):
+        s = sets[base]
+        sets[nid] = set(s)  # J = 1.0
+        drop = rng.choice(sorted(s))
+        sets[nid + 1] = (s - {drop}) | {"extra_tok"}  # near-dup
+        nid += 2
+    df = spark.createDataFrame(
+        [(k, sorted(v)) for k, v in sets.items()], "id long, s array<string>"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in S.prefix_filtered_jaccard_pairs(df, "id", "s", 4, 5).collect()
+    }
+    want = _brute_jaccard_pairs(sets, 0.8)
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-12
+
+
+def test_prefix_filter_finds_crossblock_pair_modulo_blocking_misses(spark):
+    """The recall case blocking gives up on: two near-identical docs in
+    DIFFERENT mod-25 blocks.  The prefix filter's guarantee is corpus-
+    wide — no co-block precondition."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (7, base),
+            (58, base + " tail"),   # 7 % 25 != 58 % 25 — blocked arm blind
+            (9, "entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    from car_etl_spark.queries.dedup import _token_shingle_sets
+
+    sets = docs.select("doc_id", _token_shingle_sets(F.col("text")).alias("s"))
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in S.prefix_filtered_jaccard_pairs(sets, "doc_id", "s").collect()
+    }
+    assert (7, 58) in pairs
+    assert all(9 not in p for p in pairs)
+
+
+def test_prefix_filter_explode_volume_is_one_minus_tau(spark):
+    """Scale contract: the candidate join's input is the PREFIX explode
+    — ceil((1-tau)|S|) rows per set (+0/1 rounding), not |S|.  Checked
+    via the exact integer prefix-length formula at every size."""
+    import math as _math
+
+    for sz in range(1, 200):
+        plen = sz - ((4 * sz + 4) // 5) + 1
+        assert plen == sz - _math.ceil(0.8 * sz) + 1
+        assert plen <= _math.ceil(0.2 * sz) + 1
