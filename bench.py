@@ -39,8 +39,8 @@ r04 totals against r03.  r06 added hybrid_rerank_page (the baseline's
 450 ms hybrid+rerank row, previously unbenched), pii_entity_counts,
 media_features_report, rag_context_modes, training_mix_suite,
 fts_bm25_search, and fts_phrase_search — subtract those seven when
-comparing r06 totals against r05.  r07 added vector_filtered_topk —
-subtract it when comparing r07 totals against r06.
+comparing r06 totals against r05.  r07 added vector_filtered_topk and
+vector_pq_topk — subtract both when comparing r07 totals against r06.
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's
@@ -75,6 +75,8 @@ HEADLINE = (
     "vector_ivf_topk",
     # metadata-filtered IVF serving (r7: certified walk over matching counts)
     "vector_filtered_topk",
+    # product-quantized serving (r7: certified ADC over the code column)
+    "vector_pq_topk",
     "hybrid_rrf_search",
     "hybrid_porter_ivf_search",
     # hybrid + cross-encoder-stub rerank page (baseline's 450 ms row)

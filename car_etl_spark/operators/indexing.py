@@ -1162,6 +1162,7 @@ class IvfStore:
         vec_col: str = "embedding",
         keep: tuple[str, ...] = ("label",),
         filter_cols: tuple[str, ...] = (),
+        pq_m: int = 0,
     ) -> None:
         from car_etl_spark.operators.similarity import ivf_assign, kmeans_refine
 
@@ -1211,6 +1212,36 @@ class IvfStore:
         assigned = ivf_assign(
             emb, centroids, id_col, vec_col, centroid_rows=rows, keep=keep
         ).withColumn("batch", F.lit(0).cast("long"))
+        pq_meta = None
+        if pq_m:
+            from car_etl_spark.operators import pq as PQ
+
+            dim = len(seed_vecs[0])
+            msub = PQ.pq_subspaces(dim, pq_m)
+            # bounded control-plane sample for codebook training —
+            # same xxhash64 pseudo-random order as the centroid seeds
+            sample_rows = (
+                emb.filter(F.col(vec_col).isNotNull())
+                .select(id_col, vec_col)
+                .orderBy(
+                    F.xxhash64(F.col(id_col).cast("string")).asc(),
+                    F.col(id_col).asc(),
+                )
+                .limit(PQ.train_sample_size(dim))
+                .collect()
+            )
+            import numpy as np
+
+            books = PQ.train_codebooks(
+                np.asarray([[float(x) for x in r[1]] for r in sample_rows]), msub
+            )
+            assigned = PQ.encode_with_err(assigned, vec_col, books)
+            pq_meta = {
+                "m": int(books.shape[0]),
+                "k": int(books.shape[1]),
+                "dim": dim,
+                "codebooks": books.tolist(),
+            }
         pcols = ([self.tenant_col] if self.tenant_col else []) + ["centroid_id"]
         tmp = self.assign_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1251,6 +1282,8 @@ class IvfStore:
             meta["tenants"] = tstats
         if filter_cols:
             meta["filters"] = self._filter_stats(written, list(filter_cols))
+        if pq_meta is not None:
+            meta["pq"] = pq_meta
         meta["schema"] = assigned.schema.jsonValue()
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(meta, f)
@@ -1439,6 +1472,19 @@ class IvfStore:
                 ],
                 keep=keep,
             ).withColumn("batch", F.lit(batch).cast("long"))
+            if m.get("pq"):
+                # encode against the FROZEN codebooks (same contract as
+                # the frozen coarse quantizer) — the per-row error bound
+                # keeps certified serving exact no matter how far the
+                # corpus drifts from the training sample
+                import numpy as np
+
+                from car_etl_spark.operators import pq as PQ
+
+                assigned = PQ.encode_with_err(
+                    assigned, vec_col,
+                    np.asarray(m["pq"]["codebooks"], dtype="float64"),
+                )
             assigned = assigned.localCheckpoint(eager=True)
             stats = self._cluster_stats(assigned, cents, vec_col)
             batch_entry["counts"] = {str(cid): n for cid, (_r, n) in stats.items()}
@@ -1829,6 +1875,108 @@ class IvfStore:
             .limit(k)
         )
 
+    def pq_topk(
+        self,
+        spark: SparkSession,
+        qvec: list[float],
+        k: int = 20,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        extra_cols: tuple[str, ...] = ("label",),
+        tenant=None,
+        where=None,
+    ) -> DataFrame:
+        """CERTIFIED-EXACT top-k from the PRODUCT-QUANTIZED codes —
+        the compressed-scan serving mode (see :mod:`operators.pq`).
+
+        Plan shape, and why it survives 100 TB:
+
+        1. centroid probing as in :meth:`probe_topk` (driver-side
+           certificate, zero Spark jobs);
+        2. the shortlist pass scans ONLY ``(id, pq_code, pq_err)`` of
+           the probed partitions — parquet column pruning never
+           touches the embedding column, so the scan reads ~dim*8/m
+           times fewer vector bytes (64 dims / m=8: 64x);
+        3. the k-th largest per-row LOWER bound ``adc - err`` is a
+           certified threshold L (at least k probed rows have true
+           cosine >= L) — a bounded k-row collect, same control-plane
+           grain as the probe ids;
+        4. only rows whose UPPER bound ``adc + err`` reaches L (minus
+           the 6-dp rounding slack) are exact-rescored against the
+           embedding column, fetched by a join the optimizer sizes
+           (AQE broadcasts the survivor side when it is small — the
+           common case under tight codebooks).
+
+        Exactness does not depend on codebook quality: loose codebooks
+        inflate the survivor set (up to a full rescore of the probed
+        partitions), never the result.  Refuses stores built without
+        ``pq_m=``."""
+        m = self.meta()
+        if not m.get("pq"):
+            raise ValueError(
+                "store was not built with pq_m= — rebuild with product "
+                "quantization to use pq_topk"
+            )
+        import numpy as np
+
+        from car_etl_spark.operators import pq as PQ
+
+        books = np.asarray(m["pq"]["codebooks"], dtype="float64")
+        table = PQ.adc_table(qvec, books)
+        probes = self.probe_ids_exact(qvec, k, tenant=tenant, where=where)
+
+        def scoped(cols: list[str]) -> DataFrame:
+            s = self.read_assignments(
+                spark, probes=probes, id_col=id_col, tenant=tenant
+            )
+            if where is not None:
+                s = s.filter(F.col(where[0]).isin(list(where[1])))
+            return s.select(*cols)
+
+        scored = (
+            scoped([id_col, "pq_code", "pq_err"])
+            .filter(F.col("pq_code").isNotNull())
+            .withColumn("__adc", PQ.adc_score_col(F.col("pq_code"), table))
+            .withColumn("__lb", F.col("__adc") - F.col("pq_err"))
+            .withColumn("__ub", F.col("__adc") + F.col("pq_err"))
+        )
+        # certified threshold L = min lower bound among the k best lower
+        # bounds (at least k probed rows have true cosine >= L) — a
+        # k-row TakeOrdered collect, the same control-plane grain as
+        # the probe ids, and like them it rides the PREPARED plan: the
+        # registry/bench serving paths pay the code pass once at
+        # prepare time, then each call is one survivors+rescore job.
+        # When fewer than k rows are probed, L = their min lb and every
+        # row satisfies ub >= lb >= L: all rescored, still exact.
+        lbs = [
+            r[0]
+            for r in scored.orderBy(F.desc("__lb"), F.asc(id_col))
+            .limit(k)
+            .select("__lb")
+            .collect()
+        ]
+        thresh = min(lbs) if lbs else -2.0
+        survivors = scored.filter(
+            F.col("__ub") >= thresh - PQ.RERANK_SLACK
+        ).select(id_col)
+        from car_etl_spark.operators.similarity import (
+            EXPR_PROJECTION_MAX_DIM,
+            _cosine_pairs_pandas,
+        )
+
+        qlit = V.literal_vector(qvec)
+        if len(qvec) <= EXPR_PROJECTION_MAX_DIM:
+            sim = F.round(V.cosine_similarity(F.col(vec_col), qlit), 6)
+        else:
+            sim = F.round(_cosine_pairs_pandas(F.col(vec_col), qlit), 6)
+        return (
+            scoped([id_col, vec_col, *extra_cols])
+            .join(survivors, id_col)
+            .select(id_col, *extra_cols, sim.alias("cosine_sim"))
+            .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+            .limit(k)
+        )
+
 
 #: centroid-count derivation bounds: floor keeps the probe certificate
 #: meaningful on tiny corpora; cap bounds partition fan-out and the
@@ -1855,6 +2003,7 @@ def ensure_ivf_index(
     num_centroids: int | None = None,
     refine_iterations: int = 2,
     filter_cols: tuple[str, ...] = ("label",),
+    pq_m: int = 8,
 ) -> IvfStore:
     source = os.path.join(sf_dir, "embeddings.parquet")
     if num_centroids is None:
@@ -1863,7 +2012,14 @@ def ensure_ivf_index(
         from car_etl_spark.tables import parquet_rowcount
 
         num_centroids = derive_num_centroids(parquet_rowcount(sf_dir, "embeddings"))
-    params = f"c{num_centroids}|r{refine_iterations}|f{','.join(filter_cols)}"
+    # pq codes ride as EXTRA COLUMNS of the one shared store (column
+    # pruning keeps them free for non-pq reads), so every serving mode
+    # — probe, filtered, pq — amortizes a single build.  The ".2" is
+    # the pq codec version (v2 = packed-binary codes): bumping it
+    # re-addresses pq stores without invalidating every IVF layout.
+    params = (
+        f"c{num_centroids}|r{refine_iterations}|f{','.join(filter_cols)}|p{pq_m}.2"
+    )
     digest = _source_digest("ivf", IVF_VERSION, source, params)
     path = os.path.join(index_root(), f"ivf-{digest}")
     store = IvfStore(path)
@@ -1876,6 +2032,12 @@ def ensure_ivf_index(
         tune_session(spark)
         emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
         os.makedirs(index_root(), exist_ok=True)
-        store.build(emb, num_centroids, refine_iterations, filter_cols=filter_cols)
+        store.build(
+            emb,
+            num_centroids,
+            refine_iterations,
+            filter_cols=filter_cols,
+            pq_m=pq_m,
+        )
     _ENSURED.add(path)
     return store

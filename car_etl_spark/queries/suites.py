@@ -114,14 +114,16 @@ def _fts_suite_sql() -> str:
 
 def vector_topk_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 suite: brute-force exact, certified-exact IVF serving, the
-    cost-based adaptive dispatch (three arms that must agree row-for-
-    row, all sharing the brute-force oracle), and the metadata-FILTERED
-    serving arm (r7: per-(centroid, label) counts certify the probe
-    walk over matching members; its oracle is the filtered brute
+    cost-based adaptive dispatch, and (r7) the certified-exact
+    PRODUCT-QUANTIZED serving arm — four arms that must agree row-for-
+    row, all sharing the brute-force oracle — plus the metadata-
+    FILTERED serving arm (per-(centroid, label) counts certify the
+    probe walk over matching members; its oracle is the filtered brute
     force), tagged and unioned."""
     from car_etl_spark.queries.vector import (
         vector_filtered_topk,
         vector_ivf_topk,
+        vector_pq_topk,
         vector_topk,
         vector_topk_adaptive,
     )
@@ -131,6 +133,7 @@ def vector_topk_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", vector_ivf_topk),
         ("adaptive", vector_topk_adaptive),
         ("filtered", vector_filtered_topk),
+        ("pq", vector_pq_topk),
     ]
     parts = [
         fn(spark, sf_dir).select(
@@ -149,7 +152,7 @@ def _vector_modes_sql() -> str:
 
     parts = [
         f"SELECT '{tag}' AS mode, vec_id, label, cosine_sim FROM ({VECTOR_TOPK_SQL})"
-        for tag in ("exact", "ivf", "adaptive")
+        for tag in ("exact", "ivf", "adaptive", "pq")
     ] + [
         "SELECT 'filtered' AS mode, vec_id, label, cosine_sim "
         f"FROM ({VECTOR_FILTERED_TOPK_SQL})"
@@ -793,6 +796,7 @@ def fine_grained_queries() -> dict:
         "vector_topk": vector.vector_topk,
         "vector_ivf_topk": vector.vector_ivf_topk,
         "vector_filtered_topk": vector.vector_filtered_topk,
+        "vector_pq_topk": vector.vector_pq_topk,
         "vector_topk_adaptive": vector.vector_topk_adaptive,
         "vector_topk_batch": vector.vector_topk_batch,
         "vector_ivf_topk_batch": vector.vector_ivf_topk_batch,

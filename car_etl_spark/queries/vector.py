@@ -414,6 +414,33 @@ def vector_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def vector_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 COMPRESSED serving path: certified-exact top-k from the
+    product-quantized code column of the SAME persisted IVF store
+    (:meth:`IvfStore.pq_topk`, :mod:`car_etl_spark.operators.pq`).
+
+    The shortlist scan reads 8-byte PQ codes instead of 64-double
+    embeddings (64x fewer vector bytes at this corpus's dim); per-row
+    reconstruction-error bounds turn the ADC scores into a certified
+    threshold, and only rows whose error band crosses it are exact-
+    rescored — so the result equals :func:`vector_topk` by
+    construction and shares the brute-force oracle.  On THIS corpus's
+    near-random embeddings the bands are wide and the certificate
+    honestly rescores everything probed (same degradation the radius
+    walk has); the pruning is measured on clustered fixtures in
+    tests/test_indexing.py."""
+    from car_etl_spark.operators.indexing import ensure_ivf_index
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        qvec = _query_vec_list(emb, cache_key=sf_dir)
+        store = ensure_ivf_index(spark, sf_dir)
+        return store.pq_topk(spark, qvec, k=20)
+
+    return prepared(spark, "vector_pq_topk", sf_dir, ("embeddings.parquet",), build)
+
+
 #: the declared filterable-attribute predicate of the filtered-search
 #: registry arm — labels are the embeddings table's metadata column
 #: (the reference filters its vector matches by document metadata the

@@ -770,3 +770,153 @@ def test_filtered_exact_under_maintenance_and_compact(spark, tmp_path):
         for r in store.probe_topk(spark, qvec, k=10, where=("label", [3])).collect()
     ]
     assert got == _brute_filtered(live, qvec, [3])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: certified-exact ADC serving (operators/pq.py)
+
+
+def _brute_all(emb, qvec, k=10):
+    from car_etl_spark.functions import vectors as V
+
+    return [
+        tuple(r)
+        for r in emb.select(
+            "vec_id", "label",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), V.literal_vector(qvec)), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def _pq_survivor_fraction(spark, store, qvec, k=10):
+    """Fraction of probed live rows the certified threshold sends to
+    exact rescoring (the pruning metric of the pq serving mode)."""
+    import numpy as np
+
+    from car_etl_spark.operators import pq as PQ
+
+    meta = store.meta()
+    table = PQ.adc_table(qvec, np.asarray(meta["pq"]["codebooks"]))
+    probes = store.probe_ids_exact(qvec, k)
+    scan = store.read_assignments(spark, probes=probes).filter(
+        F.col("pq_code").isNotNull()
+    )
+    scored = (
+        scan.withColumn("adc", PQ.adc_score_col(F.col("pq_code"), table))
+        .withColumn("lb", F.col("adc") - F.col("pq_err"))
+        .withColumn("ub", F.col("adc") + F.col("pq_err"))
+    )
+    lbs = [r[0] for r in scored.orderBy(F.desc("lb")).limit(k).select("lb").collect()]
+    n_all = scan.count()
+    n_sur = scored.filter(F.col("ub") >= lbs[-1] - PQ.RERANK_SLACK).count()
+    return n_sur / n_all
+
+
+def test_pq_topk_exact_and_pruning_on_clustered(spark, tmp_path):
+    """pq_topk == brute force on a clustered corpus, AND the error-band
+    certificate actually prunes: most probed rows are settled from the
+    8-byte codes without touching their embeddings."""
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "pq1"))
+    store.build(emb, num_centroids=4, refine_iterations=2, pq_m=4)
+    qvec = list(emb.filter(F.col("vec_id") == 45).select("embedding").first()[0])
+    got = [tuple(r) for r in store.pq_topk(spark, qvec, k=10).collect()]
+    assert got == _brute_all(emb, qvec, k=10)
+    frac = _pq_survivor_fraction(spark, store, qvec, k=10)
+    assert frac < 0.5, f"certificate failed to prune: {frac:.1%} rescored"
+
+
+def test_pq_topk_exact_on_unclusterable(spark):
+    """Near-random vectors: reconstruction errors swamp the cosine
+    spread, the certificate degrades to a full rescore of the probed
+    partitions — and the answer STAYS exact (the honesty property the
+    IVF radius walk has)."""
+    import math
+    import random
+    import tempfile
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(150):
+        v = [rng.gauss(0.0, 1.0) for _ in range(16)]
+        nrm = math.sqrt(sum(x * x for x in v))
+        rows.append((i, i % 3, [x / nrm for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    store = IX.IvfStore(tempfile.mkdtemp() + "/pqr")
+    store.build(emb, num_centroids=4, pq_m=4)
+    qvec = rows[7][2]
+    got = [tuple(r) for r in store.pq_topk(spark, qvec, k=10).collect()]
+    assert got == _brute_all(emb, qvec, k=10)
+
+
+def test_pq_refuses_store_without_codes(spark, tmp_path):
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "nopq"))
+    store.build(emb, num_centroids=4)  # pq_m defaults off at build
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    with pytest.raises(ValueError, match="pq_m"):
+        store.pq_topk(spark, q, k=5)
+
+
+def test_pq_exact_under_maintenance_and_compact(spark, tmp_path):
+    """Delta batches are encoded with the FROZEN codebooks and the
+    certificate stays exact through upserts, deletes, and compaction —
+    including a planted new top-1 that only exists in the delta."""
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "pqm"))
+    store.build(emb, num_centroids=4, refine_iterations=2, pq_m=4)
+    qvec = list(emb.filter(F.col("vec_id") == 45).select("embedding").first()[0])
+    import math
+
+    jit = [x + 0.0005 for x in qvec]
+    nrm = math.sqrt(sum(v * v for v in jit))
+    newv = [v / nrm for v in jit]  # near-duplicate of the query
+    ups = spark.createDataFrame(
+        [(1000, 9, newv), (1001, 9, [-v for v in newv])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    store.apply_batch(spark, ups, [44], batch=1)
+    live = emb.filter(~F.col("vec_id").isin([44])).unionByName(ups)
+    got = [tuple(r) for r in store.pq_topk(spark, qvec, k=10).collect()]
+    assert got == _brute_all(live, qvec, k=10)
+    # the delta-only near-duplicate ranks right behind the query's own
+    # vector (vec 45, sim 1.0) — it can only be served if the batch was
+    # PQ-encoded and survives the certificate
+    assert got[1][0] == 1000
+    store.compact(spark)
+    assert store.meta().get("pq"), "compact must preserve the codebooks"
+    got2 = [tuple(r) for r in store.pq_topk(spark, qvec, k=10).collect()]
+    assert got2 == got
+
+
+def test_pq_codebooks_deterministic_and_encoding_edges(spark):
+    import numpy as np
+
+    from car_etl_spark.operators import pq as PQ
+
+    rng = np.random.default_rng(3)
+    sample = rng.normal(size=(400, 16))
+    b1 = PQ.train_codebooks(sample, 4, k=32, iters=4)
+    b2 = PQ.train_codebooks(sample.copy(), 4, k=32, iters=4)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (4, 32, 4)
+    # subspace derivation: largest divisor <= ask
+    assert PQ.pq_subspaces(64, 8) == 8
+    assert PQ.pq_subspaces(20, 8) == 5
+    assert PQ.pq_subspaces(7, 4) == 1
+    # encoding edges: NULL vector -> NULL code; zero vector -> the
+    # always-rescore bound 2.0 (never pruned, so exact kernels decide)
+    df = spark.createDataFrame(
+        [(0, [1.0] * 16), (1, None), (2, [0.0] * 16)],
+        "vec_id long, embedding array<double>",
+    )
+    enc = {r.vec_id: (r.pq_code, r.pq_err) for r in
+           PQ.encode_with_err(df, "embedding", b1).collect()}
+    assert enc[1] == (None, None)
+    assert enc[2][1] == 2.0
+    assert len(enc[0][0]) == 4 and enc[0][1] < 2.0
