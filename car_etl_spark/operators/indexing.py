@@ -1885,6 +1885,8 @@ class IvfStore:
         extra_cols: tuple[str, ...] = ("label",),
         tenant=None,
         where=None,
+        certified: bool = True,
+        rerank_factor: int = 4,
     ) -> DataFrame:
         """CERTIFIED-EXACT top-k from the PRODUCT-QUANTIZED codes —
         the compressed-scan serving mode (see :mod:`operators.pq`).
@@ -1910,7 +1912,21 @@ class IvfStore:
         Exactness does not depend on codebook quality: loose codebooks
         inflate the survivor set (up to a full rescore of the probed
         partitions), never the result.  Refuses stores built without
-        ``pq_m=``."""
+        ``pq_m=``.
+
+        ``certified=False`` is the PRODUCTION-PQ serving shape
+        (approximate, like the reference's HNSW route and every
+        deployed PQ system): shortlist the top ``rerank_factor * k``
+        rows by raw ADC score — no threshold pass, no error-band walk
+        — and exact-rescore only those.  Recall < 1 is possible
+        (measured on the scale-curve corpora, scripts/bench_pq_curve.py);
+        the certified mode above is the oracle-checked default.  The
+        reason both exist: on corpora whose within-cluster cosine gaps
+        are smaller than the quantization error, the CERTIFICATE
+        honestly degrades to rescoring everything probed, while the
+        fixed-budget shortlist keeps the compressed-scan latency at a
+        measured recall — the same exact/approximate pairing as
+        probe_ids_exact vs fixed nprobe."""
         m = self.meta()
         if not m.get("pq"):
             raise ValueError(
@@ -1937,28 +1953,39 @@ class IvfStore:
             scoped([id_col, "pq_code", "pq_err"])
             .filter(F.col("pq_code").isNotNull())
             .withColumn("__adc", PQ.adc_score_col(F.col("pq_code"), table))
-            .withColumn("__lb", F.col("__adc") - F.col("pq_err"))
-            .withColumn("__ub", F.col("__adc") + F.col("pq_err"))
         )
-        # certified threshold L = min lower bound among the k best lower
-        # bounds (at least k probed rows have true cosine >= L) — a
-        # k-row TakeOrdered collect, the same control-plane grain as
-        # the probe ids, and like them it rides the PREPARED plan: the
-        # registry/bench serving paths pay the code pass once at
-        # prepare time, then each call is one survivors+rescore job.
-        # When fewer than k rows are probed, L = their min lb and every
-        # row satisfies ub >= lb >= L: all rescored, still exact.
-        lbs = [
-            r[0]
-            for r in scored.orderBy(F.desc("__lb"), F.asc(id_col))
-            .limit(k)
-            .select("__lb")
-            .collect()
-        ]
-        thresh = min(lbs) if lbs else -2.0
-        survivors = scored.filter(
-            F.col("__ub") >= thresh - PQ.RERANK_SLACK
-        ).select(id_col)
+        if not certified:
+            # fixed-budget ADC shortlist (approximate production mode):
+            # TakeOrderedAndProject over the code scan, no extra pass
+            survivors = (
+                scored.orderBy(F.desc("__adc"), F.asc(id_col))
+                .limit(rerank_factor * k)
+                .select(id_col)
+            )
+        else:
+            scored = scored.withColumn(
+                "__lb", F.col("__adc") - F.col("pq_err")
+            ).withColumn("__ub", F.col("__adc") + F.col("pq_err"))
+            # certified threshold L = min lower bound among the k best
+            # lower bounds (at least k probed rows have true cosine
+            # >= L) — a k-row TakeOrdered collect, the same control-
+            # plane grain as the probe ids, and like them it rides the
+            # PREPARED plan: the registry/bench serving paths pay the
+            # code pass once at prepare time, then each call is one
+            # survivors+rescore job.  When fewer than k rows are
+            # probed, L = their min lb and every row satisfies
+            # ub >= lb >= L: all rescored, still exact.
+            lbs = [
+                r[0]
+                for r in scored.orderBy(F.desc("__lb"), F.asc(id_col))
+                .limit(k)
+                .select("__lb")
+                .collect()
+            ]
+            thresh = min(lbs) if lbs else -2.0
+            survivors = scored.filter(
+                F.col("__ub") >= thresh - PQ.RERANK_SLACK
+            ).select(id_col)
         from car_etl_spark.operators.similarity import (
             EXPR_PROJECTION_MAX_DIM,
             _cosine_pairs_pandas,
