@@ -439,13 +439,18 @@ FROM ({SHINGLE_PREFIX_SQL})
 
 def events_window_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All time-window rollups in one tagged slot: tumbling-1h,
-    sliding-1h/30m (both from events_time_windows) and the
-    multi-resolution daily cascade (minute -> hour -> day re-
-    aggregation, the continuous-aggregate shape) as a third arm."""
+    sliding-1h/30m (both from events_time_windows), the multi-
+    resolution daily cascade (minute -> hour -> day re-aggregation,
+    the continuous-aggregate shape), and (r7) the SAME daily cascade
+    SERVED from the persisted rollup store
+    (:mod:`car_etl_spark.streaming.rollup_store` — LSM-maintained
+    minute partials, date-partitioned) — serving == scan for
+    continuous aggregates, both arms against the raw->day oracle."""
     from car_etl_spark.queries.eventsq import (
         events_multires_rollup,
         events_time_windows,
     )
+    from car_etl_spark.streaming.rollup_store import ensure_rollup_store
 
     null_d = F.lit(None).cast("double")
     tw = events_time_windows(spark, sf_dir).select(
@@ -462,7 +467,26 @@ def events_window_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_avg",
         "value_max",
     )
-    return tw.unionByName(mr).orderBy("window_kind", "window_start", "event_type")
+    # served twin: identical finalization over the store's DECIMAL
+    # partials (exact_sums) so the hash must equal the scan cascade's
+    store = ensure_rollup_store(spark, sf_dir)
+    served = store.read(spark, "day", exact_sums=True).select(
+        F.lit("daily_cascade_served").alias("window_kind"),
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("window_start"),
+        "event_type",
+        F.col("n").alias("n"),
+        F.round(F.col("value_sum"), 2).cast("double").alias("total_value"),
+        F.lit(None).cast("long").alias("active_users"),
+        F.round(
+            F.col("value_sum").cast("double") / F.col("n"), 6
+        ).alias("value_avg"),
+        F.round("value_max", 2).alias("value_max"),
+    )
+    return (
+        tw.unionByName(mr)
+        .unionByName(served)
+        .orderBy("window_kind", "window_start", "event_type")
+    )
 
 
 def _events_window_rollups_sql() -> str:
@@ -478,6 +502,11 @@ SELECT window_kind, window_start, event_type, n, total_value, active_users,
 FROM ({EVENTS_TIME_WINDOWS_SQL})
 UNION ALL
 SELECT 'daily_cascade' AS window_kind, day AS window_start, event_type,
+       n_events AS n, value_sum AS total_value, CAST(NULL AS BIGINT) AS active_users,
+       value_avg, value_max
+FROM ({EVENTS_MULTIRES_SQL})
+UNION ALL
+SELECT 'daily_cascade_served' AS window_kind, day AS window_start, event_type,
        n_events AS n, value_sum AS total_value, CAST(NULL AS BIGINT) AS active_users,
        value_avg, value_max
 FROM ({EVENTS_MULTIRES_SQL})

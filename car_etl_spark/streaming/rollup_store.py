@@ -1,0 +1,385 @@
+"""Continuous-aggregate rollup store: a persisted minute-grain event
+rollup, LSM-maintained under a micro-batch stream, serveable at
+minute/hour/day grain without ever rescanning raw history.
+
+The TimescaleDB continuous-aggregate / materialized-view-maintenance
+shape, re-expressed in the repo's LSM discipline (the posting/IVF
+stores' base + batch-tagged delta + sentinel pattern):
+
+- **base/**: minute-grain partial aggregates ``(minute_start, groups...,
+  n, value_sum DECIMAL, value_min, value_max)``, parquet-partitioned by
+  ``event_date`` so date-ranged serving prunes directories;
+- **apply_batch**: aggregates ONLY the micro-batch to the same grain
+  and appends it batch-tagged under ``delta/`` — one bounded shuffle
+  over the batch, never a history rescan.  LATE events are ordinary
+  rows here: they aggregate into their own (old) minute buckets and
+  land under their own (old) ``event_date=`` partitions, where the
+  read-time merge folds them in — no watermark cliff, no invalidation
+  scan;
+- **read(grain=...)**: base + delta re-aggregated to the requested
+  grain.  Partial aggregates are MERGEABLE (count/sum add, min/max
+  fold, avg finalized from sum+count at the end), so coarser grains
+  cost O(finer-grain cardinality) — the `events_multires_rollup`
+  cascade served from persisted state;
+- **compact()**: folds deltas into a fresh base (atomic swap), same
+  policy surface as the other stores.
+
+Crash/replay safety is the posting-store argument, not a ledger: a
+batch writes ONE deterministic aggregate row per touched group, so a
+crash-before-sentinel replay appends byte-identical duplicates and the
+read path's exact-duplicate drop (group keys + batch) restores the
+view; a sentinel makes completed batches no-ops.
+
+Exact-DECIMAL partial sums keep the cascade order-independent (double
+addition is not associative — the same last-ulp lesson
+`events_multires_rollup` documents).
+
+Deletions/updates of historical events are OUT of this store's
+contract (sums cannot retract; the reference's events table —
+``src/analytics/usage.py`` audit/usage rows — is append-only).  A
+mutable-fact rollup needs invalidation regions + bucket recompute
+against the source; `refresh_dates` provides exactly that as an
+explicit, bounded operation: recompute named date partitions from a
+source frame and swap them in.
+
+State size is aggregate-grain, not stream-grain: ``buckets x groups``
+rows regardless of event volume — why this serves dashboards at 100 TB
+where a raw re-scan cannot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: exact partial-sum type shared with queries/parity.py's DEC
+_DEC = "decimal(30,6)"
+
+GRAINS = ("minute", "hour", "day")
+
+
+class RollupStoreParamError(RuntimeError):
+    """Persisted rollup state was built with a different (groups,
+    value) spec than this code computes — merged aggregates would be
+    silently wrong, so refuse instead (the sketch-store discipline)."""
+
+
+class RollupStore:
+    def __init__(
+        self,
+        path: str,
+        group_cols: tuple[str, ...] = ("event_type",),
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ) -> None:
+        self.path = path
+        self.base_dir = os.path.join(path, "base")
+        self.delta_dir = os.path.join(path, "delta")
+        self.meta_path = os.path.join(path, "meta.json")
+        self.group_cols = tuple(group_cols)
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+    # -- shared aggregation kernels -------------------------------------
+
+    def _minute_partials(self, events: DataFrame) -> DataFrame:
+        """Raw events -> minute-grain mergeable partials (the ONLY
+        place raw rows are aggregated; build and apply_batch share it
+        so the two paths cannot drift)."""
+        minute = F.date_trunc("minute", F.col(self.ts_col))
+        return events.groupBy(
+            F.to_date(minute).alias("event_date"),
+            minute.alias("minute_start"),
+            *self.group_cols,
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(self.value_col).cast(_DEC)).alias("value_sum"),
+            F.min(self.value_col).alias("value_min"),
+            F.max(self.value_col).alias("value_max"),
+        )
+
+    @staticmethod
+    def _merge_to(df: DataFrame, bucket, group_cols) -> DataFrame:
+        """Re-aggregate partials to a coarser bucket — the mergeable-
+        state fold (sum/sum/min/max; avg finalized by the caller)."""
+        return df.groupBy(bucket.alias("bucket_start"), *group_cols).agg(
+            F.sum("n").alias("n"),
+            F.sum("value_sum").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+
+    # -- meta / params ----------------------------------------------------
+
+    def _spec(self) -> dict:
+        return {
+            "group_cols": list(self.group_cols),
+            "ts_col": self.ts_col,
+            "value_col": self.value_col,
+        }
+
+    def _meta(self) -> dict | None:
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                return json.load(f)
+        return None
+
+    def _check_params(self) -> None:
+        m = self._meta()
+        if m is None:
+            raise RollupStoreParamError(
+                f"no rollup state at {self.path} — build() it first"
+            )
+        if m["spec"] != self._spec():
+            raise RollupStoreParamError(
+                f"rollup state at {self.path} was built with {m['spec']}; "
+                f"this code computes {self._spec()} — rebuild before resuming"
+            )
+
+    def _write_meta(self) -> None:
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"spec": self._spec(), "version": 1}, f)
+        os.replace(tmp, self.meta_path)
+
+    def _sentinel(self, batch: int) -> str:
+        return os.path.join(self.path, f"_batch_{batch}_applied")
+
+    def _has_parquet(self, d: str) -> bool:
+        return os.path.isdir(d) and any(
+            fn.endswith(".parquet") for _r, _d, fs in os.walk(d) for fn in fs
+        )
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def build(self, events: DataFrame) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self.base_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            self._minute_partials(events)
+            .withColumn("batch", F.lit(0).cast("long"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(tmp)
+        )
+        old = self.base_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.base_dir):
+            os.replace(self.base_dir, old)
+        os.replace(tmp, self.base_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        for s in os.listdir(self.path):
+            if s.startswith("_batch_"):
+                os.remove(os.path.join(self.path, s))
+        self._write_meta()
+
+    def apply_batch(self, spark: SparkSession, events: DataFrame, batch: int) -> bool:
+        """Fold one micro-batch of (possibly late) events in.  Returns
+        False for an already-applied batch (sentinel)."""
+        if batch <= 0:
+            raise ValueError("batch must be > 0 (0 is the base build)")
+        self._check_params()
+        if os.path.exists(self._sentinel(batch)):
+            return False
+        (
+            self._minute_partials(events)
+            .withColumn("batch", F.lit(batch).cast("long"))
+            .repartition("event_date")
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(self.delta_dir)
+        )
+        with open(self._sentinel(batch), "w") as f:
+            f.write("applied")
+        return True
+
+    # -- serving -------------------------------------------------------------
+
+    def partials(
+        self, spark: SparkSession, start_date=None, end_date=None
+    ) -> DataFrame:
+        """The live minute-grain view: base + deltas, crash-duplicate
+        rows dropped (deterministic per-(group, batch) aggregates make
+        exact-duplicate drop sufficient — the posting-store replay
+        argument), date range pruned at the partition level."""
+        self._check_params()
+        df = spark.read.parquet(self.base_dir)
+        if self._has_parquet(self.delta_dir):
+            df = df.unionByName(spark.read.parquet(self.delta_dir))
+        if start_date is not None:
+            df = df.filter(F.col("event_date") >= F.lit(start_date))
+        if end_date is not None:
+            df = df.filter(F.col("event_date") <= F.lit(end_date))
+        return df.dropDuplicates(
+            ["minute_start", *self.group_cols, "batch"]
+        )
+
+    def read(
+        self,
+        spark: SparkSession,
+        grain: str = "day",
+        start_date=None,
+        end_date=None,
+        exact_sums: bool = False,
+    ) -> DataFrame:
+        """Rollup at the requested grain from persisted partials:
+        (bucket_start, groups..., n, value_sum, value_avg, value_min,
+        value_max).  Never touches raw events.  ``exact_sums=True``
+        keeps value_sum as the DECIMAL partial (and omits the derived
+        avg) so callers can apply their own finalization/rounding —
+        required for bit-parity with oracle twins that round the
+        DECIMAL before casting."""
+        if grain not in GRAINS:
+            raise ValueError(f"grain must be one of {GRAINS}")
+        parts = self.partials(spark, start_date, end_date)
+        out = self._merge_to(
+            parts, F.date_trunc(grain, F.col("minute_start")), self.group_cols
+        )
+        if exact_sums:
+            return out
+        return out.select(
+            "bucket_start",
+            *self.group_cols,
+            "n",
+            F.col("value_sum").cast("double").alias("value_sum"),
+            (F.col("value_sum").cast("double") / F.col("n")).alias("value_avg"),
+            "value_min",
+            "value_max",
+        )
+
+    # -- maintenance -----------------------------------------------------------
+
+    def should_compact(self, threshold: float = 0.2) -> bool:
+        base = _tree_bytes(self.base_dir)
+        return base > 0 and _tree_bytes(self.delta_dir) > threshold * base
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold deltas into a fresh base: one minute-grain re-merge,
+        atomic swap, sentinels cleared."""
+        self._check_params()
+        live = self._merge_to(
+            self.partials(spark),
+            F.col("minute_start"),
+            self.group_cols,
+        ).select(
+            F.to_date("bucket_start").alias("event_date"),
+            F.col("bucket_start").alias("minute_start"),
+            *self.group_cols,
+            "n",
+            "value_sum",
+            "value_min",
+            "value_max",
+            F.lit(0).cast("long").alias("batch"),
+        )
+        tmp = self.base_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            live.repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(tmp)
+        )
+        old = self.base_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.base_dir, old)
+        os.replace(tmp, self.base_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        for s in os.listdir(self.path):
+            if s.startswith("_batch_"):
+                os.remove(os.path.join(self.path, s))
+
+    def refresh_dates(
+        self, spark: SparkSession, source_events: DataFrame, dates: list
+    ) -> None:
+        """The mutable-history escape hatch (TimescaleDB's invalidation
+        refresh): recompute the named ``event_date`` partitions from a
+        SOURCE frame and swap them in, deleting any delta rows for
+        those dates.  Bounded by the invalidated region — never a full
+        history rescan."""
+        self._check_params()
+        dates = [str(d) for d in dates]
+        fresh = (
+            self._minute_partials(
+                source_events.filter(
+                    F.to_date(F.date_trunc("minute", F.col(self.ts_col))).isin(dates)
+                )
+            )
+            .withColumn("batch", F.lit(0).cast("long"))
+        )
+        tmpdir = os.path.join(self.path, ".refresh.tmp")
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        fresh.repartition("event_date").write.partitionBy("event_date").parquet(tmpdir)
+        for d in dates:
+            part = f"event_date={d}"
+            src = os.path.join(tmpdir, part)
+            dst = os.path.join(self.base_dir, part)
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+            for root in ([self.delta_dir] if os.path.isdir(self.delta_dir) else []):
+                shutil.rmtree(os.path.join(root, part), ignore_errors=True)
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _tree_bytes(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def run_rollup_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str,
+    store: RollupStore,
+    checkpoint_dir: str,
+) -> None:
+    """Drain a parquet landing dir into the rollup state (availableNow
+    in tests, processingTime trigger in production) — the same
+    foreachBatch discipline as the sketch/posting/IVF maintenance
+    jobs.  Streaming batch ids are >= 0; the store's batch 0 is the
+    base build, so ids shift by one."""
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: store.apply_batch(spark, df, int(bid) + 1)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ensure_rollup_store(spark: SparkSession, sf_dir: str) -> RollupStore:
+    """Content-addressed rollup store over the ``events`` table — the
+    continuous-aggregate analog of ensure_ivf_index/ensure_posting_index
+    (path + mtime digest, built once per corpus version, reused across
+    sessions)."""
+    from car_etl_spark.operators.indexing import _source_digest, index_root
+
+    source = os.path.join(sf_dir, "events.parquet")
+    digest = _source_digest("rollup", 1, source, "event_type|minute")
+    path = os.path.join(index_root(), f"rollup-{digest}")
+    store = RollupStore(path)
+    if store._meta() is None:
+        from car_etl_spark.tables import load_tables
+
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        os.makedirs(index_root(), exist_ok=True)
+        store.build(ev.select("ts", "event_type", "value"))
+    return store

@@ -26,6 +26,7 @@ READ_ALLOWED = {
     os.path.join("streaming", "cdc.py"),
     os.path.join("streaming", "incremental_dedup.py"),
     os.path.join("streaming", "incremental_sketches.py"),  # reads its OWN versioned state sidecar
+    os.path.join("streaming", "rollup_store.py"),  # reads its OWN aggregate state (tenant = group/partition col upstream)
     os.path.join("streaming", "jobs.py"),
 }
 

@@ -1,0 +1,182 @@
+"""Continuous-aggregate rollup store (streaming/rollup_store.py):
+incremental == rebuild through late events, replay, compaction; the
+grain cascade equals direct aggregation; date serving prunes
+partitions; mutable history goes through bounded refresh."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from car_etl_spark.streaming.rollup_store import (
+    RollupStore,
+    RollupStoreParamError,
+    run_rollup_maintenance,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _ev(eid, day, hm, typ, val, user=1):
+    h, m = hm
+    return (eid, dt.datetime(2024, 3, day, h, m, 30), user, typ, float(val))
+
+
+V0 = [
+    _ev(1, 1, (10, 0), "click", 1.0),
+    _ev(2, 1, (10, 0), "click", 3.0),
+    _ev(3, 1, (10, 5), "view", 2.0),
+    _ev(4, 2, (9, 30), "click", 5.0),
+    _ev(5, 2, (23, 59), "view", 7.0),
+]
+B1 = [
+    _ev(6, 2, (9, 30), "click", 11.0),   # same minute as event 4
+    _ev(7, 3, (0, 0), "view", 13.0),     # new day
+]
+B2 = [
+    _ev(8, 1, (10, 0), "click", 17.0),   # LATE: two days old, hot minute
+    _ev(9, 3, (0, 1), "click", 19.0),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = RollupStore(str(tmp_path / "rollup"))
+    s.build(_df(spark, V0))
+    return s
+
+
+def test_incremental_equals_rebuild_through_late_events(spark, tmp_path, store):
+    assert store.apply_batch(spark, _df(spark, B1), batch=1)
+    assert store.apply_batch(spark, _df(spark, B2), batch=2)
+    fresh = RollupStore(str(tmp_path / "rebuild"))
+    fresh.build(_df(spark, V0 + B1 + B2))
+    for grain in ("minute", "hour", "day"):
+        assert _rows(store.read(spark, grain)) == _rows(fresh.read(spark, grain)), grain
+
+
+def test_replay_and_crash_replay_are_noops(spark, tmp_path, store):
+    store.apply_batch(spark, _df(spark, B1), batch=1)
+    before = _rows(store.read(spark, "minute"))
+    # sentinel short-circuit
+    assert store.apply_batch(spark, _df(spark, B1), batch=1) is False
+    # crash-before-sentinel: duplicate delta rows, exact-dup drop saves the view
+    os.remove(store._sentinel(1))
+    assert store.apply_batch(spark, _df(spark, B1), batch=1)
+    assert _rows(store.read(spark, "minute")) == before
+
+
+def test_compact_preserves_view_and_clears_deltas(spark, tmp_path, store):
+    store.apply_batch(spark, _df(spark, B1), batch=1)
+    store.apply_batch(spark, _df(spark, B2), batch=2)
+    before = {g: _rows(store.read(spark, g)) for g in ("minute", "day")}
+    assert store.should_compact(threshold=0.1)
+    store.compact(spark)
+    for g, want in before.items():
+        assert _rows(store.read(spark, g)) == want
+    assert not store._has_parquet(store.delta_dir)
+
+
+def test_day_grain_equals_direct_aggregation(spark, store):
+    store.apply_batch(spark, _df(spark, B1), batch=1)
+    got = {
+        (r.bucket_start, r.event_type): (r.n, r.value_sum, r.value_avg, r.value_min, r.value_max)
+        for r in store.read(spark, "day").collect()
+    }
+    direct = (
+        _df(spark, V0 + B1)
+        .groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.avg("value").alias("a"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    )
+    assert len(got) == len(direct)
+    for r in direct:
+        n, s, a, mn, mx = got[(r.d, r.event_type)]
+        assert n == r.n and mn == r.mn and mx == r.mx
+        assert abs(s - r.s) < 1e-9 and abs(a - r.a) < 1e-9
+
+
+def test_date_range_serving_prunes_partitions(spark, store):
+    store.apply_batch(spark, _df(spark, B1), batch=1)
+    ranged = store.read(
+        spark, "day", start_date=dt.date(2024, 3, 2), end_date=dt.date(2024, 3, 2)
+    )
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan
+    days = {r.bucket_start.day for r in ranged.collect()}
+    assert days == {2}
+    # values equal the same-range direct aggregation
+    direct = (
+        _df(spark, V0 + B1)
+        .filter(F.to_date("ts") == F.lit(dt.date(2024, 3, 2)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    got = {r.event_type: (r.n, r.value_sum) for r in ranged.collect()}
+    for r in direct:
+        assert got[r.event_type][0] == r.n
+        assert abs(got[r.event_type][1] - r.s) < 1e-9
+
+
+def test_param_drift_refused(spark, tmp_path, store):
+    other = RollupStore(str(tmp_path / "rollup"), group_cols=("event_type", "user_id"))
+    with pytest.raises(RollupStoreParamError, match="rebuild"):
+        other.read(spark, "day")
+    with pytest.raises(RollupStoreParamError, match="build"):
+        RollupStore(str(tmp_path / "missing")).read(spark, "day")
+
+
+def test_refresh_dates_recomputes_invalidated_region(spark, tmp_path, store):
+    """Mutable history: day 1's events change at the source; refreshing
+    ONLY that date converges the store to a rebuild of the mutated
+    source, and other dates' partitions are untouched."""
+    store.apply_batch(spark, _df(spark, B1), batch=1)
+    mutated = [e for e in V0 + B1 if not (e[1].day == 1)] + [
+        _ev(101, 1, (10, 0), "click", 100.0),
+    ]
+    store.refresh_dates(spark, _df(spark, mutated), [dt.date(2024, 3, 1)])
+    fresh = RollupStore(str(tmp_path / "mrebuild"))
+    fresh.build(_df(spark, mutated))
+    for grain in ("minute", "day"):
+        assert _rows(store.read(spark, grain)) == _rows(fresh.read(spark, grain))
+
+
+def test_streaming_runner_matches_batch_build(spark, tmp_path):
+    """availableNow drain over a parquet landing dir == one batch build
+    over the same rows (the T1 parity pattern), and a second drain with
+    new (late) files folds them in."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    _df(spark, V0).write.mode("append").parquet(landing)
+    store = RollupStore(str(tmp_path / "sroll"))
+    # seed base with one row (the stream re-delivers it; the rebuild
+    # twin below carries the same duplication, so parity still binds)
+    store.build(_df(spark, V0[:1]))
+    run_rollup_maintenance(
+        spark, landing, SCHEMA, store, str(tmp_path / "ckpt")
+    )
+    _df(spark, B1 + B2).write.mode("append").parquet(landing)
+    run_rollup_maintenance(
+        spark, landing, SCHEMA, store, str(tmp_path / "ckpt")
+    )
+    fresh = RollupStore(str(tmp_path / "srebuild"))
+    fresh.build(_df(spark, V0[:1] + V0 + B1 + B2))
+    assert _rows(store.read(spark, "minute")) == _rows(fresh.read(spark, "minute"))
