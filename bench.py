@@ -39,8 +39,9 @@ r04 totals against r03.  r06 added hybrid_rerank_page (the baseline's
 450 ms hybrid+rerank row, previously unbenched), pii_entity_counts,
 media_features_report, rag_context_modes, training_mix_suite,
 fts_bm25_search, and fts_phrase_search — subtract those seven when
-comparing r06 totals against r05.  r07 added vector_filtered_topk and
-vector_pq_topk — subtract both when comparing r07 totals against r06.
+comparing r06 totals against r05.  r07 added vector_filtered_topk,
+vector_pq_topk, and events_rollup_served — subtract those three when
+comparing r07 totals against r06.
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's
@@ -102,6 +103,9 @@ HEADLINE = (
     "extraction_tables_explode",
     # event-stream analytics
     "events_time_windows",
+    # continuous-aggregate serving: daily cascade from the persisted
+    # rollup store's minute partials (r7; never rescans raw events)
+    "events_rollup_served",
     "events_sessionize",
     "cdc_apply_tombstones",
     # PII detection + redaction completeness over documents
@@ -155,12 +159,15 @@ def main() -> None:
     # checkout it is the one-time build cost, reported separately.
     from car_etl_spark.operators.indexing import ensure_ivf_index, ensure_posting_index
 
+    from car_etl_spark.streaming.rollup_store import ensure_rollup_store
+
     t0 = time.perf_counter()
     ensure_posting_index(spark, sf_dir)
     ensure_posting_index(spark, sf_dir, analyzer="porter")
     ensure_ivf_index(spark, sf_dir)
+    ensure_rollup_store(spark, sf_dir)
     index_prep = round(time.perf_counter() - t0, 4)
-    print(f"# index prep (posting + IVF stores): {index_prep:.3f}s", file=sys.stderr)
+    print(f"# index prep (posting + IVF + rollup stores): {index_prep:.3f}s", file=sys.stderr)
 
     # Measured scheduling floor: the wall time of a minimal one-task job
     # on this session.  Sub-second query latencies bottom out here — the

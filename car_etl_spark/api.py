@@ -212,6 +212,27 @@ def tenant_vector_search(
     )
 
 
+def tenant_pq_search(
+    spark,
+    ivf_store,
+    query_vec: list[float],
+    tenant: str,
+    limit: int = 20,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tenant-scoped CERTIFIED-EXACT product-quantized serving: the
+    probe walk certifies against the TENANT's cluster stats, both the
+    code-column shortlist scan and the rescore fetch prune to the
+    tenant's (tenant, centroid_id) directories, and the error-band
+    rescore keeps the result equal to a tenant-scoped brute force —
+    the compressed-scan route with the same isolation-by-layout
+    guarantee as :func:`tenant_vector_search`."""
+    limit = min(limit, SEARCH_RESULT_CAP)
+    return ivf_store.pq_topk(
+        spark, query_vec, k=limit, tenant=tenant, extra_cols=extra_cols
+    )
+
+
 def tenant_hybrid_search(
     spark,
     posting_store,

@@ -514,6 +514,17 @@ FROM ({EVENTS_MULTIRES_SQL})
 """
 
 
+def events_rollup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily cascade SERVED from the persisted rollup store alone —
+    the continuous-aggregate dashboard read (bench surface; its
+    correctness rides the `daily_cascade_served` arm of
+    events_window_rollups).  Reads minute partials, never raw events."""
+    from car_etl_spark.streaming.rollup_store import ensure_rollup_store
+
+    store = ensure_rollup_store(spark, sf_dir)
+    return store.read(spark, "day").orderBy("bucket_start", "event_type")
+
+
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group event profiles in one tagged slot: the JSON-prop bucket
     rollup (F15), the exact per-type value percentiles, and the
@@ -844,6 +855,7 @@ def fine_grained_queries() -> dict:
         "token_jaccard_blocked": dedup.token_jaccard_blocked,
         "embedding_neardup_exact_block": dedup.embedding_neardup_exact_block,
         "events_time_windows": eventsq.events_time_windows,
+        "events_rollup_served": events_rollup_served,
         "events_type_pivot": eventsq.events_type_pivot,
         "events_sessionize": eventsq.events_sessionize,
         "events_multires_rollup": eventsq.events_multires_rollup,

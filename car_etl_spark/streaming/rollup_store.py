@@ -75,14 +75,24 @@ class RollupStore:
         group_cols: tuple[str, ...] = ("event_type",),
         ts_col: str = "ts",
         value_col: str = "value",
+        tenant_col: str | None = None,
     ) -> None:
         self.path = path
         self.base_dir = os.path.join(path, "base")
         self.delta_dir = os.path.join(path, "delta")
         self.meta_path = os.path.join(path, "meta.json")
-        self.group_cols = tuple(group_cols)
         self.ts_col = ts_col
         self.value_col = value_col
+        #: multi-tenant layout: tenant is BOTH a group column (rollups
+        #: never mix tenants) and the LEADING partition level, so a
+        #: tenant-scoped read prunes to tenant=<t>/event_date=<d>/
+        #: directories — the same RLS-partition discipline as the
+        #: posting/IVF stores
+        self.tenant_col = tenant_col
+        gc = tuple(group_cols)
+        if tenant_col and tenant_col not in gc:
+            gc = (tenant_col,) + gc
+        self.group_cols = gc
 
     # -- shared aggregation kernels -------------------------------------
 
@@ -120,6 +130,7 @@ class RollupStore:
             "group_cols": list(self.group_cols),
             "ts_col": self.ts_col,
             "value_col": self.value_col,
+            "tenant_col": self.tenant_col,
         }
 
     def _meta(self) -> dict | None:
@@ -146,6 +157,9 @@ class RollupStore:
             json.dump({"spec": self._spec(), "version": 1}, f)
         os.replace(tmp, self.meta_path)
 
+    def _pcols(self) -> list[str]:
+        return ([self.tenant_col] if self.tenant_col else []) + ["event_date"]
+
     def _sentinel(self, batch: int) -> str:
         return os.path.join(self.path, f"_batch_{batch}_applied")
 
@@ -163,9 +177,9 @@ class RollupStore:
         (
             self._minute_partials(events)
             .withColumn("batch", F.lit(0).cast("long"))
-            .repartition("event_date")
+            .repartition(*self._pcols())
             .write.mode("overwrite")
-            .partitionBy("event_date")
+            .partitionBy(*self._pcols())
             .parquet(tmp)
         )
         old = self.base_dir + ".old"
@@ -191,9 +205,9 @@ class RollupStore:
         (
             self._minute_partials(events)
             .withColumn("batch", F.lit(batch).cast("long"))
-            .repartition("event_date")
+            .repartition(*self._pcols())
             .write.mode("append")
-            .partitionBy("event_date")
+            .partitionBy(*self._pcols())
             .parquet(self.delta_dir)
         )
         with open(self._sentinel(batch), "w") as f:
@@ -203,16 +217,20 @@ class RollupStore:
     # -- serving -------------------------------------------------------------
 
     def partials(
-        self, spark: SparkSession, start_date=None, end_date=None
+        self, spark: SparkSession, start_date=None, end_date=None, tenant=None
     ) -> DataFrame:
         """The live minute-grain view: base + deltas, crash-duplicate
         rows dropped (deterministic per-(group, batch) aggregates make
         exact-duplicate drop sufficient — the posting-store replay
         argument), date range pruned at the partition level."""
         self._check_params()
+        if tenant is not None and not self.tenant_col:
+            raise ValueError("store was not built with a tenant_col")
         df = spark.read.parquet(self.base_dir)
         if self._has_parquet(self.delta_dir):
             df = df.unionByName(spark.read.parquet(self.delta_dir))
+        if tenant is not None:
+            df = df.filter(F.col(self.tenant_col) == tenant)
         if start_date is not None:
             df = df.filter(F.col("event_date") >= F.lit(start_date))
         if end_date is not None:
@@ -228,6 +246,7 @@ class RollupStore:
         start_date=None,
         end_date=None,
         exact_sums: bool = False,
+        tenant=None,
     ) -> DataFrame:
         """Rollup at the requested grain from persisted partials:
         (bucket_start, groups..., n, value_sum, value_avg, value_min,
@@ -238,7 +257,7 @@ class RollupStore:
         DECIMAL before casting."""
         if grain not in GRAINS:
             raise ValueError(f"grain must be one of {GRAINS}")
-        parts = self.partials(spark, start_date, end_date)
+        parts = self.partials(spark, start_date, end_date, tenant=tenant)
         out = self._merge_to(
             parts, F.date_trunc(grain, F.col("minute_start")), self.group_cols
         )
@@ -281,9 +300,9 @@ class RollupStore:
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            live.repartition("event_date")
+            live.repartition(*self._pcols())
             .write.mode("overwrite")
-            .partitionBy("event_date")
+            .partitionBy(*self._pcols())
             .parquet(tmp)
         )
         old = self.base_dir + ".old"
@@ -316,16 +335,34 @@ class RollupStore:
         )
         tmpdir = os.path.join(self.path, ".refresh.tmp")
         shutil.rmtree(tmpdir, ignore_errors=True)
-        fresh.repartition("event_date").write.partitionBy("event_date").parquet(tmpdir)
+        fresh.repartition(*self._pcols()).write.partitionBy(*self._pcols()).parquet(
+            tmpdir
+        )
+        # partition prefixes: "" for single-tenant stores, one
+        # "tenant=<t>/" per tenant dir under a tenant layout — the
+        # refresh swaps each tenant's invalidated dates independently
+        def prefixes(root: str) -> list[str]:
+            if not self.tenant_col:
+                return [""]
+            if not os.path.isdir(root):
+                return []
+            return [
+                d + os.sep
+                for d in os.listdir(root)
+                if d.startswith(f"{self.tenant_col}=")
+            ]
+
         for d in dates:
-            part = f"event_date={d}"
-            src = os.path.join(tmpdir, part)
-            dst = os.path.join(self.base_dir, part)
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                os.replace(src, dst)
-            for root in ([self.delta_dir] if os.path.isdir(self.delta_dir) else []):
-                shutil.rmtree(os.path.join(root, part), ignore_errors=True)
+            for pref in set(prefixes(tmpdir)) | set(prefixes(self.base_dir)):
+                part = os.path.join(pref, f"event_date={d}") if pref else f"event_date={d}"
+                src = os.path.join(tmpdir, part)
+                dst = os.path.join(self.base_dir, part)
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.isdir(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(src, dst)
+                if os.path.isdir(self.delta_dir):
+                    shutil.rmtree(os.path.join(self.delta_dir, part), ignore_errors=True)
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
@@ -373,7 +410,9 @@ def ensure_rollup_store(spark: SparkSession, sf_dir: str) -> RollupStore:
     from car_etl_spark.operators.indexing import _source_digest, index_root
 
     source = os.path.join(sf_dir, "events.parquet")
-    digest = _source_digest("rollup", 1, source, "event_type|minute")
+    # version 2: the spec sidecar gained tenant_col — older layouts
+    # (version 1) refuse under the drift check, so re-address them
+    digest = _source_digest("rollup", 2, source, "event_type|minute")
     path = os.path.join(index_root(), f"rollup-{digest}")
     store = RollupStore(path)
     if store._meta() is None:

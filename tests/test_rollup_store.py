@@ -180,3 +180,42 @@ def test_streaming_runner_matches_batch_build(spark, tmp_path):
     fresh = RollupStore(str(tmp_path / "srebuild"))
     fresh.build(_df(spark, V0[:1] + V0 + B1 + B2))
     assert _rows(store.read(spark, "minute")) == _rows(fresh.read(spark, "minute"))
+
+
+TSCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, tenant_id string"
+)
+
+
+def test_tenant_scoped_rollup_isolation_and_pruning(spark, tmp_path):
+    """Tenant stores: tenant is a group col AND the leading partition
+    level — a scoped read equals a solo-tenant store build, its scan
+    prunes to tenant=/event_date= dirs, and refresh_dates touches only
+    the named dates within each tenant."""
+    rows_a = [e + ("tA",) for e in V0 + B1]
+    rows_b = [e + ("tB",) for e in B2] + [
+        _ev(50, 1, (10, 0), "click", 999.0) + ("tB",)
+    ]
+    store = RollupStore(str(tmp_path / "troll"), tenant_col="tenant_id")
+    store.build(spark.createDataFrame(rows_a, TSCHEMA))
+    store.apply_batch(spark, spark.createDataFrame(rows_b, TSCHEMA), batch=1)
+
+    solo = RollupStore(str(tmp_path / "solo"), tenant_col="tenant_id")
+    solo.build(spark.createDataFrame(rows_a, TSCHEMA))
+    got = _rows(store.read(spark, "day", tenant="tA"))
+    assert got == _rows(solo.read(spark, "day", tenant="tA"))
+    # no tB values leak into the scoped read
+    assert all("tB" not in r for r in got)
+    plan = (
+        store.read(spark, "day", tenant="tB")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "tenant_id" in plan
+    # unscoped read still serves both tenants (tenant in the grain)
+    tenants = {r.tenant_id for r in store.read(spark, "day").collect()}
+    assert tenants == {"tA", "tB"}
+    plain = RollupStore(str(tmp_path / "plain"))
+    plain.build(_df(spark, V0))
+    with pytest.raises(ValueError, match="tenant_col"):
+        plain.read(spark, "day", tenant="tA")

@@ -600,3 +600,39 @@ def test_cross_tenant_phrase_never_fabricated(spark, tmp_path):
     terms = [porter_py("red"), porter_py("fox")]
     for t in ("acme", "globex"):
         assert store.phrase_search(spark, terms, tenant=t).count() == 0
+
+
+def test_api_tenant_pq_search_route(spark, tmp_path):
+    """The tenant PQ route: certified compressed-scan serving equals
+    tenant-filtered brute force, never crosses tenants, and both its
+    scans prune to the tenant's partition directories."""
+    from car_etl_spark import api
+    from car_etl_spark.functions import vectors as V
+
+    emb = _two_tenant_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "pqten"), tenant_col="tenant_id")
+    store.build(emb, num_centroids=3, refine_iterations=1, pq_m=4)
+    qvec = list(emb.filter(F.col("vec_id") == 7).select("embedding").first()[0])
+
+    got_df = api.tenant_pq_search(
+        spark, store, qvec, tenant="globex", limit=8, extra_cols=("tenant_id",)
+    )
+    got = [tuple(r) for r in got_df.collect()]
+    assert got and all(r[1] == "globex" for r in got)
+    brute = [
+        tuple(r)
+        for r in emb.filter(F.col("tenant_id") == "globex")
+        .select(
+            "vec_id", "tenant_id",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), V.literal_vector(qvec)), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(8)
+        .collect()
+    ]
+    assert got == brute
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0] if "PartitionFilters" in plan else ""
+    assert "tenant_id" in pf and "centroid_id" in pf
