@@ -40,8 +40,8 @@ r04 totals against r03.  r06 added hybrid_rerank_page (the baseline's
 media_features_report, rag_context_modes, training_mix_suite,
 fts_bm25_search, and fts_phrase_search — subtract those seven when
 comparing r06 totals against r05.  r07 added vector_filtered_topk,
-vector_pq_topk, and events_rollup_served — subtract those three when
-comparing r07 totals against r06.
+vector_pq_topk, events_rollup_served, and doc_substring_search —
+subtract those four when comparing r07 totals against r06.
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's
@@ -72,6 +72,8 @@ HEADLINE = (
     "entity_match_blocked",
     # search stack (the reference's published benchmark surface)
     "doc_keyword_search",
+    # exact substring (ILIKE) serving from the trigram store (r7)
+    "doc_substring_search",
     "vector_topk",
     "vector_ivf_topk",
     # metadata-filtered IVF serving (r7: certified walk over matching counts)
@@ -164,6 +166,7 @@ def main() -> None:
     t0 = time.perf_counter()
     ensure_posting_index(spark, sf_dir)
     ensure_posting_index(spark, sf_dir, analyzer="porter")
+    ensure_posting_index(spark, sf_dir, analyzer="trigram")
     ensure_ivf_index(spark, sf_dir)
     ensure_rollup_store(spark, sf_dir)
     index_prep = round(time.perf_counter() - t0, 4)

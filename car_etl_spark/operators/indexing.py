@@ -232,9 +232,52 @@ def build_posting_rows(
     the reference's english tsvector stemming
     (``044_keyword_search.sql:22-34``).  Both are pure Column
     expressions; Porter stages one column per algorithm step.
+
+    ``"trigram"`` is the SUBSTRING-search analyzer (the pg_trgm GIN
+    shape): terms are character 3-grams of the whole cleaned text —
+    spaces included, so patterns cross token boundaries — with CHAR
+    start offsets in ``positions``.  No stemming (term == gram), one
+    weight class (no header split: a substring is positional, not
+    relevance-weighted), bucket on the gram.  Index rows ~= text
+    chars, the storage price pg_trgm pays for substring pruning.
     """
     extra = [tenant_col] if tenant_col else []
     cleaned = F.regexp_replace(F.lower(F.col("text")), r"^\s+", "")
+    if analyzer == "trigram":
+        # explode char offsets FIRST, then one substr per row — plain
+        # codegen expressions, no interpreted per-element HOF array
+        grams = (
+            docs.select("doc_id", "lang", *extra, cleaned.alias("__t"))
+            .select(
+                "doc_id",
+                "lang",
+                *extra,
+                "__t",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.length("__t") - 3, F.lit(0))
+                    )
+                ).alias("pos"),
+            )
+            .select(
+                "doc_id",
+                "lang",
+                *extra,
+                "pos",
+                F.col("__t").substr(F.col("pos") + 1, F.lit(3)).alias("raw_term"),
+            )
+            .filter(F.length("raw_term") == 3)
+            .withColumn("weight", F.lit(BODY_WEIGHT))
+        )
+        rolled = grams.groupBy("doc_id", "lang", *extra, "raw_term", "weight").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        stemmed = rolled.withColumn("term", F.col("raw_term"))
+        wdoc = Window.partitionBy(*extra, "doc_id")
+        return stemmed.withColumn(
+            "dl", F.sum(F.col("tf") * F.col("weight")).over(wdoc)
+        ).withColumn("term_bucket", term_bucket_col(F.col("term"), num_buckets))
     posted = (
         docs.select(
             "doc_id",
@@ -882,6 +925,80 @@ class PostingStore:
             .orderBy(F.desc("rank_score"), F.asc("doc_id"))
             .limit(limit)
         )
+
+    def substring_search(
+        self,
+        spark: SparkSession,
+        pattern: str,
+        tenant=None,
+    ) -> DataFrame:
+        """EXACT substring (ILIKE '%pattern%') serving from a TRIGRAM
+        store — grep over the corpus without scanning it.
+
+        pg_trgm's GIN index answers LIKE by intersecting the pattern's
+        trigram posting lists, then RECHECKS candidates against the
+        heap row.  The v5 store's position arrays make the recheck
+        unnecessary: a match at char position p exists iff for every
+        pattern offset i the doc holds gram(pattern, i) at position
+        p + i — the :meth:`phrase_search` adjacency chain at character
+        step, verified ENTIRELY from the index (no document fetch).
+        The chain uses a covering offset subset (every 3rd gram + the
+        last — overlapping triples pin every character), so long
+        patterns cost ~m/3 posting lists.  Returns
+        ``(doc_id, lang, n_matches)`` where n_matches counts ALL
+        (overlapping) occurrences, ordered by doc_id.
+
+        Scale shape: partition pruning to the pattern grams' buckets,
+        term-sorted row-group pruning inside them — cost ∝ the
+        pattern's gram postings, never corpus size.  Selectivity comes
+        free: rare 3-grams have short lists.  Case-insensitive (both
+        sides lowercased — the ILIKE contract); patterns shorter than
+        3 chars have no trigram and belong to a scan, so they refuse."""
+        if self.analyzer != "trigram":
+            raise ValueError(
+                f"substring_search needs a trigram store (this store's "
+                f"analyzer is {self.analyzer!r})"
+            )
+        self._require_tenant_scope(tenant)
+        pat = pattern.lower()
+        m = len(pat) - 2
+        if m < 1:
+            raise ValueError("pattern must be at least 3 characters")
+        offs = list(range(0, m, 3))
+        if (m - 1) not in offs:
+            offs.append(m - 1)
+        grams = {i: pat[i : i + 3] for i in offs}
+        uniq = sorted(set(grams.values()))
+        buckets = sorted({self.bucket_of(g) for g in uniq})
+        idx = self.read(spark, buckets=buckets, tenant=tenant).filter(
+            F.col("term").isin(uniq)
+        )
+        per = idx.groupBy("doc_id").agg(
+            F.first("lang").alias("lang"),
+            *[
+                F.sort_array(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(F.col("term") == grams[i], F.col("positions"))
+                        )
+                    )
+                ).alias(f"__p{i}")
+                for i in offs
+            ],
+        )
+
+        def _chained(p):
+            cond = None
+            for i in offs[1:]:
+                ci = F.array_contains(F.col(f"__p{i}"), p + i)
+                cond = ci if cond is None else (cond & ci)
+            return cond if cond is not None else F.lit(True)
+
+        scored = per.withColumn(
+            "n_matches",
+            F.size(F.filter(F.col(f"__p{offs[0]}"), _chained)).cast("long"),
+        ).filter(F.col("n_matches") > 0)
+        return scored.select("doc_id", "lang", "n_matches").orderBy("doc_id")
 
     def bm25_search(
         self,

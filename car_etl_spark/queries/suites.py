@@ -234,12 +234,17 @@ ORDER BY q.doc_id
 
 def doc_keyword_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword result-page suite: posting-store serving, raw-text scan
-    twin, and the highlighted-snippet page (F17+F19) — tagged arms on
-    one (mode, doc_id, lang, score, snippet) grain."""
+    twin, the highlighted-snippet page (F17+F19), and (r7) EXACT
+    substring search from the trigram store — tagged arms on one
+    (mode, doc_id, lang, score, snippet) grain.  The substring arm's
+    oracle is a character-window scan of the raw text, so the
+    index-side adjacency verification is hash-proved against ILIKE
+    semantics."""
     from car_etl_spark.queries.textops import (
         doc_keyword_scan,
         doc_keyword_search,
         doc_search_highlight,
+        doc_substring_search,
     )
 
     null_s = F.lit(None).cast("string")
@@ -256,6 +261,11 @@ def doc_keyword_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("highlight").alias("mode"), "doc_id", null_s.alias("lang"),
             "score", "snippet",
         ),
+        doc_substring_search(spark, sf_dir).select(
+            F.lit("substring").alias("mode"), "doc_id", "lang",
+            F.col("n_matches").cast("double").alias("score"),
+            null_s.alias("snippet"),
+        ),
     ]
     return _tagged_union(parts).orderBy("mode", F.desc("score"), F.asc("doc_id"))
 
@@ -264,6 +274,7 @@ def _doc_keyword_modes_sql() -> str:
     from car_etl_spark.queries.textops import (
         DOC_KEYWORD_SEARCH_SQL,
         DOC_SEARCH_HIGHLIGHT_SQL,
+        DOC_SUBSTRING_SEARCH_SQL,
     )
 
     return f"""
@@ -276,6 +287,10 @@ FROM ({DOC_KEYWORD_SEARCH_SQL})
 UNION ALL
 SELECT 'highlight' AS mode, doc_id, CAST(NULL AS VARCHAR) AS lang, score, snippet
 FROM ({DOC_SEARCH_HIGHLIGHT_SQL})
+UNION ALL
+SELECT 'substring' AS mode, doc_id, lang, CAST(n_matches AS DOUBLE) AS score,
+       CAST(NULL AS VARCHAR) AS snippet
+FROM ({DOC_SUBSTRING_SEARCH_SQL})
 ) ORDER BY mode, score DESC, doc_id ASC
 """
 
@@ -845,6 +860,7 @@ def fine_grained_queries() -> dict:
         "doc_quality_scores": textops.doc_quality_scores,
         "doc_repetition_profile": textops.doc_repetition_profile,
         "doc_keyword_search": textops.doc_keyword_search,
+        "doc_substring_search": textops.doc_substring_search,
         "doc_keyword_scan": textops.doc_keyword_scan,
         "doc_search_highlight": textops.doc_search_highlight,
         "hybrid_rrf_search": search.hybrid_rrf_search,

@@ -578,3 +578,48 @@ ORDER BY cluster_id
 QUERIES["doc_dup_clusters"] = QuerySpec(
     doc_dup_clusters, DOC_DUP_CLUSTERS_SQL, ("dedup", "components")
 )
+
+
+#: the substring-serving pattern — crosses a token boundary (space
+#: included), so it demonstrably is NOT keyword search; ~7% of docs
+#: match at sf0.01
+SUBSTRING_PATTERN = "value table"
+
+
+def doc_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring (ILIKE '%pattern%') search, SERVING PATH — grep
+    over the corpus from a persisted TRIGRAM posting store
+    (:meth:`~car_etl_spark.operators.indexing.PostingStore.substring_search`).
+
+    pg_trgm's public design (GIN trigram index + recheck) taken one
+    step further: the v5 store's char-offset position arrays verify
+    the match with the phrase-adjacency chain, so candidates are
+    confirmed entirely from the index — no document fetch, no recheck
+    scan.  The training-data-curation read this exists for: find every
+    document containing an exact string (a contamination canary, a
+    PII literal, boilerplate) at 100 TB without scanning text."""
+    from car_etl_spark.operators.indexing import ensure_posting_index
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir, analyzer="trigram")
+        return store.substring_search(spark, SUBSTRING_PATTERN)
+
+    return prepared(
+        spark, "doc_substring_search", sf_dir, ("documents.parquet",), build
+    )
+
+
+_SUB_M = len(SUBSTRING_PATTERN)
+DOC_SUBSTRING_SEARCH_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang, regexp_replace(LOWER(text), '^\\s+', '') AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, lang,
+         len(list_filter(generate_series(1, GREATEST(length(t) - {_SUB_M} + 1, 0)),
+             i -> substr(t, i, {_SUB_M}) = '{SUBSTRING_PATTERN}')) AS n_matches
+  FROM c
+)
+SELECT doc_id, lang, n_matches FROM n WHERE n_matches > 0 ORDER BY doc_id
+"""

@@ -82,6 +82,42 @@ def make_docs(spark, n: int) -> str:
     return path
 
 
+def make_marked_docs(spark, n: int) -> str:
+    """The token corpus with a RARE PLANTED MARKER: ~0.1% of docs
+    (deterministic id hash) carry the literal 'qzneedle mark' — the
+    contamination-canary shape substring serving exists for.  Separate
+    path from make_docs so the posting-curve corpora stay untouched."""
+    path = os.path.join(ROOT, f"docs-mk-{n}", "documents.parquet")
+    if os.path.isdir(path):
+        return path
+    vocab = max(1000, n // 5)
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(TOKENS_PER_DOC - 1)),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id") * TOKENS_PER_DOC + j), F.lit(vocab)).cast(
+                "string"
+            ),
+        ),
+    )
+    marked = F.when(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1000)) == 7,
+        F.concat(F.array_join(toks, " "), F.lit(" qzneedle marker tail")),
+    ).otherwise(F.array_join(toks, " "))
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("en").alias("lang"),
+            marked.alias("text"),
+        )
+        .coalesce(max(1, n // 40_000))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
 def make_vectors(spark, n: int):
     """Clustered embeddings, Spark-side: sqrt(n) natural clusters, unit
     centers on hashed axes, small deterministic jitter."""
@@ -155,6 +191,66 @@ def main() -> None:
             row["build_sec"] = build_s
         out["posting"].append(row)
         print(f"# posting {row}", file=sys.stderr)
+
+    # trigram substring serving vs the raw contains() scan.  Substring
+    # cost is inherently ∝ the pattern's gram posting volume (pg_trgm
+    # pays the same); the scan is ∝ corpus text bytes.  Two patterns
+    # demonstrate both sides: a RARE planted marker (the grep-for-
+    # contamination/PII use case — ~0.1% of docs carry it) whose gram
+    # lists stay tiny while the scan grows with the corpus, and a HOT
+    # pattern of common grams whose serving cost honestly tracks its
+    # own posting volume.
+    for n in DOC_SIZES[:3]:  # 5k/20k/80k — the 320k trigram build is ~6x rows
+        src = make_marked_docs(spark, n)
+        tstore = IX.PostingStore(
+            os.path.join(ROOT, f"tristore-{n}"), analyzer="trigram"
+        )
+        build_s = None
+        if (
+            not tstore._has_parquet(tstore.base_dir)
+            or (tstore._meta() or {}).get("version") != IX.POSTING_VERSION
+        ):
+            t0 = time.perf_counter()
+            tstore.build(spark.read.parquet(src))
+            build_s = round(time.perf_counter() - t0, 2)
+        for tag, pat in (("rare_marker", "qzneedle mark"), ("hot_grams", "w7 w13")):
+
+            def sq():
+                tstore.substring_search(spark, pat).collect()
+
+            def sscan():
+                spark.read.parquet(src).filter(
+                    F.contains(
+                        F.regexp_replace(F.lower("text"), r"^\s+", ""), F.lit(pat)
+                    )
+                ).select("doc_id").collect()
+
+            sq()
+            sscan()
+            offs = list(range(0, len(pat) - 2, 3))
+            if (len(pat) - 3) not in offs:
+                offs.append(len(pat) - 3)
+            gset = sorted({pat[i : i + 3] for i in offs})
+            touched = (
+                tstore.read(
+                    spark, buckets=sorted({tstore.bucket_of(g) for g in gset})
+                )
+                .filter(F.col("term").isin(gset))
+                .count()
+            )
+            row = {
+                "docs": n,
+                "pattern": tag,
+                "postings_touched": touched,
+                "store_mb": round(IX._tree_bytes(tstore.base_dir) / 1e6, 1),
+                "substring_warm_sec": timed(sq),
+                "raw_scan_warm_sec": timed(sscan),
+            }
+            if build_s is not None:
+                row["build_sec"] = build_s
+                build_s = None
+            out.setdefault("substring", []).append(row)
+            print(f"# substring {row}", file=sys.stderr)
 
     for n in VEC_SIZES:
         k = IX.derive_num_centroids(n)

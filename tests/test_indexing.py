@@ -946,3 +946,110 @@ def test_pq_approximate_mode_shape_and_wide_shortlist_equals_exact(spark, tmp_pa
         ).collect()
     ]
     assert wide == _brute_all(emb, qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Trigram store: exact substring (ILIKE) serving
+
+
+def _sub_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _brute_substr(docs_rows, pat):
+    pat = pat.lower()
+    out = []
+    for doc_id, lang, text in sorted(docs_rows):
+        t = text.lower().lstrip()
+        n = sum(1 for i in range(len(t) - len(pat) + 1) if t[i:i + len(pat)] == pat)
+        if n:
+            out.append((doc_id, lang, n))
+    return out
+
+
+SUB_DOCS = [
+    (1, "en", "the quick brown fox jumps over the lazy dog"),
+    (2, "en", "Quick Brown shoes; QUICK BROWN boots"),      # case + 2 matches
+    (3, "en", "ababababa repetition torture"),              # overlapping
+    (4, "en", "quick-brown hyphen does not match the space form"),
+    (5, "de", "   leading space quick brown stripped"),
+    # near-miss for the covering-subset chain: differs from
+    # "quick brown" at ONE character mid-pattern
+    (6, "en", "quick crown near miss"),
+]
+
+
+def test_substring_search_matches_character_scan(spark, tmp_path):
+    store = IX.PostingStore(str(tmp_path / "tri"), analyzer="trigram")
+    store.build(_sub_docs(spark, SUB_DOCS))
+    for pat in ("quick brown", "aba", "ABABA", "lazy dog", "zzz"):
+        got = [
+            (r.doc_id, r.lang, r.n_matches)
+            for r in store.substring_search(spark, pat).collect()
+        ]
+        assert got == _brute_substr(SUB_DOCS, pat), pat
+    # overlapping occurrences counted: 'aba' in 'ababababa' = 4 starts
+    got = {r.doc_id: r.n_matches for r in store.substring_search(spark, "aba").collect()}
+    assert got[3] == 4
+
+
+def test_substring_search_refusals(spark, tmp_path):
+    tri = IX.PostingStore(str(tmp_path / "tri2"), analyzer="trigram")
+    tri.build(_sub_docs(spark, SUB_DOCS[:2]))
+    with pytest.raises(ValueError, match="at least 3"):
+        tri.substring_search(spark, "ab")
+    tok = IX.PostingStore(str(tmp_path / "tok"), analyzer="suffix")
+    tok.build(_sub_docs(spark, SUB_DOCS[:2]))
+    with pytest.raises(ValueError, match="trigram store"):
+        tok.substring_search(spark, "quick brown")
+
+
+def test_substring_search_under_maintenance(spark, tmp_path):
+    """The trigram store rides the same LSM path: an upserted doc's
+    matches appear, a tombstoned doc's disappear, compact preserves."""
+    store = IX.PostingStore(str(tmp_path / "trim"), analyzer="trigram")
+    store.build(_sub_docs(spark, SUB_DOCS))
+    store.apply_batch(
+        spark,
+        _sub_docs(spark, [(7, "en", "a fresh quick brown delta document")]),
+        [1],
+        batch=1,
+    )
+    live = [r for r in SUB_DOCS if r[0] != 1] + [
+        (7, "en", "a fresh quick brown delta document")
+    ]
+    got = [
+        (r.doc_id, r.lang, r.n_matches)
+        for r in store.substring_search(spark, "quick brown").collect()
+    ]
+    assert got == _brute_substr(live, "quick brown")
+    store.compact(spark)
+    got2 = [
+        (r.doc_id, r.lang, r.n_matches)
+        for r in store.substring_search(spark, "quick brown").collect()
+    ]
+    assert got2 == got
+
+
+def test_substring_search_tenant_scoped(spark, tmp_path):
+    rows = [
+        (1, "en", "tenant alpha quick brown", "acme"),
+        (1, "en", "tenant beta quick brown quick brown", "globex"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, tenant_id string"
+    )
+    store = IX.PostingStore(
+        str(tmp_path / "trit"), analyzer="trigram", tenant_col="tenant_id"
+    )
+    store.build(df)
+    with pytest.raises(ValueError, match="tenant"):
+        store.substring_search(spark, "quick brown")
+    got = {
+        t: [
+            (r.doc_id, r.n_matches)
+            for r in store.substring_search(spark, "quick brown", tenant=t).collect()
+        ]
+        for t in ("acme", "globex")
+    }
+    assert got == {"acme": [(1, 1)], "globex": [(1, 2)]}
