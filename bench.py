@@ -40,8 +40,9 @@ r04 totals against r03.  r06 added hybrid_rerank_page (the baseline's
 media_features_report, rag_context_modes, training_mix_suite,
 fts_bm25_search, and fts_phrase_search — subtract those seven when
 comparing r06 totals against r05.  r07 added vector_filtered_topk,
-vector_pq_topk, events_rollup_served, and doc_substring_search —
-subtract those four when comparing r07 totals against r06.
+vector_pq_topk, events_rollup_served, doc_substring_search, and
+doc_regex_search — subtract those five when comparing r07 totals
+against r06.
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's
@@ -74,6 +75,8 @@ HEADLINE = (
     "doc_keyword_search",
     # exact substring (ILIKE) serving from the trigram store (r7)
     "doc_substring_search",
+    # trigram-prefiltered regex search (r7, Cox code-search design)
+    "doc_regex_search",
     "vector_topk",
     "vector_ivf_topk",
     # metadata-filtered IVF serving (r7: certified walk over matching counts)

@@ -323,6 +323,73 @@ def build_posting_rows(
     ).withColumn("term_bucket", term_bucket_col(F.col("term"), num_buckets))
 
 
+def regex_required_literals(pattern: str, min_len: int = 3) -> list[str]:
+    """Literal substrings EVERY match of ``pattern`` must contain —
+    the trigram-prefilter extraction of Cox's code-search design,
+    deliberately conservative (dropping a literal can only weaken the
+    prefilter, never lose a match):
+
+    - a run of plain characters accumulates into a literal;
+    - ``*``, ``?``, ``{`` make their preceding atom optional/repeated —
+      the run's LAST char is dropped, then the run flushes;
+    - ``+`` keeps its atom (one-or-more) but breaks the run after it;
+    - character classes ``[...]``, ``.``, anchors, and escapes break
+      the run (an escaped char may be literal, but \\d/\\s are not —
+      skipping them all is the safe uniform rule);
+    - alternation or groups anywhere bail to [] (a branch literal is
+      not REQUIRED; distributing literals over branches is the full
+      Cox query algebra, out of scope) — the caller falls back to an
+      unfiltered scan.
+
+    Only literals of at least ``min_len`` chars survive (shorter ones
+    have no trigram)."""
+    if any(c in pattern for c in "(|"):
+        return []
+    out: list[str] = []
+    run = ""
+
+    def flush():
+        nonlocal run
+        if run:
+            out.append(run)
+        run = ""
+
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            flush()
+            i += 2
+            continue
+        if c == "[":
+            flush()
+            i += 1
+            while i < len(pattern) and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+            i += 1
+            continue
+        if c in "*?{":
+            run = run[:-1]
+            flush()
+            if c == "{":
+                while i < len(pattern) and pattern[i] != "}":
+                    i += 1
+            i += 1
+            continue
+        if c == "+":
+            flush()
+            i += 1
+            continue
+        if c in ".^$":
+            flush()
+            i += 1
+            continue
+        run += c
+        i += 1
+    flush()
+    return [r for r in out if len(r) >= min_len]
+
+
 def doclens_from_rows(rows: DataFrame, tenant_col: str | None = None) -> DataFrame:
     """Doc-grain length sidecar rows ``([tenant,] doc_id, dl)`` from
     posting rows — the corpus-stat maintenance grain (one row per doc,
@@ -999,6 +1066,61 @@ class PostingStore:
             F.size(F.filter(F.col(f"__p{offs[0]}"), _chained)).cast("long"),
         ).filter(F.col("n_matches") > 0)
         return scored.select("doc_id", "lang", "n_matches").orderBy("doc_id")
+
+    def regex_search(
+        self,
+        spark: SparkSession,
+        pattern: str,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        tenant=None,
+    ) -> DataFrame:
+        """Regex search with a TRIGRAM PREFILTER — the Google Code
+        Search design (Cox 2012, "Regular Expression Matching with a
+        Trigram Index", public write-up; pg_trgm ships the same idea):
+        every match of the regex must contain certain LITERAL
+        substrings; candidates = docs containing ALL of them (each an
+        exact index-verified :meth:`substring_search`), and only those
+        docs' text is fetched and run through the real regex engine.
+
+        Literal extraction (:func:`regex_required_literals`) is
+        CONSERVATIVE: quantified atoms are dropped from their run,
+        character classes and escapes break runs, and alternation or
+        groups bail to no-literals — a weaker prefilter only means more
+        docs verified, never a missed match.  With no usable literal
+        (the Cox fallback) the prefilter is skipped and the regex runs
+        over the full corpus — correct, just unpruned, exactly what an
+        un-indexable pattern costs everywhere.
+
+        Returns ``(doc_id, lang, n_matches)`` — non-overlapping match
+        counts (the regexp_count contract) — ordered by doc_id.  The
+        regex runs against the same cleaned (lowercased,
+        leading-space-stripped) text the store indexed."""
+        if self.analyzer != "trigram":
+            raise ValueError(
+                f"regex_search needs a trigram store (this store's "
+                f"analyzer is {self.analyzer!r})"
+            )
+        self._require_tenant_scope(tenant)
+        cleaned = F.regexp_replace(F.lower(F.col(text_col)), r"^\s+", "")
+        base = docs.select(
+            F.col(id_col).alias("doc_id"), "lang", cleaned.alias("__t")
+        )
+        lits = regex_required_literals(pattern)
+        cand = None
+        for lit in lits:
+            ids = self.substring_search(spark, lit, tenant=tenant).select("doc_id")
+            cand = ids if cand is None else cand.join(ids, "doc_id")
+        scoped = base if cand is None else base.join(cand, "doc_id")
+        return (
+            scoped.withColumn(
+                "n_matches", F.regexp_count(F.col("__t"), F.lit(pattern)).cast("long")
+            )
+            .filter(F.col("n_matches") > 0)
+            .select("doc_id", "lang", "n_matches")
+            .orderBy("doc_id")
+        )
 
     def bm25_search(
         self,

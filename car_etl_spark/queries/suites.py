@@ -244,6 +244,7 @@ def doc_keyword_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_keyword_scan,
         doc_keyword_search,
         doc_search_highlight,
+        doc_regex_search,
         doc_substring_search,
     )
 
@@ -266,6 +267,11 @@ def doc_keyword_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_matches").cast("double").alias("score"),
             null_s.alias("snippet"),
         ),
+        doc_regex_search(spark, sf_dir).select(
+            F.lit("regex").alias("mode"), "doc_id", "lang",
+            F.col("n_matches").cast("double").alias("score"),
+            null_s.alias("snippet"),
+        ),
     ]
     return _tagged_union(parts).orderBy("mode", F.desc("score"), F.asc("doc_id"))
 
@@ -274,6 +280,7 @@ def _doc_keyword_modes_sql() -> str:
     from car_etl_spark.queries.textops import (
         DOC_KEYWORD_SEARCH_SQL,
         DOC_SEARCH_HIGHLIGHT_SQL,
+        DOC_REGEX_SEARCH_SQL,
         DOC_SUBSTRING_SEARCH_SQL,
     )
 
@@ -291,6 +298,10 @@ UNION ALL
 SELECT 'substring' AS mode, doc_id, lang, CAST(n_matches AS DOUBLE) AS score,
        CAST(NULL AS VARCHAR) AS snippet
 FROM ({DOC_SUBSTRING_SEARCH_SQL})
+UNION ALL
+SELECT 'regex' AS mode, doc_id, lang, CAST(n_matches AS DOUBLE) AS score,
+       CAST(NULL AS VARCHAR) AS snippet
+FROM ({DOC_REGEX_SEARCH_SQL})
 ) ORDER BY mode, score DESC, doc_id ASC
 """
 
@@ -861,6 +872,7 @@ def fine_grained_queries() -> dict:
         "doc_repetition_profile": textops.doc_repetition_profile,
         "doc_keyword_search": textops.doc_keyword_search,
         "doc_substring_search": textops.doc_substring_search,
+        "doc_regex_search": textops.doc_regex_search,
         "doc_keyword_scan": textops.doc_keyword_scan,
         "doc_search_highlight": textops.doc_search_highlight,
         "hybrid_rrf_search": search.hybrid_rrf_search,

@@ -623,3 +623,41 @@ WITH c AS (
 )
 SELECT doc_id, lang, n_matches FROM n WHERE n_matches > 0 ORDER BY doc_id
 """
+
+
+#: the regex-serving pattern — a character class between two required
+#: literals, so the trigram prefilter and the regex engine both do
+#: real work
+REGEX_PATTERN = "fast [a-z]+ batch"
+
+
+def doc_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex search with a trigram prefilter, SERVING PATH — the
+    Google-Code-Search design (Cox 2012; pg_trgm's regex support is the
+    same idea): required literals extracted from the pattern prune via
+    the trigram store's exact substring chains, and only candidate
+    docs' text meets the regex engine
+    (:meth:`~car_etl_spark.operators.indexing.PostingStore.regex_search`)."""
+    from car_etl_spark.operators.indexing import ensure_posting_index
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir, analyzer="trigram")
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        return store.regex_search(spark, REGEX_PATTERN, docs)
+
+    return prepared(
+        spark, "doc_regex_search", sf_dir, ("documents.parquet",), build
+    )
+
+
+DOC_REGEX_SEARCH_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang, regexp_replace(LOWER(text), '^\\s+', '') AS t
+  FROM documents
+)
+SELECT doc_id, lang, len(regexp_extract_all(t, '{REGEX_PATTERN}')) AS n_matches
+FROM c
+WHERE len(regexp_extract_all(t, '{REGEX_PATTERN}')) > 0
+ORDER BY doc_id
+"""

@@ -1053,3 +1053,47 @@ def test_substring_search_tenant_scoped(spark, tmp_path):
         for t in ("acme", "globex")
     }
     assert got == {"acme": [(1, 1)], "globex": [(1, 2)]}
+
+
+def test_regex_required_literals_extraction():
+    """Conservative literal extraction: every returned string must
+    appear in EVERY match of the pattern."""
+    cases = {
+        "fast [a-z]+ batch": ["fast ", " batch"],
+        "colou?r table": ["colo", "r table"],   # 'u' optional, 'r table' required
+        "ab*c": [],                             # survivors < 3 chars
+        "value.*table": ["value", "table"],
+        "a|b": [],                              # alternation bails
+        "(group)xyz": [],                       # groups bail
+        r"needle\d+tail": ["needle", "tail"],
+        "plain literal": ["plain literal"],
+        "x{2,3}yyy": ["yyy"],
+        "[0-9]+": [],                           # no literal: scan fallback
+    }
+    for pat, want in cases.items():
+        assert IX.regex_required_literals(pat) == want, pat
+
+
+def test_regex_search_matches_and_fallback(spark, tmp_path):
+    """Prefiltered regex == python re over the cleaned text, including
+    the no-literal Cox fallback path (full verify scan, same answer)."""
+    import re as _re
+
+    store = IX.PostingStore(str(tmp_path / "trir"), analyzer="trigram")
+    docs = _sub_docs(spark, SUB_DOCS)
+    store.build(docs)
+    for pat in ("qu[a-z]+k brown", "the .*dog", "ab+a", "[xyz]q"):
+        got = [
+            (r.doc_id, r.lang, r.n_matches)
+            for r in store.regex_search(spark, pat, docs).collect()
+        ]
+        want = []
+        for doc_id, lang, text in sorted(SUB_DOCS):
+            n = len(_re.findall(pat, text.lower().lstrip()))
+            if n:
+                want.append((doc_id, lang, n))
+        assert got == want, pat
+    tok = IX.PostingStore(str(tmp_path / "tokr"), analyzer="suffix")
+    tok.build(docs)
+    with pytest.raises(ValueError, match="trigram store"):
+        tok.regex_search(spark, "quick", docs)
