@@ -219,3 +219,60 @@ def test_tenant_scoped_rollup_isolation_and_pruning(spark, tmp_path):
     plain.build(_df(spark, V0))
     with pytest.raises(ValueError, match="tenant_col"):
         plain.read(spark, "day", tenant="tA")
+
+
+def test_active_users_continuous_aggregate_composition(spark, tmp_path):
+    """The 'active users per hour' dashboard read: additive metrics
+    from the RollupStore + distinct users from the HLL/KMV sketch state
+    keyed by the SAME time bucket — both LSM-maintained, neither ever
+    rescans history.  KMV is exact below k, so at this scale the
+    composed read equals the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from car_etl_spark.streaming.incremental_sketches import (
+        IncrementalDistinctSketch,
+    )
+
+    # varied users: distinct counts differ per (hour, type) bucket
+    def u(rows_, base):
+        return [
+            (eid, ts, base + (eid % 3), typ, val)
+            for eid, ts, _u, typ, val in rows_
+        ]
+
+    v0, b1, b2 = u(V0, 10), u(B1, 20), u(B2, 10)
+    rows = v0 + b1 + b2
+    store = RollupStore(str(tmp_path / "caroll"))
+    store.build(_df(spark, v0))
+    sk = IncrementalDistinctSketch(
+        spark, str(tmp_path / "causers"),
+        keys=["bucket_hour", "event_type"], value_col="user_id",
+    )
+
+    def bucketed(rows_):
+        return _df(spark, rows_).withColumn(
+            "bucket_hour", F.date_trunc("hour", "ts")
+        )
+
+    sk.process_batch(bucketed(v0))
+    store.apply_batch(spark, _df(spark, b1), batch=1)
+    sk.process_batch(bucketed(b1))
+    store.apply_batch(spark, _df(spark, b2), batch=2)
+    sk.process_batch(bucketed(b2))
+
+    metrics = store.read(spark, "hour").select(
+        F.col("bucket_start").alias("bucket_hour"), "event_type", "n", "value_sum"
+    )
+    users = sk.estimates().select("bucket_hour", "event_type", "kmv_distinct")
+    dash = {
+        (r.bucket_hour, r.event_type): (r.n, r.kmv_distinct)
+        for r in metrics.join(users, ["bucket_hour", "event_type"]).collect()
+    }
+    exact = {
+        (r.h, r.event_type): (r.n, r.u)
+        for r in _df(spark, rows)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert dash == exact
