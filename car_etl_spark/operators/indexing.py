@@ -343,7 +343,10 @@ def regex_required_literals(pattern: str, min_len: int = 3) -> list[str]:
 
     Only literals of at least ``min_len`` chars survive (shorter ones
     have no trigram)."""
-    if any(c in pattern for c in "(|"):
+    if any(c in pattern for c in "(|") or "\\Q" in pattern:
+        # \Q..\E quoting changes what a following quantifier binds to
+        # (the quoted run's LAST char), which would make a kept literal
+        # unsound — bail like groups/alternation
         return []
     out: list[str] = []
     run = ""
@@ -450,6 +453,27 @@ def _swap_layout(
     for f in os.listdir(store_path):
         if f.startswith("_applied_"):
             os.remove(os.path.join(store_path, f))
+
+
+def _max_sentinel_batch(store_path: str) -> int:
+    """Highest applied batch id, from the ``_applied_<b>`` sentinels —
+    the compaction epoch (no Spark job, no parquet read).  Compact
+    stamps this into meta as ``compacted_through``; readers then ignore
+    delta/tombstone rows at or below it, which closes the crash window
+    between the base swap and the delta/tombstone cleanup (stale files
+    would otherwise double-count folded rows or, worse, let a stale
+    tombstone kill fresh batch-0 base rows)."""
+    mx = 0
+    try:
+        for f in os.listdir(store_path):
+            if f.startswith("_applied_"):
+                try:
+                    mx = max(mx, int(f[len("_applied_"):]))
+                except ValueError:
+                    pass
+    except OSError:
+        pass
+    return mx
 
 
 class PostingStore:
@@ -559,11 +583,14 @@ class PostingStore:
 
     # -- build -----------------------------------------------------------
 
-    def _swap_in_base(self, tmp: str, schema, stats: dict | None = None) -> None:
-        """Stamp meta (including the exact dataset schema and the BM25
-        corpus stats) into the tmp layout, then atomically swap it in —
-        layout, sidecar, meta, and stats change together (see
-        :func:`_swap_layout`)."""
+    def _swap_in_base(
+        self, tmp: str, schema, stats: dict | None = None,
+        compacted_through: int = 0,
+    ) -> None:
+        """Stamp meta (including the exact dataset schema, the BM25
+        corpus stats, and the compaction epoch) into the tmp layout,
+        then atomically swap it in — layout, sidecar, meta, and stats
+        change together (see :func:`_swap_layout`)."""
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(
                 {
@@ -573,6 +600,7 @@ class PostingStore:
                     "tenant_col": self.tenant_col,
                     "schema": schema.jsonValue(),
                     "stats": stats,
+                    "compacted_through": compacted_through,
                 },
                 f,
             )
@@ -675,6 +703,13 @@ class PostingStore:
             raise ValueError("batch must be > 0 (0 is the base build)")
         if os.path.exists(self._sentinel(batch)):
             return False
+        if batch <= int(self._meta().get("compacted_through") or 0):
+            # batch ids are monotone stream epochs; an id at or below
+            # the compaction epoch is a replay of content already folded
+            # into base (compact cleared its sentinel) — reapplying
+            # would write delta rows the epoch filter ignores and, for
+            # the IVF store, inflate certificate counts
+            return False
         # layout-version guard BEFORE any write: appending v5 deltas to
         # an older base would half-apply the batch and then crash in
         # the stats refresh (no _doclens sidecar) — and the old stored
@@ -763,8 +798,11 @@ class PostingStore:
             ]
             sch = StructType([StructField(c, stored[c].dataType) for c in cols])
         df = spark.read.schema(sch).parquet(self.doclen_base)
+        epoch = int(self._meta().get("compacted_through") or 0)
         if self._has_parquet(self.doclen_delta):
-            delta = spark.read.schema(sch).parquet(self.doclen_delta)
+            delta = spark.read.schema(sch).parquet(self.doclen_delta).filter(
+                F.col("batch") > epoch
+            )
             dedup_key = ([self.tenant_col] if self.tenant_col else []) + [
                 "doc_id", "batch"
             ]
@@ -773,6 +811,7 @@ class PostingStore:
             tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
             tomb = (
                 spark.read.parquet(self.tomb_dir)
+                .filter(F.col("batch") > epoch)
                 .groupBy(*tomb_key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -855,8 +894,16 @@ class PostingStore:
             return df
 
         df = scope(reader.parquet(self.base_dir))
+        # compaction epoch: delta/tombstone rows at or below it are
+        # already folded into base — a crash between compact's swap and
+        # its cleanup leaves them on disk, and counting them again
+        # would double tf (or let a stale tombstone kill fresh batch-0
+        # rows)
+        epoch = int(self._meta().get("compacted_through") or 0)
         if self._has_parquet(self.delta_dir):
-            delta = scope(reader.parquet(self.delta_dir))
+            delta = scope(reader.parquet(self.delta_dir)).filter(
+                F.col("batch") > epoch
+            )
             # exact-duplicate drop: a replayed half-applied batch appends
             # identical rows; ([tenant,] doc, raw_term, weight, batch) is
             # unique within a correctly-applied batch, so this only
@@ -869,6 +916,7 @@ class PostingStore:
             tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
             tomb = (
                 spark.read.parquet(self.tomb_dir)
+                .filter(F.col("batch") > epoch)
                 .groupBy(*tomb_key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -1104,6 +1152,12 @@ class PostingStore:
             )
         self._require_tenant_scope(tenant)
         cleaned = F.regexp_replace(F.lower(F.col(text_col)), r"^\s+", "")
+        if tenant is not None:
+            # scope the VERIFY frame too: doc ids are only unique within
+            # a tenant, so an unscoped docs side would join other
+            # tenants' rows onto candidate ids (and the no-literal
+            # fallback would scan every tenant outright)
+            docs = docs.filter(F.col(self.tenant_col) == tenant)
         base = docs.select(
             F.col(id_col).alias("doc_id"), "lang", cleaned.alias("__t")
         )
@@ -1241,7 +1295,14 @@ class PostingStore:
         keys = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
         doclens = self.read_doclens(spark).select(*keys, "dl")
         stats = self._sidecar_and_stats(doclens, tmp)
-        self._swap_in_base(tmp, live.schema, stats)
+        # epoch from the applied-batch sentinels BEFORE the swap clears
+        # them: readers ignore delta/tombstone rows <= this, so a crash
+        # between the swap and the cleanup can never double-count (or
+        # let a stale tombstone kill fresh batch-0 rows)
+        self._swap_in_base(
+            tmp, live.schema, stats,
+            compacted_through=_max_sentinel_batch(self.path),
+        )
 
 
 #: in-process memo of built index paths — an os.stat-cheap staleness
@@ -1263,7 +1324,13 @@ def ensure_posting_index(
     # the layout scales with posting volume instead of freezing at a
     # test-scale constant; the params string content-addresses it, so a
     # corpus crossing a power-of-2 boundary gets a fresh store
-    num_buckets = derive_num_buckets(estimate_posting_rows(source))
+    est = estimate_posting_rows(source)
+    if analyzer == "trigram" and est > 0:
+        # trigram posting rows scale with text CHARS (one gram per
+        # char), not chars/AVG_TOKEN_BYTES tokens — without this the
+        # layout undersizes ~6x against TARGET_POSTINGS_PER_BUCKET
+        est *= AVG_TOKEN_BYTES
+    num_buckets = derive_num_buckets(est)
     # ANALYZER_VERSION bumps when a stemmer's behavior changes (porter
     # v2: non-word characters treated as consonants, matching the
     # literal backend) so content-addressed stores self-invalidate
@@ -1421,13 +1488,26 @@ class IvfStore:
             if num_centroids <= 256
             else num_centroids
         )
-        cand_rows = (
+        # ONE xxhash64-ordered sample collect serves BOTH the centroid
+        # seed pool and (when pq_m is set) the PQ training sample — the
+        # deterministic ordering makes any prefix a valid sample, and a
+        # second full-corpus sort for the codebooks would double the
+        # build's dominant shuffle.  dim probe is a LIMIT-1 scan.
+        fetch_n = cand_n
+        if pq_m:
+            from car_etl_spark.operators import pq as PQ
+
+            probe = emb.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+            if probe is not None and probe[0] is not None:
+                fetch_n = max(cand_n, PQ.train_sample_size(len(probe[0])))
+        sample_pool = (
             emb.filter(F.col(vec_col).isNotNull())
             .select(id_col, vec_col)
             .orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
-            .limit(cand_n)
+            .limit(fetch_n)
             .collect()
         )
+        cand_rows = sample_pool[:cand_n]
         if not cand_rows:
             raise ValueError("IvfStore.build: no non-null vectors to seed from")
         seed_vecs = [[float(x) for x in r[1]] for r in cand_rows]
@@ -1457,18 +1537,9 @@ class IvfStore:
 
             dim = len(seed_vecs[0])
             msub = PQ.pq_subspaces(dim, pq_m)
-            # bounded control-plane sample for codebook training —
-            # same xxhash64 pseudo-random order as the centroid seeds
-            sample_rows = (
-                emb.filter(F.col(vec_col).isNotNull())
-                .select(id_col, vec_col)
-                .orderBy(
-                    F.xxhash64(F.col(id_col).cast("string")).asc(),
-                    F.col(id_col).asc(),
-                )
-                .limit(PQ.train_sample_size(dim))
-                .collect()
-            )
+            # bounded control-plane sample for codebook training — a
+            # prefix of the SAME ordered collect the seeds came from
+            sample_rows = sample_pool[: PQ.train_sample_size(dim)]
             import numpy as np
 
             books = PQ.train_codebooks(
@@ -1501,6 +1572,7 @@ class IvfStore:
         stats, tstats = self._all_stats(written, cents, vec_col)
         meta = {
             "version": IVF_VERSION,
+            "compacted_through": 0,
             "num_centroids": len(cents),  # may be < requested on tiny corpora
             "refine_iterations": refine_iterations,
             "dim": len(cents[0][1]) if cents else 0,
@@ -1689,6 +1761,12 @@ class IvfStore:
         if os.path.exists(self._sentinel(batch)):
             return False
         m = self.meta()
+        if batch <= int(m.get("compacted_through") or 0):
+            # replay of a batch already folded by compact (its sentinel
+            # was cleared): reapplying would append epoch-ignored delta
+            # rows AND inflate the certificate's per-batch counts — the
+            # unsafe direction — so refuse like the sentinel does
+            return False
         cents = sorted(zip(m["centroid_ids"], m["centroids"]))
         if self.tenant_col and self.tenant_col not in keep:
             keep = tuple(keep) + (self.tenant_col,)
@@ -1852,12 +1930,23 @@ class IvfStore:
         stored = self._stored_schema()
         reader = spark.read.schema(stored) if stored is not None else spark.read
         df = scope(reader.parquet(self.assign_dir))
+        # compaction epoch: stale delta/tombstone files a crashed
+        # compact left behind are already folded into base — see
+        # PostingStore.read's identical guard
+        epoch = 0
+        try:
+            epoch = int(self.meta().get("compacted_through") or 0)
+        except (OSError, ValueError):
+            pass
         if self._has_parquet(self.delta_dir):
-            delta = scope(reader.parquet(self.delta_dir))
+            delta = scope(reader.parquet(self.delta_dir)).filter(
+                F.col("batch") > epoch
+            )
             df = df.unionByName(delta.dropDuplicates(key + ["batch"]))
         if self._has_parquet(self.tomb_dir):
             tomb = (
                 spark.read.parquet(self.tomb_dir)
+                .filter(F.col("batch") > epoch)
                 .groupBy(*key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -1907,6 +1996,10 @@ class IvfStore:
         ]
         m["counts"] = [stats[c[0]][1] if c[0] in stats else 0 for c in cents]
         m["batches"] = {}
+        # epoch from the sentinels BEFORE the swap clears them — meta
+        # rides the atomic swap, so readers ignore any delta/tombstone
+        # files a crash strands between the swap and the cleanup
+        m["compacted_through"] = _max_sentinel_batch(self.path)
         if tstats is not None:
             m["tenants"] = tstats
         if m.get("filters"):

@@ -217,15 +217,24 @@ def prefix_filtered_jaccard_pairs(
     ``tau = tau_num/tau_den`` is kept in EXACT INTEGER arithmetic
     (``ceil(tau*n) == (tau_num*n + tau_den - 1) div tau_den``) so the
     DuckDB oracle twin computes bit-identical prefix lengths.  The
-    final output is the exact ``{(a, b): J(a, b) >= tau}`` set and is
-    independent of df tie-breaking (any consistent total order yields
-    the same verified result).
+    final output is the exact ``{(a, b): J(a, b) >= tau}`` set OVER
+    NON-EMPTY SETS and is independent of df tie-breaking (any
+    consistent total order yields the same verified result).  Empty
+    sets are EXCLUDED up front: they produce no prefix rows (so they
+    could never appear as candidates anyway — silently violating the
+    contract), and the degenerate all-pairs-of-empties block
+    (J(∅, ∅) = 1 by the usual convention) is quadratic garbage no
+    dedup caller wants; handle genuinely-empty rows separately.
 
     Reference parity: the reference scores candidate pairs all-pairs in
     Python (``src/entities/matching.py:67-110``); this is the exact-
     recall scale path for the same >= threshold semantics.
     """
-    sized = df.select(id_col, set_col).withColumn("__sz", F.size(F.col(set_col)))
+    sized = (
+        df.select(id_col, set_col)
+        .withColumn("__sz", F.size(F.col(set_col)))
+        .filter(F.col("__sz") > 0)  # the documented non-empty contract
+    )
     expl = sized.select(id_col, "__sz", F.explode(set_col).alias("__tok"))
     tok_df = expl.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     plen = (

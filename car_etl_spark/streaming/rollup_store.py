@@ -28,7 +28,13 @@ Crash/replay safety is the posting-store argument, not a ledger: a
 batch writes ONE deterministic aggregate row per touched group, so a
 crash-before-sentinel replay appends byte-identical duplicates and the
 read path's exact-duplicate drop (group keys + batch) restores the
-view; a sentinel makes completed batches no-ops.
+view; a sentinel makes completed batches no-ops.  Meta (spec + the
+exact dataset schema + the compaction epoch) rides INSIDE base/ and
+swaps atomically with it; readers ignore delta rows at or below the
+epoch and apply_batch refuses them, so a crash between compact's swap
+and its delta cleanup cannot double-count (the same epoch guard the
+posting/IVF stores carry), and partition-column TYPE INFERENCE can
+never reinterpret tenant values (reads supply the stored schema).
 
 Exact-DECIMAL partial sums keep the cascade order-independent (double
 addition is not associative — the same last-ulp lesson
@@ -80,7 +86,11 @@ class RollupStore:
         self.path = path
         self.base_dir = os.path.join(path, "base")
         self.delta_dir = os.path.join(path, "delta")
-        self.meta_path = os.path.join(path, "meta.json")
+        #: meta INSIDE base/ (underscore-prefixed, invisible to the
+        #: parquet reader): the atomic base swap carries spec, schema,
+        #: and compaction epoch together — no crash window where a new
+        #: base could be read under a stale epoch
+        self.meta_path = os.path.join(self.base_dir, "_meta.json")
         self.ts_col = ts_col
         self.value_col = value_col
         #: multi-tenant layout: tenant is BOTH a group column (rollups
@@ -151,17 +161,67 @@ class RollupStore:
                 f"this code computes {self._spec()} — rebuild before resuming"
             )
 
-    def _write_meta(self) -> None:
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"spec": self._spec(), "version": 1}, f)
-        os.replace(tmp, self.meta_path)
+    def _stamp_meta(self, target_dir: str, schema, compacted_through: int) -> None:
+        """Write meta into a (tmp) base layout BEFORE it is swapped
+        live — spec, the exact dataset schema (type-inference guard),
+        and the compaction epoch travel with the data."""
+        with open(os.path.join(target_dir, "_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "spec": self._spec(),
+                    "version": 2,
+                    "schema": schema.jsonValue(),
+                    "compacted_through": compacted_through,
+                },
+                f,
+            )
+
+    def _stored_schema(self):
+        from pyspark.sql.types import StructType
+
+        m = self._meta()
+        if m and "schema" in m:
+            return StructType.fromJson(m["schema"])
+        return None
 
     def _pcols(self) -> list[str]:
         return ([self.tenant_col] if self.tenant_col else []) + ["event_date"]
 
     def _sentinel(self, batch: int) -> str:
         return os.path.join(self.path, f"_batch_{batch}_applied")
+
+    def _max_sentinel(self) -> int:
+        """Highest applied batch id — the compaction epoch (pure
+        filesystem, no Spark job)."""
+        mx = 0
+        try:
+            for f in os.listdir(self.path):
+                if f.startswith("_batch_") and f.endswith("_applied"):
+                    try:
+                        mx = max(mx, int(f[len("_batch_"):-len("_applied")]))
+                    except ValueError:
+                        pass
+        except OSError:
+            pass
+        return mx
+
+    def _swap_base(self, tmp: str) -> None:
+        """Atomically swap a freshly-stamped layout live, then clear
+        stale maintenance state.  Crash-order argument: the rename is
+        FIRST and the meta (with the new epoch) rides inside it, so any
+        prefix of the cleanup leaves a consistent store — stranded
+        delta files sit at or below the epoch and every reader ignores
+        them (the `_swap_layout` discipline from operators/indexing)."""
+        old = self.base_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.base_dir):
+            os.replace(self.base_dir, old)
+        os.replace(tmp, self.base_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.delta_dir, ignore_errors=True)
+        for f in os.listdir(self.path):
+            if f.startswith("_batch_"):
+                os.remove(os.path.join(self.path, f))
 
     def _has_parquet(self, d: str) -> bool:
         return os.path.isdir(d) and any(
@@ -174,25 +234,17 @@ class RollupStore:
         os.makedirs(self.path, exist_ok=True)
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
+        rows = self._minute_partials(events).withColumn(
+            "batch", F.lit(0).cast("long")
+        )
         (
-            self._minute_partials(events)
-            .withColumn("batch", F.lit(0).cast("long"))
-            .repartition(*self._pcols())
+            rows.repartition(*self._pcols())
             .write.mode("overwrite")
             .partitionBy(*self._pcols())
             .parquet(tmp)
         )
-        old = self.base_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(self.base_dir):
-            os.replace(self.base_dir, old)
-        os.replace(tmp, self.base_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(self.delta_dir, ignore_errors=True)
-        for s in os.listdir(self.path):
-            if s.startswith("_batch_"):
-                os.remove(os.path.join(self.path, s))
-        self._write_meta()
+        self._stamp_meta(tmp, rows.schema, 0)
+        self._swap_base(tmp)
 
     def apply_batch(self, spark: SparkSession, events: DataFrame, batch: int) -> bool:
         """Fold one micro-batch of (possibly late) events in.  Returns
@@ -201,6 +253,11 @@ class RollupStore:
             raise ValueError("batch must be > 0 (0 is the base build)")
         self._check_params()
         if os.path.exists(self._sentinel(batch)):
+            return False
+        if batch <= int(self._meta().get("compacted_through") or 0):
+            # a batch id at or below the compaction epoch is a replay of
+            # content already folded into base (compact cleared its
+            # sentinel) — refuse like the sentinel does
             return False
         (
             self._minute_partials(events)
@@ -226,9 +283,20 @@ class RollupStore:
         self._check_params()
         if tenant is not None and not self.tenant_col:
             raise ValueError("store was not built with a tenant_col")
-        df = spark.read.parquet(self.base_dir)
+        # build-time schema supplied explicitly: partition-column type
+        # inference would otherwise reinterpret values (string tenant
+        # '0100' folding into int 100 merges two tenants' aggregates)
+        stored = self._stored_schema()
+        reader = spark.read.schema(stored) if stored is not None else spark.read
+        df = reader.parquet(self.base_dir)
+        # compaction epoch: delta rows at or below it are already folded
+        # into base — a crash between compact's swap and its delta
+        # cleanup strands them, and counting them again doubles n/sums
+        epoch = int(self._meta().get("compacted_through") or 0)
         if self._has_parquet(self.delta_dir):
-            df = df.unionByName(spark.read.parquet(self.delta_dir))
+            df = df.unionByName(
+                reader.parquet(self.delta_dir).filter(F.col("batch") > epoch)
+            )
         if tenant is not None:
             df = df.filter(F.col(self.tenant_col) == tenant)
         if start_date is not None:
@@ -276,8 +344,10 @@ class RollupStore:
     # -- maintenance -----------------------------------------------------------
 
     def should_compact(self, threshold: float = 0.2) -> bool:
-        base = _tree_bytes(self.base_dir)
-        return base > 0 and _tree_bytes(self.delta_dir) > threshold * base
+        from car_etl_spark.operators.indexing import _tree_bytes as parquet_bytes
+
+        base = parquet_bytes(self.base_dir)
+        return base > 0 and parquet_bytes(self.delta_dir) > threshold * base
 
     def compact(self, spark: SparkSession) -> None:
         """Fold deltas into a fresh base: one minute-grain re-merge,
@@ -305,15 +375,11 @@ class RollupStore:
             .partitionBy(*self._pcols())
             .parquet(tmp)
         )
-        old = self.base_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(self.base_dir, old)
-        os.replace(tmp, self.base_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(self.delta_dir, ignore_errors=True)
-        for s in os.listdir(self.path):
-            if s.startswith("_batch_"):
-                os.remove(os.path.join(self.path, s))
+        # epoch from the sentinels BEFORE the swap clears them: the meta
+        # rides the atomic swap, so readers ignore any delta files a
+        # crash strands between the swap and the cleanup below
+        self._stamp_meta(tmp, live.schema, self._max_sentinel())
+        self._swap_base(tmp)
 
     def refresh_dates(
         self, spark: SparkSession, source_events: DataFrame, dates: list
@@ -366,17 +432,6 @@ class RollupStore:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
-def _tree_bytes(d: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(d):
-        for fn in files:
-            try:
-                total += os.path.getsize(os.path.join(root, fn))
-            except OSError:
-                pass
-    return total
-
-
 def run_rollup_maintenance(
     spark: SparkSession,
     landing_dir: str,
@@ -410,9 +465,10 @@ def ensure_rollup_store(spark: SparkSession, sf_dir: str) -> RollupStore:
     from car_etl_spark.operators.indexing import _source_digest, index_root
 
     source = os.path.join(sf_dir, "events.parquet")
-    # version 2: the spec sidecar gained tenant_col — older layouts
-    # (version 1) refuse under the drift check, so re-address them
-    digest = _source_digest("rollup", 2, source, "event_type|minute")
+    # version 3: meta moved INSIDE base/ (atomic with the swap) and
+    # gained the dataset schema + compaction epoch — older layouts
+    # re-address rather than half-upgrade
+    digest = _source_digest("rollup", 3, source, "event_type|minute")
     path = os.path.join(index_root(), f"rollup-{digest}")
     store = RollupStore(path)
     if store._meta() is None:

@@ -1069,6 +1069,8 @@ def test_regex_required_literals_extraction():
         "plain literal": ["plain literal"],
         "x{2,3}yyy": ["yyy"],
         "[0-9]+": [],                           # no literal: scan fallback
+        r"\Qabc\E*": [],                       # quoting mode bails (quantifier
+                                                # would bind the quoted run's tail)
     }
     for pat, want in cases.items():
         assert IX.regex_required_literals(pat) == want, pat
@@ -1097,3 +1099,101 @@ def test_regex_search_matches_and_fallback(spark, tmp_path):
     tok.build(docs)
     with pytest.raises(ValueError, match="trigram store"):
         tok.regex_search(spark, "quick", docs)
+
+
+# ---------------------------------------------------------------------------
+# Compaction-epoch crash window: stranded delta/tombstone files after a
+# crash between compact's base swap and its cleanup must be ignored
+# (meta's compacted_through rides the atomic swap)
+
+
+def test_posting_compact_crash_leaves_view_intact(spark, tmp_path, inc_store):
+    import shutil
+
+    inc_store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    inc_store.apply_batch(spark, _docs_df(spark, DOCS_B2), [3], batch=2)
+    before = _live_postings(inc_store, spark)
+    # snapshot the LSM state a crashed cleanup would strand
+    aside = str(tmp_path / "aside")
+    for d, name in ((inc_store.delta_dir, "delta"), (inc_store.tomb_dir, "tomb")):
+        if os.path.isdir(d):
+            shutil.copytree(d, os.path.join(aside, name))
+    inc_store.compact(spark)
+    # "crash": the folded base is live but the old delta/tombstones are back
+    for d, name in ((inc_store.delta_dir, "delta"), (inc_store.tomb_dir, "tomb")):
+        src = os.path.join(aside, name)
+        if os.path.isdir(src):
+            shutil.copytree(src, d, dirs_exist_ok=True)
+    assert _live_postings(inc_store, spark) == before
+    # a stale tombstone must NOT kill fresh batch-0 base rows
+    assert {r[0] for r in _live_postings(inc_store, spark)} == {1, 2, 4, 5}
+
+
+def test_posting_stale_batch_replay_refused_after_compact(spark, tmp_path, inc_store):
+    inc_store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    before_rows = _live_postings(inc_store, spark)
+    inc_store.compact(spark)
+    # replay of the already-folded batch: refused, view unchanged
+    assert inc_store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1) is False
+    assert _live_postings(inc_store, spark) == before_rows
+    # later batch ids still apply
+    assert inc_store.apply_batch(spark, _docs_df(spark, DOCS_B2), [3], batch=2)
+
+
+def test_ivf_compact_crash_leaves_view_intact(spark, tmp_path):
+    import shutil
+
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "civf"))
+    store.build(emb, num_centroids=4, refine_iterations=1)
+    ups = spark.createDataFrame(
+        [(900, 9, [1.0] + [0.0] * 7)], "vec_id long, label int, embedding array<double>"
+    )
+    store.apply_batch(spark, ups, [0], batch=1)
+    qvec = list(emb.filter(F.col("vec_id") == 45).select("embedding").first()[0])
+    before = [tuple(r) for r in store.probe_topk(spark, qvec, k=10).collect()]
+    aside = str(tmp_path / "civf-aside")
+    for d, name in ((store.delta_dir, "delta"), (store.tomb_dir, "tomb")):
+        if os.path.isdir(d):
+            shutil.copytree(d, os.path.join(aside, name))
+    store.compact(spark)
+    for d, name in ((store.delta_dir, "delta"), (store.tomb_dir, "tomb")):
+        src = os.path.join(aside, name)
+        if os.path.isdir(src):
+            shutil.copytree(src, d, dirs_exist_ok=True)
+    after = [tuple(r) for r in store.probe_topk(spark, qvec, k=10).collect()]
+    assert after == before
+    # vec 0 was tombstoned pre-compact; the stranded tombstone must not
+    # hide it twice nor resurrect it
+    ids = {r[0] for r in store.read_assignments(spark).select("vec_id").collect()}
+    assert 0 not in ids and 900 in ids
+    # stale-batch replay refused
+    assert store.apply_batch(spark, ups, None, batch=1) is False
+
+
+def test_regex_search_tenant_scoped_including_fallback(spark, tmp_path):
+    """Tenant regex serving: candidates AND the verify frame prune to
+    the tenant — including the no-literal fallback path, which would
+    otherwise scan every tenant."""
+    rows = [
+        (1, "en", "alpha quick brown 7", "acme"),
+        (1, "en", "beta quick brown 7 and quick brown 9", "globex"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, tenant_id string"
+    )
+    store = IX.PostingStore(
+        str(tmp_path / "trig"), analyzer="trigram", tenant_col="tenant_id"
+    )
+    store.build(df)
+    with pytest.raises(ValueError, match="tenant"):
+        store.regex_search(spark, "quick brown [0-9]", df)
+    got = {
+        t: [(r.doc_id, r.n_matches) for r in
+            store.regex_search(spark, "quick brown [0-9]", df, tenant=t).collect()]
+        for t in ("acme", "globex")
+    }
+    assert got == {"acme": [(1, 1)], "globex": [(1, 2)]}
+    # no-literal fallback ("[0-9]+" extracts nothing) stays scoped
+    fb = store.regex_search(spark, "[0-9]+", df, tenant="acme").collect()
+    assert [(r.doc_id, r.n_matches) for r in fb] == [(1, 1)]

@@ -276,3 +276,42 @@ def test_active_users_continuous_aggregate_composition(spark, tmp_path):
         .collect()
     }
     assert dash == exact
+
+
+def test_rollup_compact_crash_leaves_view_intact(spark, tmp_path, store):
+    """Stranded delta files after a crash between compact's swap and
+    its cleanup are at or below the meta epoch and must be ignored."""
+    import shutil
+
+    store.apply_batch(spark, _df(spark, B1), batch=1)
+    store.apply_batch(spark, _df(spark, B2), batch=2)
+    before = _rows(store.read(spark, "minute"))
+    aside = str(tmp_path / "delta-aside")
+    shutil.copytree(store.delta_dir, aside)
+    store.compact(spark)
+    shutil.copytree(aside, store.delta_dir, dirs_exist_ok=True)
+    assert _rows(store.read(spark, "minute")) == before
+    # stale-batch replay refused; later ids still apply
+    assert store.apply_batch(spark, _df(spark, B1), batch=1) is False
+    assert store.apply_batch(
+        spark, _df(spark, [_ev(99, 3, (5, 0), "view", 1.0)]), batch=3
+    )
+
+
+def test_rollup_numeric_string_tenants_not_conflated(spark, tmp_path):
+    """The stored-schema guard: string tenants '100' and '0100' live in
+    distinct partition dirs; without the pinned schema, partition-type
+    inference folds both into int 100 and merges their aggregates."""
+    rows = [
+        _ev(1, 1, (10, 0), "click", 1.0) + ("100",),
+        _ev(2, 1, (10, 0), "click", 5.0) + ("0100",),
+    ]
+    store = RollupStore(str(tmp_path / "numroll"), tenant_col="tenant_id")
+    store.build(spark.createDataFrame(rows, TSCHEMA))
+    got = {
+        (r.tenant_id, r.n, r.value_sum)
+        for r in store.read(spark, "day").collect()
+    }
+    assert got == {("100", 1, 1.0), ("0100", 1, 5.0)}
+    only = store.read(spark, "day", tenant="100").collect()
+    assert [(r.tenant_id, r.n) for r in only] == [("100", 1)]

@@ -440,3 +440,18 @@ def test_prefix_filter_explode_volume_is_one_minus_tau(spark):
         plen = sz - ((4 * sz + 4) // 5) + 1
         assert plen == sz - _math.ceil(0.8 * sz) + 1
         assert plen <= _math.ceil(0.2 * sz) + 1
+
+
+def test_prefix_filter_excludes_empty_sets_by_contract(spark):
+    """Documented contract: empty sets are excluded up front (they can
+    never form prefix rows, and the degenerate all-pairs-of-empties
+    block is quadratic garbage) — non-empty pairs are unaffected."""
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a", "b", "c"]), (3, []), (4, [])],
+        "id long, s array<string>",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in S.prefix_filtered_jaccard_pairs(df, "id", "s").collect()
+    }
+    assert pairs == {(1, 2)}
