@@ -190,6 +190,33 @@ def tenant_phrase_search(
     return posting_store.phrase_search(spark, stems, tenant=tenant, limit=limit)
 
 
+def tenant_substring_search(
+    spark,
+    trigram_store,
+    pattern: str,
+    tenant: str,
+) -> DataFrame:
+    """Tenant-scoped EXACT substring (ILIKE) serving from a
+    tenant-partitioned trigram store — the corpus-grep route: both the
+    gram-chain verification and the partition pruning stay inside the
+    tenant's directories (see ``PostingStore.substring_search``)."""
+    return trigram_store.substring_search(spark, pattern, tenant=tenant)
+
+
+def tenant_regex_search(
+    spark,
+    trigram_store,
+    pattern: str,
+    docs: DataFrame,
+    tenant: str,
+) -> DataFrame:
+    """Tenant-scoped regex serving (Cox trigram prefilter): literal
+    candidates prune inside the tenant's partitions and the verify
+    frame is tenant-filtered too — including the no-literal fallback
+    (see ``PostingStore.regex_search``)."""
+    return trigram_store.regex_search(spark, pattern, docs, tenant=tenant)
+
+
 def tenant_vector_search(
     spark,
     ivf_store,

@@ -636,3 +636,32 @@ def test_api_tenant_pq_search_route(spark, tmp_path):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters")[1].split("]")[0] if "PartitionFilters" in plan else ""
     assert "tenant_id" in pf and "centroid_id" in pf
+
+
+def test_api_tenant_substring_and_regex_routes(spark, tmp_path):
+    rows = [
+        (1, "en", "alpha quick brown 7", "acme"),
+        (1, "en", "beta quick brown 7 quick brown 9", "globex"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, tenant_id string"
+    )
+    store = IX.PostingStore(
+        str(tmp_path / "apitri"), analyzer="trigram", tenant_col="tenant_id"
+    )
+    store.build(df)
+    from car_etl_spark import api
+
+    sub = {
+        t: [(r.doc_id, r.n_matches) for r in
+            api.tenant_substring_search(spark, store, "quick brown", t).collect()]
+        for t in ("acme", "globex")
+    }
+    assert sub == {"acme": [(1, 1)], "globex": [(1, 2)]}
+    rex = [
+        (r.doc_id, r.n_matches)
+        for r in api.tenant_regex_search(
+            spark, store, "quick brown [0-9]", df, "globex"
+        ).collect()
+    ]
+    assert rex == [(1, 2)]
