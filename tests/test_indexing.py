@@ -1197,3 +1197,20 @@ def test_regex_search_tenant_scoped_including_fallback(spark, tmp_path):
     # no-literal fallback ("[0-9]+" extracts nothing) stays scoped
     fb = store.regex_search(spark, "[0-9]+", df, tenant="acme").collect()
     assert [(r.doc_id, r.n_matches) for r in fb] == [(1, 1)]
+
+
+def test_pq_topk_filtered_matches_filtered_brute(spark, tmp_path):
+    """pq_topk composes with metadata-filtered search: the certified
+    walk runs over matching counts, both scans carry the IN-predicate,
+    and the error-band rescore keeps the filtered result exact."""
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "pqf"))
+    store.build(emb, num_centroids=4, refine_iterations=2,
+                filter_cols=("label",), pq_m=4)
+    qvec = list(emb.filter(F.col("vec_id") == 45).select("embedding").first()[0])
+    for labels in ([1], [0, 3]):
+        got = [
+            tuple(r)
+            for r in store.pq_topk(spark, qvec, k=10, where=("label", labels)).collect()
+        ]
+        assert got == _brute_filtered(emb, qvec, labels), labels
