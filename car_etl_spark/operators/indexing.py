@@ -323,6 +323,13 @@ def build_posting_rows(
     ).withColumn("term_bucket", term_bucket_col(F.col("term"), num_buckets))
 
 
+#: regex serving collects candidate doc ids and pushes them into the
+#: verify scan as an IN-predicate (see PostingStore.regex_search); a
+#: candidate set past this cap means the pattern's literals are not
+#: selective and the full verify scan is the honest plan
+REGEX_CANDIDATE_CAP = 10_000
+
+
 def regex_required_literals(pattern: str, min_len: int = 3) -> list[str]:
     """Literal substrings EVERY match of ``pattern`` must contain —
     the trigram-prefilter extraction of Cox's code-search design,
@@ -1141,6 +1148,16 @@ class PostingStore:
         over the full corpus — correct, just unpruned, exactly what an
         un-indexable pattern costs everywhere.
 
+        The candidate ids are COLLECTED (capped at
+        :data:`REGEX_CANDIDATE_CAP`) and pushed into the documents scan
+        as an IN-predicate — the probe-ids discipline every other
+        serving path uses.  A join would be pushdown-defeated: Catalyst
+        pushes the (docs-side-only) regex filter below an inner join,
+        re-running the engine over the whole corpus at scan time.  Past
+        the cap the prefilter was not selective enough to pay anyway,
+        so it degrades to the same full verify scan as the no-literal
+        fallback.
+
         Returns ``(doc_id, lang, n_matches)`` — non-overlapping match
         counts (the regexp_count contract) — ordered by doc_id.  The
         regex runs against the same cleaned (lowercased,
@@ -1162,11 +1179,19 @@ class PostingStore:
             F.col(id_col).alias("doc_id"), "lang", cleaned.alias("__t")
         )
         lits = regex_required_literals(pattern)
-        cand = None
-        for lit in lits:
-            ids = self.substring_search(spark, lit, tenant=tenant).select("doc_id")
-            cand = ids if cand is None else cand.join(ids, "doc_id")
-        scoped = base if cand is None else base.join(cand, "doc_id")
+        scoped = base
+        if lits:
+            cand = None
+            for lit in lits:
+                ids = self.substring_search(spark, lit, tenant=tenant).select(
+                    "doc_id"
+                )
+                cand = ids if cand is None else cand.join(ids, "doc_id")
+            cand_ids = [
+                r[0] for r in cand.limit(REGEX_CANDIDATE_CAP + 1).collect()
+            ]
+            if len(cand_ids) <= REGEX_CANDIDATE_CAP:
+                scoped = base.filter(F.col("doc_id").isin(cand_ids))
         return (
             scoped.withColumn(
                 "n_matches", F.regexp_count(F.col("__t"), F.lit(pattern)).cast("long")

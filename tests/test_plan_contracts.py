@@ -114,6 +114,20 @@ CONTRACTS = [
     # and cum-sum windows run over the bounded slice only
     ("rag_context_budget", 0,
      ["TakeOrderedAndProject(limit=6000"], ["Exchange"]),
+    # substring serving: bucket-pruned trigram store, gram IN-predicate
+    # pushed, one agg exchange for the per-doc position pivot (+1 for
+    # the output sort)
+    ("doc_substring_search", 2,
+     ["PartitionFilters: [term_bucket"], ["SortMergeJoin", "CartesianProduct"]),
+    # regex serving: candidate ids resolved at prepare time and PUSHED
+    # into the documents scan as an IN-predicate — the prepared plan is
+    # one pruned scan + the regex filter + sort, NO join for Catalyst
+    # to push the regex engine below
+    ("doc_regex_search", 1,
+     ["PushedFilters: [In(doc_id"], ["Join", "CartesianProduct"]),
+    # continuous-aggregate serving: reads ONLY the rollup store's
+    # minute partials — the raw events table must not appear in the plan
+    ("events_rollup_served", 3, [], ["events.parquet", "SortMergeJoin"]),
 ]
 
 
@@ -139,3 +153,20 @@ def test_no_cartesian_products_anywhere(spark, registry):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_pq_shortlist_scan_never_reads_the_embedding_column(spark, registry):
+    """The PQ mode's bytes claim as a plan contract: the shortlist pass
+    scans (id, pq_code, pq_err) with the embedding column ABSENT from
+    its ReadSchema — parquet column pruning is what makes the code
+    column ~12-117x cheaper than the vector column, and a refactor
+    that silently widens the scan re-reads the corpus."""
+    plan = _plan(spark, registry, "vector_pq_topk")
+    code_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "pq_code" in ln
+    ]
+    assert code_scans, "no code-column scan found in the pq plan"
+    for ln in code_scans:
+        assert "embedding" not in ln, ln
+    # the certified probe set still prunes the store partitions
+    assert "PartitionFilters: [centroid_id" in plan or "centroid_id IN" in plan
