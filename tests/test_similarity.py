@@ -455,3 +455,38 @@ def test_prefix_filter_excludes_empty_sets_by_contract(spark):
         for r in S.prefix_filtered_jaccard_pairs(df, "id", "s").collect()
     }
     assert pairs == {(1, 2)}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _set_corpus(draw):
+    """Random small corpora with a planted near-dup pair so the >= tau
+    region is non-trivially exercised."""
+    vocab = [f"w{i}" for i in range(40)]
+    n = draw(st.integers(min_value=4, max_value=12))
+    sets = {
+        i: draw(st.sets(st.sampled_from(vocab), min_size=1, max_size=12))
+        for i in range(n)
+    }
+    # plant one exact duplicate of a random member
+    src = draw(st.integers(min_value=0, max_value=n - 1))
+    sets[n] = set(sets[src])
+    return sets
+
+
+@settings(max_examples=15, deadline=None)
+@given(_set_corpus())
+def test_prefix_filter_property_equals_bruteforce(spark, sets):
+    """PROPERTY: for any corpus of non-empty sets, the prefix-filtered
+    join returns exactly the brute-force {J >= 0.8} pair set."""
+    df = spark.createDataFrame(
+        [(k, sorted(v)) for k, v in sets.items()], "id long, s array<string>"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.prefix_filtered_jaccard_pairs(df, "id", "s", 4, 5).collect()
+    }
+    assert got == set(_brute_jaccard_pairs(sets, 0.8))
