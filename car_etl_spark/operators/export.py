@@ -111,9 +111,12 @@ def write_training_shards(
     )
     if not tenant_col:
         return None
+    # manifest counts come from THIS export's staged frame, not a
+    # re-read of the root: under mode="append" the root also holds
+    # earlier exports' rows, and a manifest that counted them would
+    # misreport this run to consumers pinning it
     counts = (
-        df.sparkSession.read.parquet(path)
-        .groupBy(tenant_col, "shard")
+        staged.groupBy(tenant_col, "shard")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )

@@ -400,6 +400,20 @@ def regex_required_literals(pattern: str, min_len: int = 3) -> list[str]:
     return [r for r in out if len(r) >= min_len]
 
 
+def _jvm_lower(spark: SparkSession, s: str) -> str:
+    """Lowercase ``s`` with the SAME semantics the index build used
+    (JVM ``F.lower``).  Python ``str.lower()`` diverges on a handful of
+    code points ('İ' lowercases to 'i̇' — two code points — in Python
+    but differently on the JVM), which would desync prefilter grams
+    from indexed grams and silently lose matches.  ASCII is identical
+    on both sides, so the (overwhelmingly common) ASCII pattern costs
+    nothing; only a non-ASCII pattern pays one local 1-row job."""
+    if s.isascii():
+        return s.lower()
+    row = spark.range(1).select(F.lower(F.lit(s)).alias("s")).collect()
+    return row[0]["s"]
+
+
 def doclens_from_rows(rows: DataFrame, tenant_col: str | None = None) -> DataFrame:
     """Doc-grain length sidecar rows ``([tenant,] doc_id, dl)`` from
     posting rows — the corpus-stat maintenance grain (one row per doc,
@@ -1082,7 +1096,7 @@ class PostingStore:
                 f"analyzer is {self.analyzer!r})"
             )
         self._require_tenant_scope(tenant)
-        pat = pattern.lower()
+        pat = _jvm_lower(spark, pattern)
         m = len(pat) - 2
         if m < 1:
             raise ValueError("pattern must be at least 3 characters")
@@ -1161,7 +1175,13 @@ class PostingStore:
         Returns ``(doc_id, lang, n_matches)`` — non-overlapping match
         counts (the regexp_count contract) — ordered by doc_id.  The
         regex runs against the same cleaned (lowercased,
-        leading-space-stripped) text the store indexed."""
+        leading-space-stripped) text the store indexed, and matching is
+        CASE-INSENSITIVE (``(?i)`` is prepended): the indexed text is
+        lowercased, so a case-sensitive engine would silently match
+        nothing for uppercase literals — the search contract here is
+        pg_trgm's ILIKE-style insensitivity.  (Literal extraction feeds
+        :meth:`substring_search`, which lowercases its pattern, so the
+        prefilter agrees.)"""
         if self.analyzer != "trigram":
             raise ValueError(
                 f"regex_search needs a trigram store (this store's "
@@ -1194,7 +1214,8 @@ class PostingStore:
                 scoped = base.filter(F.col("doc_id").isin(cand_ids))
         return (
             scoped.withColumn(
-                "n_matches", F.regexp_count(F.col("__t"), F.lit(pattern)).cast("long")
+                "n_matches",
+                F.regexp_count(F.col("__t"), F.lit("(?i)" + pattern)).cast("long"),
             )
             .filter(F.col("n_matches") > 0)
             .select("doc_id", "lang", "n_matches")

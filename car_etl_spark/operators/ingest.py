@@ -215,6 +215,41 @@ def landing_partition_files(path: str) -> dict[str, int]:
     return out
 
 
+def repair_landing(path: str) -> list[str]:
+    """Restore partitions stranded by a crash inside
+    :func:`optimize_landing`'s two-rename swap (``pdir -> .pdir.old``
+    then ``tmp -> pdir``): if the crash landed between the renames, the
+    live partition directory is ABSENT and the complete old data sits
+    under the hidden ``.<leaf>.old`` name, which Spark's partition
+    discovery skips — readers would silently miss the partition.
+
+    For every stranded ``.<leaf>.old`` whose live ``<leaf>`` is missing,
+    rename it back; leftover ``.<leaf>.compact.tmp`` dirs (incomplete
+    rewrites) are deleted.  Idempotent; returns the restored relative
+    partition paths.  Run at maintenance startup —
+    :func:`optimize_landing` calls it first."""
+    import os
+    import shutil
+
+    restored: list[str] = []
+    for root, dirs, _files in os.walk(path):
+        # visit hidden dirs at THIS level but don't descend into them
+        hidden = [d for d in dirs if d.startswith(".")]
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for d in hidden:
+            full = os.path.join(root, d)
+            if d.endswith(".compact.tmp"):
+                shutil.rmtree(full, ignore_errors=True)
+                continue
+            if d.endswith(".old"):
+                leaf = d[1 : -len(".old")]
+                live = os.path.join(root, leaf)
+                if not os.path.isdir(live):
+                    os.rename(full, live)
+                    restored.append(os.path.relpath(live, path))
+    return restored
+
+
 def optimize_landing(
     spark,
     path: str,
@@ -237,17 +272,22 @@ def optimize_landing(
     ``target_files`` files, optionally Z-ORDERED on ``zorder_cols``
     (per-partition equi-depth edges; gives appended-batch data the same
     footer-skipping property `land_documents(zorder_cols=...)` writes),
-    then ATOMICALLY swapped in (tmp write -> rename; a crash leaves
-    either the old directory intact or the new one complete — the
-    posting store's swap discipline).  Partitions at or under the
-    threshold are untouched, so re-runs are idempotent no-ops.
-    Single-writer assumption, like all maintenance here: don't compact
-    a partition a sync is concurrently appending to.
+    then swapped in via two renames (pdir -> .old, tmp -> pdir).  The
+    data is never lost, but the window BETWEEN the renames is not
+    atomic: a crash there leaves the live directory absent with the
+    complete old data under the hidden ``.old`` name — so this function
+    (and any maintenance entry point) runs :func:`repair_landing` first,
+    which restores stranded partitions and clears dead tmps before the
+    file census.  Partitions at or under the threshold are untouched,
+    so re-runs are idempotent no-ops.  Single-writer assumption, like
+    all maintenance here: don't compact a partition a sync is
+    concurrently appending to.
 
     Returns ``{partition: (files_before, files_after)}``."""
     import os
     import shutil
 
+    repair_landing(path)
     todo = []
     for rel, n in landing_partition_files(path).items():
         parts = dict(

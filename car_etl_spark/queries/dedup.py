@@ -157,7 +157,18 @@ def shingle_prefix_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth arm misses cross-block pairs BY DESIGN; this arm's
     guarantee is corpus-wide)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sets = docs.select("doc_id", _token_shingle_sets(F.col("text")).alias("shset"))
+    sets = docs.select(
+        "doc_id", _token_shingle_sets(F.col("text")).alias("shset")
+    ).filter(
+        # a zero-token doc shingles to the single empty string (concat_ws
+        # over all-NULL gets) — a NON-empty set, so every pair of empty
+        # docs would come back as a Jaccard-1.0 candidate: the quadratic
+        # all-pairs-of-empties block the prefix filter's non-empty-set
+        # contract exists to keep out.  '' can only ever appear as the
+        # sole element (any real token survives into its shingle), so
+        # excluding that exact set restores the contract.
+        F.col("shset") != F.array(F.lit(""))
+    )
     pairs = S.prefix_filtered_jaccard_pairs(sets, "doc_id", "shset", 4, 5)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -176,6 +187,7 @@ WITH raw AS (
          list_distinct(list_transform(generate_series(1, GREATEST(len(toks) - 2, 1)),
            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shset
   FROM raw
+  WHERE len(toks) > 0
 ), expl AS (
   SELECT doc_id, len(shset) AS sz, unnest(shset) AS tok FROM sized
 ), df AS (

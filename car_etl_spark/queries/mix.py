@@ -94,18 +94,21 @@ def stratified_sample(
             for (t, s), r in rates.items()
         ]
         # hash (tenant, key): exact-integer mix of the tenant hash into
-        # the key BEFORE the Knuth multiply, still overflow-free
-        key = (
-            (F.col(key_col) + F.pmod(F.xxhash64(F.col(tenant_col).cast("string")), F.lit(KEY_MOD)))
-            % F.lit(KEY_MOD)
+        # the key BEFORE the Knuth multiply, still overflow-free.
+        # pmod (not %) throughout: Spark's % preserves sign, and a
+        # negative u would pass `u < cut` even at rate 0.0 — breaking
+        # the fail-closed default for negative keys
+        key = F.pmod(
+            F.col(key_col) + F.pmod(F.xxhash64(F.col(tenant_col).cast("string")), F.lit(KEY_MOD)),
+            F.lit(KEY_MOD),
         )
     else:
         pairs = [(F.col(source_col) == s, r) for s, r in rates.items()]
-        key = F.col(key_col) % F.lit(KEY_MOD)
+        key = F.pmod(F.col(key_col), F.lit(KEY_MOD))
     rate = F.lit(float(default_rate))
     for cond, r in reversed(pairs):
         rate = F.when(cond, F.lit(float(r))).otherwise(rate)
-    u = key * F.lit(HASH_MULT) % F.lit(HASH_MOD)
+    u = F.pmod(key * F.lit(HASH_MULT), F.lit(HASH_MOD))
     cut = (rate * HASH_MOD).cast("long")
     return df.filter(u < cut)
 

@@ -177,3 +177,18 @@ def test_tenant_export_layout_manifest_and_isolation(spark, tmp_path):
         spark, path2, tenant_col="tenant_id", tenant="t0"
     ).select("doc_id", "shard", "__order").collect()
     assert a == b
+
+
+def test_append_export_manifest_counts_only_this_run(spark, tmp_path):
+    """Under mode="append" the manifest must report THIS export's rows,
+    not the accumulated root (the manifest is counted from the staged
+    frame, never a re-read of the path)."""
+    path = str(tmp_path / "texa")
+    df = _tenant_corpus(spark)
+    m1 = write_training_shards(df, path, 4, tenant_col="tenant_id")
+    m2 = write_training_shards(df, path, 4, tenant_col="tenant_id", mode="append")
+    # identical input -> identical per-run manifest, even though the
+    # root now holds twice the rows
+    assert m2 == m1
+    total = spark.read.parquet(path).count()
+    assert total == 2 * sum(n for sh in m1.values() for n in sh.values())

@@ -1214,3 +1214,55 @@ def test_pq_topk_filtered_matches_filtered_brute(spark, tmp_path):
             for r in store.pq_topk(spark, qvec, k=10, where=("label", labels)).collect()
         ]
         assert got == _brute_filtered(emb, qvec, labels), labels
+
+
+def test_regex_search_is_case_insensitive(spark, tmp_path):
+    """Uppercase literals in the pattern must match the (lowercased)
+    indexed text — the serving contract is pg_trgm-style ILIKE
+    insensitivity ((?i) prepended), not silent zero matches."""
+    import re as _re
+
+    store = IX.PostingStore(str(tmp_path / "trici"), analyzer="trigram")
+    docs = _sub_docs(spark, SUB_DOCS)
+    store.build(docs)
+    for pat in ("Quick Brown", "QUICK [a-z]+", "The .*Dog"):
+        got = [
+            (r.doc_id, r.lang, r.n_matches)
+            for r in store.regex_search(spark, pat, docs).collect()
+        ]
+        want = []
+        for doc_id, lang, text in sorted(SUB_DOCS):
+            n = len(_re.findall(pat, text.lower().lstrip(), _re.IGNORECASE))
+            if n:
+                want.append((doc_id, lang, n))
+        assert got == want, pat
+
+
+def test_substring_search_nonascii_pattern_uses_jvm_lowercase(spark, tmp_path):
+    """Case folding of the pattern must agree with the JVM F.lower the
+    index build used; Python str.lower() diverges on e.g. 'İ' (one code
+    point -> two), which would desync prefilter grams from indexed
+    grams.  Both the divergent and plain-non-ASCII cases must match the
+    store's own notion of the lowercased text."""
+    rows = [
+        (1, "tr", "İstanbul kebab İstanbul"),
+        (2, "de", "straße münchen grüße"),
+        (3, "en", "plain ascii only"),
+    ]
+    store = IX.PostingStore(str(tmp_path / "trinon"), analyzer="trigram")
+    store.build(_sub_docs(spark, rows))
+    jvm_low = {
+        r.doc_id: r.t
+        for r in _sub_docs(spark, rows)
+        .select("doc_id", F.regexp_replace(F.lower(F.col("text")), r"^\s+", "").alias("t"))
+        .collect()
+    }
+    for pat in ("İstanbul", "MÜNCHEN", "grüße"):
+        got = {r.doc_id: r.n_matches for r in store.substring_search(spark, pat).collect()}
+        low = IX._jvm_lower(spark, pat)
+        want = {}
+        for doc_id, t in jvm_low.items():
+            n = sum(1 for i in range(len(t) - len(low) + 1) if t[i:i + len(low)] == low)
+            if n:
+                want[doc_id] = n
+        assert got == want, pat

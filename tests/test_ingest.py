@@ -270,3 +270,38 @@ def test_optimize_landing_compacts_atomically(spark, tmp_path):
     assert candidate_file_fraction(ranges, "doc_id", 150, 190) < 1.0
     final = spark.read.parquet(path)
     assert final.count() == n_rows and final.agg(F.sum("doc_id")).collect()[0][0] == chk
+
+
+def test_repair_landing_restores_stranded_swap(spark, tmp_path):
+    """A crash between optimize_landing's two renames leaves the live
+    partition dir absent with the data under .<leaf>.old — invisible to
+    partition discovery.  repair_landing restores it (and the next
+    optimize_landing run self-heals before its file census)."""
+    from datetime import date
+
+    path = str(tmp_path / "landing")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), (F.col("id") % 2).cast("string")).alias("tenant_id"),
+        F.lit(date(2026, 3, 1)).alias("ingest_date"),
+    )
+    I.land_documents(df, path)
+    n_rows = spark.read.parquet(path).count()
+    # simulate the crash window: live dir renamed away, tmp incomplete
+    pdir = os.path.join(path, "tenant_id=t0", "ingest_date=2026-03-01")
+    parent = os.path.dirname(pdir)
+    os.rename(pdir, os.path.join(parent, ".ingest_date=2026-03-01.old"))
+    os.makedirs(os.path.join(parent, ".ingest_date=2026-03-01.compact.tmp"))
+    # readers now silently miss the partition
+    assert spark.read.parquet(path).count() < n_rows
+    restored = I.repair_landing(path)
+    assert restored == [os.path.join("tenant_id=t0", "ingest_date=2026-03-01")]
+    assert spark.read.parquet(path).count() == n_rows
+    assert not os.path.isdir(os.path.join(parent, ".ingest_date=2026-03-01.compact.tmp"))
+    # idempotent; a healthy tree is a no-op
+    assert I.repair_landing(path) == []
+    # an .old beside a LIVE dir (crash before the first rename completed
+    # its pair, or a stale leftover) is left alone — live data wins
+    os.makedirs(os.path.join(parent, ".ingest_date=2026-03-01.old"))
+    assert I.repair_landing(path) == []
+    assert spark.read.parquet(path).count() == n_rows

@@ -124,3 +124,23 @@ def test_contamination_screen_tenant_scoped(spark):
         tenant_col="tenant_id", tenant="t0",
     )
     assert sorted(map(tuple, iso.collect())) == sorted(map(tuple, t0.collect()))
+
+
+def test_stratified_sample_fail_closed_for_negative_keys(spark):
+    """Spark's % preserves sign; a negative key must not produce a
+    negative u that slips past `u < cut` at rate 0.0 (pmod fix).  Also:
+    negative keys at rate 1.0 are all kept, and non-negative keys'
+    membership is unchanged by the pmod form (pmod == % for them)."""
+    docs = spark.range(-2000, 0).select(
+        F.col("id").alias("doc_id"),
+        F.lit("src0").alias("source"),
+    )
+    assert X.stratified_sample(docs, {"src0": 0.0}).count() == 0
+    assert X.stratified_sample(docs, {}, default_rate=0.0).count() == 0
+    assert X.stratified_sample(docs, {"src0": 1.0}).count() == 2000
+    half = X.stratified_sample(docs, {"src0": 0.5}).count()
+    assert 0.35 * 2000 < half < 0.65 * 2000
+    # tenant form: same fail-closed contract
+    t = docs.withColumn("tenant_id", F.lit("t0"))
+    assert X.stratified_sample(t, {("t0", "src0"): 0.0}, tenant_col="tenant_id").count() == 0
+    assert X.stratified_sample(t, {("t0", "src0"): 1.0}, tenant_col="tenant_id").count() == 2000

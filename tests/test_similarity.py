@@ -490,3 +490,29 @@ def test_prefix_filter_property_equals_bruteforce(spark, sets):
         for r in S.prefix_filtered_jaccard_pairs(df, "id", "s", 4, 5).collect()
     }
     assert got == set(_brute_jaccard_pairs(sets, 0.8))
+
+
+def test_shingle_prefix_neardup_excludes_empty_documents(spark, tmp_path):
+    """Zero-token docs shingle to {''} — a NON-empty set that would make
+    every pair of empty docs a Jaccard-1.0 candidate (the quadratic
+    all-pairs-of-empties block the prefix filter's non-empty contract
+    keeps out).  The registry arm filters them; real dups still pair."""
+    from car_etl_spark.queries.dedup import shingle_prefix_neardup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base + " tail"),
+        (3, ""),
+        (4, "   "),
+        (5, ""),
+        (6, "entirely different words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in shingle_prefix_neardup(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(i not in {3, 4, 5} for p in pairs for i in p), pairs
