@@ -239,6 +239,33 @@ def tenant_vector_search(
     )
 
 
+def tenant_filtered_vector_search(
+    spark,
+    ivf_store,
+    query_vec: list[float],
+    tenant: str,
+    where: tuple,
+    limit: int = 20,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tenant RLS + metadata filter in ONE certified scan — the
+    reference's actual serving shape: ``match_document_chunks`` applies
+    the tenant policy AND the optional document-id filter inside the
+    same pgvector scan (``042_match_function.sql:23-41``).
+
+    ``where=(col, values)`` must name a filter column DECLARED at index
+    build.  The probe walk certifies against the tenant's
+    per-(centroid, value) intersection counts (never the min of the two
+    marginals, which over-certifies), the scan prunes to the tenant's
+    (tenant, centroid_id) partition directories, and the IN-predicate
+    pushes into the pruned parquet scan — certified exact within the
+    tenant's matching rows, isolation by storage layout."""
+    limit = min(limit, SEARCH_RESULT_CAP)
+    return ivf_store.probe_topk(
+        spark, query_vec, k=limit, tenant=tenant, where=where, extra_cols=extra_cols
+    )
+
+
 def tenant_pq_search(
     spark,
     ivf_store,
@@ -246,6 +273,7 @@ def tenant_pq_search(
     tenant: str,
     limit: int = 20,
     extra_cols: tuple[str, ...] = (),
+    where: tuple | None = None,
 ) -> DataFrame:
     """Tenant-scoped CERTIFIED-EXACT product-quantized serving: the
     probe walk certifies against the TENANT's cluster stats, both the
@@ -253,10 +281,12 @@ def tenant_pq_search(
     tenant's (tenant, centroid_id) directories, and the error-band
     rescore keeps the result equal to a tenant-scoped brute force —
     the compressed-scan route with the same isolation-by-layout
-    guarantee as :func:`tenant_vector_search`."""
+    guarantee as :func:`tenant_vector_search`.  ``where=(col, values)``
+    composes the metadata filter into the same certified walk
+    (:func:`tenant_filtered_vector_search`'s contract, compressed)."""
     limit = min(limit, SEARCH_RESULT_CAP)
     return ivf_store.pq_topk(
-        spark, query_vec, k=limit, tenant=tenant, extra_cols=extra_cols
+        spark, query_vec, k=limit, tenant=tenant, where=where, extra_cols=extra_cols
     )
 
 

@@ -80,7 +80,9 @@ ANALYZER_VERSION = 2
 #     by id hash (arbitrary id spaces, not dense-id test corpora)
 # v5: meta rides INSIDE assignments/ (atomic with the layout swap);
 #     tombstones carry the tenant key on tenant-partitioned stores
-IVF_VERSION = 5
+# v6: tenant stores keep per-(tenant, centroid, value) filter counts
+#     (tenant x metadata-filter combined certified serving)
+IVF_VERSION = 6
 
 #: cardinality ceiling for DECLARED filterable attributes (per-
 #: (centroid, value) counts live in meta — centroids x values entries;
@@ -1598,6 +1600,14 @@ class IvfStore:
                 "dim": dim,
                 "codebooks": books.tolist(),
             }
+            # store-wide max reconstruction error: the fused serving
+            # pass uses adc_min + max_err to certify that no row OUTSIDE
+            # its collected shortlist can reach the threshold (one
+            # TakeOrdered job instead of a threshold pass + survivor
+            # rescan).  Overestimate-safe: too big only forces the
+            # fallback pass, never a missed survivor.
+            merr = assigned.agg(F.max("pq_err")).collect()[0][0]
+            pq_meta["max_err"] = float(merr) if merr is not None else None
         pcols = ([self.tenant_col] if self.tenant_col else []) + ["centroid_id"]
         tmp = self.assign_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1638,7 +1648,16 @@ class IvfStore:
         if tstats is not None:
             meta["tenants"] = tstats
         if filter_cols:
-            meta["filters"] = self._filter_stats(written, list(filter_cols))
+            glob_f, tenant_f = self._filter_stats_all(written, list(filter_cols))
+            meta["filters"] = glob_f
+            if tenant_f is not None:
+                # per-(tenant, centroid, value) counts live INSIDE the
+                # tenant entry, beside its radii/counts — the combined
+                # tenant x filter certificate's statistics
+                for t, cols in tenant_f.items():
+                    meta["tenants"].setdefault(
+                        t, {"radii": {}, "counts": {}}
+                    )["filters"] = cols
         if pq_meta is not None:
             meta["pq"] = pq_meta
         meta["schema"] = assigned.schema.jsonValue()
@@ -1739,6 +1758,53 @@ class IvfStore:
                 entry.setdefault(str(int(r.centroid_id)), {})[str(r[c])] = int(r.n)
             out[c] = entry
         return out
+
+    def _filter_stats_all(self, assigned: DataFrame, filter_cols: list[str]):
+        """(global filter stats, per-tenant filter stats | None) — the
+        statistics behind both filtered AND tenant x filtered certified
+        serving.  Tenant-blind stores keep the single global grain;
+        tenant stores aggregate ONE pass per column at the
+        (tenant, centroid, value) grain and fold the global view
+        driver-side (the `_all_stats` discipline).
+
+        The cardinality cap applies PER TENANT: each tenant's filter
+        vocabulary is bounded by :data:`FILTER_VALUE_CAP`, so the
+        control-plane size is tenants x cap — the folded global map may
+        union more values than the cap across tenants with disjoint
+        vocabularies, which is exactly the tenant-count multiple the
+        layout already pays for per-tenant radii/counts."""
+        if not self.tenant_col:
+            return self._filter_stats(assigned, filter_cols), None
+        tf: dict = {}
+        for c in filter_cols:
+            rows = (
+                assigned.filter(F.col(c).isNotNull())
+                .groupBy(self.tenant_col, "centroid_id", c)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            vocab: dict = {}
+            for r in rows:
+                vocab.setdefault(str(r[0]), set()).add(r[c])
+            for t, vals in vocab.items():
+                if len(vals) > FILTER_VALUE_CAP:
+                    raise ValueError(
+                        f"filter column {c!r} has {len(vals)} distinct values "
+                        f"for tenant {t!r} (cap {FILTER_VALUE_CAP}): too "
+                        "high-cardinality for index-resident filter statistics"
+                    )
+            for r in rows:
+                tf.setdefault(str(r[0]), {}).setdefault(c, {}).setdefault(
+                    str(int(r.centroid_id)), {}
+                )[str(r[c])] = int(r.n)
+        glob: dict = {c: {} for c in filter_cols}
+        for cols in tf.values():
+            for c, cmap in cols.items():
+                for cid, vmap in cmap.items():
+                    g = glob[c].setdefault(cid, {})
+                    for v, n in vmap.items():
+                        g[v] = g.get(v, 0) + n
+        return glob, tf
 
     def _tenant_stats(self, assigned: DataFrame, cents, vec_col: str) -> dict:
         """Per-(tenant, centroid) (max angular radius, member count) —
@@ -1858,8 +1924,13 @@ class IvfStore:
                 # per-batch filterable-attribute counts: the filtered
                 # walk ADDS these when present; their absence (pre-
                 # feature batches, pessimistic write) undercounts, which
-                # only extends the walk — safe
-                batch_entry["filters"] = self._filter_stats(assigned, filter_cols)
+                # only extends the walk — safe.  Tenant stores also keep
+                # the (tenant, centroid, value) grain so the COMBINED
+                # tenant x filter walk stays tight under maintenance.
+                bglob, btenant = self._filter_stats_all(assigned, filter_cols)
+                batch_entry["filters"] = bglob
+                if btenant is not None:
+                    batch_entry["tenant_filters"] = btenant
             # control-plane collect: bounded by the MICRO-BATCH's distinct
             # id count (connector pages are O(100-1000) rows), never by
             # store size — same ceiling argument as the CDC token path
@@ -1906,6 +1977,7 @@ class IvfStore:
         # not-yet-visible matching rows would certify the filtered
         # walk's L too early (the one direction that loses recall)
         pessimistic.pop("filters", None)
+        pessimistic.pop("tenant_filters", None)
         m.setdefault("batches", {})[str(batch)] = pessimistic
         self._write_meta(m)
         if tomb_ids:
@@ -2050,10 +2122,18 @@ class IvfStore:
             m["tenants"] = tstats
         if m.get("filters"):
             # restamp filterable-attribute counts TIGHT from the live
-            # rows (same discipline as radii/counts)
-            m["filters"] = self._filter_stats(
+            # rows (same discipline as radii/counts), at BOTH grains on
+            # tenant stores — compact rewrites _all_stats' fresh tenant
+            # entries, so the per-tenant filters must be re-attached
+            glob_f, tenant_f = self._filter_stats_all(
                 spark.read.schema(live.schema).parquet(tmp), list(m["filters"])
             )
+            m["filters"] = glob_f
+            if tenant_f is not None:
+                for t, cols in tenant_f.items():
+                    m["tenants"].setdefault(
+                        t, {"radii": {}, "counts": {}}
+                    )["filters"] = cols
         m["schema"] = live.schema.jsonValue()
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(m, f)
@@ -2114,30 +2194,70 @@ class IvfStore:
         value) statistics of a DECLARED filter column (build with
         ``filter_cols=``, the vector-DB filterable-attribute contract).
         Batch filter counts fold in when present; their absence
-        undercounts, which only extends the walk.  Combining ``tenant``
-        and ``where`` is refused: min of the two marginals
-        OVERestimates the intersection, the one unsafe direction —
-        per-(tenant, centroid, value) stats are the extension point."""
+        undercounts, which only extends the walk.
+
+        COMBINED ``tenant`` + ``where`` (the reference's actual serving
+        shape — ``match_document_chunks`` applies tenant RLS and the
+        optional document filter in the same scan,
+        ``042_match_function.sql:23-41``): the walk certifies against
+        the per-(tenant, centroid, value) counts kept inside the tenant
+        entry, with the TENANT's cluster radii (a tenant's cone bounds
+        every subset of its members, so it bounds the filtered subset)
+        — never the min of the two marginals, which OVERestimates the
+        intersection (the one unsafe direction)."""
         import numpy as np
 
+        if tenant is not None and not self.tenant_col:
+            raise ValueError("store was not built with a tenant_col")
         m, ids, _sims, thetas = self._centroid_angles(qvec)
-        fstats = vset = None
+        fstats = vset = tentry = None
         if where is not None:
-            if tenant is not None:
-                raise ValueError(
-                    "filtered search cannot be tenant-scoped: per-"
-                    "(tenant, centroid, value) statistics are not kept, "
-                    "and min(tenant, filter) marginals over-certify"
-                )
             col, values = where
-            fstats = (m.get("filters") or {}).get(col)
-            if fstats is None:
-                raise ValueError(
-                    f"{col!r} is not a declared filter column of this "
-                    "store — rebuild with filter_cols=(...)"
-                )
+            if tenant is not None:
+                tentry = (m.get("tenants") or {}).get(str(tenant), {})
+                fstats = (tentry.get("filters") or {}).get(col)
+                if fstats is None and (m.get("filters") or {}).get(col) is None:
+                    raise ValueError(
+                        f"{col!r} is not a declared filter column of this "
+                        "store — rebuild with filter_cols=(...)"
+                    )
+                if fstats is None:
+                    # declared column but no (tenant, centroid, value)
+                    # stats: a pre-v6 store layout (or a tenant with zero
+                    # non-null rows — probing nothing loses nothing)
+                    if str(tenant) in (m.get("tenants") or {}) and not tentry.get(
+                        "filters"
+                    ):
+                        raise ValueError(
+                            "tenant x filter serving needs per-(tenant, "
+                            "centroid, value) statistics — rebuild or "
+                            "compact this store with the current layout"
+                        )
+                    fstats = {}
+            else:
+                fstats = (m.get("filters") or {}).get(col)
+                if fstats is None:
+                    raise ValueError(
+                        f"{col!r} is not a declared filter column of this "
+                        "store — rebuild with filter_cols=(...)"
+                    )
             vset = [str(v) for v in values]
-        if fstats is not None:
+        if fstats is not None and tentry is not None:
+            # tenant x filter: tenant radii (bound any subset of the
+            # tenant's members), intersection counts from the tenant's
+            # per-(centroid, value) stats
+            radii = np.asarray(
+                [float(tentry.get("radii", {}).get(str(int(c)), 0.0)) for c in ids],
+                dtype="float64",
+            )
+            counts = np.asarray(
+                [
+                    float(sum(fstats.get(str(int(c)), {}).get(v, 0) for v in vset))
+                    for c in ids
+                ],
+                dtype="float64",
+            )
+        elif fstats is not None:
             radii = np.asarray(m["radii"], dtype="float64")
             counts = np.asarray(
                 [
@@ -2178,8 +2298,19 @@ class IvfStore:
             pending_tombs += int(bentry.get("tombs", 0))
             if fstats is not None:
                 # filtered walk: add the batch's MATCHING counts (absent
-                # on pessimistic/pre-feature entries -> undercount -> safe)
-                bf = (bentry.get("filters") or {}).get(where[0]) or {}
+                # on pessimistic/pre-feature entries -> undercount -> safe).
+                # Tenant x filter reads the batch's (tenant, centroid,
+                # value) grain — the GLOBAL batch filters would overcount
+                # the intersection, the unsafe direction.
+                if tentry is not None:
+                    bf = (
+                        (bentry.get("tenant_filters") or {})
+                        .get(str(tenant), {})
+                        .get(where[0])
+                        or {}
+                    )
+                else:
+                    bf = (bentry.get("filters") or {}).get(where[0]) or {}
                 for cid, vals in bf.items():
                     if int(cid) in pos:
                         counts[pos[int(cid)]] += sum(int(vals.get(v, 0)) for v in vset)
@@ -2400,6 +2531,41 @@ def derive_num_centroids(n_rows: int) -> int:
     import math
 
     return max(MIN_CENTROIDS, min(MAX_CENTROIDS, int(round(math.sqrt(n_rows)))))
+
+
+def ensure_tenant_ivf_index(spark: SparkSession, sf_dir: str) -> IvfStore:
+    """Content-addressed TENANT-PARTITIONED IVF store over the
+    embeddings table with a derived two-tenant split (``vec_id`` parity
+    — the synthetic twin of a real tenant column, SQL-recomputable so
+    the combined tenant x filter serving arm is oracle-checkable).
+    Build params ride the digest like :func:`ensure_ivf_index`."""
+    source = os.path.join(sf_dir, "embeddings.parquet")
+    from car_etl_spark.tables import parquet_rowcount
+
+    # ~half the rows per tenant: size centroids to the per-tenant grain
+    num_centroids = derive_num_centroids(parquet_rowcount(sf_dir, "embeddings"))
+    params = f"tenant2|c{num_centroids}|r2|flabel"
+    digest = _source_digest("ivf", IVF_VERSION, source, params)
+    path = os.path.join(index_root(), f"ivf-{digest}")
+    store = IvfStore(path, tenant_col="tenant_id")
+    if path in _ENSURED:
+        return store
+    if not os.path.exists(store.meta_path):
+        from car_etl_spark.session import tune_session
+        from car_etl_spark.tables import load_tables
+
+        tune_session(spark)
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        emb = emb.withColumn(
+            "tenant_id",
+            F.concat(F.lit("t"), F.pmod(F.col("vec_id"), F.lit(2)).cast("string")),
+        )
+        os.makedirs(index_root(), exist_ok=True)
+        store.build(
+            emb, num_centroids, refine_iterations=2, filter_cols=("label",)
+        )
+    _ENSURED.add(path)
+    return store
 
 
 def ensure_ivf_index(

@@ -119,11 +119,17 @@ def vector_topk_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, all sharing the brute-force oracle — plus the metadata-
     FILTERED serving arm (per-(centroid, label) counts certify the
     probe walk over matching members; its oracle is the filtered brute
-    force), tagged and unioned."""
+    force), tagged and unioned — and (r8) the COMBINED tenant x filter
+    arm: tenant RLS + metadata filter certified in one scan from the
+    tenant-partitioned store's per-(tenant, centroid, value) counts
+    (the reference's match_document_chunks shape,
+    042_match_function.sql:23-41; the tenant split is vec_id parity so
+    the tenant+filter brute force is SQL-recomputable)."""
     from car_etl_spark.queries.vector import (
         vector_filtered_topk,
         vector_ivf_topk,
         vector_pq_topk,
+        vector_tenant_filtered_topk,
         vector_topk,
         vector_topk_adaptive,
     )
@@ -134,6 +140,7 @@ def vector_topk_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("adaptive", vector_topk_adaptive),
         ("filtered", vector_filtered_topk),
         ("pq", vector_pq_topk),
+        ("tenant_filtered", vector_tenant_filtered_topk),
     ]
     parts = [
         fn(spark, sf_dir).select(
@@ -147,6 +154,7 @@ def vector_topk_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _vector_modes_sql() -> str:
     from car_etl_spark.queries.vector import (
         VECTOR_FILTERED_TOPK_SQL,
+        VECTOR_TENANT_FILTERED_TOPK_SQL,
         VECTOR_TOPK_SQL,
     )
 
@@ -155,7 +163,9 @@ def _vector_modes_sql() -> str:
         for tag in ("exact", "ivf", "adaptive", "pq")
     ] + [
         "SELECT 'filtered' AS mode, vec_id, label, cosine_sim "
-        f"FROM ({VECTOR_FILTERED_TOPK_SQL})"
+        f"FROM ({VECTOR_FILTERED_TOPK_SQL})",
+        "SELECT 'tenant_filtered' AS mode, vec_id, label, cosine_sim "
+        f"FROM ({VECTOR_TENANT_FILTERED_TOPK_SQL})",
     ]
     return (
         "SELECT * FROM (\n" + "\nUNION ALL\n".join(parts)

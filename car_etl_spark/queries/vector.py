@@ -489,6 +489,56 @@ LIMIT 20
 """
 
 
+#: the tenant the combined arm serves (vec_id parity split — see
+#: :func:`~car_etl_spark.operators.indexing.ensure_tenant_ivf_index`)
+TENANT_FILTERED_TENANT = "t1"
+
+
+def vector_tenant_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/P7 COMBINED serving path: tenant RLS + metadata filter in one
+    certified scan — the reference's actual ``match_document_chunks``
+    shape (tenant policy AND the optional document filter inside the
+    same pgvector scan, ``042_match_function.sql:23-41``).
+
+    The probe walk certifies against the TENANT's per-(centroid, value)
+    intersection counts (never the min of the tenant/filter marginals,
+    which over-certifies), the scan prunes both partition levels
+    ((tenant, centroid_id) directories), and the label IN-predicate
+    pushes into the pruned parquet scan.  Exact within the tenant's
+    matching rows by construction — the tenant+filter brute force is
+    the oracle (the tenant split is vec_id parity, SQL-recomputable)."""
+    from car_etl_spark.operators.indexing import ensure_tenant_ivf_index
+    from car_etl_spark.queries import prepared
+
+    def build() -> DataFrame:
+        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+        qvec = _query_vec_list(emb, cache_key=sf_dir)
+        store = ensure_tenant_ivf_index(spark, sf_dir)
+        return store.probe_topk(
+            spark,
+            qvec,
+            k=20,
+            tenant=TENANT_FILTERED_TENANT,
+            where=("label", list(FILTERED_TOPK_LABELS)),
+        )
+
+    return prepared(
+        spark, "vector_tenant_filtered_topk", sf_dir, ("embeddings.parquet",), build
+    )
+
+
+VECTOR_TENANT_FILTERED_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]), 6) AS cosine_sim
+FROM embeddings, q
+WHERE label IN {FILTERED_TOPK_LABELS}
+  AND vec_id % 2 = 1
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 20
+"""
+
+
 #: corpora below this row count brute-force scan faster than the IVF
 #: layout amortizes (index build + probe bookkeeping beat a single
 #: map-only scan only once the scan itself dominates); derived from

@@ -723,8 +723,25 @@ def test_filtered_probe_refusals(spark, tmp_path):
     q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     with pytest.raises(ValueError, match="not a declared filter column"):
         store.probe_ids_exact(q, 10, where=("vec_id", [1]))
-    with pytest.raises(ValueError, match="cannot be tenant-scoped"):
+    # tenant scope (combined or not) refuses on a tenant-BLIND store
+    with pytest.raises(ValueError, match="not built with a tenant_col"):
         store.probe_ids_exact(q, 10, tenant="t0", where=("label", [1]))
+    with pytest.raises(ValueError, match="not built with a tenant_col"):
+        store.probe_ids_exact(q, 10, tenant="t0")
+    # a tenant store whose meta predates the (tenant, centroid, value)
+    # grain must refuse the combined walk, not over-certify from marginals
+    emb_t = emb.withColumn("tenant_id", F.lit("t0"))
+    pre = IX.IvfStore(str(tmp_path / "pivf"), tenant_col="tenant_id")
+    pre.build(emb_t, num_centroids=4, filter_cols=("label",))
+    import json as _json
+
+    with open(pre.meta_path) as f:
+        mraw = _json.load(f)
+    for entry in mraw.get("tenants", {}).values():
+        entry.pop("filters", None)
+    pre._write_meta(mraw)
+    with pytest.raises(ValueError, match="rebuild or compact"):
+        pre.probe_ids_exact(q, 10, tenant="t0", where=("label", [1]))
     # high-cardinality columns refuse at build (index metadata budget)
     big = IX.IvfStore(str(tmp_path / "bivf"))
     import unittest.mock as mock

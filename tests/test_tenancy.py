@@ -665,3 +665,172 @@ def test_api_tenant_substring_and_regex_routes(spark, tmp_path):
         ).collect()
     ]
     assert rex == [(1, 2)]
+
+
+def _brute_tenant_filtered(emb, qvec, tenant, labels, k=8):
+    from car_etl_spark.functions import vectors as V
+
+    return [
+        tuple(r)
+        for r in emb.filter(
+            (F.col("tenant_id") == tenant) & F.col("label").isin(labels)
+        )
+        .select(
+            "vec_id", "tenant_id",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), V.literal_vector(qvec)), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_tenant_filtered_vector_search_combined(spark, tmp_path):
+    """Tenant RLS + metadata filter in ONE certified scan — the
+    reference's match_document_chunks shape (042_match_function.sql:
+    23-41).  Equality vs tenant+filter brute force for both tenants and
+    several label sets, isolation (never another tenant's rows, even
+    when the filter matches only the other tenant), partition pruning
+    on BOTH levels plus the pushed IN-predicate, and the PQ route
+    composing the same filter."""
+    from car_etl_spark import api
+
+    emb = _two_tenant_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "tfivf"), tenant_col="tenant_id")
+    store.build(
+        emb, num_centroids=3, refine_iterations=1,
+        filter_cols=("label",), pq_m=4,
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 4).select("embedding").first()[0])
+
+    for t in ("acme", "globex"):
+        for labels in ([0], [1, 2], [2]):
+            got_df = api.tenant_filtered_vector_search(
+                spark, store, qvec, t, ("label", labels),
+                limit=8, extra_cols=("tenant_id",),
+            )
+            got = [tuple(r) for r in got_df.collect()]
+            assert got == _brute_tenant_filtered(emb, qvec, t, labels), (t, labels)
+            assert got and all(r[1] == t for r in got)
+    # plan: both partition levels prune, the label IN-predicate pushes
+    got_df = api.tenant_filtered_vector_search(
+        spark, store, qvec, "acme", ("label", [1]), limit=8,
+        extra_cols=("tenant_id",),
+    )
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "tenant_id" in pf and "centroid_id" in pf
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    # single-value IN folds to EqualTo — either way the label predicate
+    # reached the parquet scan
+    assert "label" in pushed, pushed
+    # certified walk over the tenant's INTERSECTION counts prunes: a
+    # same-cluster filter should not force scanning every centroid
+    probes = store.probe_ids_exact(qvec, 3, tenant="acme", where=("label", [0]))
+    assert 0 < len(probes) < 3, probes
+    # PQ route composes the same filter (compressed scan, same answer)
+    pq = [
+        tuple(r)
+        for r in api.tenant_pq_search(
+            spark, store, qvec, "globex", limit=8,
+            extra_cols=("tenant_id",), where=("label", [1, 2]),
+        ).collect()
+    ]
+    assert pq == _brute_tenant_filtered(emb, qvec, "globex", [1, 2])
+
+
+def test_tenant_filtered_vector_search_under_maintenance(spark, tmp_path):
+    """The combined certificate stays exact across apply_batch (new
+    matching rows + tombstones fold at the (tenant, centroid, value)
+    grain) and compact (per-tenant filter stats restamped tight)."""
+    from car_etl_spark import api
+
+    emb = _two_tenant_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "tfmivf"), tenant_col="tenant_id")
+    store.build(
+        emb, num_centroids=3, refine_iterations=1, filter_cols=("label",)
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 4).select("embedding").first()[0])
+
+    # batch: upsert 6 new acme rows near the query's cluster with label
+    # 2, tombstone two existing matching acme ids
+    import math
+
+    new_rows = []
+    for i in range(6):
+        vec = [1.0, 0.001 * i, 0.0, 0.0, 0.0, 0.0]
+        nrm = math.sqrt(sum(v * v for v in vec))
+        new_rows.append((1000 + i, 2, "acme", [v / nrm for v in vec]))
+    ups = spark.createDataFrame(
+        new_rows, "vec_id long, label int, tenant_id string, embedding array<double>"
+    )
+    store.apply_batch(
+        spark, ups, [("acme", 0), ("acme", 2)], batch=1, keep=("label",)
+    )
+    live = emb.filter(~F.col("vec_id").isin([0, 2]) | (F.col("tenant_id") != "acme")).unionByName(ups)
+    for labels in ([2], [0, 2]):
+        got = [
+            tuple(r)
+            for r in api.tenant_filtered_vector_search(
+                spark, store, qvec, "acme", ("label", labels),
+                limit=8, extra_cols=("tenant_id",),
+            ).collect()
+        ]
+        assert got == _brute_tenant_filtered(live, qvec, "acme", labels), labels
+    # globex untouched by acme's batch
+    got_g = [
+        tuple(r)
+        for r in api.tenant_filtered_vector_search(
+            spark, store, qvec, "globex", ("label", [2]),
+            limit=8, extra_cols=("tenant_id",),
+        ).collect()
+    ]
+    assert got_g == _brute_tenant_filtered(emb, qvec, "globex", [2])
+
+    store.compact(spark)
+    m = store.meta()
+    assert not m["batches"]
+    # per-tenant filter stats survived the restamp
+    assert all("filters" in e for e in m["tenants"].values())
+    got2 = [
+        tuple(r)
+        for r in api.tenant_filtered_vector_search(
+            spark, store, qvec, "acme", ("label", [2]),
+            limit=8, extra_cols=("tenant_id",),
+        ).collect()
+    ]
+    assert got2 == _brute_tenant_filtered(live, qvec, "acme", [2])
+
+
+def test_tenant_filtered_isolation_value_only_in_other_tenant(spark, tmp_path):
+    """A filter value present ONLY in tenant B returns zero rows for
+    tenant A — never B's rows (the leak the marginal-min certificate
+    could have allowed)."""
+    from car_etl_spark import api
+
+    emb = _two_tenant_emb(spark)
+    # give globex an exclusive label 9 on a few rows
+    emb = emb.withColumn(
+        "label",
+        F.when((F.col("tenant_id") == "globex") & (F.col("vec_id") < 10), 9)
+        .otherwise(F.col("label")),
+    )
+    store = IX.IvfStore(str(tmp_path / "tfiso"), tenant_col="tenant_id")
+    store.build(emb, num_centroids=3, refine_iterations=1, filter_cols=("label",))
+    qvec = list(emb.filter(F.col("vec_id") == 4).select("embedding").first()[0])
+    acme = api.tenant_filtered_vector_search(
+        spark, store, qvec, "acme", ("label", [9]), limit=8,
+        extra_cols=("tenant_id",),
+    ).collect()
+    assert acme == []
+    globex = [
+        tuple(r)
+        for r in api.tenant_filtered_vector_search(
+            spark, store, qvec, "globex", ("label", [9]), limit=8,
+            extra_cols=("tenant_id",),
+        ).collect()
+    ]
+    assert globex == _brute_tenant_filtered(emb, qvec, "globex", [9])
+    assert all(r[1] == "globex" for r in globex)
