@@ -212,6 +212,7 @@ def build_posting_rows(
     analyzer: str = "suffix",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     tenant_col: str | None = None,
+    positions: bool = True,
 ) -> DataFrame:
     """Tokenize the corpus ONCE into posting rows
     ``(doc_id, lang, raw_term, term, weight, tf, term_bucket)``.
@@ -242,6 +243,14 @@ def build_posting_rows(
     weight class (no header split: a substring is positional, not
     relevance-weighted), bucket on the gram.  Index rows ~= text
     chars, the storage price pg_trgm pays for substring pruning.
+
+    ``positions=False`` builds the POSITIONS-LESS layout (the literal
+    pg_trgm GIN shape: gram -> doc list, no offsets): the dominant
+    storage term — one int per character of text on trigram stores —
+    is dropped, and serving verifies candidates with a bounded text
+    recheck instead of in-index adjacency (see
+    :meth:`PostingStore.substring_search`).  Phrase search needs the
+    offsets and refuses on a positions-less store.
     """
     extra = [tenant_col] if tenant_col else []
     cleaned = F.regexp_replace(F.lower(F.col("text")), r"^\s+", "")
@@ -271,9 +280,11 @@ def build_posting_rows(
             .filter(F.length("raw_term") == 3)
             .withColumn("weight", F.lit(BODY_WEIGHT))
         )
+        aggs = [F.count(F.lit(1)).alias("tf")]
+        if positions:
+            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
         rolled = grams.groupBy("doc_id", "lang", *extra, "raw_term", "weight").agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
+            *aggs
         )
         stemmed = rolled.withColumn("term", F.col("raw_term"))
         wdoc = Window.partitionBy(*extra, "doc_id")
@@ -295,11 +306,13 @@ def build_posting_rows(
             ),
         )
     )
-    rolled = posted.groupBy("doc_id", "lang", *extra, "raw_term", "weight").agg(
-        F.count(F.lit(1)).alias("tf"),
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if positions:
         # token positions (sorted for determinism — collect_list order
         # is not): phrase adjacency = position arithmetic at query time
-        F.sort_array(F.collect_list("pos")).alias("positions"),
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    rolled = posted.groupBy("doc_id", "lang", *extra, "raw_term", "weight").agg(
+        *aggs
     )
     if analyzer == "porter":
         from car_etl_spark.functions.porter import with_porter
@@ -330,6 +343,13 @@ def build_posting_rows(
 #: candidate set past this cap means the pattern's literals are not
 #: selective and the full verify scan is the honest plan
 REGEX_CANDIDATE_CAP = 10_000
+
+#: pq serving: survivor ids are pushed into the embedding fetch only
+#: while they are a MINORITY of the probed rows — past this fraction
+#: the predicate saves less compute than its per-action optimizer +
+#: per-row set-probe cost, and the plain probed rescore (exact: a
+#: superset of the survivors) is the honest plan
+PQ_PUSH_MAX_FRACTION = 0.5
 
 
 def regex_required_literals(pattern: str, min_len: int = 3) -> list[str]:
@@ -519,6 +539,7 @@ class PostingStore:
         num_buckets: int | None = None,
         row_group_bytes: int | None = None,
         tenant_col: str | None = None,
+        positions: bool | None = None,
     ):
         self.path = path
         self.analyzer = analyzer
@@ -552,6 +573,15 @@ class PostingStore:
         if tenant_col is None:
             tenant_col = meta.get("tenant_col")
         self.tenant_col = tenant_col
+        #: position arrays are the v5 serving superpower (in-index
+        #: phrase/substring verification) AND the dominant storage term
+        #: on trigram stores (~one int per text char).  positions=False
+        #: is the positions-less pg_trgm layout: same rows, no offsets;
+        #: substring serving falls back to a bounded candidate recheck,
+        #: phrase search refuses.  Persisted in meta like tenant_col.
+        if positions is None:
+            positions = bool(meta.get("positions", True))
+        self.positions = positions
         if not meta and self._has_parquet(self.base_dir):
             raise ValueError(
                 f"posting store at {path} has a base layout but no "
@@ -621,6 +651,7 @@ class PostingStore:
                     "num_buckets": self.num_buckets,
                     "analyzer": self.analyzer,
                     "tenant_col": self.tenant_col,
+                    "positions": self.positions,
                     "schema": schema.jsonValue(),
                     "stats": stats,
                     "compacted_through": compacted_through,
@@ -685,7 +716,8 @@ class PostingStore:
     def build(self, docs: DataFrame) -> None:
         """Full (re)build of the base layout from the corpus."""
         rows = build_posting_rows(
-            docs, self.analyzer, self.num_buckets, self.tenant_col
+            docs, self.analyzer, self.num_buckets, self.tenant_col,
+            positions=self.positions,
         ).withColumn("batch", F.lit(0).cast("long"))
         tmp = self.base_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -753,7 +785,8 @@ class PostingStore:
         tomb_parts = []
         if upserts is not None:
             rows = build_posting_rows(
-                upserts, self.analyzer, self.num_buckets, self.tenant_col
+                upserts, self.analyzer, self.num_buckets, self.tenant_col,
+                positions=self.positions,
             ).withColumn("batch", F.lit(batch).cast("long"))
             # delta files are batch-sized, so sorting them is cheap and
             # keeps row-group pruning effective on the merged read path
@@ -1024,6 +1057,11 @@ class PostingStore:
         postings, like every other serving path; the positions column
         is column-pruned away from all non-phrase queries."""
         self._require_tenant_scope(tenant)
+        if not self.positions:
+            raise ValueError(
+                "phrase_search needs the positional layout — this store "
+                "was built with positions=False"
+            )
         if len(stemmed_terms) < 2:
             raise ValueError("a phrase needs at least 2 terms")
         uniq = sorted(set(stemmed_terms))
@@ -1069,6 +1107,9 @@ class PostingStore:
         spark: SparkSession,
         pattern: str,
         tenant=None,
+        docs: DataFrame | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
     ) -> DataFrame:
         """EXACT substring (ILIKE '%pattern%') serving from a TRIGRAM
         store — grep over the corpus without scanning it.
@@ -1091,7 +1132,20 @@ class PostingStore:
         pattern's gram postings, never corpus size.  Selectivity comes
         free: rare 3-grams have short lists.  Case-insensitive (both
         sides lowercased — the ILIKE contract); patterns shorter than
-        3 chars have no trigram and belong to a scan, so they refuse."""
+        3 chars have no trigram and belong to a scan, so they refuse.
+
+        POSITIONS-LESS stores (built with ``positions=False`` — the
+        literal pg_trgm layout, chosen when the ~1-int-per-char offset
+        storage is not worth in-index verification) serve the same
+        answer through pg_trgm's own two phases: candidates = docs
+        holding ALL the pattern's grams (posting-list intersection,
+        still bucket-pruned), then a BOUNDED RECHECK — candidate ids
+        collected (capped at :data:`REGEX_CANDIDATE_CAP`) and pushed
+        into the ``docs`` scan as an IN-predicate, overlap-counting the
+        pattern against each candidate's text.  ``docs`` (the corpus
+        frame) is required for that layout; past the cap the grams were
+        not selective and the recheck honestly degrades to the full
+        verify scan."""
         if self.analyzer != "trigram":
             raise ValueError(
                 f"substring_search needs a trigram store (this store's "
@@ -1111,6 +1165,48 @@ class PostingStore:
         idx = self.read(spark, buckets=buckets, tenant=tenant).filter(
             F.col("term").isin(uniq)
         )
+        if not self.positions:
+            if docs is None:
+                raise ValueError(
+                    "positions-less trigram store: substring_search "
+                    "verifies candidates against the corpus — pass docs="
+                )
+            # ALL grams present -> candidate (set semantics: count the
+            # distinct matched grams per doc, not posting rows)
+            cand = (
+                idx.groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("__ng"))
+                .filter(F.col("__ng") == len(uniq))
+                .select("doc_id")
+            )
+            cand_ids = [r[0] for r in cand.limit(REGEX_CANDIDATE_CAP + 1).collect()]
+            if tenant is not None:
+                docs = docs.filter(F.col(self.tenant_col) == tenant)
+            verify = docs.select(
+                F.col(id_col).alias("doc_id"),
+                "lang",
+                F.regexp_replace(F.lower(F.col(text_col)), r"^\s+", "").alias("__t"),
+            )
+            if len(cand_ids) <= REGEX_CANDIDATE_CAP:
+                verify = verify.filter(F.col("doc_id").isin(cand_ids))
+            # overlap-counting recheck (ALL start offsets, the same
+            # contract as the in-index chain): bounded by the candidate
+            # set, the pg_trgm heap-recheck shape
+            n = F.size(
+                F.filter(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length("__t") - (m + 2) + 1, F.lit(0)),
+                    ),
+                    lambda i: F.col("__t").substr(i, F.lit(m + 2)) == F.lit(pat),
+                )
+            ).cast("long")
+            return (
+                verify.withColumn("n_matches", n)
+                .filter(F.col("n_matches") > 0)
+                .select("doc_id", "lang", "n_matches")
+                .orderBy("doc_id")
+            )
         per = idx.groupBy("doc_id").agg(
             F.first("lang").alias("lang"),
             *[
@@ -1205,9 +1301,12 @@ class PostingStore:
         if lits:
             cand = None
             for lit in lits:
-                ids = self.substring_search(spark, lit, tenant=tenant).select(
-                    "doc_id"
-                )
+                # docs rides through for the positions-less layout's
+                # bounded recheck; positional stores ignore it
+                ids = self.substring_search(
+                    spark, lit, tenant=tenant, docs=docs,
+                    id_col=id_col, text_col=text_col,
+                ).select("doc_id")
                 cand = ids if cand is None else cand.join(ids, "doc_id")
             cand_ids = [
                 r[0] for r in cand.limit(REGEX_CANDIDATE_CAP + 1).collect()
@@ -1916,6 +2015,15 @@ class IvfStore:
                 )
             assigned = assigned.localCheckpoint(eager=True)
             stats = self._cluster_stats(assigned, cents, vec_col)
+            if m.get("pq"):
+                # batch max reconstruction error rides the PESSIMISTIC
+                # meta write (it stays in the early copy): a reader that
+                # sees the delta rows must already see an err ceiling
+                # covering them, or the fused shortlist could certify
+                # completeness it doesn't have
+                merr = assigned.agg(F.max("pq_err")).collect()[0][0]
+                if merr is not None:
+                    batch_entry["max_err"] = float(merr)
             batch_entry["counts"] = {str(cid): n for cid, (_r, n) in stats.items()}
             batch_entry["radii"] = {
                 str(cid): r for cid, (r, _n) in stats.items() if r is not None
@@ -2120,6 +2228,16 @@ class IvfStore:
         m["compacted_through"] = _max_sentinel_batch(self.path)
         if tstats is not None:
             m["tenants"] = tstats
+        if m.get("pq"):
+            # restamp the err ceiling tight from the live rows (a
+            # tombstoned outlier no longer forces the fallback pass)
+            merr = (
+                spark.read.schema(live.schema)
+                .parquet(tmp)
+                .agg(F.max("pq_err"))
+                .collect()[0][0]
+            )
+            m["pq"]["max_err"] = float(merr) if merr is not None else None
         if m.get("filters"):
             # restamp filterable-attribute counts TIGHT from the live
             # rows (same discipline as radii/counts), at BOTH grains on
@@ -2463,38 +2581,104 @@ class IvfStore:
             .filter(F.col("pq_code").isNotNull())
             .withColumn("__adc", PQ.adc_score_col(F.col("pq_code"), table))
         )
+        # FUSED serving shape (the default): ONE TakeOrdered pass over
+        # the code-only scan collects the top-R rows by raw ADC with
+        # their error bands (R = rerank_factor*k — bounded, the
+        # control-plane grain of the probe ids), the driver derives the
+        # certified threshold L from the k best collected lower bounds,
+        # and when `min(collected adc) + max_err < L` proves no row
+        # OUTSIDE the shortlist can reach L (every uncollected row has
+        # adc <= the collected min and err <= the store's err ceiling),
+        # the survivor ids are PUSHED into the embedding fetch as an
+        # IN-predicate — no join, no second code pass, and the warm
+        # serve is a single id-pruned scan job.  The code pass rides
+        # the PREPARED plan (paid once at prepare, like the probe
+        # walk); only when the certificate cannot close over the
+        # shortlist does serving fall back to the threshold-filtered
+        # survivor scan + rescore join (always exact, never wrong —
+        # loose codebooks cost the fallback, not recall).
+        fused_ids: list | None = None
+        survivors = None
         if not certified:
             # fixed-budget ADC shortlist (approximate production mode):
-            # TakeOrderedAndProject over the code scan, no extra pass
-            survivors = (
+            # same single TakeOrdered pass; all R ids push into the fetch
+            rows = (
                 scored.orderBy(F.desc("__adc"), F.asc(id_col))
                 .limit(rerank_factor * k)
                 .select(id_col)
+                .collect()
             )
+            fused_ids = [r[0] for r in rows]
         else:
             scored = scored.withColumn(
                 "__lb", F.col("__adc") - F.col("pq_err")
             ).withColumn("__ub", F.col("__adc") + F.col("pq_err"))
-            # certified threshold L = min lower bound among the k best
-            # lower bounds (at least k probed rows have true cosine
-            # >= L) — a k-row TakeOrdered collect, the same control-
-            # plane grain as the probe ids, and like them it rides the
-            # PREPARED plan: the registry/bench serving paths pay the
-            # code pass once at prepare time, then each call is one
-            # survivors+rescore job.  When fewer than k rows are
-            # probed, L = their min lb and every row satisfies
-            # ub >= lb >= L: all rescored, still exact.
-            lbs = [
-                r[0]
-                for r in scored.orderBy(F.desc("__lb"), F.asc(id_col))
-                .limit(k)
-                .select("__lb")
+            R = max(rerank_factor * k, k)
+            rows = (
+                scored.orderBy(F.desc("__adc"), F.asc(id_col))
+                .limit(R)
+                .select(id_col, "__adc", "__lb", "__ub")
                 .collect()
-            ]
-            thresh = min(lbs) if lbs else -2.0
-            survivors = scored.filter(
-                F.col("__ub") >= thresh - PQ.RERANK_SLACK
-            ).select(id_col)
+            )
+            # certified threshold L = min lower bound among the k best
+            # collected lower bounds (at least k probed rows have true
+            # cosine >= L).  When fewer than k rows are probed, L =
+            # their min lb and every row satisfies ub >= lb >= L: all
+            # rescored, still exact.
+            lbs = sorted((float(r["__lb"]) for r in rows), reverse=True)
+            thresh = lbs[k - 1] if len(lbs) >= k else (lbs[-1] if lbs else -2.0)
+            err_max = self._pq_err_ceiling(m)
+            exhausted = len(rows) < R  # the collect saw every probed row
+            complete = exhausted or (
+                err_max is not None
+                and rows
+                and min(float(r["__adc"]) for r in rows) + err_max
+                < thresh - PQ.RERANK_SLACK
+            )
+            if complete:
+                fused_ids = [
+                    r[0]
+                    for r in rows
+                    if float(r["__ub"]) >= thresh - PQ.RERANK_SLACK
+                ]
+            else:
+                # the ceiling couldn't close over the shortlist: collect
+                # the survivor ids themselves, CAPPED (the regex-
+                # candidate discipline — REGEX_CANDIDATE_CAP ids is
+                # control-plane grain), and still push them into the
+                # embedding fetch.  This keeps the serve a single
+                # id-pruned scan even in the near-tie regime where the
+                # certificate honestly degrades toward rescore-all
+                # (there the IN covers most probed rows and the serve
+                # equals the plain probed rescore — which is the right
+                # plan when codes can't separate).  Only past the cap
+                # does the survivor set stay distributed and the serve
+                # pay the join.
+                sur = (
+                    scored.filter(F.col("__ub") >= thresh - PQ.RERANK_SLACK)
+                    .select(id_col)
+                    .limit(REGEX_CANDIDATE_CAP + 1)
+                    .collect()
+                )
+                if len(sur) <= REGEX_CANDIDATE_CAP:
+                    # when most probed rows survive (the near-tie regime
+                    # where codes cannot separate), the id predicate
+                    # buys almost no compute but costs per-action
+                    # optimizer time ∝ |ids| and per-row set probes —
+                    # the honest plan there is the plain probed rescore
+                    # (exact: a superset of the survivors), i.e. what
+                    # probe_topk serves.  One bounded count at prepare
+                    # decides.
+                    n_probed = scored.count()
+                    if len(sur) < PQ_PUSH_MAX_FRACTION * n_probed:
+                        fused_ids = [r[0] for r in sur]
+                    # else: neither fused_ids nor survivors — base
+                    # serves unfiltered below (rescore-all of the
+                    # probed partitions)
+                else:
+                    survivors = scored.filter(
+                        F.col("__ub") >= thresh - PQ.RERANK_SLACK
+                    ).select(id_col)
         from car_etl_spark.operators.similarity import (
             EXPR_PROJECTION_MAX_DIM,
             _cosine_pairs_pandas,
@@ -2505,13 +2689,38 @@ class IvfStore:
             sim = F.round(V.cosine_similarity(F.col(vec_col), qlit), 6)
         else:
             sim = F.round(_cosine_pairs_pandas(F.col(vec_col), qlit), 6)
+        base = scoped([id_col, vec_col, *extra_cols])
+        if fused_ids is not None:
+            base = base.filter(F.col(id_col).isin(fused_ids))
+        elif survivors is not None:
+            base = base.join(survivors, id_col)
+        # else: rescore-all of the probed partitions (survivor fraction
+        # past PQ_PUSH_MAX_FRACTION — the plain probed scan is the plan)
         return (
-            scoped([id_col, vec_col, *extra_cols])
-            .join(survivors, id_col)
-            .select(id_col, *extra_cols, sim.alias("cosine_sim"))
+            base.select(id_col, *extra_cols, sim.alias("cosine_sim"))
             .orderBy(F.desc("cosine_sim"), F.asc(id_col))
             .limit(k)
         )
+
+    def _pq_err_ceiling(self, m: dict) -> float | None:
+        """Upper bound on pq_err over every LIVE encodable row, from
+        meta only — base ceiling plus each batch's.  None (-> the
+        serving fallback) when any row-bearing layer lacks one: the
+        unknown direction must force the fallback, never certify."""
+        pq = m.get("pq") or {}
+        base = pq.get("max_err")
+        vals: list[float] = []
+        if base is not None:
+            vals.append(float(base))
+        elif any(int(c) > 0 for c in m.get("counts") or []):
+            return None  # pre-ceiling layout with base rows
+        for bentry in (m.get("batches") or {}).values():
+            me = bentry.get("max_err")
+            if me is not None:
+                vals.append(float(me))
+            elif bentry.get("counts"):
+                return None  # upsert-bearing batch without a ceiling
+        return max(vals) if vals else None
 
 
 #: centroid-count derivation bounds: floor keeps the probe certificate
@@ -2585,11 +2794,12 @@ def ensure_ivf_index(
         num_centroids = derive_num_centroids(parquet_rowcount(sf_dir, "embeddings"))
     # pq codes ride as EXTRA COLUMNS of the one shared store (column
     # pruning keeps them free for non-pq reads), so every serving mode
-    # — probe, filtered, pq — amortizes a single build.  The ".2" is
-    # the pq codec version (v2 = packed-binary codes): bumping it
-    # re-addresses pq stores without invalidating every IVF layout.
+    # — probe, filtered, pq — amortizes a single build.  The ".3" is
+    # the pq codec version (v2 = packed-binary codes; v3 = max_err
+    # ceiling in pq meta): bumping it re-addresses pq stores without
+    # invalidating every IVF layout.
     params = (
-        f"c{num_centroids}|r{refine_iterations}|f{','.join(filter_cols)}|p{pq_m}.2"
+        f"c{num_centroids}|r{refine_iterations}|f{','.join(filter_cols)}|p{pq_m}.3"
     )
     digest = _source_digest("ivf", IVF_VERSION, source, params)
     path = os.path.join(index_root(), f"ivf-{digest}")

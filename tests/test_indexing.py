@@ -1283,3 +1283,157 @@ def test_substring_search_nonascii_pattern_uses_jvm_lowercase(spark, tmp_path):
             if n:
                 want[doc_id] = n
         assert got == want, pat
+
+
+def test_pq_fused_fast_path_and_fallback_agree(spark, tmp_path):
+    """The r8 fused serving shape: when the err ceiling certifies that
+    no row outside the collected shortlist can reach L, the survivor
+    ids are PUSHED into the embedding fetch (no join, no second code
+    pass) — and when the ceiling is unknown (pre-ceiling layout), the
+    fallback survivor-scan join serves the identical exact answer."""
+    import json as _json
+
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "pqfuse"))
+    store.build(emb, num_centroids=4, refine_iterations=2, pq_m=4)
+    qvec = list(emb.filter(F.col("vec_id") == 45).select("embedding").first()[0])
+
+    # ceiling present -> the fast path engages: id-pushed scan, no code
+    # scan in the served plan
+    df = store.pq_topk(spark, qvec, k=10)
+    got = [tuple(r) for r in df.collect()]
+    assert got == _brute_all(emb, qvec, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert all("pq_code" not in ln for ln in scans), plan
+    assert any(
+        "PushedFilters" in ln and "vec_id" in ln.split("PushedFilters")[1].split("]")[0]
+        for ln in scans
+    ), plan
+
+    # strip the ceiling (pre-r8 layout) -> the CAPPED survivor collect
+    # still serves an id-pushed scan (no join), same exact answer
+    with open(store.meta_path) as f:
+        mraw = _json.load(f)
+    assert store._pq_err_ceiling(mraw) is not None
+    mraw["pq"].pop("max_err")
+    store._write_meta(mraw)
+    assert store._pq_err_ceiling(store.meta()) is None
+    df2 = store.pq_topk(spark, qvec, k=10)
+    got2 = [tuple(r) for r in df2.collect()]
+    assert got2 == got
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    scans2 = [ln for ln in plan2.splitlines() if "FileScan" in ln]
+    assert all("pq_code" not in ln for ln in scans2), plan2
+    assert any(
+        "PushedFilters" in ln and "vec_id" in ln.split("PushedFilters")[1].split("]")[0]
+        for ln in scans2
+    ), plan2
+
+    # survivor set past the cap -> the distributed join fallback, same
+    # exact answer (the only shape left when ids exceed control-plane)
+    import unittest.mock as mock
+
+    with mock.patch.object(IX, "REGEX_CANDIDATE_CAP", 2):
+        df3 = store.pq_topk(spark, qvec, k=10)
+        got3 = [tuple(r) for r in df3.collect()]
+        assert got3 == got
+        plan3 = df3._jdf.queryExecution().executedPlan().toString()
+        assert any(
+            "FileScan" in ln and "pq_code" in ln for ln in plan3.splitlines()
+        ), "expected the survivor-scan join past the id cap"
+
+    # an upsert-bearing batch without its own ceiling also forces the
+    # fallback (unknown err direction must never certify)
+    mraw = store.meta()
+    mraw["pq"]["max_err"] = 0.25
+    mraw.setdefault("batches", {})["9"] = {"counts": {"0": 1}, "radii": {}, "tombs": 0}
+    store._write_meta(mraw)
+    assert store._pq_err_ceiling(store.meta()) is None
+    mraw["batches"]["9"]["max_err"] = 0.5
+    store._write_meta(mraw)
+    assert store._pq_err_ceiling(store.meta()) == 0.5
+
+
+def test_positionsless_trigram_store_serves_same_answers(spark, tmp_path):
+    """The positions-less pg_trgm layout (positions=False): substring
+    serving via candidate intersection + bounded text recheck equals
+    the positional store's in-index verification on every pattern;
+    phrase search refuses; regex serving works through the recheck;
+    and the layout is strictly smaller on disk."""
+    docs = _sub_docs(spark, SUB_DOCS)
+    full = IX.PostingStore(str(tmp_path / "tripos"), analyzer="trigram")
+    full.build(docs)
+    lean = IX.PostingStore(
+        str(tmp_path / "trilean"), analyzer="trigram", positions=False
+    )
+    lean.build(docs)
+    assert "positions" not in [f.name for f in lean._stored_schema().fields]
+    # reopened handle restores the knob from meta
+    assert IX.PostingStore(str(tmp_path / "trilean")).positions is False
+
+    for pat in ("quick brown", "aba", "ABABA", "lazy dog", "zzz"):
+        a = [tuple(r) for r in full.substring_search(spark, pat).collect()]
+        b = [
+            tuple(r)
+            for r in lean.substring_search(spark, pat, docs=docs).collect()
+        ]
+        assert a == b, pat
+    # overlapping occurrences counted identically ('aba' x4 in doc 3)
+    got = {r.doc_id: r.n_matches for r in lean.substring_search(spark, "aba", docs=docs).collect()}
+    assert got[3] == 4
+    # the recheck path REQUIRES the corpus frame
+    with pytest.raises(ValueError, match="pass docs="):
+        lean.substring_search(spark, "quick brown")
+    # phrase adjacency needs offsets
+    with pytest.raises(ValueError, match="positions=False"):
+        lean.phrase_search(spark, ["qui", "uic"])
+    # regex prefilter runs through the recheck candidates
+    import re as _re
+
+    for pat in ("qu[a-z]+k brown", "ab+a"):
+        got = [
+            (r.doc_id, r.lang, r.n_matches)
+            for r in lean.regex_search(spark, pat, docs).collect()
+        ]
+        want = []
+        for doc_id, lang, text in sorted(SUB_DOCS):
+            n = len(_re.findall(pat, text.lower().lstrip()))
+            if n:
+                want.append((doc_id, lang, n))
+        assert got == want, pat
+    # the storage claim: dropping offsets shrinks the layout
+    assert IX._tree_bytes(str(tmp_path / "trilean")) < IX._tree_bytes(
+        str(tmp_path / "tripos")
+    )
+
+
+def test_positionsless_trigram_maintenance(spark, tmp_path):
+    """LSM maintenance on the positions-less layout: upserts and
+    tombstones serve correctly through the recheck, compact preserves."""
+    lean = IX.PostingStore(
+        str(tmp_path / "trilm"), analyzer="trigram", positions=False
+    )
+    lean.build(_sub_docs(spark, SUB_DOCS[:3]))
+    docs_v2 = [
+        (1, "en", "the quick brown fox jumps over the lazy dog"),
+        (3, "en", "rewritten entirely no repetition"),
+        (7, "en", "fresh quick brown arrival"),
+    ]
+    ups = _sub_docs(spark, [docs_v2[1], docs_v2[2]])
+    lean.apply_batch(spark, ups, [2], batch=1)
+    live_docs = _sub_docs(spark, docs_v2)
+    got = [
+        tuple(r)
+        for r in lean.substring_search(spark, "quick brown", docs=live_docs).collect()
+    ]
+    assert got == _brute_substr(docs_v2, "quick brown")
+    assert (
+        lean.substring_search(spark, "aba", docs=live_docs).collect() == []
+    )
+    lean.compact(spark)
+    got2 = [
+        tuple(r)
+        for r in lean.substring_search(spark, "quick brown", docs=live_docs).collect()
+    ]
+    assert got2 == got

@@ -162,11 +162,27 @@ def test_pq_shortlist_scan_never_reads_the_embedding_column(spark, registry):
     column ~12-117x cheaper than the vector column, and a refactor
     that silently widens the scan re-reads the corpus."""
     plan = _plan(spark, registry, "vector_pq_topk")
-    code_scans = [
-        ln for ln in plan.splitlines() if "FileScan" in ln and "pq_code" in ln
+    # no scan may read BOTH the code and the embedding column — fusing
+    # them would re-read the corpus bytes the PQ layout exists to skip
+    for ln in plan.splitlines():
+        if "FileScan" in ln and "pq_code" in ln:
+            assert "embedding" not in ln, ln
+    emb_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "embedding" in ln
     ]
-    assert code_scans, "no code-column scan found in the pq plan"
-    for ln in code_scans:
-        assert "embedding" not in ln, ln
+    assert emb_scans, "no embedding rescore scan found in the pq plan"
+    # r8 fused shape: the code pass rides the PREPARED plan (paid once,
+    # code-only by construction), so the SERVED job is a single
+    # embedding scan — either id-pushed (In(vec_id) from the collected
+    # survivors) or, in the near-tie regime where the certificate
+    # honestly covers ~every probed row, the plain probed rescore.
+    # Either way the serve carries NO code scan and NO survivor join;
+    # those only return past the 10k-id cap (not reachable at this sf).
+    assert not any(
+        "FileScan" in ln and "pq_code" in ln for ln in plan.splitlines()
+    ), "pq serve re-paid the code pass (join fallback) on the test corpus"
+    assert "Join" not in plan, plan
     # the certified probe set still prunes the store partitions
     assert "PartitionFilters: [centroid_id" in plan or "centroid_id IN" in plan
