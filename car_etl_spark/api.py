@@ -217,6 +217,54 @@ def tenant_regex_search(
     return trigram_store.regex_search(spark, pattern, docs, tenant=tenant)
 
 
+def tenant_rollup(
+    spark,
+    rollup_store,
+    tenant: str,
+    grain: str = "day",
+    start_date=None,
+    end_date=None,
+) -> DataFrame:
+    """Tenant-scoped continuous-aggregate read — the dashboard route
+    over the LSM rollup store: (bucket_start, groups..., n, value_sum,
+    value_avg, value_min, value_max) at the requested grain, served
+    from persisted minute partials (never raw events), pruned to the
+    tenant's ``tenant=<t>/event_date=<d>/`` directories FIRST.  Refuses
+    unscoped use on a tenant store, like every facade here."""
+    if tenant is None:
+        raise ValueError("tenant_rollup requires tenant=")
+    return rollup_store.read(
+        spark, grain, start_date=start_date, end_date=end_date, tenant=tenant
+    )
+
+
+def rollup_with_distinct(
+    spark,
+    rollup_store,
+    sketch,
+    grain: str = "hour",
+    bucket_col: str = "bucket_hour",
+    tenant=None,
+) -> DataFrame:
+    """The 'active users per hour' dashboard composition: ADDITIVE
+    metrics from the rollup store joined with DISTINCT-count estimates
+    from an :class:`~car_etl_spark.streaming.incremental_sketches.
+    IncrementalDistinctSketch` keyed on the SAME time bucket — both
+    stores LSM-maintained, neither ever rescanning event history.  The
+    sketch side is (buckets x groups) grain — control-plane sized — so
+    it broadcasts; the rollup side arrives pre-aggregated at the same
+    grain.  KMV is exact below k, the estimate elsewhere."""
+    metrics = rollup_store.read(spark, grain, tenant=tenant).select(
+        F.col("bucket_start").alias(bucket_col),
+        *rollup_store.group_cols,
+        "n",
+        "value_sum",
+    )
+    users = sketch.estimates()
+    keys = [bucket_col, *[c for c in rollup_store.group_cols if c in users.columns]]
+    return metrics.join(F.broadcast(users), keys)
+
+
 def tenant_vector_search(
     spark,
     ivf_store,

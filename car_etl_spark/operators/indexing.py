@@ -351,6 +351,19 @@ REGEX_CANDIDATE_CAP = 10_000
 #: superset of the survivors) is the honest plan
 PQ_PUSH_MAX_FRACTION = 0.5
 
+#: pq codebook drift: when the delta batches' count-weighted mean
+#: reconstruction error exceeds this factor x the base codebooks' mean,
+#: should_retrain() trips and the next compact retrains (drift is never
+#: a correctness risk — the error band absorbs it as rescore volume —
+#: this bounds the latency decay instead of letting it grow silently)
+PQ_RETRAIN_FACTOR = 1.5
+
+#: absolute drift floor (unit-sphere reconstruction-error units, max
+#: 2.0): batch mean err below this never trips retraining even against
+#: a zero baseline — memorized-corpus codebooks would otherwise flap on
+#: noise, and errs this small cost negligible rescore volume anyway
+PQ_RETRAIN_ERR_FLOOR = 0.05
+
 
 def regex_required_literals(pattern: str, min_len: int = 3) -> list[str]:
     """Literal substrings EVERY match of ``pattern`` must contain —
@@ -420,6 +433,26 @@ def regex_required_literals(pattern: str, min_len: int = 3) -> list[str]:
         i += 1
     flush()
     return [r for r in out if len(r) >= min_len]
+
+
+def _pq_err_stats(df: DataFrame) -> dict:
+    """(max_err, err_mean, err_p95, n_enc) of a frame's ``pq_err``
+    column — one aggregate over encoded rows, the codebook-quality
+    telemetry every pq layer (base, batch, compact) stamps into meta."""
+    row = df.filter(F.col("pq_err").isNotNull()).agg(
+        F.max("pq_err").alias("mx"),
+        F.avg("pq_err").alias("mean"),
+        F.expr("percentile(pq_err, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if row["n"] == 0 or row["mx"] is None:
+        return {"max_err": None, "err_mean": None, "err_p95": None, "n_enc": 0}
+    return {
+        "max_err": float(row["mx"]),
+        "err_mean": float(row["mean"]),
+        "err_p95": float(row["p95"]),
+        "n_enc": int(row["n"]),
+    }
 
 
 def _jvm_lower(spark: SparkSession, s: str) -> str:
@@ -1699,14 +1732,16 @@ class IvfStore:
                 "dim": dim,
                 "codebooks": books.tolist(),
             }
-            # store-wide max reconstruction error: the fused serving
-            # pass uses adc_min + max_err to certify that no row OUTSIDE
-            # its collected shortlist can reach the threshold (one
-            # TakeOrdered job instead of a threshold pass + survivor
-            # rescan).  Overestimate-safe: too big only forces the
-            # fallback pass, never a missed survivor.
-            merr = assigned.agg(F.max("pq_err")).collect()[0][0]
-            pq_meta["max_err"] = float(merr) if merr is not None else None
+            # store-wide err statistics: max is the fused-serving
+            # ceiling (adc_min + max_err certifies that no row OUTSIDE
+            # the collected shortlist can reach the threshold —
+            # overestimate-safe: too big only forces the fallback pass,
+            # never a missed survivor); mean/p95 are the DRIFT BASELINE
+            # for should_retrain() — delta batches encode against the
+            # frozen codebooks, the certificate absorbs the drift as
+            # rescore volume, and these numbers are what make that
+            # decay measurable instead of silent.
+            pq_meta.update(_pq_err_stats(assigned))
         pcols = ([self.tenant_col] if self.tenant_col else []) + ["centroid_id"]
         tmp = self.assign_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1743,6 +1778,9 @@ class IvfStore:
             "counts": [stats[c[0]][1] if c[0] in stats else 0 for c in cents],
             "batches": {},
             "tenant_col": self.tenant_col,
+            # recorded so compact's retrain sample can order by the id
+            # hash exactly like build's seed/training sample did
+            "id_col": id_col,
         }
         if tstats is not None:
             meta["tenants"] = tstats
@@ -2016,14 +2054,14 @@ class IvfStore:
             assigned = assigned.localCheckpoint(eager=True)
             stats = self._cluster_stats(assigned, cents, vec_col)
             if m.get("pq"):
-                # batch max reconstruction error rides the PESSIMISTIC
-                # meta write (it stays in the early copy): a reader that
-                # sees the delta rows must already see an err ceiling
-                # covering them, or the fused shortlist could certify
-                # completeness it doesn't have
-                merr = assigned.agg(F.max("pq_err")).collect()[0][0]
-                if merr is not None:
-                    batch_entry["max_err"] = float(merr)
+                # batch err stats ride the PESSIMISTIC meta write (they
+                # stay in the early copy): a reader that sees the delta
+                # rows must already see an err ceiling covering them, or
+                # the fused shortlist could certify completeness it
+                # doesn't have.  mean/p95/n_enc feed should_retrain().
+                est = _pq_err_stats(assigned)
+                if est["max_err"] is not None:
+                    batch_entry.update(est)
             batch_entry["counts"] = {str(cid): n for cid, (_r, n) in stats.items()}
             batch_entry["radii"] = {
                 str(cid): r for cid, (r, _n) in stats.items() if r is not None
@@ -2194,15 +2232,80 @@ class IvfStore:
         pending = _tree_bytes(self.delta_dir) + _tree_bytes(self.tomb_dir)
         return pending > threshold * base
 
-    def compact(self, spark: SparkSession, vec_col: str = "embedding") -> None:
+    def should_retrain(self, factor: float = PQ_RETRAIN_FACTOR) -> bool:
+        """True when the delta batches' count-weighted mean pq
+        reconstruction error has drifted past ``factor`` x the base
+        codebooks' mean — the signal that the frozen codebooks no
+        longer fit the corpus.  Drift never costs correctness (the
+        per-row error band absorbs it as rescore volume); this bounds
+        the DECAY: when it trips, the next compact retrains the
+        codebooks (it rewrites every row anyway).  Pre-stats layers
+        contribute nothing (unknown -> no signal), mirroring
+        :meth:`should_compact`'s advisory role."""
+        m = self.meta()
+        base = (m.get("pq") or {}).get("err_mean")
+        if base is None:
+            return False  # pre-stats layout: no baseline, no signal
+        tot = 0.0
+        tot_n = 0
+        for bentry in (m.get("batches") or {}).values():
+            me, n = bentry.get("err_mean"), int(bentry.get("n_enc") or 0)
+            if me is not None and n:
+                tot += float(me) * n
+                tot_n += n
+        # absolute floor keeps a (near-)perfect-fit baseline from making
+        # the ratio trip on noise — and from disabling the signal when
+        # base is exactly 0 (codebooks that memorized a tiny corpus)
+        return bool(tot_n) and (tot / tot_n) > max(
+            factor * float(base), PQ_RETRAIN_ERR_FLOOR
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        vec_col: str = "embedding",
+        retrain: bool | None = None,
+    ) -> None:
         """Fold delta/tombstones into a fresh base (batch reset to 0,
         pending-tombstone debt cleared, radii recomputed TIGHT from the
-        live rows — maintenance only ever widens them)."""
+        live rows — maintenance only ever widens them).
+
+        ``retrain=None`` consults :meth:`should_retrain`: when the
+        batch err drift tripped, the pq codebooks are RETRAINED on the
+        live corpus (the same deterministic id-hash-ordered sample as
+        build) and every row re-encoded — free rewrite-wise, compact
+        rewrites every row regardless.  Err stats restamp tight either
+        way."""
         live = self.read_assignments(spark).withColumn(
             "batch", F.lit(0).cast("long")
         )
-        live = live.localCheckpoint(eager=True)
         m = self.meta()
+        if m.get("pq") and (retrain if retrain is not None else self.should_retrain()):
+            import numpy as np
+
+            from car_etl_spark.operators import pq as PQ
+
+            dim = int(m["pq"]["dim"])
+            idc = m.get("id_col", "vec_id")
+            sample = (
+                live.filter(F.col(vec_col).isNotNull())
+                .select(idc, vec_col)
+                .orderBy(
+                    F.xxhash64(F.col(idc).cast("string")).asc(), F.col(idc).asc()
+                )
+                .limit(PQ.train_sample_size(dim))
+                .collect()
+            )
+            if sample:
+                books = PQ.train_codebooks(
+                    np.asarray([[float(x) for x in r[1]] for r in sample]),
+                    int(m["pq"]["m"]),
+                )
+                live = PQ.encode_with_err(
+                    live.drop("pq_code", "pq_err"), vec_col, books
+                )
+                m["pq"]["codebooks"] = books.tolist()
+        live = live.localCheckpoint(eager=True)
         cents = sorted(zip(m["centroid_ids"], m["centroids"]))
         pcols = ([self.tenant_col] if self.tenant_col else []) + ["centroid_id"]
         tmp = self.assign_dir + ".tmp"
@@ -2229,15 +2332,12 @@ class IvfStore:
         if tstats is not None:
             m["tenants"] = tstats
         if m.get("pq"):
-            # restamp the err ceiling tight from the live rows (a
-            # tombstoned outlier no longer forces the fallback pass)
-            merr = (
-                spark.read.schema(live.schema)
-                .parquet(tmp)
-                .agg(F.max("pq_err"))
-                .collect()[0][0]
+            # restamp the err statistics tight from the live rows (a
+            # tombstoned outlier no longer forces the fallback pass;
+            # after a retrain these become the NEW drift baseline)
+            m["pq"].update(
+                _pq_err_stats(spark.read.schema(live.schema).parquet(tmp))
             )
-            m["pq"]["max_err"] = float(merr) if merr is not None else None
         if m.get("filters"):
             # restamp filterable-attribute counts TIGHT from the live
             # rows (same discipline as radii/counts), at BOTH grains on

@@ -190,6 +190,24 @@ class RollupStore:
     def _sentinel(self, batch: int) -> str:
         return os.path.join(self.path, f"_batch_{batch}_applied")
 
+    def _pending(self, batch: int) -> str:
+        return os.path.join(self.path, f"_batch_{batch}_pending")
+
+    @property
+    def _dirty_path(self) -> str:
+        return os.path.join(self.path, "_replay_dirty")
+
+    def _needs_dup_drop(self) -> bool:
+        """True only when a crash-replay may have duplicated delta rows
+        — the CLEAN-LEDGER fast path: every apply writes a pending
+        marker before its delta append and clears it after the applied
+        sentinel, so a replay that finds a stranded pending marker (the
+        only way duplicates can enter) stamps the store dirty.  A clean
+        ledger serves without the duplicate-drop aggregation (one merge
+        pass instead of two); compact folds everything into a fresh
+        base and clears the flag."""
+        return os.path.exists(self._dirty_path)
+
     def _max_sentinel(self) -> int:
         """Highest applied batch id — the compaction epoch (pure
         filesystem, no Spark job)."""
@@ -222,6 +240,11 @@ class RollupStore:
         for f in os.listdir(self.path):
             if f.startswith("_batch_"):
                 os.remove(os.path.join(self.path, f))
+        # a fresh base has no replay duplicates by construction
+        try:
+            os.remove(self._dirty_path)
+        except OSError:
+            pass
 
     def _has_parquet(self, d: str) -> bool:
         return os.path.isdir(d) and any(
@@ -259,6 +282,14 @@ class RollupStore:
             # content already folded into base (compact cleared its
             # sentinel) — refuse like the sentinel does
             return False
+        if os.path.exists(self._pending(batch)):
+            # a previous attempt crashed mid-append: this replay may
+            # duplicate rows the crash already landed — flag the store
+            # so reads pay the duplicate-drop until the next compact
+            with open(self._dirty_path, "w") as f:
+                f.write("replayed after crashed append")
+        with open(self._pending(batch), "w") as f:
+            f.write("pending")
         (
             self._minute_partials(events)
             .withColumn("batch", F.lit(batch).cast("long"))
@@ -269,6 +300,7 @@ class RollupStore:
         )
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
+        os.remove(self._pending(batch))
         return True
 
     # -- serving -------------------------------------------------------------
@@ -303,9 +335,13 @@ class RollupStore:
             df = df.filter(F.col("event_date") >= F.lit(start_date))
         if end_date is not None:
             df = df.filter(F.col("event_date") <= F.lit(end_date))
-        return df.dropDuplicates(
-            ["minute_start", *self.group_cols, "batch"]
-        )
+        if self._needs_dup_drop():
+            # only a crash-replayed append can duplicate rows
+            # (deterministic per-(group, batch) aggregates make the
+            # exact-duplicate drop sufficient); a clean ledger skips
+            # the extra aggregation entirely
+            df = df.dropDuplicates(["minute_start", *self.group_cols, "batch"])
+        return df
 
     def read(
         self,

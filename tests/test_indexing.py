@@ -1437,3 +1437,71 @@ def test_positionsless_trigram_maintenance(spark, tmp_path):
         for r in lean.substring_search(spark, "quick brown", docs=live_docs).collect()
     ]
     assert got2 == got
+
+
+def test_pq_drift_signal_and_retrain_at_compact(spark, tmp_path):
+    """Codebook drift policy: delta batches encoding a DRIFTED corpus
+    against the frozen codebooks raise the count-weighted batch err
+    mean past the baseline -> should_retrain() trips -> compact
+    retrains the codebooks (it rewrites every row anyway), the err
+    stats restamp as the new baseline, and the measured rescore
+    fraction recovers.  Correctness holds throughout (the error band
+    absorbs drift as rescore volume, never wrong answers)."""
+    import math
+    import random
+
+    def corpus(ids, centers, dim=8, sigma=0.02, seed=3):
+        rng = random.Random(seed)
+        rows = []
+        for i, vid in enumerate(ids):
+            center = centers[i % len(centers)]
+            vec = [x + rng.gauss(0.0, sigma) for x in center]
+            nrm = math.sqrt(sum(v * v for v in vec))
+            rows.append((vid, i % len(centers), [v / nrm for v in vec]))
+        return spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+
+    axes = [[1.0 if j == 2 * c else 0.0 for j in range(8)] for c in range(2)]
+    base = corpus(range(160), axes)
+    store = IX.IvfStore(str(tmp_path / "drift"))
+    store.build(base, num_centroids=2, refine_iterations=2, pq_m=4)
+    m0 = store.meta()
+    assert m0["pq"]["err_mean"] is not None and m0["pq"]["n_enc"] == 160
+    assert store.should_retrain() is False  # no batches yet
+
+    # drifted upserts: a rotated far-off direction the codebooks never
+    # saw — batch err mean spikes
+    drifted_axes = [
+        [0.7071 if j in (1, 3) else 0.0 for j in range(8)],
+        [0.7071 if j in (5, 7) else 0.0 for j in range(8)],
+    ]
+    ups = corpus(range(1000, 1160), drifted_axes, seed=9)
+    store.apply_batch(spark, ups, None, batch=1, keep=("label",))
+    m1 = store.meta()
+    b1 = m1["batches"]["1"]
+    assert b1["err_mean"] > IX.PQ_RETRAIN_FACTOR * m1["pq"]["err_mean"]
+    assert store.should_retrain() is True
+
+    qvec = drifted_axes[0]
+    want = _brute_all(store.read_assignments(spark), qvec, k=10)
+    got_pre = [tuple(r) for r in store.pq_topk(spark, qvec, k=10).collect()]
+    assert got_pre == want  # exact even under heavy drift
+    frac_pre = _pq_survivor_fraction(spark, store, qvec, k=10)
+
+    store.compact(spark)  # retrain=None -> consults the signal
+    m2 = store.meta()
+    assert m2["pq"]["codebooks"] != m0["pq"]["codebooks"], "retrain did not run"
+    assert store.should_retrain() is False  # fresh baseline, no batches
+    assert m2["pq"]["err_mean"] < b1["err_mean"]
+    got_post = [tuple(r) for r in store.pq_topk(spark, qvec, k=10).collect()]
+    assert got_post == want
+    frac_post = _pq_survivor_fraction(spark, store, qvec, k=10)
+    assert frac_post < frac_pre, (frac_pre, frac_post)
+
+    # retrain=False pins the frozen-codebook compact (old behavior)
+    store2 = IX.IvfStore(str(tmp_path / "drift2"))
+    store2.build(base, num_centroids=2, refine_iterations=2, pq_m=4)
+    store2.apply_batch(spark, ups, None, batch=1, keep=("label",))
+    store2.compact(spark, retrain=False)
+    assert store2.meta()["pq"]["codebooks"] == m0["pq"]["codebooks"]

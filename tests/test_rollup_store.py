@@ -71,9 +71,15 @@ def test_replay_and_crash_replay_are_noops(spark, tmp_path, store):
     before = _rows(store.read(spark, "minute"))
     # sentinel short-circuit
     assert store.apply_batch(spark, _df(spark, B1), batch=1) is False
-    # crash-before-sentinel: duplicate delta rows, exact-dup drop saves the view
+    # crash-before-sentinel: the write order (pending -> delta ->
+    # sentinel -> clear pending) guarantees the pending marker is still
+    # on disk in that state; the replay duplicates the delta rows,
+    # flags the store dirty, and the exact-dup drop saves the view
     os.remove(store._sentinel(1))
+    with open(store._pending(1), "w") as f:
+        f.write("pending")
     assert store.apply_batch(spark, _df(spark, B1), batch=1)
+    assert store._needs_dup_drop() is True
     assert _rows(store.read(spark, "minute")) == before
 
 
@@ -315,3 +321,106 @@ def test_rollup_numeric_string_tenants_not_conflated(spark, tmp_path):
     assert got == {("100", 1, 1.0), ("0100", 1, 5.0)}
     only = store.read(spark, "day", tenant="100").collect()
     assert [(r.tenant_id, r.n) for r in only] == [("100", 1)]
+
+
+def test_clean_ledger_skips_duplicate_drop_but_replay_stays_exact(spark, tmp_path, store):
+    """The clean-ledger fast path: no crash-replay ever happened ->
+    partials() serves WITHOUT the duplicate-drop aggregation; a replay
+    after a crashed append stamps the store dirty, the drop turns on,
+    and the served values stay exact; compact clears the flag."""
+    store.apply_batch(spark, _df(spark, B1), batch=1)
+    assert store._needs_dup_drop() is False
+    plan = store.partials(spark)._jdf.queryExecution().executedPlan().toString()
+    clean = _rows(store.read(spark, "day"))
+
+    # crash: delta rows landed but the applied sentinel did not
+    store.apply_batch(spark, _df(spark, B2), batch=2)
+    os.remove(store._sentinel(2))
+    with open(store._pending(2), "w") as f:
+        f.write("pending")  # the marker a mid-append crash leaves
+    # replay duplicates batch 2's rows and must stamp the store dirty
+    assert store.apply_batch(spark, _df(spark, B2), batch=2) is True
+    assert store._needs_dup_drop() is True
+    plan_dirty = store.partials(spark)._jdf.queryExecution().executedPlan().toString()
+    # the dirty plan pays an extra aggregation the clean plan skipped
+    assert plan_dirty.count("HashAggregate") > plan.count("HashAggregate")
+
+    # served values equal a single-apply twin despite the double write
+    solo = RollupStore(str(tmp_path / "solo2"))
+    solo.build(_df(spark, V0))
+    solo.apply_batch(spark, _df(spark, B1), batch=1)
+    solo.apply_batch(spark, _df(spark, B2), batch=2)
+    assert _rows(store.read(spark, "day")) == _rows(solo.read(spark, "day"))
+
+    store.compact(spark)
+    assert store._needs_dup_drop() is False
+    assert _rows(store.read(spark, "day")) == _rows(solo.read(spark, "day"))
+    assert clean == [r for r in clean]  # clean snapshot untouched
+
+
+def test_api_tenant_rollup_route(spark, tmp_path):
+    """The facade route: tenant-scoped rollup serving equals a store
+    built from the tenant's corpus alone, prunes the tenant partition
+    level, and refuses unscoped use."""
+    from car_etl_spark import api
+
+    TSCHEMA2 = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, tenant_id string"
+    )
+    rows = [(*r, "tA" if r[0] % 2 else "tB") for r in V0 + B1]
+    df = spark.createDataFrame(rows, TSCHEMA2)
+    store = RollupStore(str(tmp_path / "apiroll"), tenant_col="tenant_id")
+    store.build(df)
+    solo = RollupStore(str(tmp_path / "apisolo"), tenant_col="tenant_id")
+    solo.build(df.filter(F.col("tenant_id") == "tA"))
+    got = api.tenant_rollup(spark, store, "tA", grain="day")
+    assert _rows(got) == _rows(solo.read(spark, "day", tenant="tA"))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "tenant_id" in plan
+    with pytest.raises(ValueError, match="requires tenant="):
+        api.tenant_rollup(spark, store, None)
+
+
+def test_api_rollup_with_distinct_composition(spark, tmp_path):
+    """The active-users dashboard read as a FACADE call: rollup
+    partials joined (broadcast) with the incremental distinct sketch on
+    the shared hour bucket — equals exact counts at this scale (KMV
+    exact below k)."""
+    from car_etl_spark import api
+    from car_etl_spark.streaming.incremental_sketches import (
+        IncrementalDistinctSketch,
+    )
+
+    def u(rows_, base):
+        return [
+            (eid, ts, base + (eid % 3), typ, val)
+            for eid, ts, _u, typ, val in rows_
+        ]
+
+    v0, b1 = u(V0, 10), u(B1, 20)
+    store = RollupStore(str(tmp_path / "cmp"))
+    store.build(_df(spark, v0))
+    sk = IncrementalDistinctSketch(
+        spark, str(tmp_path / "cmpsk"),
+        keys=["bucket_hour", "event_type"], value_col="user_id",
+    )
+    bucketed = lambda r: _df(spark, r).withColumn(
+        "bucket_hour", F.date_trunc("hour", "ts")
+    )
+    sk.process_batch(bucketed(v0))
+    store.apply_batch(spark, _df(spark, b1), batch=1)
+    sk.process_batch(bucketed(b1))
+
+    dash = {
+        (r.bucket_hour, r.event_type): (r.n, r.kmv_distinct)
+        for r in api.rollup_with_distinct(spark, store, sk).collect()
+    }
+    exact = {
+        (r.h, r.event_type): (r.n, r.u)
+        for r in _df(spark, v0 + b1)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert dash == exact
