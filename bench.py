@@ -81,6 +81,7 @@ HEADLINE = (
     "vector_ivf_topk",
     # metadata-filtered IVF serving (r7: certified walk over matching counts)
     "vector_filtered_topk",
+    "vector_tenant_filtered_topk",
     # product-quantized serving (r7: certified ADC over the code column)
     "vector_pq_topk",
     "hybrid_rrf_search",

@@ -177,16 +177,37 @@ def portable_banded_signatures(
 
 
 def portable_band_pairs(
-    sigs: DataFrame, id_col: str, bands: int, num_hashes: int
+    sigs: DataFrame, id_col: str, bands: int, num_hashes: int,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) from string band keys — the
     band-key expression itself lives ONLY in
     :func:`portable_banded_signatures` (wide sigs are arrayed and routed
-    through it), so batch and incremental banding cannot drift."""
+    through it), so batch and incremental banding cannot drift.
+
+    ``bucket_cap`` is the HOT-BUCKET guard: a band bucket holding more
+    than this many members is NON-DISCRIMINATIVE — the corpus's
+    background similarity sits at or above the banding knee there (on
+    template-keyed corpora whole signature-collision classes form), and
+    generating its members^2/2 pairs is the all-pairs degeneration the
+    knee was sized to prevent, not recall.  Buckets past the cap are
+    excluded from pair generation (the stop-gram/maxDocFreq policy
+    Lucene and pg_trgm apply to the same failure); the SQL twin
+    (:func:`minhash_cand_ctes`) implements the identical cap, so capped
+    queries stay value-identical across engines.  ``None`` (default)
+    keeps every bucket."""
     arr = sigs.select(
         id_col, F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig")
     )
     banded = portable_banded_signatures(arr, id_col, bands, num_hashes)
+    if bucket_cap is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= bucket_cap)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -268,17 +289,30 @@ toks AS MATERIALIZED (
 
 
 def minhash_cand_ctes(
-    shingle_cte: str, id_col: str, num_hashes: int, bands: int, prefix: str = ""
+    shingle_cte: str, id_col: str, num_hashes: int, bands: int, prefix: str = "",
+    bucket_cap: int | None = None,
 ) -> str:
     """The hm → members → bandkeys → cand CTE chain over an existing
     (id, gram) CTE — the ONE SQL generator for the portable MinHash
     candidate pipeline, shared by the document-dedup twin below and the
     entity name-LSH twin (queries/entity.py), so the family's SQL
-    cannot fork.  ``prefix`` namespaces the CTEs (``ncand`` etc.)."""
+    cannot fork.  ``prefix`` namespaces the CTEs (``ncand`` etc.).
+    ``bucket_cap`` mirrors :func:`portable_band_pairs`'s hot-bucket
+    guard exactly (HAVING on the bucket group before the self-join), so
+    a capped query stays value-identical across engines."""
     rpb = _check_banding(num_hashes, bands)
     a, b = affine_consts(num_hashes)
     consts = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(num_hashes))
     p = prefix
+    pair_src = f"{p}bandkeys"
+    cap_cte = ""
+    if bucket_cap is not None:
+        cap_cte = f""", {p}okkeys AS MATERIALIZED (
+  SELECT band, key FROM {p}bandkeys GROUP BY band, key HAVING COUNT(*) <= {int(bucket_cap)}
+), {p}kept AS MATERIALIZED (
+  SELECT bk.* FROM {p}bandkeys bk JOIN {p}okkeys k ON bk.band = k.band AND bk.key = k.key
+)"""
+        pair_src = f"{p}kept"
     return f"""{p}hm AS MATERIALIZED (
   SELECT {id_col}, {H0_SQL.format(expr='gram')} % {MOD31} AS hm FROM {shingle_cte}
 ), {p}members AS MATERIALIZED (
@@ -289,9 +323,9 @@ def minhash_cand_ctes(
   SELECT {id_col}, i // {rpb} AS band,
          string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
   FROM {p}members GROUP BY {id_col}, i // {rpb}
-), {p}cand AS MATERIALIZED (
+){cap_cte}, {p}cand AS MATERIALIZED (
   SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
-  FROM {p}bandkeys a JOIN {p}bandkeys b
+  FROM {pair_src} a JOIN {pair_src} b
     ON a.band = b.band AND a.key = b.key AND a.{id_col} < b.{id_col}
 )"""
 

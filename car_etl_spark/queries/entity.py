@@ -338,7 +338,8 @@ def char_shingles(c, n: int = 3):
 
 
 def portable_lsh_name_pairs(
-    canon: DataFrame, num_hashes: int = 48, bands: int = 3
+    canon: DataFrame, num_hashes: int = 48, bands: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """:func:`lsh_name_pairs` on the PORTABLE hash family
     (operators/portable.py) — value-identical to the DuckDB twin inside
@@ -351,9 +352,9 @@ def portable_lsh_name_pairs(
         "c_custkey", F.explode(char_shingles(F.col("norm_name"))).alias("sh")
     )
     sigs = P.portable_minhash_sigs(exploded, num_hashes, "c_custkey")
-    cand = P.portable_band_pairs(sigs, "c_custkey", bands, num_hashes).select(
-        F.col("id_a").alias("ka"), F.col("id_b").alias("kb")
-    )
+    cand = P.portable_band_pairs(
+        sigs, "c_custkey", bands, num_hashes, bucket_cap=bucket_cap
+    ).select(F.col("id_a").alias("ka"), F.col("id_b").alias("kb"))
     attrs = _pair_attrs(
         canon,
         (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
@@ -458,7 +459,8 @@ def entity_match_lsh_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         affix_pairs(canon, hot_keys=_gated_hot_keys(canon, sf_dir))
         .unionByName(
             portable_lsh_name_pairs(
-                canon, num_hashes=_LSH_NAME_HASHES, bands=_LSH_NAME_BANDS
+                canon, num_hashes=_LSH_NAME_HASHES, bands=_LSH_NAME_BANDS,
+                bucket_cap=_LSH_NAME_BUCKET_CAP,
             )
         )
         .dropDuplicates(["ka", "kb"])
@@ -535,6 +537,15 @@ WITH {_CANON_KEYED_SQL}, cand AS (
 #: (see entity_match_lsh_extended's docstring).
 _LSH_NAME_HASHES = 48
 _LSH_NAME_BANDS = 3
+#: hot-bucket guard for the name-LSH leg: at corpus scale, template
+#: names saturate the char-3-gram space and whole signature-collision
+#: classes (identical gram SETS) form — one band bucket then holds
+#: thousands of members whose pairs are the all-pairs degeneration the
+#: 0.93 knee was sized against (measured at the 150k-name soak: the
+#: uncapped join spilled past the disk).  Buckets past the cap are
+#: non-discriminative and excluded, on BOTH engines (the SQL twin
+#: carries the identical HAVING), so the row stays a full oracle row.
+_LSH_NAME_BUCKET_CAP = 200
 
 
 def _entity_match_lsh_extended_sql(sf_dir: str) -> str:
@@ -547,7 +558,8 @@ def _entity_match_lsh_extended_sql(sf_dir: str) -> str:
     from car_etl_spark.operators.portable import minhash_cand_ctes
 
     cand_ctes = minhash_cand_ctes(
-        "nsh", "c_custkey", _LSH_NAME_HASHES, _LSH_NAME_BANDS, prefix="n"
+        "nsh", "c_custkey", _LSH_NAME_HASHES, _LSH_NAME_BANDS, prefix="n",
+        bucket_cap=_LSH_NAME_BUCKET_CAP,
     )
     return f"""
 WITH {_CANON_KEYED_SQL}, nsh AS MATERIALIZED (

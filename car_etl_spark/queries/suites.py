@@ -872,6 +872,7 @@ def fine_grained_queries() -> dict:
         "vector_topk": vector.vector_topk,
         "vector_ivf_topk": vector.vector_ivf_topk,
         "vector_filtered_topk": vector.vector_filtered_topk,
+        "vector_tenant_filtered_topk": vector.vector_tenant_filtered_topk,
         "vector_pq_topk": vector.vector_pq_topk,
         "vector_topk_adaptive": vector.vector_topk_adaptive,
         "vector_topk_batch": vector.vector_topk_batch,

@@ -1,0 +1,211 @@
+"""Full-registry soak at sf1.0 (10x the bench scale) in ONE session.
+
+Every per-store scale curve is measured in isolation (64x corpora);
+this catches COMPOUNDING effects instead: AQE partition counts,
+broadcast thresholds, co-resident index stores, and any query whose
+sf0.1 -> sf1.0 scaling is superlinear beyond its documented cost model.
+
+The driver ships sf0.001/0.01/0.1 only, so sf1.0 is synthesized under
+the gitignored ``.cache/`` scratch by replicating sf0.1 ten times with
+CONSISTENT key shifts (FKs shift with their parents; dims region and
+nation stay).  Text and embeddings replicate exactly — a 10x corpus of
+10-way duplicates is a dup-HEAVY workload, which is the honest stress
+for the dedup/cluster arms (real pretraining corpora are dup-heavy;
+that is why those operators exist).  vec_id 0 (the query vector) stays
+unique to copy 0.
+
+Output: one BENCH-style JSON line (cold + warm per query, rows, index
+prep) plus a per-query sf0.1->sf1.0 warm ratio table against the
+BENCH reference passed via --ref (default BENCH_r07.json's parsed
+block is NOT used — pass the freshest bench JSON).
+
+Usage: python scripts/soak_sf1.py [--ref /tmp/bench.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(REPO, ".cache", "sf1.0")
+COPIES = 10
+
+#: key columns to shift per table: {table: {col: stride_source_col}}
+#: stride = (max(key) + 1) of the SOURCE table that owns the domain
+KEY_DOMAINS = {
+    "customer": [("c_custkey", "customer", "c_custkey")],
+    "supplier": [("s_suppkey", "supplier", "s_suppkey")],
+    "part": [("p_partkey", "part", "p_partkey")],
+    "orders": [
+        ("o_orderkey", "orders", "o_orderkey"),
+        ("o_custkey", "customer", "c_custkey"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+    "events": [("event_id", "events", "event_id")],
+    "documents": [("doc_id", "documents", "doc_id")],
+    "embeddings": [("vec_id", "embeddings", "vec_id")],
+}
+DIMS = ("region", "nation")
+
+
+def synthesize(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    strides = {}
+    for t in {src for cols in KEY_DOMAINS.values() for _c, src, _k in cols}:
+        k = next(kk for _c, ss, kk in sum(KEY_DOMAINS.values(), []) if ss == t)
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        strides[t] = int(df.agg(F.max(k)).collect()[0][0]) + 1
+    for t in DIMS:
+        if os.path.isdir(os.path.join(DST, f"{t}.parquet")):
+            continue
+        spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(DST, f"{t}.parquet"))
+    for t, shifts in KEY_DOMAINS.items():
+        if os.path.isdir(os.path.join(DST, f"{t}.parquet")):
+            continue  # per-table reuse: delete a table dir to regenerate it
+        base = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        parts = []
+        for i in range(COPIES):
+            df = base
+            for col, src, _k in shifts:
+                df = df.withColumn(col, F.col(col) + F.lit(i * strides[src]))
+            # key-DERIVED text must follow its shifted key: leaving 10
+            # exact copies of every customer/supplier name makes every
+            # entity-matching block 10x deeper (pairs 100x) — a
+            # replication artifact, not a workload.  Regenerate the
+            # TPC-H name format from the new key.
+            if t == "customer":
+                df = df.withColumn(
+                    "c_name",
+                    F.format_string("Customer#%09d", F.col("c_custkey")),
+                )
+            if t == "supplier":
+                df = df.withColumn(
+                    "s_name",
+                    F.format_string("Supplier#%09d", F.col("s_suppkey")),
+                )
+            if t == "documents" and i > 0:
+                # 10 EXACT text copies would make every dedup family
+                # 10x deeper (candidate pairs and output 100x — a
+                # replication artifact; set-based similarity ignores
+                # token ORDER, so permutation is not enough).
+                # SUBSTITUTE a deterministic ~40% of tokens per copy
+                # (token -> token + copy digit): vocabulary grows with
+                # the corpus (the Heaps-law shape a real 10x corpus
+                # has), the substitution is a pure function of (token,
+                # copy) so two near-dup docs INSIDE a copy keep their
+                # planted overlap, while cross-copy jaccard collapses
+                # (~0.36 set / ~0.12 shingle — below every 0.8 knee).
+                toks = F.split(F.col("text"), " ")
+                sub = F.transform(
+                    toks,
+                    lambda tk: F.when(
+                        F.pmod(F.xxhash64(F.concat(tk, F.lit(f"|{i}"))), F.lit(100))
+                        < 40,
+                        F.concat(tk, F.lit(str(i))),
+                    ).otherwise(tk),
+                )
+                df = df.withColumn("text", F.array_join(sub, " ")).withColumn(
+                    "n_chars", F.length("text").cast("int")
+                )
+            if t == "embeddings" and i > 0:
+                # exactly one query vector (vec_id 0) in the corpus
+                df = df.filter(F.col("vec_id") != i * strides["embeddings"])
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(max(8, COPIES)).write.mode("overwrite").parquet(
+            os.path.join(DST, f"{t}.parquet")
+        )
+        print(f"# synthesized {t}", flush=True)
+
+
+def main() -> None:
+    ref_path = None
+    if "--ref" in sys.argv:
+        ref_path = sys.argv[sys.argv.index("--ref") + 1]
+    import importlib
+
+    from car_etl_spark.session import get_spark
+
+    spark = get_spark()
+    synthesize(spark)
+    m = importlib.import_module("__spark_entry__")
+    qs = m.queries()
+
+    from car_etl_spark.operators.indexing import (
+        ensure_ivf_index,
+        ensure_posting_index,
+        ensure_tenant_ivf_index,
+    )
+    from car_etl_spark.streaming.rollup_store import ensure_rollup_store
+
+    t0 = time.perf_counter()
+    ensure_posting_index(spark, DST)
+    ensure_posting_index(spark, DST, analyzer="porter")
+    ensure_posting_index(spark, DST, analyzer="trigram")
+    ensure_ivf_index(spark, DST)
+    ensure_tenant_ivf_index(spark, DST)
+    ensure_rollup_store(spark, DST)
+    index_prep = round(time.perf_counter() - t0, 2)
+    print(f"# index prep: {index_prep}s", flush=True)
+
+    cold, warm, rows, failed = {}, {}, {}, []
+    for name, fn in qs.items():
+        try:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, DST).count()
+                runs.append(time.perf_counter() - t0)
+            cold[name] = round(runs[0], 3)
+            warm[name] = round(min(runs[1:]), 3)
+            rows[name] = int(n)
+            print(
+                f"# {name}: cold {cold[name]:.2f}s warm {warm[name]:.2f}s "
+                f"({n} rows)",
+                flush=True,
+            )
+        except Exception as e:  # soak: record, keep going
+            failed.append(name)
+            print(f"# {name}: FAILED {type(e).__name__}: {e}", flush=True)
+    out = {
+        "metric": "sf1_soak_warm_wall_seconds",
+        "value": round(sum(warm.values()), 2),
+        "unit": "sec",
+        "sf": 1.0,
+        "queries": warm,
+        "cold": cold,
+        "rows": rows,
+        "failed": failed,
+        "index_prep_sec": index_prep,
+    }
+    if ref_path:
+        ref = json.load(open(ref_path)).get("queries") or {}
+        ratios = {
+            k: round(warm[k] / ref[k], 2)
+            for k in warm
+            if k in ref and ref[k] > 0
+        }
+        out["warm_ratio_vs_sf0.1"] = dict(
+            sorted(ratios.items(), key=lambda kv: -kv[1])
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -288,3 +288,53 @@ def test_store_meta_written_before_first_signature_append(spark, tmp_path, monke
     assert inc.IncrementalDeduper(
         spark, str(tmp_path / "state"), family="portable", threshold=0.5
     ).signatures().count() == 1
+
+
+def test_band_pair_bucket_cap_spark_sql_identical(spark):
+    """The hot-bucket guard: a non-discriminative band bucket (member
+    count past the cap) is excluded from pair generation on BOTH
+    engines, so a capped query stays a full oracle row; discriminative
+    buckets are untouched."""
+    import duckdb
+
+    from car_etl_spark.operators import portable as P
+
+    # 12 ids sharing one shingle set (a signature-collision class — the
+    # template-name failure) + two planted near-dup pairs
+    rows = []
+    for i in range(12):
+        for g in ("aaa", "bbb", "ccc"):
+            rows.append((i, g))
+    for i, grams in ((100, ("xxx", "yyy", "zzz")), (101, ("xxx", "yyy", "zzz")),
+                     (200, ("ppp", "qqq", "rrr")), (201, ("ppp", "qqq", "rrr"))):
+        rows.extend((i, g) for g in grams)
+    exploded = spark.createDataFrame(rows, "doc_id long, gram string")
+    sigs = P.portable_minhash_sigs(
+        exploded.withColumnRenamed("gram", "sh"), 8, "doc_id"
+    )
+
+    def pairs(cap):
+        return sorted(
+            tuple(r)
+            for r in P.portable_band_pairs(sigs, "doc_id", 2, 8, bucket_cap=cap)
+            .collect()
+        )
+
+    uncapped = pairs(None)
+    capped = pairs(4)
+    assert (100, 101) in capped and (200, 201) in capped
+    # the 12-member collision class is gone from the capped set
+    assert all(a >= 100 for a, _b in capped), capped
+    assert len(uncapped) == len(capped) + 66  # 12*11/2 collision pairs
+
+    # SQL twin with the same cap agrees exactly
+    con = duckdb.connect()
+    con.register(
+        "nsh",
+        exploded.toPandas().rename(columns={"gram": "gram", "doc_id": "doc_id"}),
+    )
+    sql = "WITH nsh2 AS (SELECT doc_id, gram FROM nsh), " + P.minhash_cand_ctes(
+        "nsh2", "doc_id", 8, 2, prefix="n", bucket_cap=4
+    ) + " SELECT id_a, id_b FROM ncand ORDER BY id_a, id_b"
+    got_sql = [tuple(map(int, r)) for r in con.sql(sql).fetchall()]
+    assert got_sql == capped
