@@ -154,6 +154,43 @@ def _pair_attrs(canon: DataFrame, join_cond) -> DataFrame:
     )
 
 
+def _enrich_pairs(cand: DataFrame, canon: DataFrame) -> DataFrame:
+    """Attach both sides' scoring attributes to an ALREADY-GENERATED
+    candidate pair frame: two key-equi joins against ``canon`` (each
+    linear in candidates — canon's side hashes on its primary key),
+    with the segment-block and key-order predicates applied AFTER.
+
+    This is NOT the same plan as ``cand.join(_pair_attrs(canon, ...))``
+    even though it is the same relational algebra: Catalyst does not
+    reorder a user-specified join tree without CBO statistics, so the
+    prebuilt pair-attr frame MATERIALIZES its per-segment self-join —
+    n^2/segments rows before the candidate keys ever restrict it.
+    Harmless at 15k customers (~22M intermediate rows); at the 150k
+    soak it was 2.25B rows and spilled past the disk.  Candidate
+    enrichment must stay candidate-shaped."""
+    a = canon.alias("a")
+    b = canon.alias("b")
+    return (
+        cand.join(a, F.col("ka") == F.col("a.c_custkey"))
+        .join(b, F.col("kb") == F.col("b.c_custkey"))
+        .filter(
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("ka") < F.col("kb"))
+        )
+        .select(
+            "ka",
+            "kb",
+            F.col("a.c_mktsegment").alias("segment"),
+            F.col("a.norm_name").alias("na"),
+            F.col("b.norm_name").alias("nb"),
+            F.col("a.nlen").alias("la"),
+            F.col("b.nlen").alias("lb"),
+            F.col("a.bal_bucket").alias("ba"),
+            F.col("b.bal_bucket").alias("bb"),
+        )
+    )
+
+
 #: blocks at or above this many rows get the salted pair plan.  A
 #: 10^4-row block is ~10^8 candidate pairs — one task's worth of work
 #: nothing else in the stage can match, the exact single-hot-key case
@@ -355,12 +392,7 @@ def portable_lsh_name_pairs(
     cand = P.portable_band_pairs(
         sigs, "c_custkey", bands, num_hashes, bucket_cap=bucket_cap
     ).select(F.col("id_a").alias("ka"), F.col("id_b").alias("kb"))
-    attrs = _pair_attrs(
-        canon,
-        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    )
-    return cand.join(attrs, ["ka", "kb"])
+    return _enrich_pairs(cand, canon)
 
 
 def lsh_name_pairs(
@@ -387,14 +419,10 @@ def lsh_name_pairs(
     cand = lsh_candidate_pairs(sigs, "c_custkey", bands, num_hashes).select(
         F.col("id_a").alias("ka"), F.col("id_b").alias("kb")
     )
-    attrs = _pair_attrs(
-        canon,
-        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    )
-    # candidates are tiny relative to the corpus: semi-restrict the
-    # quadratic attr join to LSH hits only (join on the pair key)
-    return cand.join(attrs, ["ka", "kb"])
+    # candidate enrichment must stay candidate-shaped (see
+    # _enrich_pairs: the prebuilt pair-attr frame materializes the
+    # per-segment self-join before the candidate keys restrict it)
+    return _enrich_pairs(cand, canon)
 
 
 def scored_pairs(pairs: DataFrame) -> DataFrame:
