@@ -90,6 +90,15 @@ def write_training_shards(
     staged = df.withColumn("shard", shard_col(shard_key, num_shards)).withColumn(
         "__order", order_col(shard_key)
     )
+    if tenant_col:
+        # the manifest must count EXACTLY the rows this write lands: a
+        # lazy localCheckpoint materializes staged once (the write is
+        # the first action, so no extra pass) and the count below reads
+        # the same blocks — immune to nondeterministic upstream lineage
+        # (a sampled or rand-salted df would otherwise recompute a
+        # DIFFERENT row set for the count) and never re-executes the
+        # full pipeline for bookkeeping
+        staged = staged.localCheckpoint(eager=False)
     pcols = ([tenant_col] if tenant_col else []) + ["shard"]
     (
         # 4x the partitions, still keyed on the layout columns: every
@@ -111,10 +120,11 @@ def write_training_shards(
     )
     if not tenant_col:
         return None
-    # manifest counts come from THIS export's staged frame, not a
-    # re-read of the root: under mode="append" the root also holds
-    # earlier exports' rows, and a manifest that counted them would
-    # misreport this run to consumers pinning it
+    # manifest counts come from THIS export's staged frame (the
+    # checkpointed blocks the write itself consumed), not a re-read of
+    # the root: under mode="append" the root also holds earlier
+    # exports' rows, and a manifest that counted them would misreport
+    # this run to consumers pinning it
     counts = (
         staged.groupBy(tenant_col, "shard")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -2441,11 +2441,14 @@ class IvfStore:
                     )
                 if fstats is None:
                     # declared column but no (tenant, centroid, value)
-                    # stats: a pre-v6 store layout (or a tenant with zero
-                    # non-null rows — probing nothing loses nothing)
-                    if str(tenant) in (m.get("tenants") or {}) and not tentry.get(
-                        "filters"
-                    ):
+                    # stats.  The meta VERSION disambiguates: pre-v6
+                    # layouts never wrote the grain (serving from
+                    # marginals would over-certify — refuse with the
+                    # rebuild hint), while on v6+ a missing entry just
+                    # means this tenant has zero non-NULL rows in the
+                    # column — probing nothing loses nothing, the
+                    # correct answer is empty.
+                    if int(m.get("version") or 0) < 6:
                         raise ValueError(
                             "tenant x filter serving needs per-(tenant, "
                             "centroid, value) statistics — rebuild or "
@@ -2459,7 +2462,10 @@ class IvfStore:
                         f"{col!r} is not a declared filter column of this "
                         "store — rebuild with filter_cols=(...)"
                     )
-            vset = [str(v) for v in values]
+            # SET semantics: duplicate (or str-colliding) values would
+            # double-count matching members, certify the walk early,
+            # and prune clusters still holding true top-k rows
+            vset = sorted({str(v) for v in values})
         if fstats is not None and tentry is not None:
             # tenant x filter: tenant radii (bound any subset of the
             # tenant's members), intersection counts from the tenant's
@@ -2851,7 +2857,11 @@ def ensure_tenant_ivf_index(spark: SparkSession, sf_dir: str) -> IvfStore:
     source = os.path.join(sf_dir, "embeddings.parquet")
     from car_etl_spark.tables import parquet_rowcount
 
-    # ~half the rows per tenant: size centroids to the per-tenant grain
+    # sqrt sizing from the FULL table (the shared layout is one
+    # centroid set over both tenants); each tenant's clusters then hold
+    # ~sqrt(2)x fewer members than a solo-tenant derivation would give
+    # — slightly finer-grained probing, never wrong, and the per-tenant
+    # walk certifies against the tenant's own counts regardless
     num_centroids = derive_num_centroids(parquet_rowcount(sf_dir, "embeddings"))
     params = f"tenant2|c{num_centroids}|r2|flabel"
     digest = _source_digest("ivf", IVF_VERSION, source, params)

@@ -656,8 +656,9 @@ WITH c AS (
   SELECT doc_id, lang, regexp_replace(LOWER(text), '^\\s+', '') AS t
   FROM documents
 )
-SELECT doc_id, lang, len(regexp_extract_all(t, '{REGEX_PATTERN}')) AS n_matches
+SELECT doc_id, lang,
+       len(regexp_extract_all(t, '{REGEX_PATTERN}', 0, 'i')) AS n_matches
 FROM c
-WHERE len(regexp_extract_all(t, '{REGEX_PATTERN}')) > 0
+WHERE len(regexp_extract_all(t, '{REGEX_PATTERN}', 0, 'i')) > 0
 ORDER BY doc_id
 """

@@ -197,6 +197,24 @@ class RollupStore:
     def _dirty_path(self) -> str:
         return os.path.join(self.path, "_replay_dirty")
 
+    def _stranded_batches(self) -> list[int]:
+        """Batch ids whose append crashed: a pending marker with no
+        applied sentinel.  Their delta rows are a PARTIAL, never-
+        acknowledged write — foreachBatch will replay the whole batch."""
+        out = []
+        try:
+            for f in os.listdir(self.path):
+                if f.startswith("_batch_") and f.endswith("_pending"):
+                    try:
+                        b = int(f[len("_batch_"):-len("_pending")])
+                    except ValueError:
+                        continue
+                    if not os.path.exists(self._sentinel(b)):
+                        out.append(b)
+        except OSError:
+            pass
+        return out
+
     def _needs_dup_drop(self) -> bool:
         """True only when a crash-replay may have duplicated delta rows
         — the CLEAN-LEDGER fast path: every apply writes a pending
@@ -387,10 +405,24 @@ class RollupStore:
 
     def compact(self, spark: SparkSession) -> None:
         """Fold deltas into a fresh base: one minute-grain re-merge,
-        atomic swap, sentinels cleared."""
+        atomic swap, sentinels cleared.
+
+        STRANDED batches (pending marker, no sentinel — a crashed,
+        never-acknowledged append) are EXCLUDED from the fold: their
+        partial rows must not enter base, because the swap clears the
+        pending markers and the stream's replay of that batch (its id
+        stays above the epoch — no sentinel means _max_sentinel skips
+        it) will re-append the FULL batch.  Folding the partials would
+        double-count them with no duplicate-drop able to repair it
+        (base rows carry batch 0).  Excluding them loses nothing: an
+        unacknowledged batch is the replay's to deliver."""
         self._check_params()
+        parts = self.partials(spark)
+        stranded = self._stranded_batches()
+        if stranded:
+            parts = parts.filter(~F.col("batch").isin(stranded))
         live = self._merge_to(
-            self.partials(spark),
+            parts,
             F.col("minute_start"),
             self.group_cols,
         ).select(

@@ -739,9 +739,30 @@ def test_filtered_probe_refusals(spark, tmp_path):
         mraw = _json.load(f)
     for entry in mraw.get("tenants", {}).values():
         entry.pop("filters", None)
+    mraw["version"] = 5  # the pre-grain layout never wrote the stats
     pre._write_meta(mraw)
     with pytest.raises(ValueError, match="rebuild or compact"):
         pre.probe_ids_exact(q, 10, tenant="t0", where=("label", [1]))
+    # on the CURRENT layout, a tenant with zero non-NULL rows in the
+    # filter column legitimately has no stats entry: the combined walk
+    # serves the correct EMPTY result, never the rebuild error
+    two = emb.withColumn(
+        "tenant_id",
+        F.when(F.col("vec_id") % 2 == 0, "ta").otherwise("tb"),
+    ).withColumn(
+        "label",
+        F.when(F.col("tenant_id") == "tb", F.lit(None).cast("int")).otherwise(
+            F.col("label")
+        ),
+    )
+    nl = IX.IvfStore(str(tmp_path / "nivf"), tenant_col="tenant_id")
+    nl.build(two, num_centroids=4, filter_cols=("label",))
+    got = nl.probe_topk(spark, q, k=5, tenant="tb", where=("label", [1]))
+    assert got.collect() == []
+    # duplicate where-values never double-count the certificate: the
+    # probe set (and so the answer) matches the deduplicated query
+    assert nl.probe_ids_exact(q, 5, tenant="ta", where=("label", [1, 1, 1])) == \
+        nl.probe_ids_exact(q, 5, tenant="ta", where=("label", [1]))
     # high-cardinality columns refuse at build (index metadata budget)
     big = IX.IvfStore(str(tmp_path / "bivf"))
     import unittest.mock as mock

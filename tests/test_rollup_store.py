@@ -424,3 +424,34 @@ def test_api_rollup_with_distinct_composition(spark, tmp_path):
         .collect()
     }
     assert dash == exact
+
+
+def test_compact_excludes_stranded_batches_so_replay_stays_exact(spark, tmp_path, store):
+    """A batch that crashed mid-append (pending marker, no sentinel)
+    must NOT have its partial rows folded into base by compact: the
+    swap clears the pending marker, so the stream's replay would
+    re-append the full batch and the partials would count twice with
+    no duplicate-drop able to repair it (base rows carry batch 0).
+    Compact excludes stranded batches; the replay delivers them."""
+    store.apply_batch(spark, _df(spark, B1), batch=1)
+    # batch 2 "crashes": delta rows landed, pending still on disk,
+    # sentinel never written (the real crash ordering)
+    store.apply_batch(spark, _df(spark, B2), batch=2)
+    os.remove(store._sentinel(2))
+    with open(store._pending(2), "w") as f:
+        f.write("pending")
+    assert store._stranded_batches() == [2]
+
+    store.compact(spark)
+    # epoch stopped BELOW the stranded batch and its rows are gone
+    assert int(store._meta()["compacted_through"]) == 1
+    assert store._stranded_batches() == []
+    # the stream replays batch 2 (unacknowledged -> not a no-op)
+    assert store.apply_batch(spark, _df(spark, B2), batch=2) is True
+
+    solo = RollupStore(str(tmp_path / "solo3"))
+    solo.build(_df(spark, V0))
+    solo.apply_batch(spark, _df(spark, B1), batch=1)
+    solo.apply_batch(spark, _df(spark, B2), batch=2)
+    for g in ("minute", "day"):
+        assert _rows(store.read(spark, g)) == _rows(solo.read(spark, g)), g
