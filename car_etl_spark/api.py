@@ -11,7 +11,10 @@ so switching is mechanical:
 | same, BM25 scoring with tenant-scoped ranking statistics | :func:`tenant_bm25_search` |
 | same, positional phrase matching under tenant RLS | :func:`tenant_phrase_search` |
 | same, mode=vector (RLS ``match_document_chunks``) | :func:`tenant_vector_search` |
-| same, mode=hybrid (both legs tenant-partition-pruned) | :func:`tenant_hybrid_search` |
+| same, vector + the optional metadata filter in ONE certified scan | :func:`tenant_filtered_vector_search` |
+| same, mode=hybrid (both legs tenant-partition-pruned; ``where=`` filters the vector leg) | :func:`tenant_hybrid_search` |
+| dashboard rollup read (continuous aggregate, tenant-pruned) | :func:`tenant_rollup` |
+| active-users composition (rollup partials ⋈ distinct sketch) | :func:`rollup_with_distinct` |
 | ``POST /api/v1/ask`` (RAG with citations) | :func:`ask` |
 | ``GET /api/v1/effective-rent/summary`` | :func:`effective_rent_summary` |
 | ``GET /api/v1/effective-rent/by-property`` | :func:`effective_rent_by_group` |
@@ -346,6 +349,7 @@ def tenant_hybrid_search(
     query_vec: list[float],
     tenant: str,
     limit: int = 20,
+    where: tuple | None = None,
 ) -> DataFrame:
     """The full RLS-scoped hybrid route (reference
     ``042_match_function.sql:23-39`` behind ``src/search/hybrid.py``):
@@ -353,7 +357,12 @@ def tenant_hybrid_search(
     2x over-fetched and rank-limited, fused with RRF at k=60 — the
     tenant twin of :func:`search`'s hybrid mode, with BOTH legs serving
     from tenant-partitioned index stores so no stage ever reads another
-    tenant's bytes."""
+    tenant's bytes.  ``where=(col, values)`` applies the reference's
+    optional metadata filter to the VECTOR leg inside the same
+    certified scan (``match_document_chunks`` passes its document
+    filter into the pgvector scan; the keyword leg has no such column
+    — its hits fuse unfiltered, exactly like the reference's keyword
+    CTE)."""
     limit = min(limit, SEARCH_RESULT_CAP)
     fetch = limit * 2
     kw = (
@@ -367,8 +376,15 @@ def tenant_hybrid_search(
         )
         .select("doc_id", "kw_rank")
     )
+    vec_leg = (
+        tenant_filtered_vector_search(
+            spark, ivf_store, query_vec, tenant, where, limit=fetch
+        )
+        if where is not None
+        else tenant_vector_search(spark, ivf_store, query_vec, tenant, limit=fetch)
+    )
     vec = (
-        tenant_vector_search(spark, ivf_store, query_vec, tenant, limit=fetch)
+        vec_leg
         .select(F.col("vec_id").alias("doc_id"), F.col("cosine_sim").alias("vec_score"))
         .withColumn(
             "vec_rank",

@@ -834,3 +834,60 @@ def test_tenant_filtered_isolation_value_only_in_other_tenant(spark, tmp_path):
     ]
     assert globex == _brute_tenant_filtered(emb, qvec, "globex", [9])
     assert all(r[1] == "globex" for r in globex)
+
+
+def test_api_tenant_hybrid_route_with_metadata_filter(spark, tmp_path):
+    """where= applies the reference's optional metadata filter to the
+    hybrid route's VECTOR leg inside the same certified scan: the
+    vector ranks come from the tenant+filter leg, the keyword leg
+    fuses unfiltered (it has no such column — the reference's keyword
+    CTE shape), and nothing crosses tenants."""
+    from car_etl_spark import api
+    from car_etl_spark.functions.text import stem_py  # noqa: F401
+
+    emb = _two_tenant_emb(spark, n_per=20)
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        "tenant_id",
+        F.concat(
+            F.lit("shared spark term doc"),
+            F.col("vec_id").cast("string"),
+            F.when(F.col("vec_id") % 3 == 0, F.lit(" windows merge")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    pstore = IX.PostingStore(str(tmp_path / "hpf"), tenant_col="tenant_id")
+    pstore.build(docs)
+    vstore = IX.IvfStore(str(tmp_path / "hvf"), tenant_col="tenant_id")
+    vstore.build(emb, num_centroids=3, refine_iterations=1, filter_cols=("label",))
+    qvec = list(emb.filter(F.col("vec_id") == 6).select("embedding").first()[0])
+    terms = ("shared", "merge")
+    where = ("label", [0, 2])
+
+    got = api.tenant_hybrid_search(
+        spark, pstore, vstore, terms, qvec, tenant="acme", limit=10, where=where
+    ).collect()
+    assert got
+    acme = {r.vec_id for r in emb.filter(F.col("tenant_id") == "acme").collect()}
+    assert all(r.doc_id in acme for r in got)
+    # reference fusion built from the two SCOPED legs
+    kw = api.tenant_search(spark, pstore, terms, tenant="acme", limit=20).collect()
+    vec = api.tenant_filtered_vector_search(
+        spark, vstore, qvec, "acme", where, limit=20
+    ).collect()
+    assert vec and all(
+        r.vec_id in {e.vec_id for e in emb.filter(F.col("label").isin([0, 2])).collect()}
+        for r in vec
+    )
+    kw_rank = {r.doc_id: i + 1 for i, r in enumerate(kw)}
+    vec_rank = {r.vec_id: i + 1 for i, r in enumerate(vec)}
+    expect = {}
+    for d in set(kw_rank) | set(vec_rank):
+        s = (1.0 / (60 + kw_rank[d]) if d in kw_rank else 0.0) + (
+            1.0 / (60 + vec_rank[d]) if d in vec_rank else 0.0
+        )
+        expect[d] = (round(s, 8), kw_rank.get(d), vec_rank.get(d))
+    top = sorted(expect.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    assert [(r.doc_id, r.rrf_score, r.kw_rank, r.vec_rank) for r in got] == [
+        (d, s, kr, vr) for d, (s, kr, vr) in top
+    ]
