@@ -1526,3 +1526,49 @@ def test_pq_drift_signal_and_retrain_at_compact(spark, tmp_path):
     store2.apply_batch(spark, ups, None, batch=1, keep=("label",))
     store2.compact(spark, retrain=False)
     assert store2.meta()["pq"]["codebooks"] == m0["pq"]["codebooks"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _random_corpus(draw):
+    """Adversarially random unit vectors — the near-tie regime where
+    blind PQ recall collapses and only the certificate keeps exactness
+    — plus a random query drawn from or near the corpus."""
+    import math
+
+    dim = draw(st.sampled_from([4, 8]))
+    n = draw(st.integers(min_value=8, max_value=40))
+    vecs = []
+    for i in range(n):
+        raw = [
+            draw(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False))
+            for _ in range(dim)
+        ]
+        nrm = math.sqrt(sum(x * x for x in raw)) or 1.0
+        vecs.append([x / nrm for x in raw])
+    qi = draw(st.integers(min_value=0, max_value=n - 1))
+    return vecs, vecs[qi], draw(st.integers(min_value=1, max_value=8))
+
+
+@settings(max_examples=8, deadline=None)
+@given(_random_corpus())
+def test_pq_certified_property_equals_bruteforce(spark, corpus):
+    """PROPERTY: on arbitrary random corpora (worst case for 8-bit
+    codes — pairwise cosines cluster tightly), the fused certified PQ
+    serve equals brute force for any k.  Exactness must come from the
+    certificate, never from codebook luck."""
+    import tempfile
+
+    vecs, qvec, k = corpus
+    emb = spark.createDataFrame(
+        [(i, i % 3, v) for i, v in enumerate(vecs)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        store = IX.IvfStore(d + "/pqprop")
+        store.build(emb, num_centroids=3, refine_iterations=1, pq_m=2)
+        got = [tuple(r) for r in store.pq_topk(spark, qvec, k=k).collect()]
+        assert got == _brute_all(emb, qvec, k=k)

@@ -891,3 +891,54 @@ def test_api_tenant_hybrid_route_with_metadata_filter(spark, tmp_path):
     assert [(r.doc_id, r.rrf_score, r.kw_rank, r.vec_rank) for r in got] == [
         (d, s, kr, vr) for d, (s, kr, vr) in top
     ]
+
+
+def test_tenant_filtered_pq_under_maintenance(spark, tmp_path):
+    """The deepest composition: PRODUCT-QUANTIZED serving x tenant RLS
+    x metadata filter x LSM maintenance.  The err ceiling (batch entries
+    ride the pessimistic write), the tenant's per-(centroid, value)
+    counts, and the frozen-codebook encoding must compose to a result
+    equal to the tenant+filter brute force over the live view."""
+    import math
+
+    from car_etl_spark import api
+
+    emb = _two_tenant_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "tfpq"), tenant_col="tenant_id")
+    store.build(
+        emb, num_centroids=3, refine_iterations=1,
+        filter_cols=("label",), pq_m=3,
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 4).select("embedding").first()[0])
+
+    rows = []
+    for i in range(5):
+        vec = [1.0, 0.002 * i, 0.0, 0.0, 0.0, 0.0]
+        nrm = math.sqrt(sum(v * v for v in vec))
+        rows.append((2000 + i, 0, "acme", [v / nrm for v in vec]))
+    ups = spark.createDataFrame(
+        rows, "vec_id long, label int, tenant_id string, embedding array<double>"
+    )
+    store.apply_batch(spark, ups, [("acme", 0)], batch=1, keep=("label",))
+    live = emb.filter(
+        (F.col("vec_id") != 0) | (F.col("tenant_id") != "acme")
+    ).unionByName(ups)
+
+    for labels in ([0], [0, 2]):
+        got = [
+            tuple(r)
+            for r in api.tenant_pq_search(
+                spark, store, qvec, "acme", limit=8,
+                extra_cols=("tenant_id",), where=("label", labels),
+            ).collect()
+        ]
+        assert got == _brute_tenant_filtered(live, qvec, "acme", labels), labels
+    store.compact(spark)
+    got2 = [
+        tuple(r)
+        for r in api.tenant_pq_search(
+            spark, store, qvec, "acme", limit=8,
+            extra_cols=("tenant_id",), where=("label", [0]),
+        ).collect()
+    ]
+    assert got2 == _brute_tenant_filtered(live, qvec, "acme", [0])
