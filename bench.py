@@ -42,7 +42,10 @@ fts_bm25_search, and fts_phrase_search — subtract those seven when
 comparing r06 totals against r05.  r07 added vector_filtered_topk,
 vector_pq_topk, events_rollup_served, doc_substring_search, and
 doc_regex_search — subtract those five when comparing r07 totals
-against r06.
+against r06.  r08 added vector_tenant_filtered_topk (the combined
+tenant x metadata-filter certified serving arm) — subtract it when
+comparing r08 totals against r07; r08 also fused the PQ serve
+(vector_pq_topk ~0.41 -> ~0.10 s warm, a real plan change, not noise).
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's
