@@ -1224,13 +1224,18 @@ class PostingStore:
                 verify = verify.filter(F.col("doc_id").isin(cand_ids))
             # overlap-counting recheck (ALL start offsets, the same
             # contract as the in-index chain): bounded by the candidate
-            # set, the pg_trgm heap-recheck shape
+            # set, the pg_trgm heap-recheck shape.  Sequence needs an
+            # explicit short-text guard: sequence(1, 0) steps DOWN to
+            # [1, 0] (Spark defaults to step -1 when start > stop) and
+            # would evaluate substr at position 0 — no false match is
+            # possible (the substring is shorter than the pattern) but
+            # the intended candidate-offset set is empty.
+            ub = F.length("__t") - (m + 2) + 1
             n = F.size(
                 F.filter(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(F.length("__t") - (m + 2) + 1, F.lit(0)),
-                    ),
+                    F.when(
+                        ub >= 1, F.sequence(F.lit(1), ub)
+                    ).otherwise(F.array().cast("array<int>")),
                     lambda i: F.col("__t").substr(i, F.lit(m + 2)) == F.lit(pat),
                 )
             ).cast("long")
@@ -2286,7 +2291,26 @@ class IvfStore:
             from car_etl_spark.operators import pq as PQ
 
             dim = int(m["pq"]["dim"])
-            idc = m.get("id_col", "vec_id")
+            # stores built before id_col was recorded in meta: derive it
+            # from the live schema (first non-reserved column) instead of
+            # assuming vec_id — an explicit compact(retrain=True) on an
+            # older-layout store with a non-default id column otherwise
+            # dies with an unresolved-column error
+            idc = m.get("id_col")
+            if idc is None or idc not in live.columns:
+                reserved = {
+                    vec_col, "batch", "centroid_id", "pq_code", "pq_err",
+                    self.tenant_col,
+                }
+                idc = next(
+                    (c for c in live.columns if c not in reserved), None
+                )
+                if idc is None:
+                    raise ValueError(
+                        "cannot infer the id column for PQ retraining on "
+                        "this store layout — rebuild with the current "
+                        "layout (which records id_col in meta)"
+                    )
             sample = (
                 live.filter(F.col(vec_col).isNotNull())
                 .select(idc, vec_col)

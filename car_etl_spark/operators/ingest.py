@@ -247,6 +247,16 @@ def repair_landing(path: str) -> list[str]:
                 if not os.path.isdir(live):
                     os.rename(full, live)
                     restored.append(os.path.relpath(live, path))
+                else:
+                    # live dir present -> the tmp->live rename completed
+                    # (renames are atomic), so this .old is a stale full
+                    # copy from a crash between the rename and cleanup.
+                    # The compacted partition may now sit below the file
+                    # threshold forever, so optimize_landing would never
+                    # revisit it — drop the duplicate here or it leaks
+                    # disk unboundedly (hidden from readers, so no
+                    # correctness impact either way).
+                    shutil.rmtree(full, ignore_errors=True)
     return restored
 
 

@@ -1460,6 +1460,75 @@ def test_positionsless_trigram_maintenance(spark, tmp_path):
     assert got2 == got
 
 
+def test_positionsless_recheck_short_text_yields_no_offsets(spark, tmp_path, monkeypatch):
+    """A rechecked doc SHORTER than the pattern must generate zero
+    candidate offsets: sequence(1, 0) steps DOWN to [1, 0] (Spark
+    defaults to step -1 when start > stop) and would probe substr at
+    position 0 — no false match is possible, but the guard pins the
+    intended empty-offset semantics (ADVICE r8).  Exercised through the
+    over-cap branch, the only path where non-candidate (hence possibly
+    short) docs reach the recheck expression."""
+    monkeypatch.setattr(IX, "REGEX_CANDIDATE_CAP", 0)
+    docs = _sub_docs(
+        spark,
+        [
+            (1, "en", "the quick brown fox"),
+            (2, "en", "qk"),  # shorter than the padded pattern
+            (3, "en", ""),  # degenerate: empty after strip
+        ],
+    )
+    lean = IX.PostingStore(
+        str(tmp_path / "trishort"), analyzer="trigram", positions=False
+    )
+    lean.build(docs)
+    got = [
+        tuple(r)
+        for r in lean.substring_search(spark, "quick brown", docs=docs).collect()
+    ]
+    assert got == [(1, "en", 1)]
+
+
+def test_pq_retrain_infers_id_col_on_legacy_meta(spark, tmp_path):
+    """Stores built before ``id_col`` was recorded in meta: an explicit
+    compact(retrain=True) with a NON-default id column must derive the
+    id column from the live schema instead of assuming vec_id (which
+    would die with an unresolved-column error; ADVICE r8)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(80):
+        vec = [rng.gauss(0.0, 1.0) for _ in range(8)]
+        nrm = math.sqrt(sum(v * v for v in vec)) or 1.0
+        rows.append((i, [v / nrm for v in vec]))
+    df = spark.createDataFrame(rows, "chunk_id long, embedding array<double>")
+    store = IX.IvfStore(str(tmp_path / "legacy"))
+    store.build(
+        df, num_centroids=2, refine_iterations=2, pq_m=4,
+        id_col="chunk_id", keep=(),
+    )
+    # simulate the pre-id_col meta layout
+    m = store.meta()
+    m.pop("id_col")
+    store._write_meta(m)
+    q = rows[5][1]
+    want = [
+        tuple(r)
+        for r in store.pq_topk(
+            spark, q, k=5, id_col="chunk_id", extra_cols=()
+        ).collect()
+    ]
+    store.compact(spark, retrain=True)  # must not raise unresolved vec_id
+    got = [
+        tuple(r)
+        for r in store.pq_topk(
+            spark, q, k=5, id_col="chunk_id", extra_cols=()
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
 def test_pq_drift_signal_and_retrain_at_compact(spark, tmp_path):
     """Codebook drift policy: delta batches encoding a DRIFTED corpus
     against the frozen codebooks raise the count-weighted batch err

@@ -300,8 +300,13 @@ def test_repair_landing_restores_stranded_swap(spark, tmp_path):
     assert not os.path.isdir(os.path.join(parent, ".ingest_date=2026-03-01.compact.tmp"))
     # idempotent; a healthy tree is a no-op
     assert I.repair_landing(path) == []
-    # an .old beside a LIVE dir (crash before the first rename completed
-    # its pair, or a stale leftover) is left alone — live data wins
-    os.makedirs(os.path.join(parent, ".ingest_date=2026-03-01.old"))
+    # an .old beside a LIVE dir is a stale full copy from a crash
+    # BETWEEN the tmp->live rename and the old-dir cleanup (renames are
+    # atomic, so a present live dir is complete) — repair drops it, or
+    # it leaks disk forever: the compacted partition can sit below the
+    # file threshold so optimize_landing never revisits it (ADVICE r8)
+    stale = os.path.join(parent, ".ingest_date=2026-03-01.old")
+    os.makedirs(stale)
     assert I.repair_landing(path) == []
+    assert not os.path.isdir(stale), "stale .old duplicate must be removed"
     assert spark.read.parquet(path).count() == n_rows
