@@ -71,7 +71,12 @@ def get_spark(
     app_name: str = "car-etl-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """Build (or reuse) the tuned session.  ``extra_conf`` carries
+    context-creation-time confs a caller needs beyond the standard set —
+    e.g. ``spark.scheduler.mode=FAIR`` for the concurrent-serving bench,
+    which cannot be set on a live context."""
     cpus = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
@@ -92,4 +97,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return tune_session(builder.getOrCreate())
