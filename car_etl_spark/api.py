@@ -397,6 +397,37 @@ def tenant_hybrid_search(
     return _rrf_fuse(kw, vec, limit)
 
 
+def prepare_serving(
+    spark, sf_dir: str, modes: tuple[str, ...] | None = None
+) -> dict[str, float]:
+    """Warm-boot hook: pay the first-request tax at service start, the
+    way the reference's service warms its indexes at boot (its GIN/HNSW
+    are resident before the first request; our equivalent cold cost is
+    plan analysis + whole-stage-codegen compile + first-touch index IO,
+    measured 5-6x the warm latency at sf1.0 on the heaviest modes).
+
+    Executes every serving mode (:data:`~car_etl_spark.queries.suites.
+    SERVING_MODE_NAMES`, or the ``modes`` subset) exactly once: this
+    builds-if-missing the resident stores (content-addressed ensure_*),
+    memoizes the prepared plans, compiles their codegen, and pulls the
+    index footers/pages into OS cache — after which the first real
+    request runs the warm path.  Returns {mode: seconds} so operators
+    see the boot cost explicitly (it is the same work the first N user
+    requests would otherwise absorb)."""
+    import time as _time
+
+    from car_etl_spark.queries.suites import serving_modes
+
+    out: dict[str, float] = {}
+    for name, fn in serving_modes().items():
+        if modes is not None and name not in modes:
+            continue
+        t0 = _time.perf_counter()
+        fn(spark, sf_dir).count()
+        out[name] = round(_time.perf_counter() - t0, 4)
+    return out
+
+
 def ask(
     corpus: DataFrame,
     embeddings: DataFrame,

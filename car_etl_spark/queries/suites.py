@@ -908,6 +908,47 @@ def fine_grained_queries() -> dict:
     }
 
 
+#: the SERVING-path queries: resident-store reads a long-running search
+#: service answers per request (fixed-plan, prepared-statement shaped).
+#: ONE list so the warm-boot hook (api.prepare_serving), the service
+#: bench, and the cold-boot measurement cannot drift on what "serving"
+#: means.
+SERVING_MODE_NAMES = (
+    "doc_keyword_search",
+    "doc_substring_search",
+    "doc_regex_search",
+    "fts_posting_search",
+    "fts_porter_search",
+    "fts_plainto_search",
+    "fts_bm25_search",
+    "fts_phrase_search",
+    "vector_topk",
+    "vector_ivf_topk",
+    "vector_filtered_topk",
+    "vector_tenant_filtered_topk",
+    "vector_pq_topk",
+    "hybrid_rrf_search",
+    "hybrid_porter_ivf_search",
+    "hybrid_rerank_page",
+    "events_rollup_served",
+    "rag_context_modes",
+)
+
+
+def serving_modes() -> dict:
+    """Name -> fn(spark, sf_dir) for :data:`SERVING_MODE_NAMES`."""
+    from car_etl_spark.queries import rag, search
+
+    fg = fine_grained_queries()
+    extra = {
+        "hybrid_rerank_page": search.hybrid_rerank_page,
+        "rag_context_modes": rag.rag_context_modes,
+    }
+    return {
+        n: (fg[n] if n in fg else extra[n]) for n in SERVING_MODE_NAMES
+    }
+
+
 def build_suite_queries() -> dict[str, QuerySpec]:
     return {
         "vector_topk_modes": QuerySpec(

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Cold-serving latency: first-request tax, with and without the
+prepare_serving() warm-boot hook, at sf1.0.
+
+The r8 sf1.0 soak showed first-request (cold) serving at 5-6x warm on
+the heaviest modes (vector_topk_modes 6.5 s, hybrid_rerank_page 3.2 s,
+rag_context_modes 3.0 s vs <=1 s warm) — a restart tax the reference
+does not pay because its service warms indexes at boot.  This script
+measures the story in THREE separate JVMs (subprocess arms) against the
+same resident stores:
+
+  prep     — builds-if-missing every sf1.0 store (content-addressed;
+             excluded from all serving numbers, like every bench here)
+  cold     — fresh session, JVM warmed on a NON-serving query, then
+             each serving mode's FIRST call timed (the restart tax),
+             then its second call (warm).  Also splits the first call
+             into plan-construction (fn() -> analyzed DataFrame) vs
+             execution (codegen compile + first-touch IO).
+  prepared — fresh session, prepare_serving() runs first (timed, the
+             boot cost), then each mode's first REAL request timed.
+
+Done-criterion: prepared-first <= 2x warm for every serving mode.
+
+Output: one JSON line {"metric": "cold_boot", "modes": {name:
+  {"cold_first": s, "cold_plan": s, "warm": s, "prepared_first": s,
+   "prepared_over_warm": x}}, "prepare_total_sec": s, ...}
+
+Usage: python scripts/bench_cold_boot.py          (orchestrates arms)
+       python scripts/bench_cold_boot.py --arm cold|prepared|prep
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", os.path.join(REPO, ".cache", "sf1.0"))
+
+
+def _session():
+    from car_etl_spark.session import get_spark
+
+    return get_spark("car-etl-spark-coldboot")
+
+
+def _ensure_stores(spark) -> float:
+    from car_etl_spark.operators.indexing import (
+        ensure_ivf_index,
+        ensure_posting_index,
+        ensure_tenant_ivf_index,
+    )
+    from car_etl_spark.streaming.rollup_store import ensure_rollup_store
+
+    t0 = time.perf_counter()
+    ensure_posting_index(spark, SF_DIR)
+    ensure_posting_index(spark, SF_DIR, analyzer="porter")
+    ensure_posting_index(spark, SF_DIR, analyzer="trigram")
+    ensure_ivf_index(spark, SF_DIR)
+    ensure_tenant_ivf_index(spark, SF_DIR)
+    ensure_rollup_store(spark, SF_DIR)
+    return time.perf_counter() - t0
+
+
+def arm_prep() -> None:
+    spark = _session()
+    dt = _ensure_stores(spark)
+    print(json.dumps({"arm": "prep", "store_prep_sec": round(dt, 2)}))
+    spark.stop()
+
+
+def arm_cold() -> None:
+    from car_etl_spark.queries import build_registry
+    from car_etl_spark.queries.suites import serving_modes
+
+    spark = _session()
+    _ensure_stores(spark)  # content-addressed: stat calls after prep arm
+    # JVM/codegen warmup on a NON-serving query (bench.py discipline) so
+    # "cold" isolates the serving path's own first-request tax, not
+    # generic session startup
+    build_registry()["q1_pricing_summary"].fn(spark, SF_DIR).count()
+    out = {}
+    for name, fn in serving_modes().items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)  # plan construction + analysis (+ probe jobs)
+        t_plan = time.perf_counter() - t0
+        df.count()  # codegen compile + first-touch IO + execute
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        t_warm = time.perf_counter() - t0
+        out[name] = {
+            "cold_first": round(t_first, 3),
+            "cold_plan": round(t_plan, 3),
+            "warm": round(t_warm, 3),
+        }
+    print(json.dumps({"arm": "cold", "modes": out}))
+    spark.stop()
+
+
+def arm_prepared() -> None:
+    from car_etl_spark.api import prepare_serving
+    from car_etl_spark.queries import build_registry
+    from car_etl_spark.queries.suites import serving_modes
+
+    spark = _session()
+    _ensure_stores(spark)
+    build_registry()["q1_pricing_summary"].fn(spark, SF_DIR).count()
+    t0 = time.perf_counter()
+    boot = prepare_serving(spark, SF_DIR)
+    prep_total = time.perf_counter() - t0
+    out = {}
+    for name, fn in serving_modes().items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        out[name] = {"prepared_first": round(time.perf_counter() - t0, 3)}
+    print(
+        json.dumps(
+            {
+                "arm": "prepared",
+                "prepare_total_sec": round(prep_total, 2),
+                "prepare_per_mode": boot,
+                "modes": out,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if "--arm" in sys.argv:
+        arm = sys.argv[sys.argv.index("--arm") + 1]
+        {"prep": arm_prep, "cold": arm_cold, "prepared": arm_prepared}[arm]()
+        return
+    results = {}
+    for arm in ("prep", "cold", "prepared"):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--arm", arm],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-4000:])
+            raise SystemExit(f"arm {arm} failed")
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        results[arm] = json.loads(line)
+        print(f"# arm {arm} done", file=sys.stderr)
+    modes = {}
+    worst = 0.0
+    for name, c in results["cold"]["modes"].items():
+        p = results["prepared"]["modes"][name]["prepared_first"]
+        ratio = round(p / c["warm"], 2) if c["warm"] > 0 else None
+        worst = max(worst, ratio or 0)
+        modes[name] = {**c, "prepared_first": p, "prepared_over_warm": ratio}
+    print(
+        json.dumps(
+            {
+                "metric": "cold_boot",
+                "sf_dir": SF_DIR,
+                "modes": modes,
+                "prepare_total_sec": results["prepared"]["prepare_total_sec"],
+                "store_prep_sec": results["prep"]["store_prep_sec"],
+                "worst_prepared_over_warm": worst,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

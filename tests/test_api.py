@@ -82,3 +82,24 @@ def test_effective_rent_endpoints(spark):
     cums = [r.cumulative_pct for r in conc]
     assert all(b >= a for a, b in zip(cums, cums[1:]))
     assert conc[0].pct_of_total == pytest.approx(conc[0].cumulative_pct)
+
+
+def test_prepare_serving_warm_boot(spark, tmp_path, monkeypatch):
+    """The warm-boot hook executes each serving mode once against the
+    resident stores and reports per-mode boot seconds — after it, the
+    first real request is the warm path (cold-after-prepare <= 2x warm
+    measured at sf1.0 in COLDBOOT_r09.json; this pins the contract:
+    full coverage of SERVING_MODE_NAMES, subset selection, and that a
+    prepared mode's next call serves identical rows)."""
+    monkeypatch.setenv("CAR_ETL_INDEX_DIR", str(tmp_path / "idx"))
+    from car_etl_spark.queries.suites import SERVING_MODE_NAMES, serving_modes
+
+    assert set(serving_modes()) == set(SERVING_MODE_NAMES)
+    subset = ("doc_keyword_search", "vector_ivf_topk", "fts_posting_search")
+    boot = api.prepare_serving(spark, SF_SMALL, modes=subset)
+    assert set(boot) == set(subset)
+    assert all(t >= 0 for t in boot.values())
+    fn = serving_modes()["doc_keyword_search"]
+    first = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+    again = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+    assert first == again and len(first) > 0
