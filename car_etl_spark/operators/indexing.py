@@ -531,6 +531,21 @@ def _swap_layout(
             os.remove(os.path.join(store_path, f))
 
 
+def _live_window(df: DataFrame, epoch: int, upper: int | None) -> DataFrame:
+    """Filter a delta/tombstone frame to the committed snapshot window
+    ``epoch < batch <= upper``.  The lower bound drops rows a crashed
+    compact stranded (already folded into base); the UPPER bound is the
+    snapshot-isolation half: rows of a batch whose commit point
+    (``applied_through`` in meta, replaced atomically) has not landed
+    are invisible, so a serve racing a live ``apply_batch`` sees the
+    complete previous snapshot — never a half-applied batch.  ``upper``
+    None = pre-snapshot store layout, legacy unbounded behavior."""
+    df = df.filter(F.col("batch") > epoch)
+    if upper is not None:
+        df = df.filter(F.col("batch") <= int(upper))
+    return df
+
+
 def _max_sentinel_batch(store_path: str) -> int:
     """Highest applied batch id, from the ``_applied_<b>`` sentinels —
     the compaction epoch (no Spark job, no parquet read).  Compact
@@ -688,6 +703,12 @@ class PostingStore:
                     "schema": schema.jsonValue(),
                     "stats": stats,
                     "compacted_through": compacted_through,
+                    # fresh layout has no pending deltas: the snapshot
+                    # bound restarts at the epoch (an UNCOMMITTED delta
+                    # a crashed apply stranded stays invisible — its
+                    # batch id never got a sentinel, so it sits above
+                    # the epoch and the stream replays it in full)
+                    "applied_through": compacted_through,
                 },
                 f,
             )
@@ -865,16 +886,23 @@ class PostingStore:
         # GB, amortized at batch cadence, never paid at query time).
         # Crash between here and the sentinel replays the whole batch:
         # delta reads dedup exact-duplicate rows and the stats
-        # recompute is idempotent, so the replay converges.
-        self._refresh_stats(spark)
+        # recompute is idempotent, so the replay converges.  Stamping
+        # applied_through=batch WITH the stats (one os.replace) is the
+        # batch's COMMIT POINT for concurrent readers: until it lands,
+        # the snapshot bound hides this batch's delta/tombstone rows,
+        # so a serve racing this apply sees the complete pre-batch
+        # corpus — never new rows without their tombstone (double tf)
+        # or a tombstone without its rows (vanished doc).
+        self._refresh_stats(spark, applied_through=batch)
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
         return True
 
-    def read_doclens(self, spark: SparkSession) -> DataFrame:
+    def read_doclens(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """The live doc-length view ``([tenant,] doc_id, dl, batch)`` —
         base sidecar + deltas under the SAME tombstone liveness rule as
-        the posting rows."""
+        the posting rows.  ``as_of`` overrides the committed-snapshot
+        bound (maintenance passes its own in-flight batch id)."""
         sch = "doc_id long, dl double, batch long"
         if self.tenant_col:
             sch = f"{self.tenant_col} string, " + sch
@@ -887,10 +915,10 @@ class PostingStore:
             ]
             sch = StructType([StructField(c, stored[c].dataType) for c in cols])
         df = spark.read.schema(sch).parquet(self.doclen_base)
-        epoch = int(self._meta().get("compacted_through") or 0)
+        epoch, upper = self._snapshot_bounds(as_of)
         if self._has_parquet(self.doclen_delta):
-            delta = spark.read.schema(sch).parquet(self.doclen_delta).filter(
-                F.col("batch") > epoch
+            delta = _live_window(
+                spark.read.schema(sch).parquet(self.doclen_delta), epoch, upper
             )
             dedup_key = ([self.tenant_col] if self.tenant_col else []) + [
                 "doc_id", "batch"
@@ -899,8 +927,7 @@ class PostingStore:
         if self._has_parquet(self.tomb_dir):
             tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
             tomb = (
-                spark.read.parquet(self.tomb_dir)
-                .filter(F.col("batch") > epoch)
+                _live_window(spark.read.parquet(self.tomb_dir), epoch, upper)
                 .groupBy(*tomb_key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -911,11 +938,32 @@ class PostingStore:
             )
         return df
 
-    def _refresh_stats(self, spark: SparkSession) -> None:
-        """Recompute exact (n_docs, sum_dl) from the live doclens view
-        and publish atomically (os.replace on meta)."""
+    def _snapshot_bounds(self, as_of: int | None = None) -> tuple[int, int | None]:
+        """(compaction epoch, committed upper bound) from ONE meta read
+        — the window every live view filters deltas/tombstones by (see
+        :func:`_live_window`).  ``as_of`` overrides the stamped bound:
+        maintenance reads its own in-flight batch as visible."""
         meta = self._meta()
-        meta["stats"] = self._stats_of(self.read_doclens(spark))
+        epoch = int(meta.get("compacted_through") or 0)
+        upper = as_of if as_of is not None else meta.get("applied_through")
+        return epoch, (int(upper) if upper is not None else None)
+
+    def _refresh_stats(
+        self, spark: SparkSession, applied_through: int | None = None
+    ) -> None:
+        """Recompute exact (n_docs, sum_dl) from the live doclens view
+        and publish atomically (os.replace on meta).  When called from
+        ``apply_batch``, ``applied_through`` is the in-flight batch id:
+        the stats INCLUDE it (``as_of`` bound) and the same meta write
+        advances the snapshot bound — stats and data commit together,
+        so a reader can never pair batch-B idf/avgdl with batch-(B-1)
+        posting rows."""
+        meta = self._meta()
+        meta["stats"] = self._stats_of(
+            self.read_doclens(spark, as_of=applied_through)
+        )
+        if applied_through is not None:
+            meta["applied_through"] = int(applied_through)
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -983,16 +1031,15 @@ class PostingStore:
             return df
 
         df = scope(reader.parquet(self.base_dir))
-        # compaction epoch: delta/tombstone rows at or below it are
-        # already folded into base — a crash between compact's swap and
-        # its cleanup leaves them on disk, and counting them again
-        # would double tf (or let a stale tombstone kill fresh batch-0
-        # rows)
-        epoch = int(self._meta().get("compacted_through") or 0)
+        # snapshot window (one meta read): epoch drops rows a crashed
+        # compact already folded into base (counting them again would
+        # double tf, or let a stale tombstone kill fresh batch-0 rows);
+        # the committed upper bound hides batches whose commit point
+        # has not landed, so a serve racing a live apply_batch sees the
+        # complete previous snapshot (see _live_window)
+        epoch, upper = self._snapshot_bounds()
         if self._has_parquet(self.delta_dir):
-            delta = scope(reader.parquet(self.delta_dir)).filter(
-                F.col("batch") > epoch
-            )
+            delta = _live_window(scope(reader.parquet(self.delta_dir)), epoch, upper)
             # exact-duplicate drop: a replayed half-applied batch appends
             # identical rows; ([tenant,] doc, raw_term, weight, batch) is
             # unique within a correctly-applied batch, so this only
@@ -1004,8 +1051,7 @@ class PostingStore:
         if self._has_parquet(self.tomb_dir):
             tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
             tomb = (
-                spark.read.parquet(self.tomb_dir)
-                .filter(F.col("batch") > epoch)
+                _live_window(spark.read.parquet(self.tomb_dir), epoch, upper)
                 .groupBy(*tomb_key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -1768,6 +1814,10 @@ class IvfStore:
         meta = {
             "version": IVF_VERSION,
             "compacted_through": 0,
+            # snapshot bound (see _live_window): fresh layout, nothing
+            # pending — advanced atomically by apply_batch's final meta
+            # write (that write IS the batch's commit point for readers)
+            "applied_through": 0,
             "num_centroids": len(cents),  # may be < requested on tiny corpora
             "refine_iterations": refine_iterations,
             "dim": len(cents[0][1]) if cents else 0,
@@ -2159,6 +2209,14 @@ class IvfStore:
                 .parquet(self.delta_dir)
             )
         m["batches"][str(batch)] = batch_entry
+        # COMMIT POINT for concurrent readers: counts and the snapshot
+        # bound advance in one atomic meta replace — until it lands, the
+        # bound hides this batch's tombstones AND delta rows, so a serve
+        # racing this apply sees the complete previous snapshot (an
+        # upserted id is never observed absent between steps 2 and 3
+        # above).  The pessimistic step-1 write still protects pre-
+        # snapshot-layout stores and the crash-replay window.
+        m["applied_through"] = batch
         self._write_meta(m)
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
@@ -2178,13 +2236,15 @@ class IvfStore:
         probes: list[int] | None = None,
         id_col: str = "vec_id",
         tenant=None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """The live assignment view: base + deduped delta, minus rows
         older than their id's newest tombstone (liveness rule shared
         with :class:`PostingStore`: an upsert's own rows carry the same
         batch as their tombstone and survive `__tb <= batch`).  With
         ``tenant``, both partition levels prune — the scan touches only
-        (tenant, probed-centroid) directories."""
+        (tenant, probed-centroid) directories.  ``as_of`` overrides the
+        committed-snapshot bound (see :func:`_live_window`)."""
         if tenant is not None and not self.tenant_col:
             raise ValueError("store was not built with a tenant_col")
 
@@ -2199,23 +2259,24 @@ class IvfStore:
         stored = self._stored_schema()
         reader = spark.read.schema(stored) if stored is not None else spark.read
         df = scope(reader.parquet(self.assign_dir))
-        # compaction epoch: stale delta/tombstone files a crashed
-        # compact left behind are already folded into base — see
-        # PostingStore.read's identical guard
-        epoch = 0
+        # snapshot window (see PostingStore.read's identical guard):
+        # the epoch drops stale files a crashed compact already folded
+        # into base; the committed upper bound hides batches whose
+        # final meta write has not landed (_live_window)
+        epoch, upper = 0, as_of
         try:
-            epoch = int(self.meta().get("compacted_through") or 0)
+            m = self.meta()
+            epoch = int(m.get("compacted_through") or 0)
+            if upper is None:
+                upper = m.get("applied_through")
         except (OSError, ValueError):
             pass
         if self._has_parquet(self.delta_dir):
-            delta = scope(reader.parquet(self.delta_dir)).filter(
-                F.col("batch") > epoch
-            )
+            delta = _live_window(scope(reader.parquet(self.delta_dir)), epoch, upper)
             df = df.unionByName(delta.dropDuplicates(key + ["batch"]))
         if self._has_parquet(self.tomb_dir):
             tomb = (
-                spark.read.parquet(self.tomb_dir)
-                .filter(F.col("batch") > epoch)
+                _live_window(spark.read.parquet(self.tomb_dir), epoch, upper)
                 .groupBy(*key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -2353,6 +2414,9 @@ class IvfStore:
         # rides the atomic swap, so readers ignore any delta/tombstone
         # files a crash strands between the swap and the cleanup
         m["compacted_through"] = _max_sentinel_batch(self.path)
+        # snapshot bound restarts with the fresh layout (no pending
+        # deltas; an uncommitted stranded batch replays in full)
+        m["applied_through"] = m["compacted_through"]
         if tstats is not None:
             m["tenants"] = tstats
         if m.get("pq"):
@@ -2385,10 +2449,10 @@ class IvfStore:
         with open(self.meta_path) as f:
             return json.load(f)
 
-    def _centroid_angles(self, qvec: list[float]):
+    def _centroid_angles(self, qvec: list[float], meta: dict | None = None):
         import numpy as np
 
-        m = self.meta()
+        m = meta if meta is not None else self.meta()
         cmat = np.asarray(m["centroids"], dtype="float64")
         ids = np.asarray(m["centroid_ids"], dtype="int64")
         q = np.asarray(qvec, dtype="float64")
@@ -2410,7 +2474,8 @@ class IvfStore:
         return [int(i) for i in ids[order][:nprobe]]
 
     def probe_ids_exact(
-        self, qvec: list[float], k: int, tenant=None, where=None
+        self, qvec: list[float], k: int, tenant=None, where=None,
+        meta: dict | None = None,
     ) -> list[int]:
         """EXACT probe set via the cluster-radius triangle bound —
         still zero Spark jobs, still driver-side numpy.
@@ -2451,7 +2516,7 @@ class IvfStore:
 
         if tenant is not None and not self.tenant_col:
             raise ValueError("store was not built with a tenant_col")
-        m, ids, _sims, thetas = self._centroid_angles(qvec)
+        m, ids, _sims, thetas = self._centroid_angles(qvec, meta=meta)
         fstats = vset = tentry = None
         if where is not None:
             col, values = where
@@ -2604,11 +2669,18 @@ class IvfStore:
         (:meth:`probe_ids_exact`) and the IN-predicate is pushed into
         the pruned parquet scan, so both the certificate and the bytes
         read track the filtered corpus."""
+        # ONE meta snapshot pins the whole serve: the walk's counts/
+        # radii/tombstone debt AND the row view's batch bound come from
+        # the same committed state — a maintenance commit landing
+        # between the two reads can otherwise apply tombstones the
+        # certificate's debt never covered (the one unsafe direction)
+        m = self.meta()
         probes = (
-            self.probe_ids_exact(qvec, k, tenant=tenant, where=where)
+            self.probe_ids_exact(qvec, k, tenant=tenant, where=where, meta=m)
             if nprobe is None
             else self.probe_ids(qvec, nprobe)
         )
+        as_of = m.get("applied_through")
         qlit = V.literal_vector(qvec)
         # dim-aware rescoring kernel, same split as the similarity paths:
         # codegen HOF cosine at low dim, Arrow/BLAS above the cutoff
@@ -2622,7 +2694,9 @@ class IvfStore:
             sim = F.round(V.cosine_similarity(F.col(vec_col), qlit), 6)
         else:
             sim = F.round(_cosine_pairs_pandas(F.col(vec_col), qlit), 6)
-        scan = self.read_assignments(spark, probes=probes, id_col=id_col, tenant=tenant)
+        scan = self.read_assignments(
+            spark, probes=probes, id_col=id_col, tenant=tenant, as_of=as_of
+        )
         if where is not None:
             col, values = where
             scan = scan.filter(F.col(col).isin(list(values)))
@@ -2696,11 +2770,16 @@ class IvfStore:
 
         books = np.asarray(m["pq"]["codebooks"], dtype="float64")
         table = PQ.adc_table(qvec, books)
-        probes = self.probe_ids_exact(qvec, k, tenant=tenant, where=where)
+        # the serve's single meta snapshot m pins walk counts, codebooks
+        # AND the row view's batch bound together (see probe_topk) — a
+        # racing maintenance commit can't pair new tombstones with the
+        # old certificate, or new codes with old codebooks
+        probes = self.probe_ids_exact(qvec, k, tenant=tenant, where=where, meta=m)
+        as_of = m.get("applied_through")
 
         def scoped(cols: list[str]) -> DataFrame:
             s = self.read_assignments(
-                spark, probes=probes, id_col=id_col, tenant=tenant
+                spark, probes=probes, id_col=id_col, tenant=tenant, as_of=as_of
             )
             if where is not None:
                 s = s.filter(F.col(where[0]).isin(list(where[1])))

@@ -322,14 +322,21 @@ def vector_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
             .collect()
         )
+        # one meta snapshot pins every query's certificate AND the row
+        # view's batch bound (see IvfStore.probe_topk's race note)
+        meta = store.meta()
         probe_union: set[int] = set()
         for r in qrows:
-            probe_union |= set(store.probe_ids_exact([float(x) for x in r.qvec], 6))
+            probe_union |= set(
+                store.probe_ids_exact([float(x) for x in r.qvec], 6, meta=meta)
+            )
         queries = spark.createDataFrame(
             [(int(r.query_id), [float(x) for x in r.qvec]) for r in qrows],
             "query_id long, qvec array<double>",
         )
-        assigned = store.read_assignments(spark, probes=sorted(probe_union))
+        assigned = store.read_assignments(
+            spark, probes=sorted(probe_union), as_of=meta.get("applied_through")
+        )
         sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
         scored = (
             assigned.crossJoin(F.broadcast(queries))

@@ -339,13 +339,22 @@ class RollupStore:
         stored = self._stored_schema()
         reader = spark.read.schema(stored) if stored is not None else spark.read
         df = reader.parquet(self.base_dir)
-        # compaction epoch: delta rows at or below it are already folded
-        # into base — a crash between compact's swap and its delta
-        # cleanup strands them, and counting them again doubles n/sums
+        # snapshot window: the compaction epoch drops delta rows already
+        # folded into base (a crash between compact's swap and its delta
+        # cleanup strands them; counting them again doubles n/sums), and
+        # the applied-sentinel bound hides a batch whose append is still
+        # in flight — parquet files land per-task, so a concurrent
+        # reader would otherwise sum a PARTIAL batch.  The sentinel (one
+        # atomic file create after the append job) is the commit point;
+        # batch ids are monotone stream epochs applied by one writer, so
+        # max-sentinel is a prefix bound.
         epoch = int(self._meta().get("compacted_through") or 0)
+        committed = self._max_sentinel()
         if self._has_parquet(self.delta_dir):
             df = df.unionByName(
-                reader.parquet(self.delta_dir).filter(F.col("batch") > epoch)
+                reader.parquet(self.delta_dir).filter(
+                    (F.col("batch") > epoch) & (F.col("batch") <= committed)
+                )
             )
         if tenant is not None:
             df = df.filter(F.col(self.tenant_col) == tenant)
