@@ -198,12 +198,17 @@ def tenant_substring_search(
     trigram_store,
     pattern: str,
     tenant: str,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Tenant-scoped EXACT substring (ILIKE) serving from a
     tenant-partitioned trigram store — the corpus-grep route: both the
     gram-chain verification and the partition pruning stay inside the
-    tenant's directories (see ``PostingStore.substring_search``)."""
-    return trigram_store.substring_search(spark, pattern, tenant=tenant)
+    tenant's directories (see ``PostingStore.substring_search``).
+    ``docs`` is required when the store carries the positions-less
+    layout (the corpus-bytes default above
+    ``TRIGRAM_POSITIONS_MAX_CORPUS_BYTES``) — the bounded recheck
+    verifies candidates against it, tenant-filtered."""
+    return trigram_store.substring_search(spark, pattern, tenant=tenant, docs=docs)
 
 
 def tenant_regex_search(

@@ -927,7 +927,7 @@ class PostingStore:
         if self._has_parquet(self.tomb_dir):
             tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
             tomb = (
-                _live_window(spark.read.parquet(self.tomb_dir), epoch, upper)
+                _live_window(self._read_tombstones(spark), epoch, upper)
                 .groupBy(*tomb_key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -937,6 +937,25 @@ class PostingStore:
                 .drop("__tb")
             )
         return df
+
+    def _read_tombstones(self, spark: SparkSession) -> DataFrame:
+        """Tombstone read with the schema supplied EXPLICITLY (derived
+        from the stored build-time schema).  Inference would not only
+        re-type partition values — it FAILS outright on a dir a racing
+        compact just emptied (UNABLE_TO_INFER_SCHEMA), which the
+        maintenance-under-serving soak hit in practice; with the schema
+        given, a concurrently-emptied dir just reads as zero rows."""
+        stored = self._stored_schema()
+        if stored is None:
+            return spark.read.parquet(self.tomb_dir)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        cols = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
+        sch = StructType(
+            [StructField(c, stored[c].dataType) for c in cols]
+            + [StructField("batch", LongType())]
+        )
+        return spark.read.schema(sch).parquet(self.tomb_dir)
 
     def _snapshot_bounds(self, as_of: int | None = None) -> tuple[int, int | None]:
         """(compaction epoch, committed upper bound) from ONE meta read
@@ -1051,7 +1070,7 @@ class PostingStore:
         if self._has_parquet(self.tomb_dir):
             tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
             tomb = (
-                _live_window(spark.read.parquet(self.tomb_dir), epoch, upper)
+                _live_window(self._read_tombstones(spark), epoch, upper)
                 .groupBy(*tomb_key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -1541,8 +1560,45 @@ class PostingStore:
 _ENSURED: set[str] = set()
 
 
+#: Trigram positions DEFAULT policy (measured table in ARCHITECTURE.md
+#: "Storage, measured + the positions-optional layout"): the positional
+#: layout costs 4.2-5.8x corpus bytes and grows RELATIVE to corpus (one
+#: int per text char) vs 2.2-3.9x for the positions-less pg_trgm
+#: layout; it buys ~2x on the substring probe (in-index position-chain
+#: verify vs bounded candidate recheck).  The default is a RULE, not
+#: caller knowledge: pay the surcharge while it is absolutely small
+#: (compressed corpus under this threshold keeps the whole store at a
+#: few GB), flip to the lean layout above it — at 100 TB a ~6x store is
+#: another copy-and-a-half of the corpus, while the recheck's cost is a
+#: bounded candidate fetch.  Callers with a substring-latency SLO opt
+#: back in with positions=True; the choice is persisted in meta AND
+#: content-addressed into the store path, so a corpus crossing the
+#: threshold rebuilds cleanly instead of serving from a mismatched
+#: layout.
+TRIGRAM_POSITIONS_MAX_CORPUS_BYTES = 1 << 30
+
+
+def default_trigram_positions(corpus_bytes: int) -> bool:
+    """Build-knob default for trigram stores: positional while the
+    measured ~2x-corpus surcharge stays absolutely cheap, positions-less
+    above (see :data:`TRIGRAM_POSITIONS_MAX_CORPUS_BYTES`)."""
+    return int(corpus_bytes) <= TRIGRAM_POSITIONS_MAX_CORPUS_BYTES
+
+
+def _source_bytes(source: str) -> int:
+    """Compressed on-disk bytes of a parquet source (file or dir) —
+    the policy-grade corpus size, no Spark job."""
+    if os.path.isdir(source):
+        return _tree_bytes(source)
+    try:
+        return os.path.getsize(source)
+    except OSError:
+        return 0
+
+
 def ensure_posting_index(
-    spark: SparkSession, sf_dir: str, analyzer: str = "suffix"
+    spark: SparkSession, sf_dir: str, analyzer: str = "suffix",
+    positions: bool | None = None,
 ) -> PostingStore:
     """Build-if-missing and return the posting store for a corpus dir.
 
@@ -1565,13 +1621,23 @@ def ensure_posting_index(
     # ANALYZER_VERSION bumps when a stemmer's behavior changes (porter
     # v2: non-word characters treated as consonants, matching the
     # literal backend) so content-addressed stores self-invalidate
+    if positions is None:
+        # token positions on word-grain stores are cheap (~1 int/token,
+        # the ~1.2-1.4x phrase-serving tax settled by the r6 layout A/B)
+        # and phrase search needs them: always on.  Trigram positions
+        # are the dominant storage term — apply the corpus-bytes rule.
+        positions = (
+            default_trigram_positions(_source_bytes(source))
+            if analyzer == "trigram"
+            else True
+        )
     params = (
         f"nb{num_buckets}|h{HEADER_TOKENS}|{HEADER_WEIGHT}|{BODY_WEIGHT}"
-        f"|a:{analyzer}|av{ANALYZER_VERSION}"
+        f"|a:{analyzer}|av{ANALYZER_VERSION}|p:{int(positions)}"
     )
     digest = _source_digest("postings", POSTING_VERSION, source, params)
     path = os.path.join(index_root(), f"postings-{digest}")
-    store = PostingStore(path, analyzer, num_buckets=num_buckets)
+    store = PostingStore(path, analyzer, num_buckets=num_buckets, positions=positions)
     if path in _ENSURED:
         return store
     if not store._has_parquet(store.base_dir):
@@ -2275,8 +2341,22 @@ class IvfStore:
             delta = _live_window(scope(reader.parquet(self.delta_dir)), epoch, upper)
             df = df.unionByName(delta.dropDuplicates(key + ["batch"]))
         if self._has_parquet(self.tomb_dir):
+            # explicit tombstone schema, same reason as
+            # PostingStore._read_tombstones: inference FAILS on a dir a
+            # racing compact just emptied; with the schema supplied the
+            # read degrades to zero rows
+            tomb_reader = spark.read
+            if stored is not None:
+                from pyspark.sql.types import LongType, StructField, StructType
+
+                tomb_reader = spark.read.schema(
+                    StructType(
+                        [StructField(c, stored[c].dataType) for c in key]
+                        + [StructField("batch", LongType())]
+                    )
+                )
             tomb = (
-                _live_window(spark.read.parquet(self.tomb_dir), epoch, upper)
+                _live_window(tomb_reader.parquet(self.tomb_dir), epoch, upper)
                 .groupBy(*key)
                 .agg(F.max("batch").alias("__tb"))
             )

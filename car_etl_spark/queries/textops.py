@@ -603,7 +603,15 @@ def doc_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         store = ensure_posting_index(spark, sf_dir, analyzer="trigram")
-        return store.substring_search(spark, SUBSTRING_PATTERN)
+        # above the positions-policy threshold the store is the lean
+        # pg_trgm layout (ensure_posting_index's corpus-bytes rule) and
+        # the bounded recheck needs the corpus to verify against
+        docs = (
+            None
+            if store.positions
+            else load_tables(spark, sf_dir, ("documents",))["documents"]
+        )
+        return store.substring_search(spark, SUBSTRING_PATTERN, docs=docs)
 
     return prepared(
         spark, "doc_substring_search", sf_dir, ("documents.parquet",), build

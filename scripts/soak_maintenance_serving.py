@@ -1,0 +1,467 @@
+#!/usr/bin/env python
+"""Maintenance-under-serving soak: race apply_batch/compact against
+live serving queries and assert every serve is EXACT for a committed
+snapshot.
+
+Every LSM store's crash discipline is pinned in isolation
+(tests/test_indexing.py, tests/test_snapshot_isolation.py), but the
+production condition at 100 TB is that maintenance never stops: a
+serve can land at ANY instant inside an apply_batch or a compact.
+This script is the whole-system version of that condition:
+
+- a MAINTENANCE thread drives N deterministic batches (upserts +
+  deletes for the posting and IVF stores, appends for the rollup
+  store) with a compact every K batches, continuously, no pauses;
+- SERVING threads (own FAIR scheduler pools) loop the three serving
+  shapes — tf-ranked term search, certified-exact vector top-k,
+  day-grain rollup — the whole time;
+- every serve samples the store's committed state id BEFORE and AFTER
+  (posting/IVF: ``applied_through`` from meta; rollup:
+  max(compaction epoch, applied sentinel)) and must equal the
+  brute-force answer for that state.  A serve that straddles a commit
+  (ids differ) must equal SOME state in the closed range — the
+  linearizability-at-batch-granularity contract.
+
+Brute-force oracles are INDEX-FREE, computed per state from the
+python-side ground-truth corpus before any racing starts: the posting
+oracle re-derives tf ranking from raw text through the tokenizer
+kernel only (no store), the vector oracle is a full cosine scan, the
+rollup oracle a direct groupBy over the accumulated events.
+
+A serve interrupted by a compact's atomic layout swap (the listed
+parquet files vanish mid-job) retries once — the documented serving
+policy for plain-parquet layout swaps (ARCHITECTURE.md §maintenance);
+retries are counted and reported, never hidden.
+
+Output: one JSON line with per-shape serve latencies split by
+maintenance activity, equality/straddle/retry counters, and a
+hard nonzero exit on any equality failure.
+
+Usage: python scripts/soak_maintenance_serving.py [n_batches] [serve_threads]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from car_etl_spark.functions import vectors as V  # noqa: E402
+from car_etl_spark.functions.text import stem_py  # noqa: E402
+from car_etl_spark.operators import indexing as IX  # noqa: E402
+from car_etl_spark.session import get_spark  # noqa: E402
+from car_etl_spark.streaming.rollup_store import RollupStore  # noqa: E402
+
+N_BATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+SERVE_THREADS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+COMPACT_EVERY = 4
+N_DOCS, N_VECS, DIM = 600, 400, 8
+TERMS = [stem_py(t) for t in ("spark", "window", "merge")]
+QUERY_K = 10
+
+VOCAB = [
+    "spark", "window", "merge", "stream", "batch", "delta", "store",
+    "index", "probe", "vector", "token", "shard", "join", "scan",
+    "filter", "group", "sort", "limit", "union", "state", "epoch",
+    "commit", "snapshot", "tomb", "radix", "hash", "page", "block",
+    "queue", "retry",
+]
+
+
+# -- deterministic ground-truth evolution ------------------------------------
+
+
+def doc_text(rng: random.Random) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(20))
+
+
+def vec(rng: random.Random, cluster: int) -> list[float]:
+    import math
+
+    center = [0.0] * DIM
+    center[2 * cluster] = 1.0
+    center[2 * cluster + 1] = 0.3
+    v = [x + rng.gauss(0.0, 0.02) for x in center]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def initial_state() -> dict:
+    rng = random.Random(42)
+    docs = {i: doc_text(rng) for i in range(1, N_DOCS + 1)}
+    vecs = {i: (i % 4, vec(rng, i % 4)) for i in range(1, N_VECS + 1)}
+    return {"docs": docs, "vecs": vecs, "events": []}
+
+
+def batch_changes(b: int) -> dict:
+    """The deterministic change set of batch b (pure function of b)."""
+    rng = random.Random(1000 + b)
+    doc_up = {
+        (b * 37 + j * 11) % N_DOCS + 1: doc_text(rng) for j in range(25)
+    }
+    doc_up[N_DOCS + b] = doc_text(rng)  # one brand-new doc per batch
+    doc_del = sorted({(b * 53 + j * 17) % N_DOCS + 1 for j in range(5)} - set(doc_up))
+    vec_up = {
+        (b * 29 + j * 13) % N_VECS + 1: ((b + j) % 4, vec(rng, (b + j) % 4))
+        for j in range(20)
+    }
+    vec_del = sorted({(b * 41 + j * 19) % N_VECS + 1 for j in range(4)} - set(vec_up))
+    events = [
+        (
+            b * 1000 + j,
+            ("click", "view", "error")[j % 3],
+            f"2024-01-0{1 + (j % 2)} {10 + (j % 8)}:{j % 60:02d}:30",
+            float((b + j) % 50),
+        )
+        for j in range(200)
+    ]
+    return {
+        "doc_up": doc_up, "doc_del": doc_del,
+        "vec_up": vec_up, "vec_del": vec_del, "events": events,
+    }
+
+
+def advance(state: dict, ch: dict) -> None:
+    state["docs"].update(ch["doc_up"])
+    for d in ch["doc_del"]:
+        state["docs"].pop(d, None)
+    state["vecs"].update(ch["vec_up"])
+    for d in ch["vec_del"]:
+        state["vecs"].pop(d, None)
+    state["events"].extend(ch["events"])
+
+
+# -- index-free brute-force oracles per state --------------------------------
+
+
+def docs_df(spark, docs: dict):
+    return spark.createDataFrame(
+        [(i, "en", t) for i, t in sorted(docs.items())],
+        "doc_id long, lang string, text string",
+    )
+
+
+def oracle_terms(spark, docs: dict, num_buckets: int) -> list[tuple]:
+    """tf ranking from RAW TEXT through the tokenizer kernel only —
+    the repo's established serving==scan oracle discipline, no store."""
+    rows = IX.build_posting_rows(docs_df(spark, docs), "suffix", num_buckets, None)
+    out = (
+        rows.filter(F.col("term").isin(TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
+            F.countDistinct("term").alias("terms_matched"),
+        )
+        .orderBy(F.desc("rank_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return [tuple(r) for r in out.collect()]
+
+
+def oracle_vectors(spark, vecs: dict, qvec: list[float]) -> list[tuple]:
+    df = spark.createDataFrame(
+        [(i, lab, v) for i, (lab, v) in sorted(vecs.items())],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = (
+        df.select(
+            "vec_id", "label",
+            F.round(
+                V.cosine_similarity(F.col("embedding"), V.literal_vector(qvec)), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(QUERY_K)
+    )
+    return [tuple(r) for r in out.collect()]
+
+
+def events_df(spark, events: list):
+    return spark.createDataFrame(
+        events, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def oracle_rollup(spark, events: list) -> list[tuple]:
+    if not events:
+        return []
+    df = events_df(spark, events)
+    out = df.groupBy(
+        F.date_trunc("day", "ts").alias("bucket_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("vs"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    ).select(
+        "bucket_start", "event_type", "n",
+        F.col("vs").cast("double").alias("value_sum"),
+        (F.col("vs").cast("double") / F.col("n")).alias("value_avg"),
+        "value_min", "value_max",
+    )
+    return sorted(tuple(r) for r in out.collect())
+
+
+# -- committed-state ids -------------------------------------------------------
+
+
+def state_id_posting(store: IX.PostingStore) -> int:
+    return int(store._meta().get("applied_through") or 0)
+
+
+def state_id_ivf(store: IX.IvfStore) -> int:
+    try:
+        return int(store.meta().get("applied_through") or 0)
+    except (OSError, ValueError):
+        return 0
+
+
+def state_id_rollup(store: RollupStore) -> int:
+    meta = store._meta() or {}
+    return max(int(meta.get("compacted_through") or 0), store._max_sentinel())
+
+
+def main() -> None:  # noqa: C901
+    spark = get_spark(
+        "car-etl-spark-maint-soak",
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+
+    tmp = tempfile.mkdtemp(prefix="maint-soak-")
+    out: dict = {
+        "metric": "maintenance_serving_soak",
+        "n_batches": N_BATCHES,
+        "compact_every": COMPACT_EVERY,
+        "serve_threads": SERVE_THREADS,
+    }
+    try:
+        # ---- build stores at state 0 ------------------------------------
+        state = initial_state()
+        posting = IX.PostingStore(os.path.join(tmp, "postings"), num_buckets=16)
+        posting.build(docs_df(spark, state["docs"]))
+        ivf = IX.IvfStore(os.path.join(tmp, "ivf"))
+        ivf.build(
+            spark.createDataFrame(
+                [(i, lab, v) for i, (lab, v) in sorted(state["vecs"].items())],
+                "vec_id long, label int, embedding array<double>",
+            ),
+            num_centroids=4,
+        )
+        qvec = state["vecs"][5][1]
+        rollup = RollupStore(os.path.join(tmp, "rollup"))
+        rollup.build(events_df(spark, batch_changes(0)["events"]))
+        state["events"].extend(batch_changes(0)["events"])
+
+        # ---- precompute brute-force oracles for every state -------------
+        print("# precomputing per-state oracles...", flush=True)
+        t0 = time.perf_counter()
+        expected: dict[str, dict[int, object]] = {"terms": {}, "vec": {}, "roll": {}}
+        snap = initial_state()
+        snap["events"] = list(state["events"])
+        for s in range(N_BATCHES + 1):
+            if s > 0:
+                advance(snap, batch_changes(s))
+            expected["terms"][s] = oracle_terms(spark, snap["docs"], posting.num_buckets)
+            expected["vec"][s] = oracle_vectors(spark, snap["vecs"], qvec)
+            expected["roll"][s] = oracle_rollup(spark, snap["events"])
+        print(f"# oracles ready in {time.perf_counter() - t0:.1f}s", flush=True)
+
+        # ---- the race -----------------------------------------------------
+        maint_active = threading.Event()
+        maint_done = threading.Event()
+        compacting = threading.Event()
+        errors: list[str] = []
+        retried_excs: list[str] = []
+        counters = {
+            "serves": 0, "straddles": 0, "retries": 0,
+            "mismatches": 0, "compacts": 0,
+        }
+        samples: dict[str, dict[str, list[float]]] = {
+            k: {"during": [], "quiescent": []} for k in ("terms", "vec", "roll")
+        }
+        lock = threading.Lock()
+
+        def maintenance() -> None:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maintenance")
+            try:
+                for b in range(1, N_BATCHES + 1):
+                    ch = batch_changes(b)
+                    maint_active.set()
+                    posting.apply_batch(
+                        spark, docs_df(spark, ch["doc_up"]), ch["doc_del"], batch=b
+                    )
+                    ivf.apply_batch(
+                        spark,
+                        spark.createDataFrame(
+                            [(i, lab, v) for i, (lab, v) in sorted(ch["vec_up"].items())],
+                            "vec_id long, label int, embedding array<double>",
+                        ),
+                        ch["vec_del"],
+                        batch=b,
+                    )
+                    rollup.apply_batch(spark, events_df(spark, ch["events"]), b)
+                    if b % COMPACT_EVERY == 0:
+                        compacting.set()
+                        posting.compact(spark)
+                        ivf.compact(spark)
+                        rollup.compact(spark)
+                        compacting.clear()
+                        with lock:
+                            counters["compacts"] += 3
+            except BaseException as e:
+                with lock:
+                    errors.append(f"maintenance: {type(e).__name__}: {e}")
+            finally:
+                maint_active.clear()
+                maint_done.set()
+
+        def serve_once(kind: str) -> tuple[list | None, float, int, int, int]:
+            """-> (rows, latency, sid_before, sid_after, retries)"""
+            sid_fn = {
+                "terms": lambda: state_id_posting(posting),
+                "vec": lambda: state_id_ivf(ivf),
+                "roll": lambda: state_id_rollup(rollup),
+            }[kind]
+            retries = 0
+            while True:
+                sid0 = sid_fn()
+                t0 = time.perf_counter()
+                try:
+                    if kind == "terms":
+                        rows = [
+                            tuple(r)
+                            for r in posting.term_search(spark, TERMS, limit=20).collect()
+                        ]
+                    elif kind == "vec":
+                        rows = [
+                            tuple(r)
+                            for r in ivf.probe_topk(spark, qvec, k=QUERY_K).collect()
+                        ]
+                    else:
+                        rows = sorted(
+                            tuple(r) for r in rollup.read(spark, "day").collect()
+                        )
+                except Exception as e:
+                    # a compact's atomic layout swap invalidates the
+                    # serve's file listing (or empties a dir between
+                    # the existence check and the read) mid-serve —
+                    # the documented retry-with-backoff policy for
+                    # plain-parquet layout swaps; a compact spans
+                    # seconds, so a handful of fast-failing attempts
+                    # must be absorbed
+                    retries += 1
+                    if retries > 5:
+                        raise
+                    with lock:
+                        retried_excs.append(f"{kind}: {type(e).__name__}")
+                    time.sleep(0.15)
+                    continue
+                lat = time.perf_counter() - t0
+                return rows, lat, sid0, sid_fn(), retries
+
+        def server(idx: int) -> None:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"serve-{idx}")
+            kinds = ("terms", "vec", "roll")
+            r = 0
+            try:
+                while not maint_done.is_set():
+                    kind = kinds[(idx + r) % 3]
+                    r += 1
+                    during = maint_active.is_set()
+                    rows, lat, sid0, sid1, retries = serve_once(kind)
+                    ok = (
+                        rows == expected[kind][sid0]
+                        if sid0 == sid1
+                        else any(
+                            rows == expected[kind][s] for s in range(sid0, sid1 + 1)
+                        )
+                    )
+                    with lock:
+                        counters["serves"] += 1
+                        counters["retries"] += retries
+                        if sid0 != sid1:
+                            counters["straddles"] += 1
+                        if not ok:
+                            counters["mismatches"] += 1
+                            errors.append(
+                                f"{kind}: serve != oracle for state(s) "
+                                f"[{sid0},{sid1}] (rows={len(rows or [])})"
+                            )
+                        samples[kind]["during" if during else "quiescent"].append(lat)
+            except BaseException as e:
+                with lock:
+                    errors.append(f"server-{idx}: {type(e).__name__}: {e}")
+
+        # warm the serving plans once before racing (codegen, listings)
+        for kind in ("terms", "vec", "roll"):
+            serve_once(kind)
+
+        threads = [threading.Thread(target=maintenance)]
+        threads += [
+            threading.Thread(target=server, args=(i,)) for i in range(SERVE_THREADS)
+        ]
+        t_race = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        out["race_wall_sec"] = round(time.perf_counter() - t_race, 1)
+
+        # quiescent tail: the same serves with maintenance finished —
+        # the latency-impact baseline measured in the SAME session
+        for i in range(12):
+            kind = ("terms", "vec", "roll")[i % 3]
+            rows, lat, sid0, sid1, _ = serve_once(kind)
+            assert sid0 == sid1 == N_BATCHES
+            if rows != expected[kind][N_BATCHES]:
+                errors.append(f"post-race {kind}: serve != oracle at final state")
+            samples[kind]["quiescent"].append(lat)
+
+        def pct(xs, q):
+            ys = sorted(xs)
+            return round(ys[max(0, min(len(ys) - 1, round(q * (len(ys) - 1))))], 4)
+
+        out["counters"] = counters
+        out["latency"] = {
+            kind: {
+                phase: (
+                    {
+                        "n": len(xs),
+                        "avg": round(sum(xs) / len(xs), 4),
+                        "p95": pct(xs, 0.95),
+                    }
+                    if xs
+                    else None
+                )
+                for phase, xs in phases.items()
+            }
+            for kind, phases in samples.items()
+        }
+        out["retried"] = retried_excs[:20]
+        out["errors"] = errors[:20]
+        out["verdict"] = (
+            "PASS: every serve matched a committed snapshot"
+            if not errors and counters["mismatches"] == 0
+            else "FAIL"
+        )
+        print(json.dumps(out))
+        if errors:
+            sys.exit(1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1641,3 +1641,59 @@ def test_pq_certified_property_equals_bruteforce(spark, corpus):
         store.build(emb, num_centroids=3, refine_iterations=1, pq_m=2)
         got = [tuple(r) for r in store.pq_topk(spark, qvec, k=k).collect()]
         assert got == _brute_all(emb, qvec, k=k)
+
+
+# -- trigram positions default policy (round 9) -------------------------------
+
+
+def test_trigram_positions_policy_rule():
+    """The build-knob default is a corpus-bytes RULE (measured storage
+    table in ARCHITECTURE.md): positional at or under the threshold,
+    positions-less above — never caller knowledge."""
+    assert IX.default_trigram_positions(0) is True
+    assert IX.default_trigram_positions(IX.TRIGRAM_POSITIONS_MAX_CORPUS_BYTES) is True
+    assert (
+        IX.default_trigram_positions(IX.TRIGRAM_POSITIONS_MAX_CORPUS_BYTES + 1)
+        is False
+    )
+
+
+def test_ensure_trigram_store_applies_policy(spark, monkeypatch):
+    """ensure_posting_index derives the trigram positions default from
+    corpus bytes; the choice is content-addressed into the store path so
+    a corpus crossing the threshold rebuilds instead of serving from a
+    mismatched layout."""
+    from tests.conftest import SF_SMALL as _SF
+
+    s_pos = IX.ensure_posting_index(spark, _SF, analyzer="trigram")
+    assert s_pos.positions is True  # sf0.001 is far below the threshold
+    monkeypatch.setattr(IX, "TRIGRAM_POSITIONS_MAX_CORPUS_BYTES", 0)
+    s_lean = IX.ensure_posting_index(spark, _SF, analyzer="trigram")
+    assert s_lean.positions is False
+    assert s_lean.path != s_pos.path
+    # word-grain analyzers are exempt (phrase search needs offsets)
+    assert IX.ensure_posting_index(spark, _SF).positions is True
+
+
+def test_substring_serving_handles_policy_lean_store(spark, monkeypatch):
+    """doc_substring_search's serving build adapts to the policy: on a
+    positions-less store it supplies the corpus frame for the bounded
+    recheck, and the answers equal the positional store's."""
+    from car_etl_spark.queries.textops import SUBSTRING_PATTERN
+    from car_etl_spark.tables import load_tables
+    from tests.conftest import SF_SMALL as _SF
+
+    monkeypatch.setattr(IX, "TRIGRAM_POSITIONS_MAX_CORPUS_BYTES", 0)
+    lean = IX.ensure_posting_index(spark, _SF, analyzer="trigram")
+    assert lean.positions is False
+    docs = load_tables(spark, _SF, ("documents",))["documents"]
+    got = sorted(
+        tuple(r)
+        for r in lean.substring_search(spark, SUBSTRING_PATTERN, docs=docs).collect()
+    )
+    monkeypatch.undo()
+    pos = IX.ensure_posting_index(spark, _SF, analyzer="trigram", positions=True)
+    want = sorted(
+        tuple(r) for r in pos.substring_search(spark, SUBSTRING_PATTERN).collect()
+    )
+    assert got == want
