@@ -46,6 +46,11 @@ against r06.  r08 added vector_tenant_filtered_topk (the combined
 tenant x metadata-filter certified serving arm) — subtract it when
 comparing r08 totals against r07; r08 also fused the PQ serve
 (vector_pq_topk ~0.41 -> ~0.10 s warm, a real plan change, not noise).
+r09 consolidated the registry pair entity_match_blocked +
+entity_match_lsh_extended into the entity_match_modes suite (registry
+headroom; COVERAGE.md merge table) — the BENCH set is unchanged:
+entity_match_blocked keeps its own row via fine_grained_queries, so
+its numbers stay comparable round-over-round.
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's

@@ -662,12 +662,38 @@ ORDER BY canonical_key
 """
 
 
+def entity_match_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated J4/F12/F13 suite (round-9 registry headroom, the
+    r2/r5 same-grain merge playbook): the affix-blocked match and its
+    LSH-extended recall variant share the (segment, decision) rollup
+    grain, so one registry row serves both, tagged by ``arm``.  Each
+    arm keeps its own full oracle twin — the merged SQL is their
+    tagged union, so the correctness surface is unchanged."""
+    affix = entity_match_blocked(spark, sf_dir).select(
+        F.lit("affix").alias("arm"), "*"
+    )
+    lsh = entity_match_lsh_extended(spark, sf_dir).select(
+        F.lit("lsh_extended").alias("arm"), "*"
+    )
+    return affix.unionByName(lsh).orderBy("arm", "segment", "decision")
+
+
+def _entity_match_modes_sql(sf_dir: str) -> str:
+    """Oracle builder for the consolidated suite: the two arms' own
+    oracle statements, tagged and unioned."""
+    return f"""
+SELECT 'affix' AS arm, * FROM ({ENTITY_MATCH_BLOCKED_SQL})
+UNION ALL
+SELECT 'lsh_extended' AS arm, * FROM ({_entity_match_lsh_extended_sql(sf_dir)})
+ORDER BY arm, segment, decision
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "entity_canonicalize": QuerySpec(entity_canonicalize, ENTITY_CANONICALIZE_SQL, ("entity",)),
-    "entity_match_blocked": QuerySpec(entity_match_blocked, ENTITY_MATCH_BLOCKED_SQL, ("entity", "similarity-join")),
-    "entity_match_lsh_extended": QuerySpec(
-        entity_match_lsh_extended,
-        _entity_match_lsh_extended_sql,
+    "entity_match_modes": QuerySpec(
+        entity_match_modes,
+        _entity_match_modes_sql,
         ("entity", "similarity-join", "lsh", "portable"),
     ),
     "entity_merge_repoint": QuerySpec(entity_merge_repoint, ENTITY_MERGE_REPOINT_SQL, ("entity", "merge")),

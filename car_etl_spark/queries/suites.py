@@ -848,6 +848,7 @@ def fine_grained_queries() -> dict:
     from car_etl_spark.queries import (
         dedup,
         eav,
+        entity,
         eventsq,
         fts,
         misc,
@@ -859,6 +860,9 @@ def fine_grained_queries() -> dict:
     from car_etl_spark.queries.confidenceq import om_validation_report
 
     return {
+        # r09 consolidation: entity_match_modes (registry) = these two
+        "entity_match_blocked": entity.entity_match_blocked,
+        "entity_match_lsh_extended": entity.entity_match_lsh_extended,
         "rag_context_budget": rag.rag_context_budget,
         "hierarchy_self_join": misc.hierarchy_self_join,
         "interval_join_shipments": misc.interval_join_shipments,
