@@ -235,6 +235,14 @@ def prefix_filtered_jaccard_pairs(
         .withColumn("__sz", F.size(F.col(set_col)))
         .filter(F.col("__sz") > 0)  # the documented non-empty contract
     )
+    # Materialize the set build ONCE: the candidate self-join reads the
+    # prefix frame from BOTH sides and the verify step joins the full
+    # sets TWICE more, so without this the upstream lineage — typically
+    # an interpreted shingle-HOF over every document — executes 4-5x.
+    # Invisible at output-bound scales; on the sf1 Heaps-vocabulary
+    # corpus (where the set build dominates and output is tiny) it was
+    # the whole cost: 54.5 s -> ~20 s for 8 candidate pairs.
+    sized = sized.localCheckpoint(eager=True)
     expl = sized.select(id_col, "__sz", F.explode(set_col).alias("__tok"))
     tok_df = expl.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     plen = (
@@ -248,6 +256,10 @@ def prefix_filtered_jaccard_pairs(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= plen)
         .select(id_col, "__sz", "__tok")
+        # (1-tau) of the explode, skinny columns — cheap to hold, and
+        # the self-join below would otherwise run the df-rank window
+        # twice (same reuse argument as `sized` above)
+        .localCheckpoint(eager=True)
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (

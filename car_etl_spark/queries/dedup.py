@@ -71,15 +71,44 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+#: block sizing for the modulo-blocked Jaccard ground truth: the
+#: historical 25 blocks at the correctness scales, growing with the
+#: corpus above ~5k docs so each block holds ~DOCS_PER_BLOCK documents
+_JACCARD_BASE_BLOCKS = 25
+_JACCARD_DOCS_PER_BLOCK = 200
+
+
+def jaccard_block_count(sf_dir: str) -> int:
+    """Scale-derived modulo-block count for the blocked-Jaccard ground
+    truth — parquet footer stat only, so Spark and the DuckDB twin
+    derive the SAME number and the arm stays a full oracle row.
+
+    Mod-B blocking compares ~n^2/B pairs: a FIXED B is quadratic in
+    disguise (measured on the sf1 Heaps-vocabulary corpus: 50k docs at
+    B=25 put 2000 docs in every block — 50M evaluated pairs, 81 s for
+    15 emitted rows).  Growing B to keep ~200 docs per block makes
+    compared pairs ~linear in n, the same footer-stat scale derivation
+    as the SimHash/embedding-LSH plans above.  At the correctness
+    scales (<= 5k docs) this resolves to the historical 25, so the
+    driver's oracle rows are value-identical."""
+    from car_etl_spark.tables import parquet_rowcount
+
+    n = parquet_rowcount(sf_dir, "documents")
+    if n <= 0:
+        return _JACCARD_BASE_BLOCKS
+    return max(_JACCARD_BASE_BLOCKS, -(-n // _JACCARD_DOCS_PER_BLOCK))
+
+
 def token_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard within modulo blocks — the oracle-checked
     ground truth for the LSH text-dedup math (n-gram Jaccard dedup,
     1-gram form).  Blocking bounds the quadratic pair space exactly like
-    the entity similarity join (J4)."""
+    the entity similarity join (J4); the block count is scale-derived
+    (:func:`jaccard_block_count`) so the bound is ~linear, not n^2/25."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     toked = docs.select(
         "doc_id",
-        (F.col("doc_id") % 25).alias("block"),
+        (F.col("doc_id") % jaccard_block_count(sf_dir)).alias("block"),
         F.array_distinct(T.tokenize(F.lower(F.col("text")))).alias("tokset"),
     )
     par = spark.sparkContext.defaultParallelism * 2
@@ -101,9 +130,9 @@ def token_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOKEN_JACCARD_SQL = """
+_TOKEN_JACCARD_SQL_T = """
 WITH tok AS (
-  SELECT doc_id, doc_id % 25 AS block,
+  SELECT doc_id, doc_id % {B} AS block,
          list_distinct(list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))
            AS tokset
   FROM documents
@@ -121,6 +150,12 @@ ORDER BY id_a, id_b
 """
 
 
+def token_jaccard_sql(sf_dir: str) -> str:
+    """Oracle builder: the same scale-derived block count as the Spark
+    side (both read the parquet footer, so they cannot desync)."""
+    return _TOKEN_JACCARD_SQL_T.format(B=jaccard_block_count(sf_dir))
+
+
 #: shingle width for the prefix-filtered n-gram arm.  3-token shingles
 #: (not unigrams) because prefix filtering prunes by element RARITY:
 #: this corpus has a 31-word vocabulary (every unigram is hot — df ~
@@ -134,19 +169,18 @@ _SHINGLE_N = 3
 def _token_shingle_sets(text: F.Column, n: int = _SHINGLE_N) -> F.Column:
     """Distinct n-token shingles of whitespace-tokenized lowercased
     text as an array-set Column; whole-remainder fallback for texts
-    shorter than n tokens (``F.get`` returns NULL out of range and
-    ``concat_ws`` skips NULLs — same semantics as the DuckDB twin's
-    1-based list indexing)."""
-    toks = T.tokenize(F.lower(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.get(toks, i + j - 1) for j in range(n)]
-            ),
-        )
-    )
+    shorter than n tokens.  Delegates to the staged slice builder
+    (:func:`~car_etl_spark.functions.text.shingles_from_tokens`) —
+    the original 3x ``F.get`` per index re-evaluated the inline
+    tokenize through every get (no CSE across HOF slices, the module
+    staging rule), measured 17.6 s vs 5.8 s for the corpus pass at
+    sf1.  NOTE the staging caveat still applies to the ARGUMENT:
+    prefer passing a pre-projected token column via
+    :func:`_staged_shingle_sets`; this wrapper exists for callers
+    (tests) that hand in raw text.  Zero-token docs now yield an EMPTY
+    set (was: the [''] singleton) — both shapes are excluded by every
+    caller's non-empty filter, so pair output is unchanged."""
+    return T.shingles_from_tokens(T.tokenize(F.lower(text)), n)
 
 
 def shingle_prefix_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,18 +191,20 @@ def shingle_prefix_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth arm misses cross-block pairs BY DESIGN; this arm's
     guarantee is corpus-wide)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sets = docs.select(
-        "doc_id", _token_shingle_sets(F.col("text")).alias("shset")
-    ).filter(
-        # a zero-token doc shingles to the single empty string (concat_ws
-        # over all-NULL gets) — a NON-empty set, so every pair of empty
-        # docs would come back as a Jaccard-1.0 candidate: the quadratic
-        # all-pairs-of-empties block the prefix filter's non-empty-set
-        # contract exists to keep out.  '' can only ever appear as the
-        # sole element (any real token survives into its shingle), so
-        # excluding that exact set restores the contract.
-        F.col("shset") != F.array(F.lit(""))
+    # STAGE tokens into a projected column before shingling (the module
+    # staging rule: Catalyst does not CSE an inline tokenize referenced
+    # from every HOF slice, so the unstaged form re-splits the document
+    # per shingle).  Zero-token docs yield an EMPTY shingle set and are
+    # excluded — every pair of empties would otherwise come back as a
+    # Jaccard-1.0 candidate, the quadratic all-pairs-of-empties block
+    # the prefix filter's non-empty-set contract exists to keep out.
+    toked = docs.select(
+        "doc_id", T.tokenize(F.lower(F.col("text"))).alias("__toks")
     )
+    sets = toked.select(
+        "doc_id",
+        T.shingles_from_tokens(F.col("__toks"), _SHINGLE_N).alias("shset"),
+    ).filter(F.size("shset") > 0)
     pairs = S.prefix_filtered_jaccard_pairs(sets, "doc_id", "shset", 4, 5)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

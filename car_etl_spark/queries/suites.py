@@ -448,17 +448,20 @@ def exact_neardup_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tagged_union(parts).orderBy("method", "id_a", "id_b")
 
 
-def _exact_companions_sql() -> str:
+def _exact_companions_sql(sf_dir: str) -> str:
+    """Callable oracle (sf_dir-aware since r9): the token-Jaccard arm's
+    block count is scale-derived from the corpus footer on BOTH
+    engines (``dedup.jaccard_block_count``)."""
     from car_etl_spark.queries.dedup import (
         EMBEDDING_NEARDUP_EXACT_SQL,
         SHINGLE_PREFIX_SQL,
-        TOKEN_JACCARD_SQL,
+        token_jaccard_sql,
     )
 
     return f"""
 SELECT * FROM (
 SELECT 'token_jaccard' AS method, id_a, id_b, jaccard AS score
-FROM ({TOKEN_JACCARD_SQL})
+FROM ({token_jaccard_sql(sf_dir)})
 UNION ALL
 SELECT 'embedding_cosine' AS method, id_a, id_b, cosine_sim AS score
 FROM ({EMBEDDING_NEARDUP_EXACT_SQL})
@@ -974,7 +977,7 @@ def build_suite_queries() -> dict[str, QuerySpec]:
             lsh_neardup_suite, _lsh_neardup_suite_sql, ("dedup", "lsh", "portable")
         ),
         "exact_neardup_companions": QuerySpec(
-            exact_neardup_companions, _exact_companions_sql(), ("dedup",)
+            exact_neardup_companions, _exact_companions_sql, ("dedup",)
         ),
         "events_window_rollups": QuerySpec(
             events_window_rollups, _events_window_rollups_sql(), ("events", "window")

@@ -8,11 +8,13 @@ sf0.1 -> sf1.0 scaling is superlinear beyond its documented cost model.
 The driver ships sf0.001/0.01/0.1 only, so sf1.0 is synthesized under
 the gitignored ``.cache/`` scratch by replicating sf0.1 ten times with
 CONSISTENT key shifts (FKs shift with their parents; dims region and
-nation stay).  Text and embeddings replicate exactly — a 10x corpus of
-10-way duplicates is a dup-HEAVY workload, which is the honest stress
-for the dedup/cluster arms (real pretraining corpora are dup-heavy;
-that is why those operators exist).  vec_id 0 (the query vector) stays
-unique to copy 0.
+nation stay).  Document text gets a HEAPS-LAW vocabulary (per-(token,
+4-doc-group) substitution — see the documents branch below): the base
+corpus's 31-word vocabulary puts background token-set jaccard at the
+dedup thresholds by construction, which made the r8 soak's dedup rows
+output-bound; with vocabulary growing ∝ corpus, near-dup output is
+sparse and those rows measure the PLAN.  vec_id 0 (the query vector)
+stays unique to copy 0.
 
 Output: one BENCH-style JSON line (cold + warm per query, rows, index
 prep) plus a per-query sf0.1->sf1.0 warm ratio table against the
@@ -97,25 +99,40 @@ def synthesize(spark) -> None:
                     "s_name",
                     F.format_string("Supplier#%09d", F.col("s_suppkey")),
                 )
-            if t == "documents" and i > 0:
-                # 10 EXACT text copies would make every dedup family
-                # 10x deeper (candidate pairs and output 100x — a
-                # replication artifact; set-based similarity ignores
-                # token ORDER, so permutation is not enough).
-                # SUBSTITUTE a deterministic ~40% of tokens per copy
-                # (token -> token + copy digit): vocabulary grows with
-                # the corpus (the Heaps-law shape a real 10x corpus
-                # has), the substitution is a pure function of (token,
-                # copy) so two near-dup docs INSIDE a copy keep their
-                # planted overlap, while cross-copy jaccard collapses
-                # (~0.36 set / ~0.12 shingle — below every 0.8 knee).
+            if t == "documents":
+                # HEAPS-LAW vocabulary at BOTH grains (round 9).  The
+                # r8 substitution (token -> token + copy digit, ~40%
+                # per copy) grew vocabulary ACROSS copies, but every
+                # copy stayed internally at the base corpus's 31-word
+                # vocabulary — background token-set jaccard between
+                # UNRELATED docs sat at the 0.8 knee by construction,
+                # so the dedup arms emitted 1.4M "true" pairs at sf1
+                # and their wall clock measured pair-emission
+                # throughput, not the plan (VERDICT r8).  Substituting
+                # per (token, 4-doc GROUP) instead — group id from the
+                # SHIFTED doc_id, so it spans copies for free — grows
+                # the replacement pool with the corpus (V ~ N/4: the
+                # Heaps shape a real corpus has), keeps near-dup
+                # overlap for pairs INSIDE a group (planted dups
+                # survive at the group grain), and collapses
+                # cross-group background jaccard to ~0.2 set-grain —
+                # far below every 0.8 knee.  Near-dup output is now
+                # proportional to true local dups; the dedup rows
+                # measure candidate generation + verification, not
+                # output writing.  Copy 0 is substituted too (the
+                # within-copy density was the r8 blind spot); serving
+                # queries keep ~60% of term occurrences and every
+                # oracle twin reads the same synthesized corpus.
+                grp = (F.col("doc_id") / F.lit(4)).cast("long").cast("string")
                 toks = F.split(F.col("text"), " ")
                 sub = F.transform(
                     toks,
                     lambda tk: F.when(
-                        F.pmod(F.xxhash64(F.concat(tk, F.lit(f"|{i}"))), F.lit(100))
+                        F.pmod(
+                            F.xxhash64(F.concat(tk, F.lit("|"), grp)), F.lit(100)
+                        )
                         < 40,
-                        F.concat(tk, F.lit(str(i))),
+                        F.concat(tk, F.lit("g"), grp),
                     ).otherwise(tk),
                 )
                 df = df.withColumn("text", F.array_join(sub, " ")).withColumn(
@@ -195,7 +212,10 @@ def main() -> None:
         "index_prep_sec": index_prep,
     }
     if ref_path:
-        ref = json.load(open(ref_path)).get("queries") or {}
+        refd = json.load(open(ref_path))
+        # accept bench.py's raw line OR the driver's BENCH_r{N}.json
+        # wrapper (queries nested under "parsed")
+        ref = (refd.get("queries") or (refd.get("parsed") or {}).get("queries")) or {}
         ratios = {
             k: round(warm[k] / ref[k], 2)
             for k in warm
