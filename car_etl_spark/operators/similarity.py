@@ -230,19 +230,41 @@ def prefix_filtered_jaccard_pairs(
     Python (``src/entities/matching.py:67-110``); this is the exact-
     recall scale path for the same >= threshold semantics.
     """
+    sized, pref = prefix_frames(df, id_col, set_col, tau_num, tau_den)
+    cand = prefix_candidate_pairs(pref, id_col, tau_num, tau_den)
+    sa = sized.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("__set_a"))
+    sb = sized.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("__set_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", exact_jaccard(F.col("__set_a"), F.col("__set_b")))
+        .filter(F.col("jaccard") >= F.lit(tau_num) / F.lit(tau_den))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_frames(
+    df: DataFrame, id_col: str, set_col: str, tau_num: int, tau_den: int
+) -> tuple[DataFrame, DataFrame]:
+    """The two MATERIALIZED frames of the All-Pairs scheme: ``sized``
+    (non-empty sets with their sizes) and ``pref`` (the rarest-first
+    prefix rows ``(id, __sz, __tok)``).
+
+    Both are localCheckpointed ONCE: the candidate self-join reads the
+    prefix frame from BOTH sides and the verify step joins the full
+    sets TWICE more, so without this the upstream lineage — typically
+    an interpreted shingle-HOF over every document — executes 4-5x.
+    Invisible at output-bound scales; on the sf1 Heaps-vocabulary
+    corpus (where the set build dominates and output is tiny) it was
+    the whole cost: 54.5 s -> ~20 s for 8 candidate pairs.  The prefix
+    frame is (1-tau) of the full explode with skinny columns — cheap
+    to hold."""
     sized = (
         df.select(id_col, set_col)
         .withColumn("__sz", F.size(F.col(set_col)))
         .filter(F.col("__sz") > 0)  # the documented non-empty contract
+        .localCheckpoint(eager=True)
     )
-    # Materialize the set build ONCE: the candidate self-join reads the
-    # prefix frame from BOTH sides and the verify step joins the full
-    # sets TWICE more, so without this the upstream lineage — typically
-    # an interpreted shingle-HOF over every document — executes 4-5x.
-    # Invisible at output-bound scales; on the sf1 Heaps-vocabulary
-    # corpus (where the set build dominates and output is tiny) it was
-    # the whole cost: 54.5 s -> ~20 s for 8 candidate pairs.
-    sized = sized.localCheckpoint(eager=True)
     expl = sized.select(id_col, "__sz", F.explode(set_col).alias("__tok"))
     tok_df = expl.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     plen = (
@@ -256,13 +278,21 @@ def prefix_filtered_jaccard_pairs(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= plen)
         .select(id_col, "__sz", "__tok")
-        # (1-tau) of the explode, skinny columns — cheap to hold, and
-        # the self-join below would otherwise run the df-rank window
-        # twice (same reuse argument as `sized` above)
         .localCheckpoint(eager=True)
     )
+    return sized, pref
+
+
+def prefix_candidate_pairs(
+    pref: DataFrame, id_col: str, tau_num: int, tau_den: int
+) -> DataFrame:
+    """The candidate stage of the All-Pairs scheme, exposed so the
+    scale-curve harness can count candidates the exact frame the
+    verify step consumes (``pref`` is the materialized
+    ``(id, __sz, __tok)`` prefix frame): prefix-element equi-join +
+    the length filter, distinct pair ids."""
     a, b = pref.alias("a"), pref.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.__tok") == F.col("b.__tok"))
@@ -275,15 +305,6 @@ def prefix_filtered_jaccard_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    sa = sized.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("__set_a"))
-    sb = sized.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("__set_b"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", exact_jaccard(F.col("__set_a"), F.col("__set_b")))
-        .filter(F.col("jaccard") >= F.lit(tau_num) / F.lit(tau_den))
-        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -166,14 +166,42 @@ def _report(family, n, planted, wall, candidates, recovered, total_found, out):
 
 
 def main() -> None:
-    families = set(sys.argv[1:]) or {"minhash", "simhash", "embedding"}
+    families = set(sys.argv[1:]) or {"minhash", "simhash", "embedding", "prefix"}
     spark = get_spark("bench-dedup-curve")
     out = []
     for n in DOC_SIZES:
-        if not families & {"minhash", "simhash"}:
+        if not families & {"minhash", "simhash", "prefix"}:
             break
         docs = spark.read.parquet(make_docs(spark, n))
         planted = n // TWIN_EVERY
+
+        if "prefix" in families:
+            # EXACT All-Pairs prefix filter (r9 family — added when the
+            # sf1 Heaps-vocabulary soak exposed the 4-5x lineage
+            # recompute this operator used to pay): twins share 37/41
+            # 3-gram shingles (J = 37/45 ~ 0.822 >= 0.8), so expect
+            # recall 1.0 with candidates ~ planted twins, never n^2.
+            from car_etl_spark.functions import text as TXT
+            from car_etl_spark.operators.similarity import (
+                prefix_candidate_pairs,
+                prefix_filtered_jaccard_pairs,
+                prefix_frames,
+            )
+
+            toked = docs.select(
+                "doc_id", TXT.tokenize(F.lower(F.col("text"))).alias("__toks")
+            )
+            sets = toked.select(
+                "doc_id", TXT.shingles_from_tokens(F.col("__toks"), 3).alias("s")
+            ).filter(F.size("s") > 0)
+            _sized, pref = prefix_frames(sets, "doc_id", "s", 4, 5)
+            candidates = prefix_candidate_pairs(pref, "doc_id", 4, 5).count()
+            wall = timed(
+                lambda: prefix_filtered_jaccard_pairs(sets, "doc_id", "s", 4, 5).count()
+            )
+            found = prefix_filtered_jaccard_pairs(sets, "doc_id", "s", 4, 5)
+            recovered = found.filter(F.col("id_b") - F.col("id_a") == n).count()
+            _report("prefix", n, planted, wall, candidates, recovered, found.count(), out)
 
         if "minhash" in families:
             sigs = minhash_from_exploded(exploded_shingle_rows(docs))
