@@ -501,34 +501,70 @@ def _tree_bytes(d: str) -> int:
 COMPACT_DELTA_FRACTION = 0.2
 
 
-def _swap_layout(
-    live_dir: str,
-    tmp: str,
-    delta_dir: str,
-    tomb_dir: str,
-    store_path: str,
-    extra_clear: tuple[str, ...] = (),
+def _layout_gen(store_path: str) -> int:
+    """Current generation of a generation-numbered store layout — the
+    ``_current.json`` pointer at the store root.  0 = the legacy
+    in-place layout (base/delta/tombstones at the root, pre-r9 stores):
+    those keep serving unchanged and migrate to ``layout-1/`` at their
+    next compact or rebuild."""
+    try:
+        with open(os.path.join(store_path, "_current.json")) as f:
+            return int(json.load(f)["gen"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return 0
+
+
+def _layout_root(store_path: str, gen: int) -> str:
+    return store_path if gen <= 0 else os.path.join(store_path, f"layout-{gen}")
+
+
+def _flip_layout(store_path: str, new_gen: int) -> None:
+    """Atomically publish generation ``new_gen`` (os.replace on the
+    pointer file) — the compact/rebuild COMMIT POINT for concurrent
+    readers.  A serve that resolved its file paths under the previous
+    generation keeps reading those files (they stay on disk for one
+    full generation of grace, see ``_gc_layout``) instead of dying on
+    vanished paths — the zero-retry replacement for the r9 soak's
+    retry-on-swap policy."""
+    tmp = os.path.join(store_path, "_current.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"gen": int(new_gen)}, f)
+    os.replace(tmp, os.path.join(store_path, "_current.json"))
+
+
+def _publish_store_generation(
+    store_path: str, new_gen: int, legacy_dirs: tuple[str, ...]
 ) -> None:
-    """Atomically swap a freshly-built layout (meta already stamped
-    inside it) over the live directory, then clear stale maintenance
-    state — deltas, tombstones, and batch sentinels (a rebuild must
-    never replay-no-op a later batch id).  Crash-order argument: the
-    rename happens FIRST, so any prefix of the cleanup leaves a
-    consistent (layout, meta) pair plus at worst stale-but-harmless
-    delta/tombstone files that the fresh meta's batch table ignores."""
-    old = live_dir + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(live_dir):
-        os.rename(live_dir, old)
-    os.rename(tmp, live_dir)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(delta_dir, ignore_errors=True)
-    shutil.rmtree(tomb_dir, ignore_errors=True)
-    for d in extra_clear:
-        shutil.rmtree(d, ignore_errors=True)
+    """Flip the pointer to ``new_gen``, then clean up: applied-batch
+    sentinels cleared (a rebuild must never replay-no-op a later batch
+    id — the fresh meta's epoch covers folded batches) and generation
+    ``new_gen - 2`` GC'd (one-generation grace for in-flight readers).
+    Crash-order argument: the flip is FIRST and the new meta (with its
+    compaction epoch) rides inside the new layout, so any prefix of
+    the cleanup leaves a consistent store — stale sentinels sit at or
+    below the stamped epoch and a stale old generation is unreachable
+    garbage the next compact removes."""
+    _flip_layout(store_path, new_gen)
     for f in os.listdir(store_path):
         if f.startswith("_applied_"):
             os.remove(os.path.join(store_path, f))
+    _gc_layout(store_path, new_gen - 2, legacy_dirs)
+
+
+def _gc_layout(
+    store_path: str, gen: int, legacy_dirs: tuple[str, ...]
+) -> None:
+    """Remove generation ``gen``'s directories (deferred GC: called for
+    ``new_gen - 2`` after a flip, so in-flight readers pinned to the
+    PREVIOUS generation get a full compact interval of grace).  Gen 0
+    is the legacy in-place layout — its dirs live at the store root."""
+    if gen < 0:
+        return
+    if gen == 0:
+        for d in legacy_dirs:
+            shutil.rmtree(os.path.join(store_path, d), ignore_errors=True)
+    else:
+        shutil.rmtree(os.path.join(store_path, f"layout-{gen}"), ignore_errors=True)
 
 
 def _live_window(df: DataFrame, epoch: int, upper: int | None) -> DataFrame:
@@ -591,21 +627,6 @@ class PostingStore:
     ):
         self.path = path
         self.analyzer = analyzer
-        self.base_dir = os.path.join(path, "base")
-        self.delta_dir = os.path.join(path, "delta")
-        self.tomb_dir = os.path.join(path, "tombstones")
-        #: meta lives INSIDE base/ (underscore-prefixed, so Spark's
-        #: parquet reader ignores it): the tmp-build + atomic-rename
-        #: swap then carries layout and meta TOGETHER — no crash window
-        #: where a reopened handle could prune with the wrong bucket
-        #: count against a fresh layout
-        self.meta_path = os.path.join(self.base_dir, "_meta.json")
-        #: doc-grain length sidecar: base rides INSIDE base/ (underscore
-        #: prefix = invisible to the posting read, swapped atomically
-        #: with the layout); deltas append beside the posting deltas and
-        #: share the tombstone liveness rule
-        self.doclen_base = os.path.join(self.base_dir, "_doclens")
-        self.doclen_delta = os.path.join(path, "doclens_delta")
         #: row-group size for store writes (parquet.block.size); None =
         #: parquet default (~128 MB).  Small values exist so tests can
         #: exercise row-group pruning on tiny corpora.
@@ -637,6 +658,93 @@ class PostingStore:
                 "defaulting the bucket count would mis-prune every query)"
             )
 
+    # -- generation-numbered layout (round 9) ---------------------------
+    #
+    # All mutable directories live under layout-<gen>/ and a rebuild or
+    # compact PUBLISHES a fresh generation by flipping the _current.json
+    # pointer instead of renaming the live dirs.  A concurrent serve
+    # that listed files under the previous generation keeps reading
+    # them — the old generation stays on disk for one full compact
+    # interval (deferred GC) — so compaction never invalidates an
+    # in-flight query's file paths.  Gen 0 is the legacy in-place
+    # layout (pre-r9 stores serve unchanged and migrate on their next
+    # compact).  Meta lives INSIDE the generation's base/ (underscore-
+    # prefixed, invisible to the parquet reader), so layout and meta
+    # publish together; property ACCESS ORDER in the read paths (data
+    # dir first, meta second) guarantees any flip-straddling mix still
+    # resolves to a committed historical snapshot.
+
+    _LEGACY_DIRS = ("base", "delta", "tombstones", "doclens_delta")
+
+    def _gen(self) -> int:
+        return _layout_gen(self.path)
+
+    def _root(self, gen: int | None = None) -> str:
+        return _layout_root(self.path, self._gen() if gen is None else gen)
+
+    # Read paths must PIN one generation for their whole construction
+    # (``gen = self._gen()`` at entry, every dir and the meta resolved
+    # under it): resolving per-access lets a concurrent flip land
+    # between the data-dir read and the meta read, pairing the OLD
+    # generation's base with the NEW meta's compaction epoch — which
+    # hides deltas that were never folded into that base and serves a
+    # state older than both of the serve's sampled commit ids (the
+    # r9 maintenance soak caught exactly this).  The pinned old
+    # generation stays readable through the deferred GC grace.
+
+    def _base_dir_at(self, gen: int | None = None) -> str:
+        return os.path.join(self._root(gen), "base")
+
+    def _delta_dir_at(self, gen: int | None = None) -> str:
+        return os.path.join(self._root(gen), "delta")
+
+    def _tomb_dir_at(self, gen: int | None = None) -> str:
+        return os.path.join(self._root(gen), "tombstones")
+
+    def _doclen_base_at(self, gen: int | None = None) -> str:
+        #: doc-grain length sidecar rides INSIDE base/ (underscore
+        #: prefix = invisible to the posting read, published atomically
+        #: with the layout)
+        return os.path.join(self._base_dir_at(gen), "_doclens")
+
+    def _doclen_delta_at(self, gen: int | None = None) -> str:
+        return os.path.join(self._root(gen), "doclens_delta")
+
+    def _meta_at(self, gen: int | None) -> dict:
+        try:
+            with open(os.path.join(self._base_dir_at(gen), "_meta.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    @property
+    def base_dir(self) -> str:
+        return self._base_dir_at()
+
+    @property
+    def delta_dir(self) -> str:
+        return self._delta_dir_at()
+
+    @property
+    def tomb_dir(self) -> str:
+        return self._tomb_dir_at()
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.base_dir, "_meta.json")
+
+    @property
+    def doclen_base(self) -> str:
+        return self._doclen_base_at()
+
+    @property
+    def doclen_delta(self) -> str:
+        return self._doclen_delta_at()
+
+    def _publish_generation(self, new_gen: int) -> None:
+        """See :func:`_publish_store_generation`."""
+        _publish_store_generation(self.path, new_gen, self._LEGACY_DIRS)
+
     def _meta(self) -> dict:
         try:
             with open(self.meta_path) as f:
@@ -644,14 +752,14 @@ class PostingStore:
         except (OSError, ValueError):
             return {}
 
-    def _stored_schema(self):
+    def _stored_schema(self, gen: int | None = None):
         """The dataset schema recorded at build time — reads supply it
         explicitly, so partition-column TYPE INFERENCE can never
         reinterpret values (a string tenant id '1001' would otherwise
         come back as an int and break tombstone joins and scoping)."""
         from pyspark.sql.types import StructType
 
-        m = self._meta()
+        m = self._meta_at(gen)
         return StructType.fromJson(m["schema"]) if "schema" in m else None
 
     def bucket_of(self, term: str) -> int:
@@ -684,15 +792,15 @@ class PostingStore:
 
     # -- build -----------------------------------------------------------
 
-    def _swap_in_base(
-        self, tmp: str, schema, stats: dict | None = None,
+    def _stamp_meta_into(
+        self, base: str, schema, stats: dict | None = None,
         compacted_through: int = 0,
     ) -> None:
-        """Stamp meta (including the exact dataset schema, the BM25
-        corpus stats, and the compaction epoch) into the tmp layout,
-        then atomically swap it in — layout, sidecar, meta, and stats
-        change together (see :func:`_swap_layout`)."""
-        with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        """Stamp meta (the exact dataset schema, the BM25 corpus stats,
+        and the compaction epoch) into a not-yet-published generation's
+        base dir — layout, sidecar, meta, and stats then publish
+        together when :meth:`_publish_generation` flips the pointer."""
+        with open(os.path.join(base, "_meta.json"), "w") as f:
             json.dump(
                 {
                     "version": POSTING_VERSION,
@@ -712,14 +820,6 @@ class PostingStore:
                 },
                 f,
             )
-        _swap_layout(
-            self.base_dir,
-            tmp,
-            self.delta_dir,
-            self.tomb_dir,
-            self.path,
-            extra_clear=(self.doclen_delta,),
-        )
 
     def _sidecar_and_stats(self, doclens: DataFrame, tmp: str) -> dict:
         """Write the doc-length sidecar into a tmp layout (batch 0) and
@@ -768,22 +868,27 @@ class PostingStore:
         return {"n_docs": int(row["n"] or 0), "sum_dl": float(row["s"] or 0.0)}
 
     def build(self, docs: DataFrame) -> None:
-        """Full (re)build of the base layout from the corpus."""
+        """Full (re)build: write the next GENERATION's base (invisible
+        until the pointer flips — no tmp-rename dance needed, the
+        unpublished layout dir IS the staging area), then publish."""
         rows = build_posting_rows(
             docs, self.analyzer, self.num_buckets, self.tenant_col,
             positions=self.positions,
         ).withColumn("batch", F.lit(0).cast("long"))
-        tmp = self.base_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._write_store(rows, tmp, "overwrite")
+        new_gen = self._gen() + 1
+        root = _layout_root(self.path, new_gen)
+        shutil.rmtree(root, ignore_errors=True)
+        base = os.path.join(root, "base")
+        self._write_store(rows, base, "overwrite")
         # derive the sidecar from the WRITTEN layout (not the lineage,
         # which would re-tokenize the corpus): dl rides on every row,
         # so doc grain is a distinct-rollup of the stored columns
-        written = rows.sparkSession.read.schema(rows.schema).parquet(tmp)
+        written = rows.sparkSession.read.schema(rows.schema).parquet(base)
         keys = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
         doclens = written.groupBy(*keys).agg(F.max("dl").alias("dl"))
-        stats = self._sidecar_and_stats(doclens, tmp)
-        self._swap_in_base(tmp, rows.schema, stats)
+        stats = self._sidecar_and_stats(doclens, base)
+        self._stamp_meta_into(base, rows.schema, stats)
+        self._publish_generation(new_gen)
 
     # -- incremental maintenance ----------------------------------------
 
@@ -903,10 +1008,11 @@ class PostingStore:
         base sidecar + deltas under the SAME tombstone liveness rule as
         the posting rows.  ``as_of`` overrides the committed-snapshot
         bound (maintenance passes its own in-flight batch id)."""
+        g = self._gen()  # pin ONE generation for the whole construction
         sch = "doc_id long, dl double, batch long"
         if self.tenant_col:
             sch = f"{self.tenant_col} string, " + sch
-        stored = self._stored_schema()
+        stored = self._stored_schema(gen=g)
         if stored is not None:
             from pyspark.sql.types import StructField, StructType
 
@@ -914,20 +1020,20 @@ class PostingStore:
                 "doc_id", "dl", "batch"
             ]
             sch = StructType([StructField(c, stored[c].dataType) for c in cols])
-        df = spark.read.schema(sch).parquet(self.doclen_base)
-        epoch, upper = self._snapshot_bounds(as_of)
-        if self._has_parquet(self.doclen_delta):
+        df = spark.read.schema(sch).parquet(self._doclen_base_at(g))
+        epoch, upper = self._snapshot_bounds(as_of, gen=g)
+        if self._has_parquet(self._doclen_delta_at(g)):
             delta = _live_window(
-                spark.read.schema(sch).parquet(self.doclen_delta), epoch, upper
+                spark.read.schema(sch).parquet(self._doclen_delta_at(g)), epoch, upper
             )
             dedup_key = ([self.tenant_col] if self.tenant_col else []) + [
                 "doc_id", "batch"
             ]
             df = df.unionByName(delta.dropDuplicates(dedup_key))
-        if self._has_parquet(self.tomb_dir):
+        if self._has_parquet(self._tomb_dir_at(g)):
             tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
             tomb = (
-                _live_window(self._read_tombstones(spark), epoch, upper)
+                _live_window(self._read_tombstones(spark, gen=g), epoch, upper)
                 .groupBy(*tomb_key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -938,16 +1044,16 @@ class PostingStore:
             )
         return df
 
-    def _read_tombstones(self, spark: SparkSession) -> DataFrame:
+    def _read_tombstones(self, spark: SparkSession, gen: int | None = None) -> DataFrame:
         """Tombstone read with the schema supplied EXPLICITLY (derived
         from the stored build-time schema).  Inference would not only
         re-type partition values — it FAILS outright on a dir a racing
         compact just emptied (UNABLE_TO_INFER_SCHEMA), which the
         maintenance-under-serving soak hit in practice; with the schema
         given, a concurrently-emptied dir just reads as zero rows."""
-        stored = self._stored_schema()
+        stored = self._stored_schema(gen=gen)
         if stored is None:
-            return spark.read.parquet(self.tomb_dir)
+            return spark.read.parquet(self._tomb_dir_at(gen))
         from pyspark.sql.types import LongType, StructField, StructType
 
         cols = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
@@ -955,14 +1061,16 @@ class PostingStore:
             [StructField(c, stored[c].dataType) for c in cols]
             + [StructField("batch", LongType())]
         )
-        return spark.read.schema(sch).parquet(self.tomb_dir)
+        return spark.read.schema(sch).parquet(self._tomb_dir_at(gen))
 
-    def _snapshot_bounds(self, as_of: int | None = None) -> tuple[int, int | None]:
+    def _snapshot_bounds(
+        self, as_of: int | None = None, gen: int | None = None
+    ) -> tuple[int, int | None]:
         """(compaction epoch, committed upper bound) from ONE meta read
         — the window every live view filters deltas/tombstones by (see
         :func:`_live_window`).  ``as_of`` overrides the stamped bound:
         maintenance reads its own in-flight batch as visible."""
-        meta = self._meta()
+        meta = self._meta_at(gen)
         epoch = int(meta.get("compacted_through") or 0)
         upper = as_of if as_of is not None else meta.get("applied_through")
         return epoch, (int(upper) if upper is not None else None)
@@ -1036,10 +1144,11 @@ class PostingStore:
         scan — zero merge overhead."""
         if tenant is not None and not self.tenant_col:
             raise ValueError("store was not built with a tenant_col")
+        g = self._gen()  # pin ONE generation for the whole construction
         # build-time schema supplied explicitly: partition-column type
         # inference would otherwise reinterpret values (string tenant
         # '1001' -> int) and silently break tenant scoping + tombstones
-        stored = self._stored_schema()
+        stored = self._stored_schema(gen=g)
         reader = spark.read.schema(stored) if stored is not None else spark.read
 
         def scope(df):
@@ -1049,16 +1158,19 @@ class PostingStore:
                 df = df.filter(F.col(self.tenant_col) == tenant)
             return df
 
-        df = scope(reader.parquet(self.base_dir))
-        # snapshot window (one meta read): epoch drops rows a crashed
-        # compact already folded into base (counting them again would
-        # double tf, or let a stale tombstone kill fresh batch-0 rows);
-        # the committed upper bound hides batches whose commit point
-        # has not landed, so a serve racing a live apply_batch sees the
-        # complete previous snapshot (see _live_window)
-        epoch, upper = self._snapshot_bounds()
-        if self._has_parquet(self.delta_dir):
-            delta = _live_window(scope(reader.parquet(self.delta_dir)), epoch, upper)
+        df = scope(reader.parquet(self._base_dir_at(g)))
+        # snapshot window (one meta read, SAME pinned generation as the
+        # dirs): epoch drops rows a crashed compact already folded into
+        # base (counting them again would double tf, or let a stale
+        # tombstone kill fresh batch-0 rows); the committed upper bound
+        # hides batches whose commit point has not landed, so a serve
+        # racing a live apply_batch sees the complete previous snapshot
+        # (see _live_window)
+        epoch, upper = self._snapshot_bounds(gen=g)
+        if self._has_parquet(self._delta_dir_at(g)):
+            delta = _live_window(
+                scope(reader.parquet(self._delta_dir_at(g))), epoch, upper
+            )
             # exact-duplicate drop: a replayed half-applied batch appends
             # identical rows; ([tenant,] doc, raw_term, weight, batch) is
             # unique within a correctly-applied batch, so this only
@@ -1067,10 +1179,10 @@ class PostingStore:
                 "doc_id", "raw_term", "weight", "batch"
             ]
             df = df.unionByName(delta.dropDuplicates(dedup_key))
-        if self._has_parquet(self.tomb_dir):
+        if self._has_parquet(self._tomb_dir_at(g)):
             tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
             tomb = (
-                _live_window(self._read_tombstones(spark), epoch, upper)
+                _live_window(self._read_tombstones(spark, gen=g), epoch, upper)
                 .groupBy(*tomb_key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -1520,14 +1632,16 @@ class PostingStore:
         )
 
     def compact(self, spark: SparkSession) -> None:
-        """Fold deltas/tombstones into a fresh base (batch reset to 0,
-        term-sorted row groups restored store-wide).  The live view
-        fully materializes into the tmp layout before the swap deletes
-        the directories it reads."""
+        """Fold deltas/tombstones into the next GENERATION's base
+        (batch reset to 0, term-sorted row groups restored store-wide).
+        The live view materializes into the unpublished layout, the
+        pointer flips, and the directories the fold read stay on disk
+        for one more compact interval — an in-flight serve keeps
+        reading them instead of dying on a renamed path."""
         # same layout-version guard as apply_batch, BEFORE any work:
-        # compacting a pre-v5 store would write the full tmp base and
+        # compacting a pre-v5 store would write the full new base and
         # then crash in read_doclens (no _doclens sidecar), leaving an
-        # orphan base.tmp behind — fail with the explicit rebuild
+        # orphan layout behind — fail with the explicit rebuild
         # message instead
         meta = self._meta()
         if meta.get("version") != POSTING_VERSION:
@@ -1537,22 +1651,26 @@ class PostingStore:
                 "rebuild it before applying maintenance batches"
             )
         live = self.read(spark).withColumn("batch", F.lit(0).cast("long"))
-        tmp = self.base_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._write_store(live, tmp, "overwrite")
+        new_gen = self._gen() + 1
+        root = _layout_root(self.path, new_gen)
+        shutil.rmtree(root, ignore_errors=True)
+        base = os.path.join(root, "base")
+        self._write_store(live, base, "overwrite")
         # fold the doc-length sidecar the same way (batch resets to 0)
         # and restamp exact corpus stats into the fresh meta
         keys = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
         doclens = self.read_doclens(spark).select(*keys, "dl")
-        stats = self._sidecar_and_stats(doclens, tmp)
-        # epoch from the applied-batch sentinels BEFORE the swap clears
-        # them: readers ignore delta/tombstone rows <= this, so a crash
-        # between the swap and the cleanup can never double-count (or
-        # let a stale tombstone kill fresh batch-0 rows)
-        self._swap_in_base(
-            tmp, live.schema, stats,
+        stats = self._sidecar_and_stats(doclens, base)
+        # epoch from the applied-batch sentinels BEFORE the publish
+        # clears them: readers ignore delta/tombstone rows <= this, so
+        # a crash between the flip and the cleanup can never
+        # double-count (or let a stale tombstone kill fresh batch-0
+        # rows)
+        self._stamp_meta_into(
+            base, live.schema, stats,
             compacted_through=_max_sentinel_batch(self.path),
         )
+        self._publish_generation(new_gen)
 
 
 #: in-process memo of built index paths — an os.stat-cheap staleness
@@ -1714,16 +1832,6 @@ class IvfStore:
 
     def __init__(self, path: str, tenant_col: str | None = None):
         self.path = path
-        self.assign_dir = os.path.join(path, "assignments")
-        self.delta_dir = os.path.join(path, "delta")
-        self.tomb_dir = os.path.join(path, "tombstones")
-        #: meta rides INSIDE assignments/ (underscore-prefixed, ignored
-        #: by the parquet reader): the tmp-build + atomic-rename swap
-        #: carries layout and meta together, closing the crash window
-        #: where stale centroids/stats could certify against a fresh
-        #: layout.  apply_batch's incremental meta updates os.replace
-        #: the file in place, preserving its own write-order argument.
-        self.meta_path = os.path.join(self.assign_dir, "_meta.json")
         #: multi-tenant layout: ONE shared frozen quantizer (centroids
         #: are corpus geometry, not tenant data), assignments partitioned
         #: by (tenant, centroid_id), and per-tenant (radius, count)
@@ -1744,14 +1852,68 @@ class IvfStore:
                 "(stale or defaulted centroids would certify wrong probes)"
             )
 
-    def _stored_schema(self):
+    # -- generation-numbered layout (round 9) ---------------------------
+    # Same discipline as PostingStore: mutable dirs under layout-<gen>/,
+    # build/compact publish a fresh generation by flipping _current.json
+    # (deferred GC gives in-flight serves one compact interval of
+    # grace), gen 0 = the legacy in-place layout.  Meta rides INSIDE
+    # the generation's assignments/ so centroids/stats and layout
+    # publish together; apply_batch's incremental meta updates
+    # os.replace the current generation's file in place, preserving its
+    # own write-order argument.
+
+    _LEGACY_DIRS = ("assignments", "delta", "tombstones")
+
+    def _gen(self) -> int:
+        return _layout_gen(self.path)
+
+    def _root(self, gen: int | None = None) -> str:
+        return _layout_root(self.path, self._gen() if gen is None else gen)
+
+    # Serving paths PIN one generation end-to-end (see PostingStore's
+    # pinning note): the probe walk's meta snapshot, the certificate
+    # counts, and the row view's dirs must all resolve under the same
+    # generation, or a flip landing mid-construction pairs an old base
+    # with a new epoch (hiding unfolded deltas) or — after a pq
+    # retrain — new codes with old codebooks.
+
+    def _assign_dir_at(self, gen: int | None = None) -> str:
+        return os.path.join(self._root(gen), "assignments")
+
+    def _delta_dir_at(self, gen: int | None = None) -> str:
+        return os.path.join(self._root(gen), "delta")
+
+    def _tomb_dir_at(self, gen: int | None = None) -> str:
+        return os.path.join(self._root(gen), "tombstones")
+
+    @property
+    def assign_dir(self) -> str:
+        return self._assign_dir_at()
+
+    @property
+    def delta_dir(self) -> str:
+        return self._delta_dir_at()
+
+    @property
+    def tomb_dir(self) -> str:
+        return self._tomb_dir_at()
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.assign_dir, "_meta.json")
+
+    def _publish_generation(self, new_gen: int) -> None:
+        """See :func:`_publish_store_generation`."""
+        _publish_store_generation(self.path, new_gen, self._LEGACY_DIRS)
+
+    def _stored_schema(self, gen: int | None = None):
         """Build-time assignments schema — reads supply it explicitly so
         partition-column type inference can never reinterpret tenant or
         centroid values."""
         from pyspark.sql.types import StructType
 
         try:
-            m = self.meta()
+            m = self.meta(gen)
         except (OSError, ValueError):
             return None
         return StructType.fromJson(m["schema"]) if "schema" in m else None
@@ -1860,8 +2022,10 @@ class IvfStore:
             # decay measurable instead of silent.
             pq_meta.update(_pq_err_stats(assigned))
         pcols = ([self.tenant_col] if self.tenant_col else []) + ["centroid_id"]
-        tmp = self.assign_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        new_gen = self._gen() + 1
+        newroot = _layout_root(self.path, new_gen)
+        shutil.rmtree(newroot, ignore_errors=True)
+        tmp = os.path.join(newroot, "assignments")
         (
             assigned.repartition(*pcols)
             .write.mode("overwrite")
@@ -1873,8 +2037,9 @@ class IvfStore:
             for r in rows
             if r.centroid_vec is not None
         )
-        # read tmp back with the WRITE schema: stats keys must stringify
-        # the original tenant values, not partition-inferred reinterpretations
+        # read the new layout back with the WRITE schema: stats keys must
+        # stringify the original tenant values, not partition-inferred
+        # reinterpretations
         written = assigned.sparkSession.read.schema(assigned.schema).parquet(tmp)
         stats, tstats = self._all_stats(written, cents, vec_col)
         meta = {
@@ -1921,7 +2086,7 @@ class IvfStore:
         meta["schema"] = assigned.schema.jsonValue()
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(meta, f)
-        _swap_layout(self.assign_dir, tmp, self.delta_dir, self.tomb_dir, self.path)
+        self._publish_generation(new_gen)
 
     def _all_stats(self, assigned: DataFrame, cents, vec_col: str):
         """(global stats, per-tenant stats|None) in ONE pass: tenant
@@ -2303,6 +2468,7 @@ class IvfStore:
         id_col: str = "vec_id",
         tenant=None,
         as_of: int | None = None,
+        gen: int | None = None,
     ) -> DataFrame:
         """The live assignment view: base + deduped delta, minus rows
         older than their id's newest tombstone (liveness rule shared
@@ -2310,9 +2476,12 @@ class IvfStore:
         batch as their tombstone and survive `__tb <= batch`).  With
         ``tenant``, both partition levels prune — the scan touches only
         (tenant, probed-centroid) directories.  ``as_of`` overrides the
-        committed-snapshot bound (see :func:`_live_window`)."""
+        committed-snapshot bound (see :func:`_live_window`); ``gen``
+        pins the generation a serving walk already read its meta from
+        (default: pin the current one at entry)."""
         if tenant is not None and not self.tenant_col:
             raise ValueError("store was not built with a tenant_col")
+        g = self._gen() if gen is None else gen
 
         def scope(df):
             if probes is not None:
@@ -2322,25 +2491,28 @@ class IvfStore:
             return df
 
         key = [self.tenant_col, id_col] if self.tenant_col else [id_col]
-        stored = self._stored_schema()
+        stored = self._stored_schema(gen=g)
         reader = spark.read.schema(stored) if stored is not None else spark.read
-        df = scope(reader.parquet(self.assign_dir))
-        # snapshot window (see PostingStore.read's identical guard):
-        # the epoch drops stale files a crashed compact already folded
-        # into base; the committed upper bound hides batches whose
-        # final meta write has not landed (_live_window)
+        df = scope(reader.parquet(self._assign_dir_at(g)))
+        # snapshot window (see PostingStore.read's identical guard, SAME
+        # pinned generation as the dirs): the epoch drops stale files a
+        # crashed compact already folded into base; the committed upper
+        # bound hides batches whose final meta write has not landed
+        # (_live_window)
         epoch, upper = 0, as_of
         try:
-            m = self.meta()
+            m = self.meta(g)
             epoch = int(m.get("compacted_through") or 0)
             if upper is None:
                 upper = m.get("applied_through")
         except (OSError, ValueError):
             pass
-        if self._has_parquet(self.delta_dir):
-            delta = _live_window(scope(reader.parquet(self.delta_dir)), epoch, upper)
+        if self._has_parquet(self._delta_dir_at(g)):
+            delta = _live_window(
+                scope(reader.parquet(self._delta_dir_at(g))), epoch, upper
+            )
             df = df.unionByName(delta.dropDuplicates(key + ["batch"]))
-        if self._has_parquet(self.tomb_dir):
+        if self._has_parquet(self._tomb_dir_at(g)):
             # explicit tombstone schema, same reason as
             # PostingStore._read_tombstones: inference FAILS on a dir a
             # racing compact just emptied; with the schema supplied the
@@ -2356,7 +2528,7 @@ class IvfStore:
                     )
                 )
             tomb = (
-                _live_window(tomb_reader.parquet(self.tomb_dir), epoch, upper)
+                _live_window(tomb_reader.parquet(self._tomb_dir_at(g)), epoch, upper)
                 .groupBy(*key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -2473,8 +2645,10 @@ class IvfStore:
         live = live.localCheckpoint(eager=True)
         cents = sorted(zip(m["centroid_ids"], m["centroids"]))
         pcols = ([self.tenant_col] if self.tenant_col else []) + ["centroid_id"]
-        tmp = self.assign_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        new_gen = self._gen() + 1
+        newroot = _layout_root(self.path, new_gen)
+        shutil.rmtree(newroot, ignore_errors=True)
+        tmp = os.path.join(newroot, "assignments")
         (
             live.repartition(*pcols)
             .write.mode("overwrite")
@@ -2523,10 +2697,10 @@ class IvfStore:
         m["schema"] = live.schema.jsonValue()
         with open(os.path.join(tmp, "_meta.json"), "w") as f:
             json.dump(m, f)
-        _swap_layout(self.assign_dir, tmp, self.delta_dir, self.tomb_dir, self.path)
+        self._publish_generation(new_gen)
 
-    def meta(self) -> dict:
-        with open(self.meta_path) as f:
+    def meta(self, gen: int | None = None) -> dict:
+        with open(os.path.join(self._assign_dir_at(gen), "_meta.json")) as f:
             return json.load(f)
 
     def _centroid_angles(self, qvec: list[float], meta: dict | None = None):
@@ -2749,12 +2923,15 @@ class IvfStore:
         (:meth:`probe_ids_exact`) and the IN-predicate is pushed into
         the pruned parquet scan, so both the certificate and the bytes
         read track the filtered corpus."""
-        # ONE meta snapshot pins the whole serve: the walk's counts/
-        # radii/tombstone debt AND the row view's batch bound come from
-        # the same committed state — a maintenance commit landing
-        # between the two reads can otherwise apply tombstones the
-        # certificate's debt never covered (the one unsafe direction)
-        m = self.meta()
+        # ONE generation + ONE meta snapshot pin the whole serve: the
+        # walk's counts/radii/tombstone debt AND the row view's dirs and
+        # batch bound come from the same committed state — a
+        # maintenance commit or a compact flip landing between the
+        # reads can otherwise apply tombstones the certificate's debt
+        # never covered, or pair an old base with a new epoch (the one
+        # unsafe direction, caught by the r9 maintenance soak)
+        g = self._gen()
+        m = self.meta(g)
         probes = (
             self.probe_ids_exact(qvec, k, tenant=tenant, where=where, meta=m)
             if nprobe is None
@@ -2775,7 +2952,7 @@ class IvfStore:
         else:
             sim = F.round(_cosine_pairs_pandas(F.col(vec_col), qlit), 6)
         scan = self.read_assignments(
-            spark, probes=probes, id_col=id_col, tenant=tenant, as_of=as_of
+            spark, probes=probes, id_col=id_col, tenant=tenant, as_of=as_of, gen=g
         )
         if where is not None:
             col, values = where
@@ -2838,7 +3015,8 @@ class IvfStore:
         fixed-budget shortlist keeps the compressed-scan latency at a
         measured recall — the same exact/approximate pairing as
         probe_ids_exact vs fixed nprobe."""
-        m = self.meta()
+        g = self._gen()
+        m = self.meta(g)
         if not m.get("pq"):
             raise ValueError(
                 "store was not built with pq_m= — rebuild with product "
@@ -2850,16 +3028,18 @@ class IvfStore:
 
         books = np.asarray(m["pq"]["codebooks"], dtype="float64")
         table = PQ.adc_table(qvec, books)
-        # the serve's single meta snapshot m pins walk counts, codebooks
-        # AND the row view's batch bound together (see probe_topk) — a
-        # racing maintenance commit can't pair new tombstones with the
-        # old certificate, or new codes with old codebooks
+        # the serve's single generation + meta snapshot pin walk
+        # counts, codebooks AND the row view's dirs/batch bound
+        # together (see probe_topk) — a racing maintenance commit or
+        # compact flip can't pair new tombstones with the old
+        # certificate, or post-retrain codes with old codebooks
         probes = self.probe_ids_exact(qvec, k, tenant=tenant, where=where, meta=m)
         as_of = m.get("applied_through")
 
         def scoped(cols: list[str]) -> DataFrame:
             s = self.read_assignments(
-                spark, probes=probes, id_col=id_col, tenant=tenant, as_of=as_of
+                spark, probes=probes, id_col=id_col, tenant=tenant, as_of=as_of,
+                gen=g,
             )
             if where is not None:
                 s = s.filter(F.col(where[0]).isin(list(where[1])))

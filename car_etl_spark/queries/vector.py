@@ -322,9 +322,11 @@ def vector_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
             .collect()
         )
-        # one meta snapshot pins every query's certificate AND the row
-        # view's batch bound (see IvfStore.probe_topk's race note)
-        meta = store.meta()
+        # one generation + meta snapshot pin every query's certificate
+        # AND the row view's dirs/batch bound (see IvfStore.probe_topk's
+        # race note)
+        gen = store._gen()
+        meta = store.meta(gen)
         probe_union: set[int] = set()
         for r in qrows:
             probe_union |= set(
@@ -335,7 +337,8 @@ def vector_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id long, qvec array<double>",
         )
         assigned = store.read_assignments(
-            spark, probes=sorted(probe_union), as_of=meta.get("applied_through")
+            spark, probes=sorted(probe_union),
+            as_of=meta.get("applied_through"), gen=gen,
         )
         sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
         scored = (

@@ -84,13 +84,6 @@ class RollupStore:
         tenant_col: str | None = None,
     ) -> None:
         self.path = path
-        self.base_dir = os.path.join(path, "base")
-        self.delta_dir = os.path.join(path, "delta")
-        #: meta INSIDE base/ (underscore-prefixed, invisible to the
-        #: parquet reader): the atomic base swap carries spec, schema,
-        #: and compaction epoch together — no crash window where a new
-        #: base could be read under a stale epoch
-        self.meta_path = os.path.join(self.base_dir, "_meta.json")
         self.ts_col = ts_col
         self.value_col = value_col
         #: multi-tenant layout: tenant is BOTH a group column (rollups
@@ -103,6 +96,54 @@ class RollupStore:
         if tenant_col and tenant_col not in gc:
             gc = (tenant_col,) + gc
         self.group_cols = gc
+
+    # -- generation-numbered layout (round 9) ---------------------------
+    # Same discipline as the posting/IVF stores (operators/indexing):
+    # base/delta live under layout-<gen>/, build/compact publish a new
+    # generation by flipping _current.json (deferred GC gives in-flight
+    # serves one compact interval of grace), gen 0 = the legacy in-place
+    # layout.  Meta rides INSIDE the generation's base/ so spec, schema,
+    # and compaction epoch publish together.  Sentinels, pending
+    # markers, and the dirty flag stay at the store root (batch ids are
+    # global, not per-generation).  refresh_dates still swaps date
+    # partitions INSIDE the live generation's base — the documented
+    # in-place escape hatch for mutable history.
+
+    def _gen(self) -> int:
+        from car_etl_spark.operators.indexing import _layout_gen
+
+        return _layout_gen(self.path)
+
+    def _base_dir_at(self, gen: int | None = None) -> str:
+        from car_etl_spark.operators.indexing import _layout_root
+
+        g = self._gen() if gen is None else gen
+        return os.path.join(_layout_root(self.path, g), "base")
+
+    def _delta_dir_at(self, gen: int | None = None) -> str:
+        from car_etl_spark.operators.indexing import _layout_root
+
+        g = self._gen() if gen is None else gen
+        return os.path.join(_layout_root(self.path, g), "delta")
+
+    def _meta_at(self, gen: int | None = None) -> dict | None:
+        mp = os.path.join(self._base_dir_at(gen), "_meta.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                return json.load(f)
+        return None
+
+    @property
+    def base_dir(self) -> str:
+        return self._base_dir_at()
+
+    @property
+    def delta_dir(self) -> str:
+        return self._delta_dir_at()
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.base_dir, "_meta.json")
 
     # -- shared aggregation kernels -------------------------------------
 
@@ -176,10 +217,10 @@ class RollupStore:
                 f,
             )
 
-    def _stored_schema(self):
+    def _stored_schema(self, gen: int | None = None):
         from pyspark.sql.types import StructType
 
-        m = self._meta()
+        m = self._meta_at(gen)
         if m and "schema" in m:
             return StructType.fromJson(m["schema"])
         return None
@@ -241,20 +282,20 @@ class RollupStore:
             pass
         return mx
 
-    def _swap_base(self, tmp: str) -> None:
-        """Atomically swap a freshly-stamped layout live, then clear
-        stale maintenance state.  Crash-order argument: the rename is
-        FIRST and the meta (with the new epoch) rides inside it, so any
-        prefix of the cleanup leaves a consistent store — stranded
-        delta files sit at or below the epoch and every reader ignores
-        them (the `_swap_layout` discipline from operators/indexing)."""
-        old = self.base_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(self.base_dir):
-            os.replace(self.base_dir, old)
-        os.replace(tmp, self.base_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(self.delta_dir, ignore_errors=True)
+    def _publish_generation(self, new_gen: int) -> None:
+        """Flip the pointer to the freshly-stamped generation, then
+        clear stale maintenance state.  Crash-order argument: the flip
+        is FIRST and the meta (with the new epoch) rides inside the new
+        layout, so any prefix of the cleanup leaves a consistent store
+        — stranded delta files sit at or below the epoch and every
+        reader ignores them.  The PREVIOUS generation stays on disk for
+        one more compact interval (deferred GC, the
+        ``_publish_store_generation`` discipline from
+        operators/indexing), so an in-flight serve keeps reading the
+        files it listed instead of dying on a renamed path."""
+        from car_etl_spark.operators.indexing import _flip_layout, _gc_layout
+
+        _flip_layout(self.path, new_gen)
         for f in os.listdir(self.path):
             if f.startswith("_batch_"):
                 os.remove(os.path.join(self.path, f))
@@ -263,6 +304,7 @@ class RollupStore:
             os.remove(self._dirty_path)
         except OSError:
             pass
+        _gc_layout(self.path, new_gen - 2, ("base", "delta"))
 
     def _has_parquet(self, d: str) -> bool:
         return os.path.isdir(d) and any(
@@ -272,9 +314,13 @@ class RollupStore:
     # -- lifecycle ---------------------------------------------------------
 
     def build(self, events: DataFrame) -> None:
+        from car_etl_spark.operators.indexing import _layout_gen, _layout_root
+
         os.makedirs(self.path, exist_ok=True)
-        tmp = self.base_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        new_gen = _layout_gen(self.path) + 1
+        newroot = _layout_root(self.path, new_gen)
+        shutil.rmtree(newroot, ignore_errors=True)
+        tmp = os.path.join(newroot, "base")
         rows = self._minute_partials(events).withColumn(
             "batch", F.lit(0).cast("long")
         )
@@ -285,7 +331,7 @@ class RollupStore:
             .parquet(tmp)
         )
         self._stamp_meta(tmp, rows.schema, 0)
-        self._swap_base(tmp)
+        self._publish_generation(new_gen)
 
     def apply_batch(self, spark: SparkSession, events: DataFrame, batch: int) -> bool:
         """Fold one micro-batch of (possibly late) events in.  Returns
@@ -333,26 +379,36 @@ class RollupStore:
         self._check_params()
         if tenant is not None and not self.tenant_col:
             raise ValueError("store was not built with a tenant_col")
+        # snapshot window ORDER matters under concurrent maintenance:
+        # the applied-sentinel bound hides a batch whose append is
+        # still in flight (parquet files land per-task — a concurrent
+        # reader would otherwise sum a PARTIAL batch; the sentinel, one
+        # atomic file create after the append job, is the commit point;
+        # batch ids are monotone stream epochs from one writer, so
+        # max-sentinel is a prefix bound).  It is read FIRST, and the
+        # generation is pinned SECOND: the publish flips the pointer
+        # BEFORE clearing sentinels, so observing committed=C then gen
+        # g is consistent in every interleaving — pre-flip the pinned
+        # old dirs still hold the deltas <= C, post-flip the new base
+        # already folds them under an epoch >= C.  (Pinning first and
+        # then reading a post-clear committed=0 against OLD dirs would
+        # hide unfolded deltas — the mixed-state class the r9
+        # maintenance soak caught.)
+        committed = self._max_sentinel()
+        g = self._gen()
         # build-time schema supplied explicitly: partition-column type
         # inference would otherwise reinterpret values (string tenant
         # '0100' folding into int 100 merges two tenants' aggregates)
-        stored = self._stored_schema()
+        stored = self._stored_schema(gen=g)
         reader = spark.read.schema(stored) if stored is not None else spark.read
-        df = reader.parquet(self.base_dir)
-        # snapshot window: the compaction epoch drops delta rows already
-        # folded into base (a crash between compact's swap and its delta
-        # cleanup strands them; counting them again doubles n/sums), and
-        # the applied-sentinel bound hides a batch whose append is still
-        # in flight — parquet files land per-task, so a concurrent
-        # reader would otherwise sum a PARTIAL batch.  The sentinel (one
-        # atomic file create after the append job) is the commit point;
-        # batch ids are monotone stream epochs applied by one writer, so
-        # max-sentinel is a prefix bound.
-        epoch = int(self._meta().get("compacted_through") or 0)
-        committed = self._max_sentinel()
-        if self._has_parquet(self.delta_dir):
+        df = reader.parquet(self._base_dir_at(g))
+        # the compaction epoch drops delta rows already folded into
+        # base (a crash between compact's publish and its delta cleanup
+        # strands them; counting them again doubles n/sums)
+        epoch = int((self._meta_at(g) or {}).get("compacted_through") or 0)
+        if self._has_parquet(self._delta_dir_at(g)):
             df = df.unionByName(
-                reader.parquet(self.delta_dir).filter(
+                reader.parquet(self._delta_dir_at(g)).filter(
                     (F.col("batch") > epoch) & (F.col("batch") <= committed)
                 )
             )
@@ -444,19 +500,23 @@ class RollupStore:
             "value_max",
             F.lit(0).cast("long").alias("batch"),
         )
-        tmp = self.base_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        from car_etl_spark.operators.indexing import _layout_gen, _layout_root
+
+        new_gen = _layout_gen(self.path) + 1
+        newroot = _layout_root(self.path, new_gen)
+        shutil.rmtree(newroot, ignore_errors=True)
+        tmp = os.path.join(newroot, "base")
         (
             live.repartition(*self._pcols())
             .write.mode("overwrite")
             .partitionBy(*self._pcols())
             .parquet(tmp)
         )
-        # epoch from the sentinels BEFORE the swap clears them: the meta
-        # rides the atomic swap, so readers ignore any delta files a
-        # crash strands between the swap and the cleanup below
+        # epoch from the sentinels BEFORE the publish clears them: the
+        # meta rides the new layout, so readers ignore any delta files a
+        # crash strands between the flip and the cleanup
         self._stamp_meta(tmp, live.schema, self._max_sentinel())
-        self._swap_base(tmp)
+        self._publish_generation(new_gen)
 
     def refresh_dates(
         self, spark: SparkSession, source_events: DataFrame, dates: list

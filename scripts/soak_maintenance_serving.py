@@ -28,10 +28,11 @@ oracle re-derives tf ranking from raw text through the tokenizer
 kernel only (no store), the vector oracle is a full cosine scan, the
 rollup oracle a direct groupBy over the accumulated events.
 
-A serve interrupted by a compact's atomic layout swap (the listed
-parquet files vanish mid-job) retries once — the documented serving
-policy for plain-parquet layout swaps (ARCHITECTURE.md §maintenance);
-retries are counted and reported, never hidden.
+With the generation-numbered layouts (compact publishes layout-<g+1>
+and flips a pointer; the old generation survives one compact interval
+for in-flight readers) a serve never loses its files mid-job — the
+expected retry count is ZERO.  The retry-with-backoff path remains as
+defense-in-depth; retries are counted and reported, never hidden.
 
 Output: one JSON line with per-shape serve latencies split by
 maintenance activity, equality/straddle/retry counters, and a
