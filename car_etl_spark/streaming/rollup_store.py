@@ -105,9 +105,10 @@ class RollupStore:
     # layout.  Meta rides INSIDE the generation's base/ so spec, schema,
     # and compaction epoch publish together.  Sentinels, pending
     # markers, and the dirty flag stay at the store root (batch ids are
-    # global, not per-generation).  refresh_dates still swaps date
-    # partitions INSIDE the live generation's base — the documented
-    # in-place escape hatch for mutable history.
+    # global, not per-generation).  refresh_dates also publishes a new
+    # generation: unchanged partitions hardlink across (one os.link per
+    # file, no data copy), so the bounded invalidation refresh gets the
+    # same never-invalidate-an-in-flight-serve guarantee as compact.
 
     def _gen(self) -> int:
         from car_etl_spark.operators.indexing import _layout_gen
@@ -555,18 +556,63 @@ class RollupStore:
                 if d.startswith(f"{self.tenant_col}=")
             ]
 
+        # Publish the refresh as a NEW GENERATION (the compact
+        # discipline — an in-flight serve racing the refresh would
+        # otherwise lose the refreshed dates' partition files mid-job).
+        # Unchanged partitions HARDLINK into the new layout: one
+        # os.link per file, no data copy — the refresh stays bounded by
+        # the invalidated region.  Sentinels and the dirty flag stay
+        # untouched (unlike compact): the carried-over delta files keep
+        # their batch tags, so the committed bound and the epoch keep
+        # meaning exactly what they meant in the previous generation.
+        from car_etl_spark.operators.indexing import (
+            _flip_layout,
+            _gc_layout,
+            _layout_root,
+        )
+
+        g = self._gen()
+        old_base, old_delta = self._base_dir_at(g), self._delta_dir_at(g)
+        new_gen = g + 1
+        newroot = _layout_root(self.path, new_gen)
+        shutil.rmtree(newroot, ignore_errors=True)
+        new_base = os.path.join(newroot, "base")
+        new_delta = os.path.join(newroot, "delta")
+        skip = {
+            (os.path.join(pref, f"event_date={d}") if pref else f"event_date={d}")
+            .rstrip(os.sep)
+            for d in dates
+            for pref in set(prefixes(tmpdir)) | set(prefixes(old_base))
+        }
+
+        def link_tree(src: str, dst: str) -> None:
+            for root, dirs, files in os.walk(src):
+                rel = os.path.relpath(root, src)
+                rel = "" if rel == "." else rel
+                if any(rel == s or rel.startswith(s + os.sep) for s in skip):
+                    dirs.clear()
+                    continue
+                os.makedirs(os.path.join(dst, rel) if rel else dst, exist_ok=True)
+                for f in files:
+                    os.link(
+                        os.path.join(root, f),
+                        os.path.join(dst, rel, f) if rel else os.path.join(dst, f),
+                    )
+
+        link_tree(old_base, new_base)
+        if os.path.isdir(old_delta):
+            link_tree(old_delta, new_delta)
         for d in dates:
-            for pref in set(prefixes(tmpdir)) | set(prefixes(self.base_dir)):
+            for pref in prefixes(tmpdir):
                 part = os.path.join(pref, f"event_date={d}") if pref else f"event_date={d}"
                 src = os.path.join(tmpdir, part)
-                dst = os.path.join(self.base_dir, part)
-                shutil.rmtree(dst, ignore_errors=True)
                 if os.path.isdir(src):
+                    dst = os.path.join(new_base, part)
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.replace(src, dst)
-                if os.path.isdir(self.delta_dir):
-                    shutil.rmtree(os.path.join(self.delta_dir, part), ignore_errors=True)
         shutil.rmtree(tmpdir, ignore_errors=True)
+        _flip_layout(self.path, new_gen)
+        _gc_layout(self.path, new_gen - 2, ("base", "delta"))
 
 
 def run_rollup_maintenance(

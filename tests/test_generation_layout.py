@@ -150,3 +150,50 @@ def test_rollup_inflight_read_survives_compact(spark, tmp_path):
     assert _gen(store.path) == g0 + 1
     assert sorted(tuple(r) for r in inflight.collect()) == before
     assert sorted(tuple(r) for r in store.read(spark, "day").collect()) == before
+
+
+def test_rollup_refresh_dates_publishes_generation(spark, tmp_path):
+    """refresh_dates gets the compact guarantee: an in-flight read
+    keeps its files (unchanged partitions hardlink into the new
+    generation), refreshed dates recompute, untouched dates and the
+    carried-over deltas (with their sentinels) survive."""
+    from car_etl_spark.streaming.rollup_store import RollupStore
+
+    events = spark.createDataFrame(
+        [
+            (1, "click", "2024-01-01 10:00:30", 2.0),
+            (2, "click", "2024-01-02 11:01:10", 3.0),
+        ],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store = RollupStore(str(tmp_path / "r"))
+    store.build(events)
+    # a delta batch on the date that will NOT be refreshed
+    late = spark.createDataFrame(
+        [(3, "click", "2024-01-02 12:00:00", 7.0)],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert store.apply_batch(spark, late, 1)
+    inflight = store.read(spark, "day")
+    before = sorted(tuple(r) for r in inflight.collect())
+
+    # history mutates on 2024-01-01: the value was actually 10
+    corrected = spark.createDataFrame(
+        [
+            (1, "click", "2024-01-01 10:00:30", 10.0),
+            (2, "click", "2024-01-02 11:01:10", 3.0),
+            (3, "click", "2024-01-02 12:00:00", 7.0),
+        ],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    g0 = _gen(store.path)
+    store.refresh_dates(spark, corrected, ["2024-01-01"])
+    assert _gen(store.path) == g0 + 1
+    # the in-flight frame still serves the PRE-refresh snapshot
+    assert sorted(tuple(r) for r in inflight.collect()) == before
+    after = {(str(r.bucket_start)[:10], r.event_type): r.value_sum
+             for r in store.read(spark, "day").collect()}
+    assert after[("2024-01-01", "click")] == 10.0   # refreshed
+    assert after[("2024-01-02", "click")] == 10.0   # base 3 + delta 7 carried
+    # the delta batch's sentinel survived the refresh publish
+    assert os.path.exists(store._sentinel(1))
