@@ -12,9 +12,12 @@ This script is the whole-system version of that condition:
 - a MAINTENANCE thread drives N deterministic batches (upserts +
   deletes for the posting and IVF stores, appends for the rollup
   store) with a compact every K batches, continuously, no pauses;
-- SERVING threads (own FAIR scheduler pools) loop the three serving
-  shapes — tf-ranked term search, certified-exact vector top-k,
-  day-grain rollup — the whole time;
+- SERVING threads (own FAIR scheduler pools) loop FIVE serving shapes
+  — tf-ranked term search, certified-exact vector top-k, day-grain
+  rollup, exact-substring from the positional trigram chain, and
+  certified-exact PQ top-k whose store RETRAINS its codebooks at every
+  compaction wave (the race that makes generation-pinning codebooks
+  with codes load-bearing) — the whole time;
 - every serve samples the store's committed state id BEFORE and AFTER
   (posting/IVF: ``applied_through`` from meta; rollup:
   max(compaction epoch, applied sentinel)) and must equal the
@@ -64,10 +67,14 @@ from car_etl_spark.session import get_spark  # noqa: E402
 from car_etl_spark.streaming.rollup_store import RollupStore  # noqa: E402
 
 N_BATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-SERVE_THREADS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+SERVE_THREADS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 COMPACT_EVERY = 4
 N_DOCS, N_VECS, DIM = 600, 400, 8
 TERMS = [stem_py(t) for t in ("spark", "window", "merge")]
+#: exact-substring serving arm: the positional trigram chain under the
+#: same race (lowercase corpus, no leading whitespace -> the serve's
+#: normalization is the identity and the python oracle is a plain scan)
+SUB_PATTERN = "spark window"
 QUERY_K = 10
 
 VOCAB = [
@@ -193,6 +200,17 @@ def events_df(spark, events: list):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def oracle_substring(docs: dict) -> list[tuple]:
+    """Overlapping-occurrence count per doc — index-free python scan."""
+    m = len(SUB_PATTERN)
+    out = []
+    for i, t in sorted(docs.items()):
+        n = sum(1 for j in range(len(t) - m + 1) if t[j : j + m] == SUB_PATTERN)
+        if n:
+            out.append((i, "en", n))
+    return out
+
+
 def oracle_rollup(spark, events: list) -> list[tuple]:
     if not events:
         return []
@@ -252,14 +270,21 @@ def main() -> None:  # noqa: C901
         state = initial_state()
         posting = IX.PostingStore(os.path.join(tmp, "postings"), num_buckets=16)
         posting.build(docs_df(spark, state["docs"]))
-        ivf = IX.IvfStore(os.path.join(tmp, "ivf"))
-        ivf.build(
-            spark.createDataFrame(
-                [(i, lab, v) for i, (lab, v) in sorted(state["vecs"].items())],
-                "vec_id long, label int, embedding array<double>",
-            ),
-            num_centroids=4,
+        trigram = IX.PostingStore(
+            os.path.join(tmp, "trigram"), analyzer="trigram", num_buckets=16
         )
+        trigram.build(docs_df(spark, state["docs"]))
+        vecs_df0 = spark.createDataFrame(
+            [(i, lab, v) for i, (lab, v) in sorted(state["vecs"].items())],
+            "vec_id long, label int, embedding array<double>",
+        )
+        ivf = IX.IvfStore(os.path.join(tmp, "ivf"))
+        ivf.build(vecs_df0, num_centroids=4)
+        # pq store: compacts run with retrain=True, so every compaction
+        # wave REWRITES the codebooks and re-encodes every row — the
+        # race that makes codebook/code generation-pinning load-bearing
+        ivfpq = IX.IvfStore(os.path.join(tmp, "ivfpq"))
+        ivfpq.build(vecs_df0, num_centroids=4, pq_m=2)
         qvec = state["vecs"][5][1]
         rollup = RollupStore(os.path.join(tmp, "rollup"))
         rollup.build(events_df(spark, batch_changes(0)["events"]))
@@ -268,7 +293,9 @@ def main() -> None:  # noqa: C901
         # ---- precompute brute-force oracles for every state -------------
         print("# precomputing per-state oracles...", flush=True)
         t0 = time.perf_counter()
-        expected: dict[str, dict[int, object]] = {"terms": {}, "vec": {}, "roll": {}}
+        expected: dict[str, dict[int, object]] = {
+            "terms": {}, "vec": {}, "roll": {}, "sub": {}, "pq": {},
+        }
         snap = initial_state()
         snap["events"] = list(state["events"])
         for s in range(N_BATCHES + 1):
@@ -276,6 +303,10 @@ def main() -> None:  # noqa: C901
                 advance(snap, batch_changes(s))
             expected["terms"][s] = oracle_terms(spark, snap["docs"], posting.num_buckets)
             expected["vec"][s] = oracle_vectors(spark, snap["vecs"], qvec)
+            # certified pq serving is EXACT — its oracle IS the
+            # brute-force cosine ranking, retrains notwithstanding
+            expected["pq"][s] = expected["vec"][s]
+            expected["sub"][s] = oracle_substring(snap["docs"])
             expected["roll"][s] = oracle_rollup(spark, snap["events"])
         print(f"# oracles ready in {time.perf_counter() - t0:.1f}s", flush=True)
 
@@ -290,7 +321,8 @@ def main() -> None:  # noqa: C901
             "mismatches": 0, "compacts": 0,
         }
         samples: dict[str, dict[str, list[float]]] = {
-            k: {"during": [], "quiescent": []} for k in ("terms", "vec", "roll")
+            k: {"during": [], "quiescent": []}
+            for k in ("terms", "vec", "roll", "sub", "pq")
         }
         lock = threading.Lock()
 
@@ -303,24 +335,28 @@ def main() -> None:  # noqa: C901
                     posting.apply_batch(
                         spark, docs_df(spark, ch["doc_up"]), ch["doc_del"], batch=b
                     )
-                    ivf.apply_batch(
-                        spark,
-                        spark.createDataFrame(
-                            [(i, lab, v) for i, (lab, v) in sorted(ch["vec_up"].items())],
-                            "vec_id long, label int, embedding array<double>",
-                        ),
-                        ch["vec_del"],
-                        batch=b,
+                    trigram.apply_batch(
+                        spark, docs_df(spark, ch["doc_up"]), ch["doc_del"], batch=b
                     )
+                    vups = spark.createDataFrame(
+                        [(i, lab, v) for i, (lab, v) in sorted(ch["vec_up"].items())],
+                        "vec_id long, label int, embedding array<double>",
+                    )
+                    ivf.apply_batch(spark, vups, ch["vec_del"], batch=b)
+                    ivfpq.apply_batch(spark, vups, ch["vec_del"], batch=b)
                     rollup.apply_batch(spark, events_df(spark, ch["events"]), b)
                     if b % COMPACT_EVERY == 0:
                         compacting.set()
                         posting.compact(spark)
+                        trigram.compact(spark)
                         ivf.compact(spark)
+                        # forced retrain: fresh codebooks + re-encoded
+                        # rows every wave, racing the pq serves
+                        ivfpq.compact(spark, retrain=True)
                         rollup.compact(spark)
                         compacting.clear()
                         with lock:
-                            counters["compacts"] += 3
+                            counters["compacts"] += 5
             except BaseException as e:
                 with lock:
                     errors.append(f"maintenance: {type(e).__name__}: {e}")
@@ -334,6 +370,8 @@ def main() -> None:  # noqa: C901
                 "terms": lambda: state_id_posting(posting),
                 "vec": lambda: state_id_ivf(ivf),
                 "roll": lambda: state_id_rollup(rollup),
+                "sub": lambda: state_id_posting(trigram),
+                "pq": lambda: state_id_ivf(ivfpq),
             }[kind]
             retries = 0
             while True:
@@ -349,6 +387,16 @@ def main() -> None:  # noqa: C901
                         rows = [
                             tuple(r)
                             for r in ivf.probe_topk(spark, qvec, k=QUERY_K).collect()
+                        ]
+                    elif kind == "pq":
+                        rows = [
+                            tuple(r)
+                            for r in ivfpq.pq_topk(spark, qvec, k=QUERY_K).collect()
+                        ]
+                    elif kind == "sub":
+                        rows = [
+                            tuple(r)
+                            for r in trigram.substring_search(spark, SUB_PATTERN).collect()
                         ]
                     else:
                         rows = sorted(
@@ -374,11 +422,11 @@ def main() -> None:  # noqa: C901
 
         def server(idx: int) -> None:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"serve-{idx}")
-            kinds = ("terms", "vec", "roll")
+            kinds = ("terms", "vec", "roll", "sub", "pq")
             r = 0
             try:
                 while not maint_done.is_set():
-                    kind = kinds[(idx + r) % 3]
+                    kind = kinds[(idx + r) % len(kinds)]
                     r += 1
                     during = maint_active.is_set()
                     rows, lat, sid0, sid1, retries = serve_once(kind)
@@ -406,7 +454,7 @@ def main() -> None:  # noqa: C901
                     errors.append(f"server-{idx}: {type(e).__name__}: {e}")
 
         # warm the serving plans once before racing (codegen, listings)
-        for kind in ("terms", "vec", "roll"):
+        for kind in ("terms", "vec", "roll", "sub", "pq"):
             serve_once(kind)
 
         threads = [threading.Thread(target=maintenance)]
@@ -422,8 +470,8 @@ def main() -> None:  # noqa: C901
 
         # quiescent tail: the same serves with maintenance finished —
         # the latency-impact baseline measured in the SAME session
-        for i in range(12):
-            kind = ("terms", "vec", "roll")[i % 3]
+        for i in range(20):
+            kind = ("terms", "vec", "roll", "sub", "pq")[i % 5]
             rows, lat, sid0, sid1, _ = serve_once(kind)
             assert sid0 == sid1 == N_BATCHES
             if rows != expected[kind][N_BATCHES]:
