@@ -423,8 +423,18 @@ def prepare_serving(
 
     from car_etl_spark.queries.suites import serving_modes
 
+    known = serving_modes()
+    if modes is not None:
+        # a typo'd subset must fail LOUD: silently skipping it would
+        # report the boot tax as paid while the first real request
+        # still absorbs the measured 5-6x cold latency
+        unknown = sorted(set(modes) - set(known))
+        if unknown:
+            raise ValueError(
+                f"unknown serving mode(s) {unknown} — valid: {sorted(known)}"
+            )
     out: dict[str, float] = {}
-    for name, fn in serving_modes().items():
+    for name, fn in known.items():
         if modes is not None and name not in modes:
             continue
         t0 = _time.perf_counter()

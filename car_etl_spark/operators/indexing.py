@@ -567,6 +567,27 @@ def _gc_layout(
         shutil.rmtree(os.path.join(store_path, f"layout-{gen}"), ignore_errors=True)
 
 
+def _tombstone_frame(
+    spark: SparkSession, tomb_dir: str, stored, key_cols: list[str]
+) -> DataFrame:
+    """Tombstone read with the schema supplied EXPLICITLY (derived from
+    the stored build-time schema) — shared by the posting and IVF
+    stores.  Inference would not only re-type partition values — it
+    FAILS outright on a dir a racing compact just emptied
+    (UNABLE_TO_INFER_SCHEMA, caught by the maintenance-under-serving
+    soak); with the schema given, a concurrently-emptied dir just reads
+    as zero rows."""
+    if stored is None:
+        return spark.read.parquet(tomb_dir)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sch = StructType(
+        [StructField(c, stored[c].dataType) for c in key_cols]
+        + [StructField("batch", LongType())]
+    )
+    return spark.read.schema(sch).parquet(tomb_dir)
+
+
 def _live_window(df: DataFrame, epoch: int, upper: int | None) -> DataFrame:
     """Filter a delta/tombstone frame to the committed snapshot window
     ``epoch < batch <= upper``.  The lower bound drops rows a crashed
@@ -1045,23 +1066,11 @@ class PostingStore:
         return df
 
     def _read_tombstones(self, spark: SparkSession, gen: int | None = None) -> DataFrame:
-        """Tombstone read with the schema supplied EXPLICITLY (derived
-        from the stored build-time schema).  Inference would not only
-        re-type partition values — it FAILS outright on a dir a racing
-        compact just emptied (UNABLE_TO_INFER_SCHEMA), which the
-        maintenance-under-serving soak hit in practice; with the schema
-        given, a concurrently-emptied dir just reads as zero rows."""
-        stored = self._stored_schema(gen=gen)
-        if stored is None:
-            return spark.read.parquet(self._tomb_dir_at(gen))
-        from pyspark.sql.types import LongType, StructField, StructType
-
+        """See :func:`_tombstone_frame`."""
         cols = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
-        sch = StructType(
-            [StructField(c, stored[c].dataType) for c in cols]
-            + [StructField("batch", LongType())]
+        return _tombstone_frame(
+            spark, self._tomb_dir_at(gen), self._stored_schema(gen=gen), cols
         )
-        return spark.read.schema(sch).parquet(self._tomb_dir_at(gen))
 
     def _snapshot_bounds(
         self, as_of: int | None = None, gen: int | None = None
@@ -1096,13 +1105,15 @@ class PostingStore:
             json.dump(meta, f)
         os.replace(tmp, self.meta_path)
 
-    def stats(self, tenant=None) -> dict:
+    def stats(
+        self, tenant=None, gen: int | None = None, meta: dict | None = None
+    ) -> dict:
         """The exact BM25 corpus stats stamped by build/apply/compact:
         ``{"n_docs": int, "sum_dl": float}`` — the given tenant's own
         pair on tenant-partitioned stores (ranking statistics are
         RLS-scoped like the data: a tenant's idf/avgdl never reflect
         another tenant's corpus)."""
-        st = (self._meta() or {}).get("stats")
+        st = ((meta if meta is not None else self._meta_at(gen)) or {}).get("stats")
         if not st or not st.get("n_docs"):
             raise ValueError(
                 f"posting store at {self.path} has no corpus stats — "
@@ -1135,6 +1146,8 @@ class PostingStore:
         spark: SparkSession,
         buckets: list[int] | None = None,
         tenant=None,
+        gen: int | None = None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """The current live posting view, optionally pruned to term
         buckets and/or one tenant (``PartitionFilters`` engage on both
@@ -1144,7 +1157,10 @@ class PostingStore:
         scan — zero merge overhead."""
         if tenant is not None and not self.tenant_col:
             raise ValueError("store was not built with a tenant_col")
-        g = self._gen()  # pin ONE generation for the whole construction
+        # pin ONE generation for the whole construction (callers that
+        # also read meta-derived state — bm25's corpus stats — pass
+        # their own pin so rows and statistics come from one snapshot)
+        g = self._gen() if gen is None else gen
         # build-time schema supplied explicitly: partition-column type
         # inference would otherwise reinterpret values (string tenant
         # '1001' -> int) and silently break tenant scoping + tombstones
@@ -1166,7 +1182,7 @@ class PostingStore:
         # hides batches whose commit point has not landed, so a serve
         # racing a live apply_batch sees the complete previous snapshot
         # (see _live_window)
-        epoch, upper = self._snapshot_bounds(gen=g)
+        epoch, upper = self._snapshot_bounds(as_of, gen=g)
         if self._has_parquet(self._delta_dir_at(g)):
             delta = _live_window(
                 scope(reader.parquet(self._delta_dir_at(g))), epoch, upper
@@ -1563,14 +1579,25 @@ class PostingStore:
         self._require_tenant_scope(tenant)
         terms = sorted(set(stemmed_terms))
         buckets = sorted({self.bucket_of(t) for t in terms})
-        idx = self.read(spark, buckets=buckets, tenant=tenant).filter(
-            F.col("term").isin(terms)
-        )
+        # ONE pinned generation and ONE meta read for rows AND corpus
+        # statistics: the commit point stamps stats and applied_through
+        # in a single meta replace, but within a generation apply_batch
+        # replaces that file in place — two separate meta reads could
+        # still pair batch-(B-1) rows with batch-B idf/avgdl when a
+        # commit lands in between (the mixed-snapshot class the
+        # maintenance soak caught elsewhere).  The snapshot's
+        # applied_through is pushed into the row view as its bound.
+        g = self._gen()
+        meta = self._meta_at(g)
+        idx = self.read(
+            spark, buckets=buckets, tenant=tenant, gen=g,
+            as_of=meta.get("applied_through"),
+        ).filter(F.col("term").isin(terms))
         # tenant-scoped ranking uses the tenant's OWN corpus stats (and
         # df comes from the tenant-pruned rows), so scores are identical
         # to a store built from that tenant's corpus alone — isolation
         # extends to the ranking statistics, not just the row set
-        st = self.stats(tenant=tenant)
+        st = self.stats(tenant=tenant, meta=meta)
         n_docs = float(st["n_docs"])
         # identical to the oracle's SUM(dl)/COUNT(*): both divisions see
         # the same exact-integer operands, so the double is bit-equal
@@ -1650,7 +1677,18 @@ class PostingStore:
                 f"{meta.get('version')} (current {POSTING_VERSION}) — "
                 "rebuild it before applying maintenance batches"
             )
-        live = self.read(spark).withColumn("batch", F.lit(0).cast("long"))
+        # Fold EXACTLY the batches the stamped epoch will claim: the
+        # bound comes from the applied-batch SENTINELS, not meta's
+        # applied_through — a crash between apply_batch's meta commit
+        # and its sentinel write leaves applied_through one ahead, and
+        # folding by it would publish a base containing batch B under
+        # an epoch of B-1 (no committed state matches, and B's replay
+        # re-lands on content already folded).  Excluding B loses
+        # nothing: an unsentineled batch is the stream's to redeliver.
+        fold_through = _max_sentinel_batch(self.path)
+        live = self.read(spark, as_of=fold_through).withColumn(
+            "batch", F.lit(0).cast("long")
+        )
         new_gen = self._gen() + 1
         root = _layout_root(self.path, new_gen)
         shutil.rmtree(root, ignore_errors=True)
@@ -1659,16 +1697,14 @@ class PostingStore:
         # fold the doc-length sidecar the same way (batch resets to 0)
         # and restamp exact corpus stats into the fresh meta
         keys = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
-        doclens = self.read_doclens(spark).select(*keys, "dl")
+        doclens = self.read_doclens(spark, as_of=fold_through).select(*keys, "dl")
         stats = self._sidecar_and_stats(doclens, base)
-        # epoch from the applied-batch sentinels BEFORE the publish
-        # clears them: readers ignore delta/tombstone rows <= this, so
-        # a crash between the flip and the cleanup can never
-        # double-count (or let a stale tombstone kill fresh batch-0
-        # rows)
+        # epoch == the fold bound, BEFORE the publish clears the
+        # sentinels: readers ignore delta/tombstone rows <= this, so a
+        # crash between the flip and the cleanup can never double-count
+        # (or let a stale tombstone kill fresh batch-0 rows)
         self._stamp_meta_into(
-            base, live.schema, stats,
-            compacted_through=_max_sentinel_batch(self.path),
+            base, live.schema, stats, compacted_through=fold_through,
         )
         self._publish_generation(new_gen)
 
@@ -2513,22 +2549,11 @@ class IvfStore:
             )
             df = df.unionByName(delta.dropDuplicates(key + ["batch"]))
         if self._has_parquet(self._tomb_dir_at(g)):
-            # explicit tombstone schema, same reason as
-            # PostingStore._read_tombstones: inference FAILS on a dir a
-            # racing compact just emptied; with the schema supplied the
-            # read degrades to zero rows
-            tomb_reader = spark.read
-            if stored is not None:
-                from pyspark.sql.types import LongType, StructField, StructType
-
-                tomb_reader = spark.read.schema(
-                    StructType(
-                        [StructField(c, stored[c].dataType) for c in key]
-                        + [StructField("batch", LongType())]
-                    )
-                )
             tomb = (
-                _live_window(tomb_reader.parquet(self._tomb_dir_at(g)), epoch, upper)
+                _live_window(
+                    _tombstone_frame(spark, self._tomb_dir_at(g), stored, key),
+                    epoch, upper,
+                )
                 .groupBy(*key)
                 .agg(F.max("batch").alias("__tb"))
             )
@@ -2594,7 +2619,11 @@ class IvfStore:
         build) and every row re-encoded — free rewrite-wise, compact
         rewrites every row regardless.  Err stats restamp tight either
         way."""
-        live = self.read_assignments(spark).withColumn(
+        # fold bound == the epoch the publish stamps (see
+        # PostingStore.compact's sentinel-bound note): an unsentineled
+        # batch whose meta commit landed is excluded and redelivered
+        fold_through = _max_sentinel_batch(self.path)
+        live = self.read_assignments(spark, as_of=fold_through).withColumn(
             "batch", F.lit(0).cast("long")
         )
         m = self.meta()
@@ -2667,7 +2696,7 @@ class IvfStore:
         # epoch from the sentinels BEFORE the swap clears them — meta
         # rides the atomic swap, so readers ignore any delta/tombstone
         # files a crash strands between the swap and the cleanup
-        m["compacted_through"] = _max_sentinel_batch(self.path)
+        m["compacted_through"] = fold_through
         # snapshot bound restarts with the fresh layout (no pending
         # deltas; an uncommitted stranded batch replays in full)
         m["applied_through"] = m["compacted_through"]
@@ -2717,13 +2746,18 @@ class IvfStore:
         thetas = np.arccos(np.clip(sims, -1.0, 1.0))
         return m, ids, sims, thetas
 
-    def probe_ids(self, qvec: list[float], nprobe: int) -> list[int]:
+    def probe_ids(
+        self, qvec: list[float], nprobe: int, meta: dict | None = None
+    ) -> list[int]:
         """The nprobe centroids nearest the query — pure driver-side
         numpy over meta.json, no Spark job.  Ties break on lowest id
-        (matching :func:`similarity.ivf_topk`'s probe ordering)."""
+        (matching :func:`similarity.ivf_topk`'s probe ordering).
+        ``meta`` pins the caller's snapshot (see probe_ids_exact) so a
+        rebuild publishing a new centroid set mid-serve cannot push
+        NEW-geometry probe ids into an OLD generation's partitions."""
         import numpy as np
 
-        _m, ids, sims, _thetas = self._centroid_angles(qvec)
+        _m, ids, sims, _thetas = self._centroid_angles(qvec, meta=meta)
         order = np.lexsort((ids, -sims))  # sim desc, id asc
         return [int(i) for i in ids[order][:nprobe]]
 
@@ -2935,7 +2969,7 @@ class IvfStore:
         probes = (
             self.probe_ids_exact(qvec, k, tenant=tenant, where=where, meta=m)
             if nprobe is None
-            else self.probe_ids(qvec, nprobe)
+            else self.probe_ids(qvec, nprobe, meta=m)
         )
         as_of = m.get("applied_through")
         qlit = V.literal_vector(qvec)

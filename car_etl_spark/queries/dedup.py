@@ -91,10 +91,25 @@ def jaccard_block_count(sf_dir: str) -> int:
     as the SimHash/embedding-LSH plans above.  At the correctness
     scales (<= 5k docs) this resolves to the historical 25, so the
     driver's oracle rows are value-identical."""
+    import os
+
     from car_etl_spark.tables import parquet_rowcount
 
     n = parquet_rowcount(sf_dir, "documents")
-    if n <= 0:
+    if n < 0:
+        # UNKNOWN (-1: unreadable footer / non-filesystem layout) must
+        # read as LARGE, never small (tables.parquet_rowcount's
+        # documented contract — the _gated_hot_keys lesson): falling
+        # back to the 25-block floor would silently restore the n^2/25
+        # pair space this derivation exists to eliminate.  Estimate
+        # rows from on-disk bytes with a conservative (low) bytes/row,
+        # which OVERestimates the block count — fewer pairs compared,
+        # scale-safe; both engines call this same function, so the
+        # fallback cannot desync the oracle.
+        from car_etl_spark.operators.indexing import _source_bytes
+
+        n = max(1, _source_bytes(os.path.join(sf_dir, "documents.parquet")) // 100)
+    if n == 0:
         return _JACCARD_BASE_BLOCKS
     return max(_JACCARD_BASE_BLOCKS, -(-n // _JACCARD_DOCS_PER_BLOCK))
 

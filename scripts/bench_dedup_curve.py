@@ -199,9 +199,16 @@ def main() -> None:
             wall = timed(
                 lambda: prefix_filtered_jaccard_pairs(sets, "doc_id", "s", 4, 5).count()
             )
-            found = prefix_filtered_jaccard_pairs(sets, "doc_id", "s", 4, 5)
-            recovered = found.filter(F.col("id_b") - F.col("id_a") == n).count()
-            _report("prefix", n, planted, wall, candidates, recovered, found.count(), out)
+            # ONE construction for the result metrics (each call of the
+            # operator eagerly re-materializes its checkpoints)
+            found = [
+                tuple(r)
+                for r in prefix_filtered_jaccard_pairs(
+                    sets, "doc_id", "s", 4, 5
+                ).collect()
+            ]
+            recovered = sum(1 for a, b, _j in found if b - a == n)
+            _report("prefix", n, planted, wall, candidates, recovered, len(found), out)
 
         if "minhash" in families:
             sigs = minhash_from_exploded(exploded_shingle_rows(docs))

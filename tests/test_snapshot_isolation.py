@@ -195,3 +195,26 @@ def test_rollup_partial_append_is_invisible(spark, tmp_path):
         F.sum("n")
     ).first()[0]
     assert n_total == 6  # base 2 + batch1 2 + batch2 2
+
+
+def test_compact_folds_only_sentineled_batches(spark, tmp_path, posting_store):
+    """A crash between apply_batch's meta commit and its sentinel write
+    leaves applied_through one ahead of the sentinels.  Compact must
+    fold EXACTLY what it stamps as the epoch (the sentinel bound) —
+    folding by applied_through would publish a base containing batch B
+    under an epoch of B-1, and B's replay would re-land on content
+    already folded."""
+    from tests.test_indexing import _expected_final  # noqa: F401  (fixture import side)
+
+    v0 = _live_postings(posting_store, spark)
+    posting_store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    applied = _live_postings(posting_store, spark)
+    os.remove(posting_store._sentinel(1))  # crash after commit, before sentinel
+
+    posting_store.compact(spark)
+    # the fold excluded the unsentineled batch: back to the v0 content,
+    # epoch 0, and the batch is the stream's to redeliver
+    assert int(posting_store._meta()["compacted_through"]) == 0
+    assert _live_postings(posting_store, spark) == v0
+    assert posting_store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    assert _live_postings(posting_store, spark) == applied
