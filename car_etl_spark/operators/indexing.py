@@ -681,6 +681,15 @@ class PostingStore:
 
     # -- generation-numbered layout (round 9) ---------------------------
     #
+    # (Each store keeps its OWN copy of these few path helpers rather
+    # than sharing a mixin — deliberate: the three stores differ in
+    # primary-dir name, legacy-dir set, sentinel naming, and publish
+    # semantics (rollup's refresh keeps sentinels, compact clears
+    # them), and the shared pieces that are genuinely identical ARE
+    # shared as module functions: _layout_gen/_layout_root/
+    # _flip_layout/_gc_layout/_publish_store_generation/
+    # _tombstone_frame.)
+    #
     # All mutable directories live under layout-<gen>/ and a rebuild or
     # compact PUBLISHES a fresh generation by flipping the _current.json
     # pointer instead of renaming the live dirs.  A concurrent serve
