@@ -69,7 +69,11 @@ from car_etl_spark.streaming.rollup_store import RollupStore  # noqa: E402
 N_BATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 SERVE_THREADS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 COMPACT_EVERY = 4
-N_DOCS, N_VECS, DIM = 600, 400, 8
+#: corpus scale knob (MAINT_SOAK_SCALE=8 -> 4800 docs / 3200 vectors):
+#: batch sizes stay page-sized (realistic — corpora grow, connector
+#: pages don't), so larger scales stress the base/delta asymmetry
+SCALE = int(os.environ.get("MAINT_SOAK_SCALE", "1"))
+N_DOCS, N_VECS, DIM = 600 * SCALE, 400 * SCALE, 8
 TERMS = [stem_py(t) for t in ("spark", "window", "merge")]
 #: exact-substring serving arm: the positional trigram chain under the
 #: same race (lowercase corpus, no leading whitespace -> the serve's
@@ -264,6 +268,9 @@ def main() -> None:  # noqa: C901
         "n_batches": N_BATCHES,
         "compact_every": COMPACT_EVERY,
         "serve_threads": SERVE_THREADS,
+        "scale": SCALE,
+        "n_docs": N_DOCS,
+        "n_vecs": N_VECS,
     }
     try:
         # ---- build stores at state 0 ------------------------------------
