@@ -269,17 +269,54 @@ ORDER BY id_a, id_b
 """
 
 
+#: embedding sub-block sizing: identity (B=1, the historical label-only
+#: blocking) at and below the correctness/bench scales (<= 5k vectors),
+#: growing with the corpus above
+_EMB_SUBBLOCK_DIVISOR = 5_000
+
+
+def embedding_subblock_count(sf_dir: str) -> int:
+    """Scale-derived secondary modulo block for the embedding-cosine
+    ground truth — the :func:`jaccard_block_count` treatment for the
+    last quadratic-in-disguise companion arm: label-only blocking
+    compares n^2/|labels| pairs (~20M cosine evaluations at the sf1
+    soak's 20k replicated vectors — 59 s for a ground-truth arm).
+    Adding a (vec_id % B) key with B ~ n/5000 keeps ~500·n compared
+    pairs — linear.  Footer-stat derived on BOTH engines; B=1 at every
+    correctness and bench scale (<= 5k vectors), so those answers are
+    untouched.  Unknown rowcount reads as LARGE (bytes-derived), never
+    small."""
+    import os
+
+    from car_etl_spark.tables import parquet_rowcount
+
+    n = parquet_rowcount(sf_dir, "embeddings")
+    if n < 0:
+        from car_etl_spark.operators.indexing import _source_bytes
+
+        n = max(1, _source_bytes(os.path.join(sf_dir, "embeddings.parquet")) // 200)
+    return max(1, n // _EMB_SUBBLOCK_DIVISOR)
+
+
 def embedding_neardup_exact_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup within label blocks — oracle ground truth
-    for the hyperplane-LSH variant."""
+    for the hyperplane-LSH variant.  Above ~20k vectors a scale-derived
+    (vec_id % B) sub-block joins the label key
+    (:func:`embedding_subblock_count`), bounding compared pairs
+    ~linearly in n."""
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    B = embedding_subblock_count(sf_dir)
     par = spark.sparkContext.defaultParallelism * 2
     a = emb.repartition(par, "vec_id").alias("a")
     b = emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    cond = (F.col("a.label") == F.col("b.label")) & (
+        F.col("a.vec_id") < F.col("b.vec_id")
     )
+    if B > 1:
+        cond = cond & (
+            F.pmod(F.col("a.vec_id"), F.lit(B)) == F.pmod(F.col("b.vec_id"), F.lit(B))
+        )
+    pairs = a.join(b, cond)
     from car_etl_spark.functions import vectors as V
 
     sim = F.round(V.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6)
@@ -295,14 +332,25 @@ def embedding_neardup_exact_block(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-EMBEDDING_NEARDUP_EXACT_SQL = """
+_EMB_NEARDUP_SQL_T = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
        ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
 FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+  ON a.label = b.label AND a.vec_id < b.vec_id{SUB}
 WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
 ORDER BY id_a, id_b
 """
+
+#: the historical B=1 form (kept for direct callers/tests)
+EMBEDDING_NEARDUP_EXACT_SQL = _EMB_NEARDUP_SQL_T.format(SUB="")
+
+
+def embedding_neardup_exact_sql(sf_dir: str) -> str:
+    """Oracle builder: same scale-derived sub-block as the Spark side
+    (both read the parquet footer, so they cannot desync)."""
+    B = embedding_subblock_count(sf_dir)
+    sub = f" AND a.vec_id % {B} = b.vec_id % {B}" if B > 1 else ""
+    return _EMB_NEARDUP_SQL_T.format(SUB=sub)
 
 
 # ---------------------------------------------------------------------------

@@ -453,8 +453,8 @@ def _exact_companions_sql(sf_dir: str) -> str:
     block count is scale-derived from the corpus footer on BOTH
     engines (``dedup.jaccard_block_count``)."""
     from car_etl_spark.queries.dedup import (
-        EMBEDDING_NEARDUP_EXACT_SQL,
         SHINGLE_PREFIX_SQL,
+        embedding_neardup_exact_sql,
         token_jaccard_sql,
     )
 
@@ -464,7 +464,7 @@ SELECT 'token_jaccard' AS method, id_a, id_b, jaccard AS score
 FROM ({token_jaccard_sql(sf_dir)})
 UNION ALL
 SELECT 'embedding_cosine' AS method, id_a, id_b, cosine_sim AS score
-FROM ({EMBEDDING_NEARDUP_EXACT_SQL})
+FROM ({embedding_neardup_exact_sql(sf_dir)})
 UNION ALL
 SELECT 'shingle3_prefix_jaccard' AS method, id_a, id_b, jaccard AS score
 FROM ({SHINGLE_PREFIX_SQL})
