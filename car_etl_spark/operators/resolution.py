@@ -78,16 +78,44 @@ def rerank_top_slice(
     base_score_col: str = "score",
     top_k: int = 20,
     id_col: str = "doc_id",
+    pure_expr: bool = False,
 ) -> DataFrame:
     """O6: rerank the top-k slice with a model score, pass the tail
     through unchanged (reference ``src/search/reranker.py:99-131``).
 
-    Window-ranks once, applies the (expensive) scorer only to the slice,
-    unions the untouched tail — at scale the model UDF runs on k rows,
-    not the corpus.
+    Two physical shapes with identical results:
+
+    - default (UDF-safe): window-rank once, apply the (expensive)
+      scorer only to the filtered slice, union the untouched tail — at
+      scale the model UDF provably runs on k rows, not the corpus.
+      Cost: the head/tail branches each re-evaluate the input subtree
+      past its last reusable exchange (``TakeOrderedAndProject`` is not
+      an ``Exchange``, so it is never reuse-deduped across a union).
+    - ``pure_expr=True`` (fused): the scorer is a pure Column
+      expression, so it rides a ``WHEN __rank <= k`` guard in ONE
+      projection — no filters, no union, no duplicated subtree; the
+      whole rerank is two windows in a single partition-local stage.
+      Only safe for expression scorers: Spark does not guarantee
+      short-circuit evaluation of Python UDFs under ``when``, so a
+      model-UDF scorer must use the default path.
     """
     w = Window.orderBy(F.desc(base_score_col), F.asc(id_col))
+    final_w = Window.orderBy(
+        F.when(F.col("rerank_score").isNotNull(), 0).otherwise(1),
+        F.desc_nulls_last("rerank_score"),
+        F.asc("__rank"),
+    )
     ranked = results.withColumn("__rank", F.row_number().over(w))
+    if pure_expr:
+        scored = ranked.withColumn(
+            "rerank_score",
+            F.when(F.col("__rank") <= top_k, score_fn(F.col(text_col)))
+            .otherwise(F.lit(None))
+            .cast("double"),
+        )
+        return scored.withColumn(
+            "final_rank", F.row_number().over(final_w)
+        ).drop("__rank")
     head = ranked.filter(F.col("__rank") <= top_k).withColumn(
         "rerank_score", score_fn(F.col(text_col))
     )
@@ -96,15 +124,6 @@ def rerank_top_slice(
     )
     return (
         head.unionByName(tail)
-        .withColumn(
-            "final_rank",
-            F.row_number().over(
-                Window.orderBy(
-                    F.when(F.col("rerank_score").isNotNull(), 0).otherwise(1),
-                    F.desc_nulls_last("rerank_score"),
-                    F.asc("__rank"),
-                )
-            ),
-        )
+        .withColumn("final_rank", F.row_number().over(final_w))
         .drop("__rank")
     )

@@ -312,7 +312,12 @@ def hybrid_rerank_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         page = rerank_top_slice(
             base, stub_score, text_col="doc_id",
             base_score_col="rrf_score", top_k=RERANK_TOP_K, id_col="doc_id",
+            pure_expr=True,  # LCG stub is a pure Column — fused path
         )
+        # the page is a single partition (post-TakeOrdered window), so
+        # sortWithinPartitions is a total order WITHOUT the range
+        # exchange a global orderBy would add — a plain orderBy costs a
+        # range-boundary sampling job on every serve
         return page.select(
             F.col("final_rank").cast("long").alias("final_rank"),
             "doc_id",
@@ -321,7 +326,7 @@ def hybrid_rerank_page(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
             "rrf_score",
             "rerank_score",
-        ).orderBy("final_rank")
+        ).sortWithinPartitions("final_rank")
 
     return prepared(
         spark, "hybrid_rerank_page", sf_dir,

@@ -31,7 +31,10 @@ Methodology notes:
 Output: one JSON line
   {"metric": "service_curve", "sf": ..., "levels": {"1": {mode:
    {"avg": s, "p50": s, "p95": s, "max": s, "n": int}}, ...},
-   "baseline_p95_ms": {...}, "job_floor_sec": ...}
+   "baseline_p95_ms": {...}, "job_floor_sec": ...,
+   "memory": {jvm/python RSS floor, per-mode peakExecutionMemory via a
+    solo REST stage-diff pass, per-level RSS peak/delta},
+   "baseline_memory_mb": the reference's §Memory columns}
 
 Usage: python scripts/bench_service_curve.py [requests_per_mode_per_level]
 """
@@ -72,6 +75,70 @@ def percentile(xs: list[float], q: float) -> float:
     return ys[i]
 
 
+UI_PORT = 4047
+
+
+def _jvm_pid() -> int | None:
+    """The local-mode JVM is our direct java child process."""
+    me = os.getpid()
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                st = f.read().split()
+            if int(st[3]) == me and "java" in st[1]:
+                return int(p)
+        except (OSError, ValueError, IndexError):
+            continue
+    return None
+
+
+def _rss_mb(pid: int | None) -> float | None:
+    if pid is None:
+        return None
+    try:
+        with open(f"/proc/{pid}/statm") as f:
+            pages = int(f.read().split()[1])
+        return round(pages * os.sysconf("SC_PAGE_SIZE") / 2**20, 1)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _rest_stages(app_id: str) -> list[dict]:
+    import urllib.request
+
+    url = f"http://127.0.0.1:{UI_PORT}/api/v1/applications/{app_id}/stages"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+class RssSampler(threading.Thread):
+    """Background peak-RSS tracker over the JVM + this python process
+    (50 ms period — serving requests are 100 ms+, so the peak is real)."""
+
+    def __init__(self, jvm_pid: int | None):
+        super().__init__(daemon=True)
+        self.jvm_pid = jvm_pid
+        self.stop_evt = threading.Event()
+        self.jvm_peak = _rss_mb(jvm_pid) or 0.0
+        self.py_peak = _rss_mb(os.getpid()) or 0.0
+
+    def run(self) -> None:
+        while not self.stop_evt.wait(0.05):
+            j = _rss_mb(self.jvm_pid)
+            p = _rss_mb(os.getpid())
+            if j is not None:
+                self.jvm_peak = max(self.jvm_peak, j)
+            if p is not None:
+                self.py_peak = max(self.py_peak, p)
+
+    def stop(self) -> tuple[float, float]:
+        self.stop_evt.set()
+        self.join()
+        return self.jvm_peak, self.py_peak
+
+
 def main() -> None:
     from car_etl_spark.queries import build_registry
     from car_etl_spark.queries.suites import fine_grained_queries
@@ -79,7 +146,14 @@ def main() -> None:
 
     spark = get_spark(
         "car-etl-spark-service",
-        extra_conf={"spark.scheduler.mode": "FAIR"},
+        extra_conf={
+            "spark.scheduler.mode": "FAIR",
+            # status REST API for per-mode peakExecutionMemory (the
+            # AppStatus listener runs regardless; the UI adds only a
+            # jetty endpoint, not per-task accounting overhead)
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+        },
     )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR", (
@@ -110,6 +184,39 @@ def main() -> None:
         floor_runs.append(time.perf_counter() - t0)
     job_floor = round(min(floor_runs), 4)
 
+    # ---- memory axis (BASELINE.md §Memory: ~10 MB/request base,
+    # ~50 MB with the rerank model resident) ----
+    jvm_pid = _jvm_pid()
+    app_id = spark.sparkContext.applicationId
+    mem: dict = {
+        "jvm_rss_floor_mb": _rss_mb(jvm_pid),
+        "python_rss_floor_mb": _rss_mb(os.getpid()),
+        "levels": {},
+    }
+    # per-mode execution memory, attributed via a solo pass: diff the
+    # REST stage table around one warm request and sum the new stages'
+    # peakExecutionMemory — Spark's own per-task unsafe/execution
+    # allocation metric, the honest analog of "search memory per
+    # request" (heap floor is JVM runtime, not request state)
+    per_mode_exec: dict[str, float] = {}
+    try:
+        seen = {s["stageId"] for s in _rest_stages(app_id)}
+        for mode, fn in fns.items():
+            fn(spark, SF_DIR).count()
+            time.sleep(0.3)  # listener bus drain
+            stages = _rest_stages(app_id)
+            new = [
+                s for s in stages
+                if s["stageId"] not in seen and s["status"] != "SKIPPED"
+            ]
+            seen.update(s["stageId"] for s in stages)
+            per_mode_exec[mode] = round(
+                sum(s.get("peakExecutionMemory", 0) for s in new) / 2**20, 2
+            )
+        mem["per_mode_exec_peak_mb"] = per_mode_exec
+    except Exception as e:  # REST off / port clash: keep the RSS axis
+        print(f"# exec-memory attribution skipped: {e}", file=sys.stderr)
+
     mode_list = list(MODES)
     levels_out: dict[str, dict] = {}
     for n_streams in LEVELS:
@@ -137,6 +244,9 @@ def main() -> None:
                 with lock:
                     errors.append(e)
 
+        jvm_base = _rss_mb(jvm_pid)
+        sampler = RssSampler(jvm_pid)
+        sampler.start()
         t_level = time.perf_counter()
         threads = [
             threading.Thread(target=stream, args=(i,), daemon=True)
@@ -149,6 +259,16 @@ def main() -> None:
         if errors:
             raise errors[0]
         wall = time.perf_counter() - t_level
+        jvm_peak, py_peak = sampler.stop()
+        mem["levels"][str(n_streams)] = {
+            "jvm_rss_base_mb": jvm_base,
+            "jvm_rss_peak_mb": round(jvm_peak, 1),
+            "jvm_rss_delta_mb": round(jvm_peak - (jvm_base or jvm_peak), 1),
+            "python_rss_peak_mb": round(py_peak, 1),
+            "delta_per_stream_mb": round(
+                (jvm_peak - (jvm_base or jvm_peak)) / n_streams, 1
+            ),
+        }
         n_total = sum(len(v) for v in samples.values())
         out = {}
         for m in mode_list:
@@ -194,6 +314,11 @@ def main() -> None:
                     m: MODES[m][1] for m in mode_list if MODES[m][1] is not None
                 },
                 "job_floor_sec": job_floor,
+                "memory": mem,
+                "baseline_memory_mb": {
+                    "per_request_base": 10.0,
+                    "with_rerank_model_resident": 50.0,
+                },
             }
         )
     )

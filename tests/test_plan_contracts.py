@@ -90,12 +90,17 @@ CONTRACTS = [
      ["SortMergeJoin"]),
     # EAV pivot: conditional aggregation, bounded shuffles, broadcast vocab
     ("eav_pivot_effective_rent", 3, ["BroadcastHashJoin"], ["SortMergeJoin"]),
-    # rerank page: both hybrid legs stay index-resident (bucket + centroid
-    # pruning); the rerank slice adds only single-partition windows over
-    # the 15-row page.  (The full-outer fusion may SMJ — over O(limit).)
-    ("hybrid_rerank_page", 4,
+    # rerank page (r10 fused): both hybrid legs stay index-resident
+    # (bucket + centroid pruning); the rerank slice is ONE linear chain —
+    # guarded-expression scoring + two single-partition windows over the
+    # 15-row page, NO head/tail Union (a union re-evaluates the page
+    # subtree per branch: TakeOrderedAndProject is not exchange-reusable)
+    # and NO global orderBy (range sampling job per serve).  Exchange
+    # bound 2: the kw-leg agg shuffle (+1 AQE artifact headroom); the
+    # full-outer fusion SMJ runs exchange-free on single-partition legs.
+    ("hybrid_rerank_page", 2,
      ["PartitionFilters: [term_bucket", "PartitionFilters: [centroid_id"],
-     ["CartesianProduct"]),
+     ["CartesianProduct", "Union"]),
     # PII counts: one corpus pass, map-side partial agg, ONE exchange for
     # the global rollup, explode on the single aggregated row
     ("pii_entity_counts", 1, [], ["SortMergeJoin", "CartesianProduct"]),
