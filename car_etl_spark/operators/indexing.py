@@ -48,11 +48,17 @@ converge on the same directory (tmp-build + atomic rename).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
 import shutil
+import threading
+import time
+import uuid
 import zlib
+from contextlib import contextmanager
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -518,46 +524,400 @@ def _layout_root(store_path: str, gen: int) -> str:
     return store_path if gen <= 0 else os.path.join(store_path, f"layout-{gen}")
 
 
-def _flip_layout(store_path: str, new_gen: int) -> None:
+# -- maintenance writer lease + fencing (round 10) ----------------------
+#
+# Every generation-publishing store assumed a SINGLE maintainer through
+# round 9 — two compactors racing the pointer flip would both publish
+# and one generation's work would silently vanish (or GC would delete a
+# just-published layout).  At 100 TB compaction runs from a scheduler
+# and double-start is routine, so maintenance now runs under a writer
+# LEASE with a FENCING TOKEN (the Chubby/ZooKeeper discipline, on the
+# same coordination substrate the stores already use: atomic filesystem
+# renames — the trade Delta Lake documents for file-only stores):
+#
+# - acquire = O_CREAT|O_EXCL on ``_maint_lease.json``; a held lease
+#   makes a second maintainer REFUSE loudly (MaintenanceLeaseHeldError)
+#   instead of racing.
+# - the token is monotone across acquisitions (``_maint_fence.json``,
+#   bumped only while holding the exclusive-create) and is stamped into
+#   ``_current.json`` at every flip; a flip whose token is LOWER than
+#   the pointer's refuses (MaintenanceFencedError) — a maintainer that
+#   stalled past its TTL and lost the lease to a steal can never
+#   clobber the new owner's published generation.
+# - expiry: a crashed owner's lease is stealable after ``ttl_sec``;
+#   exactly one stealer wins (rename of the expired file), then
+#   re-runs the exclusive create.  Expiry is only checked when
+#   CONTESTED — an uncontested owner past its TTL still publishes,
+#   which is safe because fencing, not the clock, protects the pointer.
+#
+# Residual window (documented, not closed): the lease check and the
+# pointer flip are two filesystem ops, so a steal landing in the
+# microseconds between them can produce one last same-token flip; the
+# monotone token bounds the damage to a single already-built layout and
+# the next publish self-heals.  Closing it needs a CAS primitive the
+# filesystem does not offer.
+
+_LEASE_FILE = "_maint_lease.json"
+_FENCE_FILE = "_maint_fence.json"
+MAINT_LEASE_TTL_SEC = 600.0
+
+
+class MaintenanceLeaseError(RuntimeError):
+    """Base for maintenance mutual-exclusion violations."""
+
+
+class MaintenanceLeaseHeldError(MaintenanceLeaseError):
+    """Another maintainer holds this store's writer lease."""
+
+
+class MaintenanceFencedError(MaintenanceLeaseError):
+    """This maintainer's lease was lost (stolen after TTL expiry or
+    released); its publish was refused to protect the new owner's
+    work."""
+
+
+@dataclass(frozen=True)
+class MaintenanceLease:
+    store_path: str
+    owner: str
+    fence: int
+
+
+def _read_json_file(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def acquire_maintenance_lease(
+    store_path: str, owner: str | None = None, ttl_sec: float = MAINT_LEASE_TTL_SEC
+) -> MaintenanceLease:
+    """Take the store's maintenance writer lease or raise
+    :class:`MaintenanceLeaseHeldError`.  Never blocks."""
+    os.makedirs(store_path, exist_ok=True)
+    owner = owner or uuid.uuid4().hex
+    lease_path = os.path.join(store_path, _LEASE_FILE)
+    # the lease must appear WITH its content in one atomic step — an
+    # O_EXCL create followed by a write leaves an empty-file window a
+    # concurrent acquirer would misread as an expired (stealable)
+    # lease.  os.link of a fully-written unique temp file is atomic
+    # create-with-content and fails EEXIST like O_EXCL.
+    tmp = os.path.join(store_path, f".{_LEASE_FILE}.{owner}")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"owner": owner, "fence": 0, "expires": time.time() + ttl_sec}, f
+        )
+    won = False
+    try:
+        for _attempt in (1, 2):
+            try:
+                os.link(tmp, lease_path)
+                won = True
+                break
+            except FileExistsError:
+                cur = _read_json_file(lease_path)
+                if time.time() <= float(cur.get("expires", 0.0)):
+                    raise MaintenanceLeaseHeldError(
+                        f"maintenance lease on {store_path} held by "
+                        f"{cur.get('owner')} (fence {cur.get('fence')}, "
+                        f"expires {cur.get('expires')}) — a second concurrent "
+                        "maintainer must not run; wait for it or its TTL"
+                    )
+                # expired: exactly one stealer wins the rename of the
+                # stale file; the loser sees ENOENT (mid-steal elsewhere)
+                grave = lease_path + f".expired-{owner}"
+                try:
+                    os.rename(lease_path, grave)
+                except OSError:
+                    raise MaintenanceLeaseHeldError(
+                        f"maintenance lease on {store_path}: lost the steal "
+                        "race for the expired lease — another maintainer is "
+                        "taking over"
+                    )
+                try:
+                    os.remove(grave)
+                except OSError:
+                    pass
+        if not won:  # both create attempts lost
+            raise MaintenanceLeaseHeldError(
+                f"maintenance lease on {store_path}: could not acquire"
+            )
+        # we hold the lease: the token bump below is single-writer by
+        # construction.  max() with the pointer's stamped fence heals a
+        # deleted counter file; the final lease content (with the real
+        # fence) replaces the placeholder atomically.
+        last = int(
+            _read_json_file(os.path.join(store_path, _FENCE_FILE)).get("fence", 0)
+        )
+        cur_ptr = _read_json_file(os.path.join(store_path, "_current.json"))
+        fence = max(last, int(cur_ptr.get("fence", 0))) + 1
+        ftmp = os.path.join(store_path, f".{_FENCE_FILE}.{owner}")
+        with open(ftmp, "w") as f:
+            json.dump({"fence": fence}, f)
+        os.replace(ftmp, os.path.join(store_path, _FENCE_FILE))
+        # final content goes through a FRESH temp file: ``tmp`` shares
+        # the lease's inode after the link, so rewriting it would
+        # truncate the live lease in place — the same empty-file window
+        # the link dance exists to close
+        tmp2 = tmp + ".final"
+        with open(tmp2, "w") as f:
+            json.dump(
+                {"owner": owner, "fence": fence, "expires": time.time() + ttl_sec},
+                f,
+            )
+        os.replace(tmp2, lease_path)
+    finally:
+        if tmp is not None:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+    return MaintenanceLease(store_path=store_path, owner=owner, fence=fence)
+
+
+def release_maintenance_lease(lease: MaintenanceLease) -> None:
+    """Release if still ours; a stolen/expired-and-replaced lease is
+    left for its new owner (never remove someone else's lease)."""
+    lease_path = os.path.join(lease.store_path, _LEASE_FILE)
+    cur = _read_json_file(lease_path)
+    if cur.get("owner") == lease.owner and int(cur.get("fence", -1)) == lease.fence:
+        try:
+            os.remove(lease_path)
+        except OSError:
+            pass
+
+
+def _check_maintenance_lease(lease: MaintenanceLease) -> None:
+    cur = _read_json_file(os.path.join(lease.store_path, _LEASE_FILE))
+    if cur.get("owner") != lease.owner or int(cur.get("fence", -1)) != lease.fence:
+        raise MaintenanceFencedError(
+            f"maintenance lease on {lease.store_path} no longer held: "
+            f"ours (owner {lease.owner}, fence {lease.fence}) vs current "
+            f"(owner {cur.get('owner')}, fence {cur.get('fence')}) — "
+            "refusing to publish over the new maintainer's work"
+        )
+
+
+@contextmanager
+def maintenance_lease(
+    store_path: str, owner: str | None = None, ttl_sec: float = MAINT_LEASE_TTL_SEC
+):
+    lease = acquire_maintenance_lease(store_path, owner=owner, ttl_sec=ttl_sec)
+    try:
+        yield lease
+    finally:
+        release_maintenance_lease(lease)
+
+
+def _with_maintenance_lease(method):
+    """Decorator for the generation-publishing maintenance entry points
+    (build / apply_batch / compact / refresh): run under the store's
+    writer lease.  Callers may pass ``lease=`` (an already-held lease —
+    a scheduler doing apply+compact under one acquisition); otherwise
+    one is acquired for the duration.  The active lease rides a
+    per-instance thread-local so ``_publish_generation`` fences the
+    pointer flip without threading a parameter through every body."""
+
+    @functools.wraps(method)
+    def wrapper(self, *args, lease: MaintenanceLease | None = None, **kwargs):
+        slot = self.__dict__.setdefault("_maint_tl", threading.local())
+        if lease is not None:
+            _check_maintenance_lease(lease)
+            prev = getattr(slot, "lease", None)
+            slot.lease = lease
+            try:
+                return method(self, *args, **kwargs)
+            finally:
+                slot.lease = prev
+        with maintenance_lease(self.path) as auto:
+            prev = getattr(slot, "lease", None)
+            slot.lease = auto
+            try:
+                return method(self, *args, **kwargs)
+            finally:
+                slot.lease = prev
+
+    return wrapper
+
+
+def _active_lease(store) -> MaintenanceLease | None:
+    slot = store.__dict__.get("_maint_tl")
+    return getattr(slot, "lease", None) if slot is not None else None
+
+
+# -- reader pins: pin-aware generation retention (round 10) -------------
+#
+# The one-interval GC grace is enough for sub-second serves but not for
+# a straggler scan straddling two compact intervals — routine at 100 TB.
+# A reader that needs its generation to outlive compaction PINS it: a
+# pin file under ``_pins/`` blocks GC of that generation until the pin
+# is released or goes stale (``PIN_TTL_SEC`` since last touch — a
+# crashed reader must not leak disk forever; long scans refresh via
+# os.utime).  GC sweeps ALL unpinned generations at or below the grace
+# bound, so a generation whose pin blocked one sweep is reclaimed by
+# the next sweep after release — nothing leaks.
+
+PIN_TTL_SEC = 1800.0
+
+
+def _pins_dir(store_path: str) -> str:
+    return os.path.join(store_path, "_pins")
+
+
+def pin_generation(store_path: str, gen: int) -> str:
+    """Create a pin file for ``gen``; returns its path (the release
+    handle).  Pin BEFORE resolving file paths under the generation."""
+    d = _pins_dir(store_path)
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"gen-{int(gen)}.{uuid.uuid4().hex}.pin")
+    with open(p, "w") as f:
+        f.write("")
+    return p
+
+
+def unpin_generation(pin_path: str) -> None:
+    try:
+        os.remove(pin_path)
+    except OSError:
+        pass
+
+
+@contextmanager
+def pinned_generation(store_path: str, gen: int | None = None):
+    """Pin the (current, unless given) generation for the scope — the
+    long-scan API: a read whose jobs may straddle multiple compact
+    cycles resolves its paths under the yielded generation and GC will
+    not touch that layout while the pin lives."""
+    g = _layout_gen(store_path) if gen is None else int(gen)
+    p = pin_generation(store_path, g)
+    try:
+        yield g
+    finally:
+        unpin_generation(p)
+
+
+def _pinned_generations(store_path: str) -> set[int]:
+    """Live-pinned generations; stale pin files (older than
+    ``PIN_TTL_SEC``) are removed on the way."""
+    out: set[int] = set()
+    d = _pins_dir(store_path)
+    try:
+        entries = os.listdir(d)
+    except OSError:
+        return out
+    now = time.time()
+    for fn in entries:
+        if not (fn.startswith("gen-") and fn.endswith(".pin")):
+            continue
+        p = os.path.join(d, fn)
+        try:
+            gen = int(fn.split(".", 1)[0][len("gen-"):])
+            if now - os.stat(p).st_mtime > PIN_TTL_SEC:
+                os.remove(p)  # crashed reader: reclaim
+                continue
+        except (OSError, ValueError):
+            continue
+        out.add(gen)
+    return out
+
+
+def _existing_generations(store_path: str, legacy_dirs: tuple[str, ...]) -> list[int]:
+    """Generations with directories on disk: every ``layout-<n>/`` plus
+    legacy gen 0 if any of its root-level dirs remain."""
+    gens: list[int] = []
+    try:
+        for fn in os.listdir(store_path):
+            if fn.startswith("layout-"):
+                try:
+                    gens.append(int(fn[len("layout-"):]))
+                except ValueError:
+                    pass
+    except OSError:
+        return gens
+    if any(os.path.isdir(os.path.join(store_path, d)) for d in legacy_dirs):
+        gens.append(0)
+    return sorted(gens)
+
+
+def _flip_layout(store_path: str, new_gen: int, fence: int | None = None) -> None:
     """Atomically publish generation ``new_gen`` (os.replace on the
     pointer file) — the compact/rebuild COMMIT POINT for concurrent
     readers.  A serve that resolved its file paths under the previous
     generation keeps reading those files (they stay on disk for one
     full generation of grace, see ``_gc_layout``) instead of dying on
     vanished paths — the zero-retry replacement for the r9 soak's
-    retry-on-swap policy."""
+    retry-on-swap policy.
+
+    ``fence`` stamps the maintainer's token into the pointer; a flip
+    with a token LOWER than the pointer's current one refuses — the
+    stale half of a lease steal can never clobber the new owner's
+    published generation.  ``fence=None`` (legacy/unleased callers)
+    carries the existing stamp forward unchecked."""
+    cur = _read_json_file(os.path.join(store_path, "_current.json"))
+    cur_fence = int(cur.get("fence", 0))
+    if fence is not None and cur_fence > int(fence):
+        raise MaintenanceFencedError(
+            f"store {store_path}: publish with fence {fence} refused — "
+            f"pointer already stamped by fence {cur_fence} (a newer "
+            "maintainer took over after this one's lease expired)"
+        )
     tmp = os.path.join(store_path, "_current.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"gen": int(new_gen)}, f)
+        json.dump(
+            {"gen": int(new_gen), "fence": int(fence) if fence is not None else cur_fence},
+            f,
+        )
     os.replace(tmp, os.path.join(store_path, "_current.json"))
 
 
 def _publish_store_generation(
-    store_path: str, new_gen: int, legacy_dirs: tuple[str, ...]
+    store_path: str,
+    new_gen: int,
+    legacy_dirs: tuple[str, ...],
+    lease: MaintenanceLease | None = None,
 ) -> None:
     """Flip the pointer to ``new_gen``, then clean up: applied-batch
     sentinels cleared (a rebuild must never replay-no-op a later batch
-    id — the fresh meta's epoch covers folded batches) and generation
-    ``new_gen - 2`` GC'd (one-generation grace for in-flight readers).
+    id — the fresh meta's epoch covers folded batches) and every
+    unpinned generation at or below ``new_gen - 2`` GC'd (one full
+    generation of grace for in-flight readers; pinned generations
+    survive until their pin releases — see ``pinned_generation``).
     Crash-order argument: the flip is FIRST and the new meta (with its
     compaction epoch) rides inside the new layout, so any prefix of
     the cleanup leaves a consistent store — stale sentinels sit at or
     below the stamped epoch and a stale old generation is unreachable
-    garbage the next compact removes."""
-    _flip_layout(store_path, new_gen)
+    garbage the next compact removes.  With ``lease`` the publish is
+    FENCED: the lease is re-validated and its token rides the flip."""
+    if lease is not None:
+        _check_maintenance_lease(lease)
+    _flip_layout(store_path, new_gen, fence=lease.fence if lease else None)
     for f in os.listdir(store_path):
         if f.startswith("_applied_"):
             os.remove(os.path.join(store_path, f))
-    _gc_layout(store_path, new_gen - 2, legacy_dirs)
+    _gc_store_generations(store_path, new_gen, legacy_dirs)
+
+
+def _gc_store_generations(
+    store_path: str, new_gen: int, legacy_dirs: tuple[str, ...]
+) -> None:
+    """Sweep every on-disk generation at or below ``new_gen - 2`` that
+    no live pin protects.  Sweeping ALL eligible generations (not just
+    exactly ``new_gen - 2``) is what makes pin-blocked layouts a
+    deferral, not a leak: the next publish after release reclaims
+    them."""
+    pinned = _pinned_generations(store_path)
+    for g in _existing_generations(store_path, legacy_dirs):
+        if g <= new_gen - 2 and g not in pinned:
+            _gc_layout(store_path, g, legacy_dirs)
 
 
 def _gc_layout(
     store_path: str, gen: int, legacy_dirs: tuple[str, ...]
 ) -> None:
-    """Remove generation ``gen``'s directories (deferred GC: called for
-    ``new_gen - 2`` after a flip, so in-flight readers pinned to the
-    PREVIOUS generation get a full compact interval of grace).  Gen 0
-    is the legacy in-place layout — its dirs live at the store root."""
+    """Remove generation ``gen``'s directories.  Gen 0 is the legacy
+    in-place layout — its dirs live at the store root."""
     if gen < 0:
         return
     if gen == 0:
@@ -772,8 +1132,11 @@ class PostingStore:
         return self._doclen_delta_at()
 
     def _publish_generation(self, new_gen: int) -> None:
-        """See :func:`_publish_store_generation`."""
-        _publish_store_generation(self.path, new_gen, self._LEGACY_DIRS)
+        """See :func:`_publish_store_generation`; fenced by the active
+        maintenance lease (every caller is ``@_with_maintenance_lease``)."""
+        _publish_store_generation(
+            self.path, new_gen, self._LEGACY_DIRS, lease=_active_lease(self)
+        )
 
     def _meta(self) -> dict:
         try:
@@ -897,6 +1260,7 @@ class PostingStore:
         ).collect()[0]
         return {"n_docs": int(row["n"] or 0), "sum_dl": float(row["s"] or 0.0)}
 
+    @_with_maintenance_lease
     def build(self, docs: DataFrame) -> None:
         """Full (re)build: write the next GENERATION's base (invisible
         until the pointer flips — no tmp-rename dance needed, the
@@ -925,6 +1289,7 @@ class PostingStore:
     def _sentinel(self, batch: int) -> str:
         return os.path.join(self.path, f"_applied_{batch}")
 
+    @_with_maintenance_lease
     def apply_batch(
         self,
         spark: SparkSession,
@@ -1667,6 +2032,7 @@ class PostingStore:
             .select("doc_id", "rank_score", "terms_matched")
         )
 
+    @_with_maintenance_lease
     def compact(self, spark: SparkSession) -> None:
         """Fold deltas/tombstones into the next GENERATION's base
         (batch reset to 0, term-sorted row groups restored store-wide).
@@ -1963,6 +2329,7 @@ class IvfStore:
             return None
         return StructType.fromJson(m["schema"]) if "schema" in m else None
 
+    @_with_maintenance_lease
     def build(
         self,
         emb: DataFrame,
@@ -2317,6 +2684,7 @@ class IvfStore:
     def _sentinel(self, batch: int) -> str:
         return os.path.join(self.path, f"_applied_{batch}")
 
+    @_with_maintenance_lease
     def apply_batch(
         self,
         spark: SparkSession,
@@ -2612,6 +2980,7 @@ class IvfStore:
             factor * float(base), PQ_RETRAIN_ERR_FLOOR
         )
 
+    @_with_maintenance_lease
     def compact(
         self,
         spark: SparkSession,

@@ -62,6 +62,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from car_etl_spark.operators.indexing import _with_maintenance_lease
+
 #: exact partial-sum type shared with queries/parity.py's DEC
 _DEC = "decimal(30,6)"
 
@@ -294,9 +296,17 @@ class RollupStore:
         ``_publish_store_generation`` discipline from
         operators/indexing), so an in-flight serve keeps reading the
         files it listed instead of dying on a renamed path."""
-        from car_etl_spark.operators.indexing import _flip_layout, _gc_layout
+        from car_etl_spark.operators.indexing import (
+            _active_lease,
+            _check_maintenance_lease,
+            _flip_layout,
+            _gc_store_generations,
+        )
 
-        _flip_layout(self.path, new_gen)
+        lease = _active_lease(self)
+        if lease is not None:
+            _check_maintenance_lease(lease)
+        _flip_layout(self.path, new_gen, fence=lease.fence if lease else None)
         for f in os.listdir(self.path):
             if f.startswith("_batch_"):
                 os.remove(os.path.join(self.path, f))
@@ -305,7 +315,7 @@ class RollupStore:
             os.remove(self._dirty_path)
         except OSError:
             pass
-        _gc_layout(self.path, new_gen - 2, ("base", "delta"))
+        _gc_store_generations(self.path, new_gen, ("base", "delta"))
 
     def _has_parquet(self, d: str) -> bool:
         return os.path.isdir(d) and any(
@@ -314,6 +324,7 @@ class RollupStore:
 
     # -- lifecycle ---------------------------------------------------------
 
+    @_with_maintenance_lease
     def build(self, events: DataFrame) -> None:
         from car_etl_spark.operators.indexing import _layout_gen, _layout_root
 
@@ -334,6 +345,7 @@ class RollupStore:
         self._stamp_meta(tmp, rows.schema, 0)
         self._publish_generation(new_gen)
 
+    @_with_maintenance_lease
     def apply_batch(self, spark: SparkSession, events: DataFrame, batch: int) -> bool:
         """Fold one micro-batch of (possibly late) events in.  Returns
         False for an already-applied batch (sentinel)."""
@@ -469,6 +481,7 @@ class RollupStore:
         base = parquet_bytes(self.base_dir)
         return base > 0 and parquet_bytes(self.delta_dir) > threshold * base
 
+    @_with_maintenance_lease
     def compact(self, spark: SparkSession) -> None:
         """Fold deltas into a fresh base: one minute-grain re-merge,
         atomic swap, sentinels cleared.
@@ -519,6 +532,7 @@ class RollupStore:
         self._stamp_meta(tmp, live.schema, self._max_sentinel())
         self._publish_generation(new_gen)
 
+    @_with_maintenance_lease
     def refresh_dates(
         self, spark: SparkSession, source_events: DataFrame, dates: list
     ) -> None:
@@ -566,8 +580,9 @@ class RollupStore:
         # their batch tags, so the committed bound and the epoch keep
         # meaning exactly what they meant in the previous generation.
         from car_etl_spark.operators.indexing import (
+            _active_lease,
             _flip_layout,
-            _gc_layout,
+            _gc_store_generations,
             _layout_root,
         )
 
@@ -611,8 +626,9 @@ class RollupStore:
                     os.makedirs(os.path.dirname(dst), exist_ok=True)
                     os.replace(src, dst)
         shutil.rmtree(tmpdir, ignore_errors=True)
-        _flip_layout(self.path, new_gen)
-        _gc_layout(self.path, new_gen - 2, ("base", "delta"))
+        lease = _active_lease(self)
+        _flip_layout(self.path, new_gen, fence=lease.fence if lease else None)
+        _gc_store_generations(self.path, new_gen, ("base", "delta"))
 
 
 def run_rollup_maintenance(

@@ -335,32 +335,46 @@ def main() -> None:  # noqa: C901
 
         def maintenance() -> None:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maintenance")
+            stores = (posting, trigram, ivf, ivfpq, rollup)
+            # the scheduler shape: ONE writer lease per store held across
+            # the whole apply+compact campaign (r10 lease passthrough) —
+            # the rogue-maintainer arm below must refuse on every attempt
+            leases = {s.path: IX.acquire_maintenance_lease(s.path) for s in stores}
             try:
                 for b in range(1, N_BATCHES + 1):
                     ch = batch_changes(b)
                     maint_active.set()
                     posting.apply_batch(
-                        spark, docs_df(spark, ch["doc_up"]), ch["doc_del"], batch=b
+                        spark, docs_df(spark, ch["doc_up"]), ch["doc_del"], batch=b,
+                        lease=leases[posting.path],
                     )
                     trigram.apply_batch(
-                        spark, docs_df(spark, ch["doc_up"]), ch["doc_del"], batch=b
+                        spark, docs_df(spark, ch["doc_up"]), ch["doc_del"], batch=b,
+                        lease=leases[trigram.path],
                     )
                     vups = spark.createDataFrame(
                         [(i, lab, v) for i, (lab, v) in sorted(ch["vec_up"].items())],
                         "vec_id long, label int, embedding array<double>",
                     )
-                    ivf.apply_batch(spark, vups, ch["vec_del"], batch=b)
-                    ivfpq.apply_batch(spark, vups, ch["vec_del"], batch=b)
-                    rollup.apply_batch(spark, events_df(spark, ch["events"]), b)
+                    ivf.apply_batch(
+                        spark, vups, ch["vec_del"], batch=b, lease=leases[ivf.path]
+                    )
+                    ivfpq.apply_batch(
+                        spark, vups, ch["vec_del"], batch=b, lease=leases[ivfpq.path]
+                    )
+                    rollup.apply_batch(
+                        spark, events_df(spark, ch["events"]), b,
+                        lease=leases[rollup.path],
+                    )
                     if b % COMPACT_EVERY == 0:
                         compacting.set()
-                        posting.compact(spark)
-                        trigram.compact(spark)
-                        ivf.compact(spark)
+                        posting.compact(spark, lease=leases[posting.path])
+                        trigram.compact(spark, lease=leases[trigram.path])
+                        ivf.compact(spark, lease=leases[ivf.path])
                         # forced retrain: fresh codebooks + re-encoded
                         # rows every wave, racing the pq serves
-                        ivfpq.compact(spark, retrain=True)
-                        rollup.compact(spark)
+                        ivfpq.compact(spark, retrain=True, lease=leases[ivfpq.path])
+                        rollup.compact(spark, lease=leases[rollup.path])
                         compacting.clear()
                         with lock:
                             counters["compacts"] += 5
@@ -368,8 +382,43 @@ def main() -> None:  # noqa: C901
                 with lock:
                     errors.append(f"maintenance: {type(e).__name__}: {e}")
             finally:
+                for lease in leases.values():
+                    IX.release_maintenance_lease(lease)
                 maint_active.clear()
                 maint_done.set()
+
+        rogue_counters = {"attempts": 0, "refused": 0, "published": 0}
+
+        def rogue_maintainer() -> None:
+            """Double-start simulation: a second scheduler firing
+            compactions on fresh store handles while the legit
+            maintainer holds the leases.  Every attempt MUST refuse
+            with the lease error — a single rogue publish is a FAIL."""
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "rogue")
+            paths = [posting.path, trigram.path, ivf.path, ivfpq.path, rollup.path]
+            r = 0
+            while not maint_done.is_set():
+                p = paths[r % len(paths)]
+                r += 1
+                try:
+                    if p == rollup.path:
+                        RollupStore(p).compact(spark)
+                    elif p in (ivf.path, ivfpq.path):
+                        IX.IvfStore(p).compact(spark)
+                    else:
+                        IX.PostingStore(p).compact(spark)
+                    with lock:
+                        rogue_counters["attempts"] += 1
+                        rogue_counters["published"] += 1
+                        errors.append(f"rogue maintainer PUBLISHED on {p}")
+                except IX.MaintenanceLeaseError:
+                    with lock:
+                        rogue_counters["attempts"] += 1
+                        rogue_counters["refused"] += 1
+                except BaseException as e:
+                    with lock:
+                        errors.append(f"rogue: {type(e).__name__}: {e}")
+                time.sleep(1.0)
 
         def serve_once(kind: str) -> tuple[list | None, float, int, int, int]:
             """-> (rows, latency, sid_before, sid_after, retries)"""
@@ -464,7 +513,10 @@ def main() -> None:  # noqa: C901
         for kind in ("terms", "vec", "roll", "sub", "pq"):
             serve_once(kind)
 
-        threads = [threading.Thread(target=maintenance)]
+        threads = [
+            threading.Thread(target=maintenance),
+            threading.Thread(target=rogue_maintainer),
+        ]
         threads += [
             threading.Thread(target=server, args=(i,)) for i in range(SERVE_THREADS)
         ]
@@ -506,10 +558,14 @@ def main() -> None:  # noqa: C901
             for kind, phases in samples.items()
         }
         out["retried"] = retried_excs[:20]
+        out["rogue_maintainer"] = rogue_counters
         out["errors"] = errors[:20]
         out["verdict"] = (
-            "PASS: every serve matched a committed snapshot"
-            if not errors and counters["mismatches"] == 0
+            "PASS: every serve matched a committed snapshot; every "
+            "rogue maintenance attempt refused"
+            if not errors
+            and counters["mismatches"] == 0
+            and rogue_counters["published"] == 0
             else "FAIL"
         )
         print(json.dumps(out))

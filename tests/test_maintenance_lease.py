@@ -1,0 +1,238 @@
+"""Writer lease / fencing + pin-aware generation retention (round 10).
+
+All three LSM stores assumed a single maintainer through round 9: two
+compactors racing ``_publish_store_generation`` would both flip
+``_current.json`` and one generation's work silently vanished — and GC
+could delete a just-published layout.  At 100 TB compaction runs from a
+scheduler, so double-start is routine; and a straggler scan routinely
+outlives one compact interval, so the fixed one-generation GC grace is
+not enough.  These tests pin the two new disciplines:
+
+- maintenance entry points run under a per-store writer LEASE with a
+  monotone FENCING token stamped into the pointer at publish; a second
+  concurrent maintainer refuses loudly, and a stalled maintainer whose
+  lease was stolen after TTL expiry cannot clobber the new owner's
+  published generation;
+- readers can PIN a generation (``pinned_generation``); GC defers
+  pinned layouts and sweeps them on the first publish after release —
+  a pin is a deferral, never a leak.  Stale pins (crashed readers)
+  expire by mtime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from car_etl_spark.operators import indexing as IX
+from tests.test_indexing import DOCS_B1, DOCS_V0, _docs_df, _live_postings
+
+
+def _built_store(spark, tmp_path) -> IX.PostingStore:
+    store = IX.PostingStore(str(tmp_path / "p"))
+    store.build(_docs_df(spark, DOCS_V0))
+    return store
+
+
+def _ptr(path: str) -> dict:
+    with open(os.path.join(path, "_current.json")) as f:
+        return json.load(f)
+
+
+# -- lease mutual exclusion ---------------------------------------------
+
+
+def test_second_maintainer_refuses_while_lease_held(spark, tmp_path):
+    store = _built_store(spark, tmp_path)
+    with IX.maintenance_lease(store.path):
+        with pytest.raises(IX.MaintenanceLeaseHeldError):
+            IX.acquire_maintenance_lease(store.path)
+        # auto-acquiring entry points refuse the same way
+        with pytest.raises(IX.MaintenanceLeaseHeldError):
+            store.compact(spark)
+    # released: maintenance proceeds
+    store.compact(spark)
+
+
+def test_racing_compactors_exactly_one_wins(spark, tmp_path):
+    """Two concurrent compactors on one store: one publishes, the other
+    refuses with the lease error — never two publishes, never a lost
+    generation."""
+    store = _built_store(spark, tmp_path)
+    store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    expected = _live_postings(store, spark)
+    g0 = IX._layout_gen(store.path)
+
+    results: list = [None, None]
+
+    def run(i: int) -> None:
+        try:
+            # separate store object per thread — the cluster-scheduler
+            # shape (two processes would each build their own handle)
+            IX.PostingStore(store.path).compact(spark)
+            results[i] = "published"
+        except IX.MaintenanceLeaseError:
+            results[i] = "refused"
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results) == ["published", "refused"], results
+    assert IX._layout_gen(store.path) == g0 + 1
+    assert _live_postings(store, spark) == expected
+
+
+def test_lease_passthrough_scheduler_shape(spark, tmp_path):
+    """A scheduler holding ONE lease across apply+compact passes it
+    through; a second maintainer stays locked out the whole time."""
+    store = _built_store(spark, tmp_path)
+    with IX.maintenance_lease(store.path) as lease:
+        store.apply_batch(
+            spark, _docs_df(spark, DOCS_B1), None, batch=1, lease=lease
+        )
+        with pytest.raises(IX.MaintenanceLeaseHeldError):
+            IX.acquire_maintenance_lease(store.path)
+        store.compact(spark, lease=lease)
+    # the lease file is gone after release
+    assert not os.path.exists(os.path.join(store.path, IX._LEASE_FILE))
+
+
+# -- fencing ------------------------------------------------------------
+
+
+def test_expired_lease_is_stolen_and_old_owner_is_fenced(spark, tmp_path):
+    """The double-start-after-stall story: maintainer A stalls past its
+    TTL, B steals the lease and publishes; A's publish then refuses
+    (fenced) and B's generation survives untouched."""
+    store = _built_store(spark, tmp_path)
+    a = IX.acquire_maintenance_lease(store.path, ttl_sec=0.05)
+    time.sleep(0.1)  # A stalls past its TTL
+    b = IX.acquire_maintenance_lease(store.path, ttl_sec=600)
+    assert b.fence > a.fence
+
+    store.compact(spark, lease=b)  # B publishes
+    gen_b = IX._layout_gen(store.path)
+    assert _ptr(store.path)["fence"] == b.fence
+
+    # A wakes up and tries to publish its stale work
+    with pytest.raises(IX.MaintenanceFencedError):
+        store.compact(spark, lease=a)
+    assert IX._layout_gen(store.path) == gen_b
+    assert _ptr(store.path)["fence"] == b.fence
+    IX.release_maintenance_lease(b)
+
+
+def test_fence_monotone_across_publishes(spark, tmp_path):
+    store = _built_store(spark, tmp_path)
+    fences = [_ptr(store.path)["fence"]]
+    for _ in range(2):
+        store.compact(spark)
+        fences.append(_ptr(store.path)["fence"])
+    assert fences == sorted(fences) and fences[-1] > fences[0]
+
+
+def test_stale_flip_refused_at_pointer_level(tmp_path):
+    """The fence check lives in ``_flip_layout`` itself, so even a
+    publisher that bypassed the lease check cannot regress the
+    pointer past a newer maintainer's stamp."""
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    IX._flip_layout(root, 1, fence=5)
+    with pytest.raises(IX.MaintenanceFencedError):
+        IX._flip_layout(root, 2, fence=4)
+    assert _ptr(root) == {"gen": 1, "fence": 5}
+    IX._flip_layout(root, 2, fence=6)
+    assert _ptr(root) == {"gen": 2, "fence": 6}
+
+
+def test_release_never_removes_a_stolen_lease(tmp_path):
+    root = str(tmp_path / "s")
+    a = IX.acquire_maintenance_lease(root, ttl_sec=0.05)
+    time.sleep(0.1)
+    b = IX.acquire_maintenance_lease(root, ttl_sec=600)
+    IX.release_maintenance_lease(a)  # must be a no-op: B owns it now
+    cur = IX._read_json_file(os.path.join(root, IX._LEASE_FILE))
+    assert cur.get("owner") == b.owner
+    IX.release_maintenance_lease(b)
+
+
+# -- pin-aware generation retention -------------------------------------
+
+
+def test_pinned_read_survives_two_compact_cycles(spark, tmp_path):
+    """The straggler-scan story: a reader pins its generation, two full
+    apply+compact cycles run (the old GC policy would have deleted the
+    pinned layout on the second), and the reader's DataFrame still
+    collects the exact pre-maintenance snapshot."""
+    store = _built_store(spark, tmp_path)
+    snapshot = _live_postings(store, spark)
+
+    with IX.pinned_generation(store.path) as g:
+        straggler = store.read(spark).select(
+            "doc_id", "lang", "raw_term", "term", "weight", "tf", "term_bucket"
+        )
+        store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+        store.compact(spark)  # gen g+1
+        store.compact(spark)  # gen g+2 — unpinned policy GC's g here
+        assert os.path.isdir(os.path.join(store.path, f"layout-{g}"))
+        assert sorted(tuple(r) for r in straggler.collect()) == snapshot
+
+    # first publish after release sweeps the now-unpinned generation
+    store.compact(spark)
+    assert not os.path.isdir(os.path.join(store.path, f"layout-{g}"))
+
+
+def test_stale_pin_expires_and_layout_is_reclaimed(spark, tmp_path):
+    store = _built_store(spark, tmp_path)
+    g = IX._layout_gen(store.path)
+    pin = IX.pin_generation(store.path, g)
+    old = time.time() - IX.PIN_TTL_SEC - 60
+    os.utime(pin, (old, old))  # crashed reader: pin went stale
+    store.compact(spark)
+    store.compact(spark)
+    assert not os.path.isdir(os.path.join(store.path, f"layout-{g}"))
+    assert not os.path.exists(pin)
+
+
+def test_pin_blocks_only_its_generation(spark, tmp_path):
+    store = _built_store(spark, tmp_path)
+    g = IX._layout_gen(store.path)
+    store.compact(spark)  # g+1
+    pin = IX.pin_generation(store.path, g + 1)
+    store.compact(spark)  # g+2: g eligible + unpinned -> swept
+    store.compact(spark)  # g+3: g+1 eligible but pinned -> kept
+    assert not os.path.isdir(os.path.join(store.path, f"layout-{g}"))
+    assert os.path.isdir(os.path.join(store.path, f"layout-{g + 1}"))
+    IX.unpin_generation(pin)
+    store.compact(spark)
+    assert not os.path.isdir(os.path.join(store.path, f"layout-{g + 1}"))
+
+
+def test_rollup_store_lease_and_fence(spark, tmp_path):
+    """The rollup store shares the discipline (its own _publish copy):
+    lease exclusion on compact, fence stamped at the flip."""
+    from car_etl_spark.streaming.rollup_store import RollupStore
+
+    events = spark.createDataFrame(
+        [(f"2024-01-01 00:0{i}:00", "click", float(i)) for i in range(5)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F_to_ts("ts"))
+    store = RollupStore(str(tmp_path / "r"))
+    store.build(events)
+    with IX.maintenance_lease(store.path):
+        with pytest.raises(IX.MaintenanceLeaseHeldError):
+            store.compact(spark)
+    store.compact(spark)
+    assert _ptr(store.path)["fence"] > 0
+
+
+def F_to_ts(c):
+    from pyspark.sql import functions as F
+
+    return F.to_timestamp(c)
