@@ -87,6 +87,7 @@ def prepared(
 def build_registry() -> dict[str, QuerySpec]:
     from car_etl_spark.queries import (
         analytics,
+        asofq,
         confidenceq,
         dedup,
         eav,
@@ -108,7 +109,7 @@ def build_registry() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq, misc, fts, extraction, pii, media, mix):
+    for mod in (relational, analytics, normalize, entity, textops, vector, eventsq, search, dedup, eav, rag, confidenceq, misc, fts, extraction, pii, media, mix, asofq):
         for name, spec in mod.QUERIES.items():
             if name in registry:
                 raise ValueError(f"duplicate query name: {name}")

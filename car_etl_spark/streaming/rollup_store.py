@@ -383,7 +383,12 @@ class RollupStore:
     # -- serving -------------------------------------------------------------
 
     def partials(
-        self, spark: SparkSession, start_date=None, end_date=None, tenant=None
+        self,
+        spark: SparkSession,
+        start_date=None,
+        end_date=None,
+        tenant=None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """The live minute-grain view: base + deltas, crash-duplicate
         rows dropped (deterministic per-(group, batch) aggregates make
@@ -407,7 +412,11 @@ class RollupStore:
         # then reading a post-clear committed=0 against OLD dirs would
         # hide unfolded deltas — the mixed-state class the r9
         # maintenance soak caught.)
-        committed = self._max_sentinel()
+        # ``as_of`` overrides the committed bound: the MVCC time-travel
+        # read (state after batches <= N), same contract as
+        # PostingStore._snapshot_bounds — meaningful down to the
+        # compaction epoch (older batches are folded into base)
+        committed = self._max_sentinel() if as_of is None else int(as_of)
         g = self._gen()
         # build-time schema supplied explicitly: partition-column type
         # inference would otherwise reinterpret values (string tenant
@@ -447,6 +456,7 @@ class RollupStore:
         end_date=None,
         exact_sums: bool = False,
         tenant=None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Rollup at the requested grain from persisted partials:
         (bucket_start, groups..., n, value_sum, value_avg, value_min,
@@ -457,7 +467,7 @@ class RollupStore:
         DECIMAL before casting."""
         if grain not in GRAINS:
             raise ValueError(f"grain must be one of {GRAINS}")
-        parts = self.partials(spark, start_date, end_date, tenant=tenant)
+        parts = self.partials(spark, start_date, end_date, tenant=tenant, as_of=as_of)
         out = self._merge_to(
             parts, F.date_trunc(grain, F.col("minute_start")), self.group_cols
         )
