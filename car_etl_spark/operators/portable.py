@@ -368,14 +368,21 @@ def portable_simhash_fingerprints(
 
     shingled = with_shingles(docs, text_col, 3, id_col)
     exploded = shingled.select(id_col, F.explode("shingles").alias("sh")).distinct()
-    h = h0(F.col("sh"))
+    # STAGE the hash into a projected column before the 60-way vote
+    # aggregate: each aggregate expression is compiled independently
+    # (no cross-aggregate subexpression elimination), so an inline
+    # h0(sh) would re-run md5+conv 60x per row — measured 80% of the
+    # sf1 lsh_neardup_suite wall (ARCHITECTURE.md §dedup attribution).
+    # Same staging discipline as portable_minhash_sigs' __hm.
+    staged = exploded.select(id_col, h0(F.col("sh")).alias("__h"))
+    h = F.col("__h")
     votes = [
         F.sum(
             F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{bit}")
         for bit in range(SIMHASH_BITS)
     ]
-    voted = exploded.groupBy(id_col).agg(*votes)
+    voted = staged.groupBy(id_col).agg(*votes)
     sim = None
     for bit in range(SIMHASH_BITS):
         col = F.when(
@@ -566,9 +573,29 @@ def portable_embedding_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    va = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 6)
+    # norms STAGED per row (n evaluations) before the verify join: the
+    # threshold filter is pushed into the join condition, where an
+    # inline cosine_similarity evaluates five zip_with/aggregate HOF
+    # trees per CANDIDATE pair (dot + both norms in the guard + both in
+    # the divisor) — measured as the dominant node of the sf1
+    # lsh_neardup_suite (ARCHITECTURE.md §dedup attribution).  Staged,
+    # the per-pair work is one HOF (the dot); arithmetic shape (sqrt of
+    # self-dot, then dot/(na*nb)) is unchanged, so values stay
+    # bit-identical to the DuckDB twin.
+    va = src.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        V.norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = src.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        V.norm(F.col(vec_col)).alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.round(
+        F.when(denom > 0, V.dot(F.col("va"), F.col("vb")) / denom), 6
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -929,13 +929,29 @@ def embedding_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms STAGED per row before the pair join: the threshold filter
+    # lands in the join condition, where an inline cosine would run
+    # five HOF aggregates per candidate (dot + norms twice) — staging
+    # leaves one (the dot), with bit-identical arithmetic (sqrt of
+    # self-dot per side, then dot/(na*nb))
+    va = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        V.norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        V.norm(F.col(vec_col)).alias("__nb"),
+    )
     pairs = cand.join(va, "id_a").join(vb, "id_b")
     if dim > EXPR_PROJECTION_MAX_DIM:
         sim = _cosine_pairs_pandas(F.col("va"), F.col("vb"))
     else:
-        sim = V.cosine_similarity(F.col("va"), F.col("vb"))
+        denom = F.col("__na") * F.col("__nb")
+        sim = F.when(
+            denom > 0, V.dot(F.col("va"), F.col("vb")) / denom
+        )
     return (
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)

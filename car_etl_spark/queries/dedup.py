@@ -304,7 +304,19 @@ def embedding_neardup_exact_block(spark: SparkSession, sf_dir: str) -> DataFrame
     (vec_id % B) sub-block joins the label key
     (:func:`embedding_subblock_count`), bounding compared pairs
     ~linearly in n."""
+    from car_etl_spark.functions import vectors as V
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # STAGE each row's norm as a column BEFORE the self-join: the
+    # >= threshold filter gets pushed into the join condition, and an
+    # inline cosine there evaluates FIVE zip_with/aggregate HOF trees
+    # per candidate pair (dot + both norms twice: guard + divisor) —
+    # measured 80% of the sf1 exact_neardup_companions wall
+    # (ARCHITECTURE.md §dedup attribution).  With norms staged per ROW
+    # (n, not n^2) the pair condition runs ONE HOF (the dot).  The
+    # arithmetic shape is unchanged — sqrt(self-dot) per side, then
+    # dot/(na*nb) — so values stay bit-identical to the DuckDB twin.
+    emb = emb.withColumn("__nrm", V.norm(F.col("embedding")))
     B = embedding_subblock_count(sf_dir)
     par = spark.sparkContext.defaultParallelism * 2
     a = emb.repartition(par, "vec_id").alias("a")
@@ -317,9 +329,14 @@ def embedding_neardup_exact_block(spark: SparkSession, sf_dir: str) -> DataFrame
             F.pmod(F.col("a.vec_id"), F.lit(B)) == F.pmod(F.col("b.vec_id"), F.lit(B))
         )
     pairs = a.join(b, cond)
-    from car_etl_spark.functions import vectors as V
-
-    sim = F.round(V.cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6)
+    denom = F.col("a.__nrm") * F.col("b.__nrm")
+    sim = F.round(
+        F.when(
+            denom > 0,
+            V.dot(F.col("a.embedding"), F.col("b.embedding")) / denom,
+        ),
+        6,
+    )
     return (
         pairs.select(
             F.col("a.vec_id").alias("id_a"),
