@@ -50,7 +50,14 @@ r09 consolidated the registry pair entity_match_blocked +
 entity_match_lsh_extended into the entity_match_modes suite (registry
 headroom; COVERAGE.md merge table) — the BENCH set is unchanged:
 entity_match_blocked keeps its own row via fine_grained_queries, so
-its numbers stay comparable round-over-round.
+its numbers stay comparable round-over-round.  r10 BENCH set is
+unchanged; two real plan changes (hybrid_rerank_page wave fusion
+0.33 -> ~0.23 s warm; dedup cosine-verify norm staging, sf1-visible)
+are the only code-driven deltas.  The r9 ledger's q1/q3/flagship
++11-30% movers were settled by interleaved A/B (AB_r10.json):
+NOISE — mixed-sign medians inside 1-2 s within-session spreads;
+same verdict covers the r10 box-noise episode (job floor 0.34 s on
+one run vs 0.157 s on the rerun minutes later).
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's

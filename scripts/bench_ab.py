@@ -29,12 +29,14 @@ R2_COMMIT = sys.argv[1] if len(sys.argv) > 1 else "67af522"
 RUNS = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-MOVERS = (
-    "customer_order_versioning",
-    "q3_shipping_priority",
-    "normalize_roundtrips",
-    "flagship_portfolio_rollup",
-    "cdc_apply_tombstones",
+#: override with AB_MOVERS=a,b,c to point the harness at the round's
+#: disputed rows without editing the script
+MOVERS = tuple(
+    os.environ.get(
+        "AB_MOVERS",
+        "customer_order_versioning,q3_shipping_priority,normalize_roundtrips,"
+        "flagship_portfolio_rollup,cdc_apply_tombstones",
+    ).split(",")
 )
 
 
@@ -49,7 +51,10 @@ def import_registry_fns(root: str, names: tuple[str, ...]):
         import importlib
 
         reg = importlib.import_module("car_etl_spark.queries").build_registry()
-        return {n: reg[n].fn for n in names}
+        fine = importlib.import_module(
+            "car_etl_spark.queries.suites"
+        ).fine_grained_queries()
+        return {n: (reg[n].fn if n in reg else fine[n]) for n in names}
     finally:
         sys.path.remove(root)
         for k in [k for k in sys.modules if k.split(".")[0] == "car_etl_spark"]:
