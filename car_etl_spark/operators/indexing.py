@@ -711,6 +711,46 @@ def maintenance_lease(
         release_maintenance_lease(lease)
 
 
+def build_or_wait(
+    build_fn,
+    ready_fn,
+    store_path: str,
+    timeout_sec: float = 900.0,
+    poll_sec: float = 0.25,
+) -> None:
+    """Single-builder-plus-waiters for the ensure_* index builds.
+
+    A maintenance double-start must refuse, but an ensure_* caller
+    wants the INDEX, not the privilege of building it.  This takes the
+    store's writer lease itself, RE-CHECKS ``ready_fn`` under that
+    exclusivity (a concurrent builder may have finished while we
+    queued — without the recheck the second caller would rebuild a
+    just-published store), and runs ``build_fn(lease)`` only if the
+    store is still missing.  While another session holds the lease it
+    polls, returning as soon as the published store appears; a crashed
+    builder's lease expires by TTL and the steal path lets a waiter
+    re-take the build (its partial layout was unpublished by
+    construction)."""
+    deadline = time.time() + timeout_sec
+    while True:
+        if ready_fn():
+            return
+        try:
+            with maintenance_lease(store_path) as lease:
+                if ready_fn():  # finished while we waited for the lease
+                    return
+                build_fn(lease)
+                return
+        except MaintenanceLeaseHeldError:
+            if time.time() >= deadline:
+                raise MaintenanceLeaseHeldError(
+                    f"timed out after {timeout_sec}s waiting for a "
+                    f"concurrent builder of {store_path} (lease still "
+                    "held and store not ready)"
+                )
+            time.sleep(poll_sec)
+
+
 def _with_maintenance_lease(method):
     """Decorator for the generation-publishing maintenance entry points
     (build / apply_batch / compact / refresh): run under the store's
@@ -2176,7 +2216,11 @@ def ensure_posting_index(
         tune_session(spark)
         docs = load_tables(spark, sf_dir, ("documents",))["documents"]
         os.makedirs(index_root(), exist_ok=True)
-        store.build(docs)
+        build_or_wait(
+            lambda lease: store.build(docs, lease=lease),
+            lambda: store._has_parquet(store.base_dir),
+            path,
+        )
     _ENSURED.add(path)
     return store
 
@@ -3698,12 +3742,17 @@ def ensure_ivf_index(
         tune_session(spark)
         emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
         os.makedirs(index_root(), exist_ok=True)
-        store.build(
-            emb,
-            num_centroids,
-            refine_iterations,
-            filter_cols=filter_cols,
-            pq_m=pq_m,
+        build_or_wait(
+            lambda lease: store.build(
+                emb,
+                num_centroids,
+                refine_iterations,
+                filter_cols=filter_cols,
+                pq_m=pq_m,
+                lease=lease,
+            ),
+            lambda: os.path.exists(store.meta_path),
+            path,
         )
     _ENSURED.add(path)
     return store

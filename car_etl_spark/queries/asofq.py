@@ -79,47 +79,76 @@ def ensure_asof_stores(spark: SparkSession, sf_dir: str):
     posting = IX.PostingStore(ppath, num_buckets=8)
     rollup = RollupStore(rpath)
 
-    pmark = os.path.join(ppath, "_asof_complete")
-    if not os.path.exists(pmark):
+    def _clear_store_state(root: str) -> None:
+        """Remove a crashed partial build's state WITHOUT touching the
+        coordination files (lease/fence/pins) — a whole-root rmtree
+        under a held lease would delete the lease out from under us."""
         import shutil
 
-        shutil.rmtree(ppath, ignore_errors=True)
+        keep = {IX._LEASE_FILE, IX._FENCE_FILE, "_pins"}
+        try:
+            entries = os.listdir(root)
+        except OSError:
+            return
+        for fn in entries:
+            if fn in keep or fn.startswith("." + IX._LEASE_FILE):
+                continue
+            p = os.path.join(root, fn)
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+
+    pmark = os.path.join(ppath, "_asof_complete")
+    if not os.path.exists(pmark):
         docs = (
             load_tables(spark, sf_dir, ("documents",))["documents"]
             .filter(F.col("doc_id") < ASOF_DOC_CAP)
             .select("doc_id", "lang", "text")
         )
-        posting = IX.PostingStore(ppath, num_buckets=8)
-        posting.build(docs)
-        for b in range(1, ASOF_BATCHES + 1):
-            ups = docs.filter(F.col("doc_id") % ASOF_UP_MOD == b).withColumn(
-                "text", F.concat(F.col("text"), F.lit(f" {ASOF_REV_TOKEN}{b}"))
-            )
-            dels = [
-                r.doc_id
-                for r in docs.filter(F.col("doc_id") % ASOF_DEL_MOD == b)
-                .select("doc_id")
-                .collect()  # control-plane: <= CAP/11 ids
-            ]
-            posting.apply_batch(spark, ups, dels, batch=b)
-        with open(pmark, "w") as f:
-            f.write("ok")
+
+        def build_posting(lease) -> None:
+            # ONE lease (held by build_or_wait) across the whole
+            # build+batches campaign: no gap a concurrent ensure could
+            # squeeze a conflicting build into
+            _clear_store_state(ppath)
+            posting.build(docs, lease=lease)
+            for b in range(1, ASOF_BATCHES + 1):
+                ups = docs.filter(
+                    F.col("doc_id") % ASOF_UP_MOD == b
+                ).withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(f" {ASOF_REV_TOKEN}{b}")),
+                )
+                dels = [
+                    r.doc_id
+                    for r in docs.filter(F.col("doc_id") % ASOF_DEL_MOD == b)
+                    .select("doc_id")
+                    .collect()  # control-plane: <= CAP/11 ids
+                ]
+                posting.apply_batch(spark, ups, dels, batch=b, lease=lease)
+            with open(pmark, "w") as f:
+                f.write("ok")
+
+        IX.build_or_wait(
+            build_posting, lambda: os.path.exists(pmark), ppath
+        )
 
     rmark = os.path.join(rpath, "_asof_complete")
     if not os.path.exists(rmark):
-        import shutil
-
-        shutil.rmtree(rpath, ignore_errors=True)
         ev = load_tables(spark, sf_dir, ("events",))["events"].select(
             "ts", "event_type", "value"
         )
         slot = F.floor(F.unix_timestamp("ts") / 60).cast("long") % 4
-        rollup = RollupStore(rpath)
-        rollup.build(ev.filter(slot == 0))
-        for b in range(1, ASOF_BATCHES + 1):
-            rollup.apply_batch(spark, ev.filter(slot == b), batch=b)
-        with open(rmark, "w") as f:
-            f.write("ok")
+
+        def build_rollup(lease) -> None:
+            _clear_store_state(rpath)
+            rollup.build(ev.filter(slot == 0), lease=lease)
+            for b in range(1, ASOF_BATCHES + 1):
+                rollup.apply_batch(spark, ev.filter(slot == b), b, lease=lease)
+            with open(rmark, "w") as f:
+                f.write("ok")
+
+        IX.build_or_wait(
+            build_rollup, lambda: os.path.exists(rmark), rpath
+        )
     return posting, rollup
 
 

@@ -681,9 +681,16 @@ def ensure_rollup_store(spark: SparkSession, sf_dir: str) -> RollupStore:
     path = os.path.join(index_root(), f"rollup-{digest}")
     store = RollupStore(path)
     if store._meta() is None:
+        from car_etl_spark.operators.indexing import build_or_wait
         from car_etl_spark.tables import load_tables
 
         ev = load_tables(spark, sf_dir, ("events",))["events"]
         os.makedirs(index_root(), exist_ok=True)
-        store.build(ev.select("ts", "event_type", "value"))
+        build_or_wait(
+            lambda lease: store.build(
+                ev.select("ts", "event_type", "value"), lease=lease
+            ),
+            lambda: store._meta() is not None,
+            path,
+        )
     return store

@@ -236,3 +236,70 @@ def F_to_ts(c):
     from pyspark.sql import functions as F
 
     return F.to_timestamp(c)
+
+
+# -- concurrent ensure: single builder + waiters -------------------------
+
+
+def test_concurrent_ensure_single_builder(spark, tmp_path, monkeypatch):
+    """Two sessions ensure the same content-addressed index at once:
+    the lease makes one the builder; the other WAITS (build_or_wait)
+    and returns the published store instead of failing — and exactly
+    one generation was ever published."""
+    import pandas as pd
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [f"alpha beta gamma delta doc{i}" for i in range(40)],
+            "lang": ["en"] * 40,
+            "source": ["t"] * 40,
+            "n_chars": [30] * 40,
+        }
+    ).to_parquet(corpus / "documents.parquet")
+    monkeypatch.setenv("CAR_ETL_INDEX_DIR", str(tmp_path / "idx"))
+
+    results: list = [None, None]
+
+    def run(i: int) -> None:
+        try:
+            # bypass the in-process _ENSURED memo race by using the
+            # real entry point — the memo only adds after success
+            store = IX.ensure_posting_index(spark, str(corpus))
+            results[i] = ("ok", store.path)
+        except BaseException as e:
+            results[i] = ("err", f"{type(e).__name__}: {e}")
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(r[0] == "ok" for r in results), results
+    path = results[0][1]
+    assert IX._layout_gen(path) == 1  # built exactly once
+    store = IX.PostingStore(path)
+    n = store.read(spark).select("doc_id").distinct().count()
+    assert n == 40
+
+
+def test_build_or_wait_retakes_after_crashed_builder(tmp_path):
+    """A builder that died mid-build leaves its lease behind; once the
+    TTL expires the waiting ensure re-takes the build itself."""
+    root = str(tmp_path / "s")
+    # crashed builder: lease exists (short TTL), store never ready
+    dead = IX.acquire_maintenance_lease(root, ttl_sec=0.2)
+    assert os.path.exists(os.path.join(root, IX._LEASE_FILE))
+    built = []
+
+    def build(lease):
+        # build_or_wait acquired for us: the dead lease was expired, so
+        # the steal path let the re-take through
+        assert lease.fence > dead.fence
+        built.append(1)
+
+    time.sleep(0.25)  # let the crashed builder's TTL lapse
+    IX.build_or_wait(build, lambda: bool(built), root, timeout_sec=10)
+    assert built == [1]
