@@ -787,6 +787,19 @@ def _active_lease(store) -> MaintenanceLease | None:
     return getattr(slot, "lease", None) if slot is not None else None
 
 
+def _fence_check(store) -> None:
+    """Re-validate the active lease at a COMMIT POINT (the meta bound
+    replace / applied sentinel, not just generation flips): a
+    maintainer that stalled past its TTL inside apply_batch and lost
+    the lease to a steal must not land its commit — its delta files
+    went to a generation the new owner may already have superseded,
+    and a root-level sentinel for that batch would mark content the
+    live store never received as applied."""
+    lease = _active_lease(store)
+    if lease is not None:
+        _check_maintenance_lease(lease)
+
+
 # -- reader pins: pin-aware generation retention (round 10) -------------
 #
 # The one-interval GC grace is enough for sub-second serves but not for
@@ -1433,6 +1446,7 @@ class PostingStore:
         # so a serve racing this apply sees the complete pre-batch
         # corpus — never new rows without their tombstone (double tf)
         # or a tombstone without its rows (vanished doc).
+        _fence_check(self)  # a stale (stolen-lease) applier stops HERE
         self._refresh_stats(spark, applied_through=batch)
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
@@ -2905,6 +2919,7 @@ class IvfStore:
         # above).  The pessimistic step-1 write still protects pre-
         # snapshot-layout stores and the crash-replay window.
         m["applied_through"] = batch
+        _fence_check(self)  # a stale (stolen-lease) applier stops HERE
         self._write_meta(m)
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")

@@ -375,6 +375,9 @@ class RollupStore:
             .partitionBy(*self._pcols())
             .parquet(self.delta_dir)
         )
+        from car_etl_spark.operators.indexing import _fence_check
+
+        _fence_check(self)  # a stale (stolen-lease) applier stops HERE
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
         os.remove(self._pending(batch))

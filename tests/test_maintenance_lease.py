@@ -303,3 +303,25 @@ def test_build_or_wait_retakes_after_crashed_builder(tmp_path):
     time.sleep(0.25)  # let the crashed builder's TTL lapse
     IX.build_or_wait(build, lambda: bool(built), root, timeout_sec=10)
     assert built == [1]
+
+
+def test_stale_applier_fenced_at_commit_point(spark, tmp_path):
+    """A maintainer that loses its lease MID-APPLY (TTL steal) must not
+    land the batch commit: its delta content may belong to a
+    superseded generation, and the root-level sentinel would mark the
+    batch applied on a store that never received it."""
+    store = _built_store(spark, tmp_path)
+    a = IX.acquire_maintenance_lease(store.path, ttl_sec=0.05)
+    time.sleep(0.1)
+    b = IX.acquire_maintenance_lease(store.path)  # steal
+    with pytest.raises(IX.MaintenanceFencedError):
+        store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1, lease=a)
+    # the commit never landed: no sentinel, no applied_through advance
+    assert not os.path.exists(store._sentinel(1))
+    assert int(store._meta().get("applied_through") or 0) == 0
+    # the new owner applies the same batch cleanly
+    assert store.apply_batch(
+        spark, _docs_df(spark, DOCS_B1), None, batch=1, lease=b
+    )
+    assert os.path.exists(store._sentinel(1))
+    IX.release_maintenance_lease(b)
