@@ -677,6 +677,54 @@ def acquire_maintenance_lease(
     return MaintenanceLease(store_path=store_path, owner=owner, fence=fence)
 
 
+def renew_maintenance_lease(
+    lease: MaintenanceLease, ttl_sec: float = MAINT_LEASE_TTL_SEC
+) -> bool:
+    """Extend a held lease's expiry (heartbeat).  Returns False if the
+    lease is no longer ours (stolen after a stall) — the caller keeps
+    working and gets fenced at its commit point, which is the correct
+    outcome; renewing is only an optimization that prevents a LIVE
+    long-running maintainer from ever looking expired."""
+    lease_path = os.path.join(lease.store_path, _LEASE_FILE)
+    cur = _read_json_file(lease_path)
+    if cur.get("owner") != lease.owner or int(cur.get("fence", -1)) != lease.fence:
+        return False
+    tmp = os.path.join(lease.store_path, f".{_LEASE_FILE}.renew-{lease.owner}")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "owner": lease.owner,
+                "fence": lease.fence,
+                "expires": time.time() + ttl_sec,
+            },
+            f,
+        )
+    os.replace(tmp, lease_path)
+    return True
+
+
+class _LeaseHeartbeat(threading.Thread):
+    """Background renewal while a long build/campaign holds a lease —
+    without it, any maintenance outlasting the TTL looks expired to a
+    contending acquirer and gets stolen MID-BUILD (two builders then
+    write the same unpublished generation directory)."""
+
+    def __init__(self, lease: MaintenanceLease, ttl_sec: float = MAINT_LEASE_TTL_SEC):
+        super().__init__(daemon=True)
+        self.lease = lease
+        self.ttl_sec = ttl_sec
+        self.stop_evt = threading.Event()
+
+    def run(self) -> None:
+        period = max(1.0, self.ttl_sec / 3.0)
+        while not self.stop_evt.wait(period):
+            if not renew_maintenance_lease(self.lease, self.ttl_sec):
+                return  # stolen: stop heartbeating, fencing handles the rest
+
+    def stop(self) -> None:
+        self.stop_evt.set()
+
+
 def release_maintenance_lease(lease: MaintenanceLease) -> None:
     """Release if still ours; a stolen/expired-and-replaced lease is
     left for its new owner (never remove someone else's lease)."""
@@ -739,7 +787,12 @@ def build_or_wait(
             with maintenance_lease(store_path) as lease:
                 if ready_fn():  # finished while we waited for the lease
                     return
-                build_fn(lease)
+                hb = _LeaseHeartbeat(lease)  # a slow build must never
+                hb.start()  # look expired to a contending ensure
+                try:
+                    build_fn(lease)
+                finally:
+                    hb.stop()
                 return
         except MaintenanceLeaseHeldError:
             if time.time() >= deadline:
@@ -842,12 +895,28 @@ def pinned_generation(store_path: str, gen: int | None = None):
     """Pin the (current, unless given) generation for the scope — the
     long-scan API: a read whose jobs may straddle multiple compact
     cycles resolves its paths under the yielded generation and GC will
-    not touch that layout while the pin lives."""
+    not touch that layout while the pin lives.  A background heartbeat
+    touches the pin file every ``PIN_TTL_SEC/3`` so a scan longer than
+    the stale-pin TTL keeps its layout — without it the GC would reap
+    the pin as a crashed reader's mid-scan, the exact failure pins
+    exist to prevent."""
     g = _layout_gen(store_path) if gen is None else int(gen)
     p = pin_generation(store_path, g)
+    stop = threading.Event()
+
+    def refresh() -> None:
+        while not stop.wait(max(1.0, PIN_TTL_SEC / 3.0)):
+            try:
+                os.utime(p)
+            except OSError:
+                return  # unpinned/reaped: nothing left to refresh
+
+    t = threading.Thread(target=refresh, daemon=True)
+    t.start()
     try:
         yield g
     finally:
+        stop.set()
         unpin_generation(p)
 
 
@@ -2372,8 +2441,11 @@ class IvfStore:
         return os.path.join(self.assign_dir, "_meta.json")
 
     def _publish_generation(self, new_gen: int) -> None:
-        """See :func:`_publish_store_generation`."""
-        _publish_store_generation(self.path, new_gen, self._LEGACY_DIRS)
+        """See :func:`_publish_store_generation`; fenced by the active
+        maintenance lease (every caller is ``@_with_maintenance_lease``)."""
+        _publish_store_generation(
+            self.path, new_gen, self._LEGACY_DIRS, lease=_active_lease(self)
+        )
 
     def _stored_schema(self, gen: int | None = None):
         """Build-time assignments schema — reads supply it explicitly so

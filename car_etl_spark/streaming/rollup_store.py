@@ -594,6 +594,7 @@ class RollupStore:
         # meaning exactly what they meant in the previous generation.
         from car_etl_spark.operators.indexing import (
             _active_lease,
+            _check_maintenance_lease,
             _flip_layout,
             _gc_store_generations,
             _layout_root,
@@ -640,6 +641,11 @@ class RollupStore:
                     os.replace(src, dst)
         shutil.rmtree(tmpdir, ignore_errors=True)
         lease = _active_lease(self)
+        if lease is not None:
+            # same pre-flip revalidation as _publish_generation: a
+            # refresher whose lease was stolen mid-campaign must not
+            # publish a generation built from pre-steal state
+            _check_maintenance_lease(lease)
         _flip_layout(self.path, new_gen, fence=lease.fence if lease else None)
         _gc_store_generations(self.path, new_gen, ("base", "delta"))
 

@@ -32,11 +32,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: override with AB_MOVERS=a,b,c to point the harness at the round's
 #: disputed rows without editing the script
 MOVERS = tuple(
-    os.environ.get(
+    s.strip()
+    for s in os.environ.get(
         "AB_MOVERS",
         "customer_order_versioning,q3_shipping_priority,normalize_roundtrips,"
         "flagship_portfolio_rollup,cdc_apply_tombstones",
     ).split(",")
+    if s.strip()
 )
 
 
@@ -51,9 +53,17 @@ def import_registry_fns(root: str, names: tuple[str, ...]):
         import importlib
 
         reg = importlib.import_module("car_etl_spark.queries").build_registry()
-        fine = importlib.import_module(
-            "car_etl_spark.queries.suites"
-        ).fine_grained_queries()
+        missing = [n for n in names if n not in reg]
+        fine = {}
+        if missing:
+            # fine-grained fallback only when needed, and guarded: old
+            # baseline trees predate queries/suites entirely
+            try:
+                fine = importlib.import_module(
+                    "car_etl_spark.queries.suites"
+                ).fine_grained_queries()
+            except ImportError:
+                pass
         return {n: (reg[n].fn if n in reg else fine[n]) for n in names}
     finally:
         sys.path.remove(root)

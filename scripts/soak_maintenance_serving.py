@@ -338,8 +338,14 @@ def main() -> None:  # noqa: C901
             stores = (posting, trigram, ivf, ivfpq, rollup)
             # the scheduler shape: ONE writer lease per store held across
             # the whole apply+compact campaign (r10 lease passthrough) —
-            # the rogue-maintainer arm below must refuse on every attempt
+            # the rogue-maintainer arm below must refuse on every attempt.
+            # Heartbeats keep the long campaign's leases from ever looking
+            # expired (a soak at scale outlasts the 600 s TTL, and the
+            # rogue contests every second — exactly the steal condition).
             leases = {s.path: IX.acquire_maintenance_lease(s.path) for s in stores}
+            beats = [IX._LeaseHeartbeat(lease) for lease in leases.values()]
+            for hb in beats:
+                hb.start()
             try:
                 for b in range(1, N_BATCHES + 1):
                     ch = batch_changes(b)
@@ -382,10 +388,16 @@ def main() -> None:  # noqa: C901
                 with lock:
                     errors.append(f"maintenance: {type(e).__name__}: {e}")
             finally:
-                for lease in leases.values():
-                    IX.release_maintenance_lease(lease)
+                # order matters: signal done BEFORE freeing the leases —
+                # a rogue attempt that begins after release but before
+                # the flag would otherwise acquire legitimately and be
+                # miscounted as a violation
                 maint_active.clear()
                 maint_done.set()
+                for hb in beats:
+                    hb.stop()
+                for lease in leases.values():
+                    IX.release_maintenance_lease(lease)
 
         rogue_counters = {"attempts": 0, "refused": 0, "published": 0}
 
@@ -407,6 +419,11 @@ def main() -> None:  # noqa: C901
                         IX.IvfStore(p).compact(spark)
                     else:
                         IX.PostingStore(p).compact(spark)
+                    if maint_done.is_set():
+                        # campaign ended while this attempt was in
+                        # flight: the lease was legitimately free — a
+                        # benign post-race compact, not a violation
+                        continue
                     with lock:
                         rogue_counters["attempts"] += 1
                         rogue_counters["published"] += 1

@@ -325,3 +325,42 @@ def test_stale_applier_fenced_at_commit_point(spark, tmp_path):
     )
     assert os.path.exists(store._sentinel(1))
     IX.release_maintenance_lease(b)
+
+
+def test_heartbeat_keeps_live_holder_from_looking_expired(tmp_path):
+    """A long build renews its lease: contenders keep refusing well
+    past the nominal TTL instead of stealing mid-build."""
+    root = str(tmp_path / "s")
+    lease = IX.acquire_maintenance_lease(root, ttl_sec=0.3)
+    hb = IX._LeaseHeartbeat(lease, ttl_sec=0.3)
+    hb.start()
+    try:
+        time.sleep(1.0)  # several TTLs elapse
+        with pytest.raises(IX.MaintenanceLeaseHeldError):
+            IX.acquire_maintenance_lease(root)
+    finally:
+        hb.stop()
+        hb.join()
+        IX.release_maintenance_lease(lease)
+
+
+def test_renew_refuses_after_steal(tmp_path):
+    root = str(tmp_path / "s")
+    a = IX.acquire_maintenance_lease(root, ttl_sec=0.05)
+    time.sleep(0.1)
+    b = IX.acquire_maintenance_lease(root)
+    assert not IX.renew_maintenance_lease(a)  # stolen: heartbeat stops
+    assert IX.renew_maintenance_lease(b)
+    IX.release_maintenance_lease(b)
+
+
+def test_pin_autorefresh_outlives_stale_ttl(tmp_path, monkeypatch):
+    """pinned_generation's refresh thread keeps the pin fresh, so a
+    scan longer than PIN_TTL_SEC is not reaped as a crashed reader."""
+    monkeypatch.setattr(IX, "PIN_TTL_SEC", 0.6)
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    with IX.pinned_generation(root, gen=3):
+        time.sleep(1.5)  # well past the stale TTL
+        assert IX._pinned_generations(root) == {3}
+    assert IX._pinned_generations(root) == set()
