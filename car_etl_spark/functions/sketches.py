@@ -43,7 +43,9 @@ cross-stack incremental reruns); its 3-sigma agreement with the exact
 form is pinned separately in ``test_approx_count_distinct_within_budget``.
 
 Reference behavior covered: the analytics distinct-count surface of
-``src/analytics/usage.py`` (per-tenant/segment distinct users & docs),
+the reference's append-only audit event rows
+(``src/audit/logger.py``, ``supabase/migrations/012_audit_logs.sql`` —
+per-tenant distinct actors & documents),
 re-expressed with the estimator a 100 TB deployment actually runs.
 Mergeability (register max / hash-set union) is what makes the sketch a
 valid pre-aggregate for rollup cubes; pinned by tests.

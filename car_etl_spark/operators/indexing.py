@@ -550,12 +550,30 @@ def _layout_root(store_path: str, gen: int) -> str:
 #   CONTESTED — an uncontested owner past its TTL still publishes,
 #   which is safe because fencing, not the clock, protects the pointer.
 #
-# Residual window (documented, not closed): the lease check and the
-# pointer flip are two filesystem ops, so a steal landing in the
-# microseconds between them can produce one last same-token flip; the
-# monotone token bounds the damage to a single already-built layout and
-# the next publish self-heals.  Closing it needs a CAS primitive the
-# filesystem does not offer.
+# Residual window (documented, detection added r11): the lease check
+# and the pointer flip are two filesystem ops, so a steal landing in
+# the microseconds between them can produce one last same-token flip;
+# the monotone token bounds the damage to a single already-built layout
+# and the next publish self-heals.  Closing it needs a CAS primitive
+# the filesystem does not offer — but DETECTION does not:
+# ``_flip_layout`` re-reads the pointer after its os.replace and
+# raises MaintenanceFencedError on a mismatch (the loser learns its
+# layout was orphaned instead of exiting believing it published), and
+# re-reads the fence counter to catch the reverse interleaving (our
+# replace clobbered a newer owner's flip — their next publish
+# self-heals, ours raises so the clobber is never silent).
+#
+# Second TOCTOU of the same shape (renew/release): both are
+# read-check-then-write, so a TTL steal landing between the ownership
+# check and the os.replace/os.remove would clobber (or delete) the new
+# owner's lease file — mutual exclusion still holds (the stamped fence
+# decides every publish), but it inverts WHO wins: the legitimate
+# stealer gets fenced at its commit while the stalled owner proceeds.
+# Mitigations: ``renew`` re-reads the fence counter after its replace
+# and self-reverts an accidental clobber (deletes the stale file it
+# just wrote and stops heartbeating); ``release`` captures the lease
+# atomically by rename and renames it BACK if the captured content
+# turns out not to be ours.
 
 _LEASE_FILE = "_maint_lease.json"
 _FENCE_FILE = "_maint_fence.json"
@@ -581,6 +599,12 @@ class MaintenanceLease:
     store_path: str
     owner: str
     fence: int
+    # the TTL this lease was ACQUIRED with — heartbeats and renewals
+    # default to it, so a short-TTL lease never silently stretches back
+    # to the global default on its first beat (and a heartbeat period
+    # derived from the global constant can never exceed a shorter
+    # acquired TTL and let the lease expire between beats)
+    ttl_sec: float = MAINT_LEASE_TTL_SEC
 
 
 def _read_json_file(path: str) -> dict:
@@ -674,17 +698,33 @@ def acquire_maintenance_lease(
                 os.remove(tmp)
             except OSError:
                 pass
-    return MaintenanceLease(store_path=store_path, owner=owner, fence=fence)
+    return MaintenanceLease(
+        store_path=store_path, owner=owner, fence=fence, ttl_sec=ttl_sec
+    )
 
 
 def renew_maintenance_lease(
-    lease: MaintenanceLease, ttl_sec: float = MAINT_LEASE_TTL_SEC
+    lease: MaintenanceLease, ttl_sec: float | None = None
 ) -> bool:
     """Extend a held lease's expiry (heartbeat).  Returns False if the
     lease is no longer ours (stolen after a stall) — the caller keeps
     working and gets fenced at its commit point, which is the correct
     outcome; renewing is only an optimization that prevents a LIVE
-    long-running maintainer from ever looking expired."""
+    long-running maintainer from ever looking expired.
+
+    The default extension is the TTL the lease was ACQUIRED with (not
+    the global constant): a short-TTL lease must never be silently
+    stretched back to 600 s by its own heartbeat.
+
+    Check-then-replace TOCTOU (see the module's residual-window note):
+    a steal landing between the ownership check and the os.replace
+    would overwrite the new owner's lease with ours.  A steal always
+    bumps the monotone fence counter, so after the replace we re-read
+    the counter — if it advanced past our fence, the write was a
+    clobber: self-revert (remove the stale file we just wrote, leaving
+    the steal path open again) and report the lease lost."""
+    if ttl_sec is None:
+        ttl_sec = lease.ttl_sec
     lease_path = os.path.join(lease.store_path, _LEASE_FILE)
     cur = _read_json_file(lease_path)
     if cur.get("owner") != lease.owner or int(cur.get("fence", -1)) != lease.fence:
@@ -700,6 +740,20 @@ def renew_maintenance_lease(
             f,
         )
     os.replace(tmp, lease_path)
+    counter = int(
+        _read_json_file(os.path.join(lease.store_path, _FENCE_FILE)).get("fence", 0)
+    )
+    if counter > lease.fence:
+        # someone acquired after us while we were mid-renew: our replace
+        # clobbered their lease file.  Self-revert IF the file is still
+        # our clobber (they may have re-renewed over it already).
+        cur = _read_json_file(lease_path)
+        if cur.get("owner") == lease.owner and int(cur.get("fence", -1)) == lease.fence:
+            try:
+                os.remove(lease_path)
+            except OSError:
+                pass
+        return False
     return True
 
 
@@ -709,10 +763,14 @@ class _LeaseHeartbeat(threading.Thread):
     contending acquirer and gets stolen MID-BUILD (two builders then
     write the same unpublished generation directory)."""
 
-    def __init__(self, lease: MaintenanceLease, ttl_sec: float = MAINT_LEASE_TTL_SEC):
+    def __init__(self, lease: MaintenanceLease, ttl_sec: float | None = None):
         super().__init__(daemon=True)
         self.lease = lease
-        self.ttl_sec = ttl_sec
+        # default to the TTL the lease was acquired with — a period
+        # derived from the global constant would exceed a shorter
+        # acquired TTL (200 s beats vs a 60 s lease) and let the lease
+        # expire between beats, then silently stretch it back to 600 s
+        self.ttl_sec = lease.ttl_sec if ttl_sec is None else ttl_sec
         self.stop_evt = threading.Event()
 
     def run(self) -> None:
@@ -727,12 +785,39 @@ class _LeaseHeartbeat(threading.Thread):
 
 def release_maintenance_lease(lease: MaintenanceLease) -> None:
     """Release if still ours; a stolen/expired-and-replaced lease is
-    left for its new owner (never remove someone else's lease)."""
+    left for its new owner (never remove someone else's lease).
+
+    Implemented capture-by-rename rather than check-then-remove: the
+    rename atomically takes whatever the lease file holds, THEN we
+    inspect it — if the captured content is not ours (a steal landed
+    between our last check and the rename), it is renamed straight
+    back, so the new owner's lease is never deleted.  The rename-back
+    window (lease file briefly absent) admits only a fresh acquire;
+    restoring via os.link (fails EEXIST) rather than rename means such
+    an acquire — which carries a HIGHER fence than the captured owner
+    — is never overwritten either."""
     lease_path = os.path.join(lease.store_path, _LEASE_FILE)
     cur = _read_json_file(lease_path)
-    if cur.get("owner") == lease.owner and int(cur.get("fence", -1)) == lease.fence:
+    if cur.get("owner") != lease.owner or int(cur.get("fence", -1)) != lease.fence:
+        return
+    grave = lease_path + f".release-{lease.owner}"
+    try:
+        os.rename(lease_path, grave)
+    except OSError:
+        return  # already gone (stolen mid-release): nothing to release
+    took = _read_json_file(grave)
+    if took.get("owner") == lease.owner and int(took.get("fence", -1)) == lease.fence:
         try:
-            os.remove(lease_path)
+            os.remove(grave)
+        except OSError:
+            pass
+    else:
+        try:  # captured someone else's lease: put it back untouched
+            os.link(grave, lease_path)
+        except OSError:
+            pass  # a fresh (higher-fence) acquire landed meanwhile: keep it
+        try:
+            os.remove(grave)
         except OSError:
             pass
 
@@ -853,6 +938,92 @@ def _fence_check(store) -> None:
         _check_maintenance_lease(lease)
 
 
+def _dir_has_parquet(d: str) -> bool:
+    """True if ``d`` holds parquet files a Spark read would SEE —
+    hidden entries (``_``/``.`` prefixes, Spark's HiddenFileFilter) are
+    skipped at every level, so in-flight ``_staging-*`` appends never
+    make an empty delta/tombstone dir look readable."""
+    if not os.path.isdir(d):
+        return False
+    for root, dirs, files in os.walk(d):
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in files
+        ):
+            return True
+    return False
+
+
+_STAGING_PREFIX = "_staging-"
+
+
+def _staged_append(live_dir: str, write_fn):
+    """Stage a parquet append so a FENCED applier leaves nothing in the
+    committed-visible range (round 11, closes the apply-batch fencing
+    hole): ``write_fn`` writes into a per-attempt dir INSIDE
+    ``live_dir`` whose ``_`` prefix makes it invisible to every Spark
+    read, and the returned ``promote()`` renames the staged files into
+    the live tree only after the caller's fence check passes.  Without
+    this, a stale (stolen-lease) applier's delta rows land before it is
+    fenced; if the new owner later commits the same batch id with
+    different content, the orphans fall inside the committed snapshot
+    window (exact-duplicate drop only removes identical replays).
+
+    Rename is per-file (part names carry task UUIDs — no collisions)
+    and partition subdirectories merge by relative path.  ``abort()``
+    (or a crash — the staged dir is hidden and swept by
+    :func:`_sweep_stale_staging` on the next apply) discards the
+    attempt without touching the live tree."""
+    os.makedirs(live_dir, exist_ok=True)
+    _sweep_stale_staging(live_dir)
+    stage = os.path.join(live_dir, f"{_STAGING_PREFIX}{uuid.uuid4().hex}")
+    write_fn(stage)
+
+    def promote() -> None:
+        for root, dirs, files in os.walk(stage):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            rel = os.path.relpath(root, stage)
+            dest = live_dir if rel == "." else os.path.join(live_dir, rel)
+            made = False
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue  # _SUCCESS / .crc markers stay behind
+                if not made:
+                    os.makedirs(dest, exist_ok=True)
+                    made = True
+                os.rename(os.path.join(root, fn), os.path.join(dest, fn))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def abort() -> None:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    return promote, abort
+
+
+def _sweep_stale_staging(
+    live_dir: str, max_age_sec: float = 2 * MAINT_LEASE_TTL_SEC
+) -> None:
+    """Reclaim staging dirs orphaned by a crashed/fenced applier.  Age
+    gates on the dir's own mtime (it moves with top-level writes); the
+    2×TTL bound means any applier that could still promote has long
+    since lost its lease."""
+    try:
+        entries = os.listdir(live_dir)
+    except OSError:
+        return
+    now = time.time()
+    for fn in entries:
+        if not fn.startswith(_STAGING_PREFIX):
+            continue
+        p = os.path.join(live_dir, fn)
+        try:
+            if now - os.stat(p).st_mtime > max_age_sec:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 # -- reader pins: pin-aware generation retention (round 10) -------------
 #
 # The one-interval GC grace is enough for sub-second serves but not for
@@ -963,6 +1134,12 @@ def _existing_generations(store_path: str, legacy_dirs: tuple[str, ...]) -> list
     return sorted(gens)
 
 
+# test seam: injected between the fence comparison and the pointer
+# os.replace so the CAS-residual interleaving (a steal landing in that
+# microsecond window) can be forced deterministically in tests
+_test_pre_flip_delay = None
+
+
 def _flip_layout(store_path: str, new_gen: int, fence: int | None = None) -> None:
     """Atomically publish generation ``new_gen`` (os.replace on the
     pointer file) — the compact/rebuild COMMIT POINT for concurrent
@@ -985,13 +1162,44 @@ def _flip_layout(store_path: str, new_gen: int, fence: int | None = None) -> Non
             f"pointer already stamped by fence {cur_fence} (a newer "
             "maintainer took over after this one's lease expired)"
         )
-    tmp = os.path.join(store_path, "_current.json.tmp")
+    if _test_pre_flip_delay is not None:
+        _test_pre_flip_delay()
+    stamped = {
+        "gen": int(new_gen),
+        "fence": int(fence) if fence is not None else cur_fence,
+    }
+    tmp = os.path.join(store_path, f"_current.json.tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
-        json.dump(
-            {"gen": int(new_gen), "fence": int(fence) if fence is not None else cur_fence},
-            f,
-        )
+        json.dump(stamped, f)
     os.replace(tmp, os.path.join(store_path, "_current.json"))
+    if fence is None:
+        return
+    # POST-FLIP VERIFY (r11): the fence comparison above and the
+    # os.replace are two filesystem ops — a steal can land between them
+    # (the documented CAS residual).  The flip cannot be made atomic
+    # with the check, but the LOSER can always be told:
+    #  - pointer no longer ours → a newer flip landed after ours; our
+    #    layout is orphaned (next publish GCs it) — raise instead of
+    #    returning success.
+    #  - pointer ours but the fence counter advanced past our token →
+    #    a steal happened mid-flip and our replace may have clobbered
+    #    the new owner's pointer; their next publish self-heals (their
+    #    token is higher), and we raise so the clobber is never silent.
+    now = _read_json_file(os.path.join(store_path, "_current.json"))
+    counter = int(
+        _read_json_file(os.path.join(store_path, _FENCE_FILE)).get("fence", 0)
+    )
+    if (
+        int(now.get("gen", -1)) != stamped["gen"]
+        or int(now.get("fence", -1)) != stamped["fence"]
+        or counter > int(fence)
+    ):
+        raise MaintenanceFencedError(
+            f"store {store_path}: publish of gen {new_gen} (fence {fence}) "
+            f"raced a lease steal — pointer now {now}, fence counter "
+            f"{counter}; this maintainer's layout must be considered "
+            "orphaned (the new owner's next publish supersedes it)"
+        )
 
 
 def _publish_store_generation(
@@ -1459,6 +1667,14 @@ class PostingStore:
         # A would wrongly kill tenant B's rows sharing the id
         tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
         tomb_parts = []
+        # every append is STAGED (hidden per-attempt dir) and promoted
+        # into the live tree only after the pre-commit fence check: a
+        # stale (stolen-lease) applier must leave NOTHING in the
+        # committed-visible batch range — orphan rows it landed before
+        # being fenced would become visible if the new owner later
+        # commits the same batch id with different content (exact-
+        # duplicate drop only removes identical replays)
+        promotes = []
         if upserts is not None:
             rows = build_posting_rows(
                 upserts, self.analyzer, self.num_buckets, self.tenant_col,
@@ -1466,13 +1682,24 @@ class PostingStore:
             ).withColumn("batch", F.lit(batch).cast("long"))
             # delta files are batch-sized, so sorting them is cheap and
             # keeps row-group pruning effective on the merged read path
-            self._write_store(rows, self.delta_dir, "append")
+            promotes.append(
+                _staged_append(
+                    self.delta_dir,
+                    lambda stage: self._write_store(rows, stage, "append"),
+                )
+            )
             # doc-length sidecar delta (same batch tag, same tombstone
             # liveness rule) — keeps the BM25 corpus stats EXACT under
             # maintenance at doc-grain cost, not posting-grain
-            doclens_from_rows(rows, self.tenant_col).withColumn(
+            dl = doclens_from_rows(rows, self.tenant_col).withColumn(
                 "batch", F.lit(batch).cast("long")
-            ).coalesce(1).write.mode("append").parquet(self.doclen_delta)
+            )
+            promotes.append(
+                _staged_append(
+                    self.doclen_delta,
+                    lambda stage: dl.coalesce(1).write.mode("append").parquet(stage),
+                )
+            )
             tomb_parts.append(upserts.select(*tomb_key).distinct())
         if deleted_ids:
             if self.tenant_col and not all(
@@ -1502,7 +1729,14 @@ class PostingStore:
             for p in tomb_parts[1:]:
                 tomb = tomb.unionByName(p)
             tomb = tomb.distinct().withColumn("batch", F.lit(batch).cast("long"))
-            tomb.coalesce(1).write.mode("append").parquet(self.tomb_dir)
+            promotes.append(
+                _staged_append(
+                    self.tomb_dir,
+                    lambda stage: tomb.coalesce(1)
+                    .write.mode("append")
+                    .parquet(stage),
+                )
+            )
         # refresh corpus stats from the live doclens view — one pass
         # over doc-grain rows per maintenance batch (10^9 docs is a few
         # GB, amortized at batch cadence, never paid at query time).
@@ -1515,7 +1749,16 @@ class PostingStore:
         # so a serve racing this apply sees the complete pre-batch
         # corpus — never new rows without their tombstone (double tf)
         # or a tombstone without its rows (vanished doc).
-        _fence_check(self)  # a stale (stolen-lease) applier stops HERE
+        # a stale (stolen-lease) applier stops HERE — with every write
+        # still staged, so it leaves nothing in the live tree
+        try:
+            _fence_check(self)
+        except MaintenanceFencedError:
+            for _promote, abort in promotes:
+                abort()
+            raise
+        for promote, _abort in promotes:
+            promote()
         self._refresh_stats(spark, applied_through=batch)
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
@@ -1631,12 +1874,7 @@ class PostingStore:
     # -- read ------------------------------------------------------------
 
     def _has_parquet(self, d: str) -> bool:
-        if not os.path.isdir(d):
-            return False
-        for root, _dirs, files in os.walk(d):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        return _dir_has_parquet(d)
 
     def read(
         self,
@@ -2853,6 +3091,7 @@ class IvfStore:
             if c not in keep and c != id_col:
                 keep = tuple(keep) + (c,)
         tomb_ids: set = set()
+        promotes = []  # staged appends, promoted after the fence check
         batch_entry: dict = {"counts": {}, "radii": {}, "tombs": 0}
         if upserts is not None:
             from car_etl_spark.operators.similarity import ivf_assign
@@ -2954,6 +3193,11 @@ class IvfStore:
         pessimistic.pop("filters", None)
         pessimistic.pop("tenant_filters", None)
         m.setdefault("batches", {})[str(batch)] = pessimistic
+        # fence BEFORE the pessimistic meta write too: ``m`` was read at
+        # entry, so a stale applier writing it here would roll the live
+        # meta back over everything the new owner committed since —
+        # strictly worse than the delta-orphan hole the staging closes
+        _fence_check(self)
         self._write_meta(m)
         if tomb_ids:
             # tombstone key types derive from the STORED build-time
@@ -2973,14 +3217,27 @@ class IvfStore:
                 sorted(tomb_ids),
                 StructType([StructField(c, src[c].dataType) for c in tomb_cols]),
             ).withColumn("batch", F.lit(batch).cast("long"))
-            tomb.coalesce(1).write.mode("append").parquet(self.tomb_dir)
+            # staged, promoted after the pre-commit fence check (tomb
+            # FIRST, preserving the step 2→3 order the crash argument
+            # above relies on for pre-snapshot-layout stores)
+            promotes.append(
+                _staged_append(
+                    self.tomb_dir,
+                    lambda stage: tomb.coalesce(1)
+                    .write.mode("append")
+                    .parquet(stage),
+                )
+            )
         if upserts is not None:
             pcols = ([self.tenant_col] if self.tenant_col else []) + ["centroid_id"]
-            (
-                assigned.repartition(*pcols)
-                .write.mode("append")
-                .partitionBy(*pcols)
-                .parquet(self.delta_dir)
+            promotes.append(
+                _staged_append(
+                    self.delta_dir,
+                    lambda stage: assigned.repartition(*pcols)
+                    .write.mode("append")
+                    .partitionBy(*pcols)
+                    .parquet(stage),
+                )
             )
         m["batches"][str(batch)] = batch_entry
         # COMMIT POINT for concurrent readers: counts and the snapshot
@@ -2991,19 +3248,24 @@ class IvfStore:
         # above).  The pessimistic step-1 write still protects pre-
         # snapshot-layout stores and the crash-replay window.
         m["applied_through"] = batch
-        _fence_check(self)  # a stale (stolen-lease) applier stops HERE
+        # a stale (stolen-lease) applier stops HERE — with the
+        # tombstone/delta writes still staged, so it leaves nothing in
+        # the committed-visible range
+        try:
+            _fence_check(self)
+        except MaintenanceFencedError:
+            for _promote, abort in promotes:
+                abort()
+            raise
+        for promote, _abort in promotes:
+            promote()
         self._write_meta(m)
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
         return True
 
     def _has_parquet(self, d: str) -> bool:
-        if not os.path.isdir(d):
-            return False
-        for root, _dirs, files in os.walk(d):
-            if any(fn.endswith(".parquet") for fn in files):
-                return True
-        return False
+        return _dir_has_parquet(d)
 
     def read_assignments(
         self,

@@ -116,8 +116,12 @@ def rerank_top_slice(
         return scored.withColumn(
             "final_rank", F.row_number().over(final_w)
         ).drop("__rank")
+    # cast matches the fused path's unconditional double: both physical
+    # shapes must share ONE output schema for any scorer type (a float-
+    # or int-valued scorer would otherwise type the column differently
+    # between the two paths)
     head = ranked.filter(F.col("__rank") <= top_k).withColumn(
-        "rerank_score", score_fn(F.col(text_col))
+        "rerank_score", score_fn(F.col(text_col)).cast("double")
     )
     tail = ranked.filter(F.col("__rank") > top_k).withColumn(
         "rerank_score", F.lit(None).cast("double")

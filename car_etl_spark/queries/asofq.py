@@ -32,9 +32,12 @@ them together):
 - events: batch of an event = ``floor(epoch(ts)/60) % 4`` — 0 is the
   base build, 1..3 are applied batches.
 
-The reference's versioned-extraction history reads
-(``src/extraction/versioning.py``) are the parity surface: "give me
-the state as of version N" over an append+tombstone history.
+The reference's versioned extraction history is the parity
+surface: extractions carry a per-document monotone ``version`` with a
+latest-wins serving default (``supabase/migrations/030_extractions.sql:79``
+``manage_extraction_version``), i.e. "give me the state as of version
+N" over an append-only history — here generalized to the stores'
+append+tombstone batch timeline.
 """
 
 from __future__ import annotations

@@ -408,7 +408,8 @@ CMS_W = 1024
 def events_user_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min point-frequency estimates of per-user event counts
     (``functions/sketches.py``) — the frequency member of the sketch
-    family, the usage-counter shape of ``src/analytics/usage.py`` at
+    family, the distinct-activity reporting shape over the reference's
+append-only audit events (``src/audit/logger.py``) at
     100 TB: state fixed at d·w counters with full map-side combine and
     counter-sum shard merge, vs the exact groupBy whose state grows
     with user cardinality.  Probes are driver-side literals (no

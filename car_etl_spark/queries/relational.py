@@ -289,7 +289,8 @@ def segment_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact ``countDistinct`` is correct but its shuffle state grows with
     cardinality; at 100 TB the per-group distinct-user counts of
-    ``src/analytics/usage.py`` run on the HLL form (fixed 2^p-register
+    the reference's audit-event reporting (``src/audit/logger.py``)
+run on the HLL form (fixed 2^p-register
     state, full map-side combine).  Putting estimate and truth in the
     same hashed row pins BOTH the cross-engine portability of the
     sketch arithmetic and its real error on this corpus every round."""

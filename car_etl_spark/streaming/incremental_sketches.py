@@ -23,10 +23,11 @@ State size is control-plane grain: ``groups x 2^p`` register rows +
 ``groups x k`` hashes, independent of stream volume — the reason this
 scales where a "distinct ids seen" ledger would not.
 
-Reference behavior covered: the live usage counters of
-``src/analytics/usage.py`` (distinct active users/documents per tenant,
-maintained by triggers), re-expressed as sketch-state maintenance under
-Structured Streaming.
+Reference behavior covered: live distinct-activity reporting over
+the append-only audit event stream (``src/audit/logger.py``,
+``supabase/migrations/012_audit_logs.sql`` — distinct actors/documents
+per tenant), re-expressed as sketch-state maintenance under Structured
+Streaming.
 """
 
 from __future__ import annotations

@@ -41,8 +41,9 @@ addition is not associative — the same last-ulp lesson
 `events_multires_rollup` documents).
 
 Deletions/updates of historical events are OUT of this store's
-contract (sums cannot retract; the reference's events table —
-``src/analytics/usage.py`` audit/usage rows — is append-only).  A
+contract (sums cannot retract; the reference's event rows —
+``supabase/migrations/012_audit_logs.sql`` audit events, written
+append-only by ``src/audit/logger.py`` — never mutate).  A
 mutable-fact rollup needs invalidation regions + bucket recompute
 against the source; `refresh_dates` provides exactly that as an
 explicit, bounded operation: recompute named date partitions from a
@@ -318,9 +319,9 @@ class RollupStore:
         _gc_store_generations(self.path, new_gen, ("base", "delta"))
 
     def _has_parquet(self, d: str) -> bool:
-        return os.path.isdir(d) and any(
-            fn.endswith(".parquet") for _r, _d, fs in os.walk(d) for fn in fs
-        )
+        from car_etl_spark.operators.indexing import _dir_has_parquet
+
+        return _dir_has_parquet(d)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -367,17 +368,32 @@ class RollupStore:
                 f.write("replayed after crashed append")
         with open(self._pending(batch), "w") as f:
             f.write("pending")
-        (
-            self._minute_partials(events)
-            .withColumn("batch", F.lit(batch).cast("long"))
-            .repartition(*self._pcols())
+        from car_etl_spark.operators.indexing import (
+            MaintenanceFencedError,
+            _fence_check,
+            _staged_append,
+        )
+
+        # staged append, promoted only after the fence check: a stale
+        # (stolen-lease) applier leaves nothing in the live delta tree
+        # (its orphan rows would otherwise become visible if the new
+        # owner commits the same batch id with different content)
+        partials = self._minute_partials(events).withColumn(
+            "batch", F.lit(batch).cast("long")
+        )
+        promote, abort = _staged_append(
+            self.delta_dir,
+            lambda stage: partials.repartition(*self._pcols())
             .write.mode("append")
             .partitionBy(*self._pcols())
-            .parquet(self.delta_dir)
+            .parquet(stage),
         )
-        from car_etl_spark.operators.indexing import _fence_check
-
-        _fence_check(self)  # a stale (stolen-lease) applier stops HERE
+        try:
+            _fence_check(self)  # a stale (stolen-lease) applier stops HERE
+        except MaintenanceFencedError:
+            abort()
+            raise
+        promote()
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
         os.remove(self._pending(batch))

@@ -364,3 +364,186 @@ def test_pin_autorefresh_outlives_stale_ttl(tmp_path, monkeypatch):
         time.sleep(1.5)  # well past the stale TTL
         assert IX._pinned_generations(root) == {3}
     assert IX._pinned_generations(root) == set()
+
+
+# -- round 11: staged appends, post-flip verify, renew/release TOCTOU ----
+
+
+def test_fenced_applier_leaves_nothing_visible(spark, tmp_path):
+    """The r10 residual the advisor flagged: a stale applier landed its
+    delta/doclen/tombstone rows BEFORE the fence check stopped it — if
+    the new owner then committed the same batch id with different
+    content, the orphans fell inside the committed snapshot window
+    (exact-duplicate drop only removes identical replays).  r11 stages
+    every append and promotes after the fence check, so a fenced
+    applier leaves the live tree byte-untouched."""
+    store = _built_store(spark, tmp_path)
+    a = IX.acquire_maintenance_lease(store.path, ttl_sec=0.05)
+    time.sleep(0.1)
+    b = IX.acquire_maintenance_lease(store.path)  # steal
+    stale = [(2, "en", "poisonterm from the fenced applier")]
+    with pytest.raises(IX.MaintenanceFencedError):
+        store.apply_batch(spark, _docs_df(spark, stale), None, batch=1, lease=a)
+    assert not IX._dir_has_parquet(store.delta_dir)
+    assert not IX._dir_has_parquet(store.doclen_delta)
+    assert not IX._dir_has_parquet(store.tomb_dir)
+    # new owner commits DIFFERENT content under the SAME batch id: only
+    # its content may ever serve
+    assert store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1, lease=b)
+    terms = {r[0] for r in store.read(spark).select("raw_term").collect()}
+    assert "checkpoint" in terms and "poisonterm" not in terms
+    IX.release_maintenance_lease(b)
+
+
+def test_ivf_fenced_applier_leaves_nothing_visible(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tests.test_indexing import _clustered_emb
+
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "ivf"))
+    store.build(emb, num_centroids=4, refine_iterations=1)
+    meta_before = store.meta()
+    a = IX.acquire_maintenance_lease(store.path, ttl_sec=0.05)
+    time.sleep(0.1)
+    b = IX.acquire_maintenance_lease(store.path)  # steal
+    up = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(IX.MaintenanceFencedError):
+        store.apply_batch(spark, up, None, batch=1, lease=a)
+    assert not IX._dir_has_parquet(store.delta_dir)
+    assert not IX._dir_has_parquet(store.tomb_dir)
+    # the stale applier's PESSIMISTIC meta write was fenced too — the
+    # live meta still has no batch-1 entry and no rolled-back content
+    m = store.meta()
+    assert "1" not in (m.get("batches") or {})
+    assert int(m.get("applied_through") or 0) == int(
+        meta_before.get("applied_through") or 0
+    )
+    assert store.apply_batch(spark, up, None, batch=1, lease=b)
+    assert "1" in store.meta()["batches"]
+    IX.release_maintenance_lease(b)
+
+
+def test_rollup_fenced_applier_leaves_no_delta(spark, tmp_path):
+    from car_etl_spark.streaming.rollup_store import RollupStore
+
+    events = spark.createDataFrame(
+        [(f"2024-01-01 00:0{i}:00", "click", float(i)) for i in range(5)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F_to_ts("ts"))
+    store = RollupStore(str(tmp_path / "r"))
+    store.build(events)
+    a = IX.acquire_maintenance_lease(store.path, ttl_sec=0.05)
+    time.sleep(0.1)
+    b = IX.acquire_maintenance_lease(store.path)  # steal
+    with pytest.raises(IX.MaintenanceFencedError):
+        store.apply_batch(spark, events, batch=1, lease=a)
+    assert not IX._dir_has_parquet(store.delta_dir)
+    assert not os.path.exists(store._sentinel(1))
+    assert store.apply_batch(spark, events, batch=1, lease=b)
+    IX.release_maintenance_lease(b)
+
+
+def test_publish_detects_steal_between_check_and_flip(tmp_path, monkeypatch):
+    """The CAS residual, forced deterministically: a steal lands in the
+    microsecond window between the pointer's fence comparison and its
+    os.replace.  The filesystem gives no CAS to close the window, but
+    the post-flip verify means the loser now RAISES instead of exiting
+    believing it published."""
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    a = IX.acquire_maintenance_lease(root, ttl_sec=0.05)
+    time.sleep(0.1)  # expired but uncontested: a proceeds to publish
+    stolen = {}
+
+    def steal_now():
+        monkeypatch.setattr(IX, "_test_pre_flip_delay", None)  # fire once
+        stolen["lease"] = IX.acquire_maintenance_lease(root)
+
+    monkeypatch.setattr(IX, "_test_pre_flip_delay", steal_now)
+    with pytest.raises(IX.MaintenanceFencedError):
+        IX._publish_store_generation(root, 1, ("base", "delta"), lease=a)
+    # the loser KNOWS; the new owner's next publish supersedes the flip
+    IX._publish_store_generation(root, 2, ("base", "delta"), lease=stolen["lease"])
+    assert _ptr(root)["gen"] == 2
+    assert _ptr(root)["fence"] == stolen["lease"].fence
+    IX.release_maintenance_lease(stolen["lease"])
+
+
+def test_renew_self_reverts_accidental_clobber(tmp_path):
+    """renew's check-then-replace TOCTOU: if a steal lands between the
+    ownership check and the os.replace, the old owner's renewal
+    overwrites the new owner's lease.  The post-replace fence-counter
+    read-back detects the clobber, removes the stale file, and reports
+    the lease lost."""
+    root = str(tmp_path / "s")
+    a = IX.acquire_maintenance_lease(root, ttl_sec=0.05)
+    time.sleep(0.1)
+    b = IX.acquire_maintenance_lease(root)  # steal: counter is now b's
+    # simulate a's replace having won the race: put a's content back
+    # (this is exactly the on-disk state after the TOCTOU clobber)
+    with open(os.path.join(root, IX._LEASE_FILE), "w") as f:
+        json.dump(
+            {"owner": a.owner, "fence": a.fence, "expires": time.time() + 600}, f
+        )
+    assert not IX.renew_maintenance_lease(a)  # detected: lease reported lost
+    # the clobbered file was removed, so the rightful owner (or anyone)
+    # can re-establish a lease immediately instead of waiting out a TTL
+    assert not os.path.exists(os.path.join(root, IX._LEASE_FILE))
+    IX.release_maintenance_lease(b)
+
+
+def test_release_restores_captured_stolen_lease(tmp_path, monkeypatch):
+    """release's capture-by-rename: if the ownership check passes but a
+    steal lands before the rename, the grave holds the NEW owner's
+    lease — it must be put back, not deleted."""
+    root = str(tmp_path / "s")
+    a = IX.acquire_maintenance_lease(root, ttl_sec=0.05)
+    time.sleep(0.1)
+    b = IX.acquire_maintenance_lease(root)  # steal
+    # lie ONCE to release's pre-check so it proceeds to the capture
+    # (deterministically reproducing check-passes-then-steal-lands)
+    real = IX._read_json_file
+    lied = {}
+
+    def lie_once(path):
+        if path.endswith(IX._LEASE_FILE) and not lied:
+            lied["done"] = True
+            return {"owner": a.owner, "fence": a.fence}
+        return real(path)
+
+    monkeypatch.setattr(IX, "_read_json_file", lie_once)
+    IX.release_maintenance_lease(a)
+    cur = IX._read_json_file(os.path.join(root, IX._LEASE_FILE))
+    assert cur.get("owner") == b.owner and int(cur.get("fence")) == b.fence
+    IX.release_maintenance_lease(b)
+
+
+def test_lease_carries_acquired_ttl(tmp_path):
+    """A lease acquired with a short TTL must renew with THAT TTL (not
+    silently stretch back to the 600 s default) and heartbeat at a
+    period derived from it."""
+    root = str(tmp_path / "s")
+    lease = IX.acquire_maintenance_lease(root, ttl_sec=30.0)
+    assert lease.ttl_sec == 30.0
+    assert IX.renew_maintenance_lease(lease)  # default = acquired TTL
+    cur = IX._read_json_file(os.path.join(root, IX._LEASE_FILE))
+    assert cur["expires"] - time.time() <= 31.0
+    hb = IX._LeaseHeartbeat(lease)
+    assert hb.ttl_sec == 30.0  # period 10 s < TTL: never expires mid-beat
+    IX.release_maintenance_lease(lease)
+
+
+def test_staging_dirs_invisible_and_swept(tmp_path):
+    """In-flight/crashed staging dirs are hidden from every read-side
+    probe and reclaimed by the next apply's sweep once stale."""
+    live = str(tmp_path / "delta")
+    stale = os.path.join(live, f"{IX._STAGING_PREFIX}deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-0.parquet"), "w") as f:
+        f.write("x")
+    assert not IX._dir_has_parquet(live)  # hidden at every level
+    old = time.time() - 2 * IX.MAINT_LEASE_TTL_SEC - 60
+    os.utime(stale, (old, old))
+    IX._sweep_stale_staging(live)
+    assert not os.path.isdir(stale)
