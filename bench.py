@@ -4,11 +4,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is measured cold (run 1, includes its whole-stage-codegen
-compile) and warm (min of runs 2-3); timing covers plan + execution +
-result fetch (the driver-visible latency).  BASELINE.md's comparable
-envelope is the search-shaped queries (vector/keyword/hybrid) at
-~10^4-row corpus scale; relational queries are tracked for regression.
+Each query is measured with one cold pass (whole-stage-codegen
+compile) followed by N=5 INTERLEAVED warm passes over the full set
+(r11 methodology — see the inline note at the measurement loop);
+"queries" carries per-query warm MEDIANS, BENCH_DETAIL.json carries
+every run, per-query IQR, per-pass job floors, and floor-adjusted
+medians.  Timing covers plan + execution + result fetch (the
+driver-visible latency).  BASELINE.md's comparable envelope is the
+search-shaped queries (vector/keyword/hybrid) at ~10^4-row corpus
+scale; relational queries are tracked for regression.
 
 METHODOLOGY NOTE (round-over-round comparability): BENCH_r01 reported a
 single timed run per query ("value" == that run's total).  From r02
@@ -58,6 +62,18 @@ are the only code-driven deltas.  The r9 ledger's q1/q3/flagship
 NOISE — mixed-sign medians inside 1-2 s within-session spreads;
 same verdict covers the r10 box-noise episode (job floor 0.34 s on
 one run vs 0.157 s on the rerun minutes later).
+
+r11 METHODOLOGY CHANGE: warm numbers switch from per-query min-of-2
+(three consecutive runs per query) to per-query MEDIAN over 5
+interleaved full-set passes, with IQR and per-pass floors recorded in
+BENCH_DETAIL.json.  Three consecutive rounds burned cycles
+adjudicating ±13-52% "movers" that every interleaved A/B called NOISE
+— the adjudication now lives in the primary artifact (mover protocol:
+median delta must clear max(both rounds' IQRs) with floors within
+~25%).  Expect r11 medians to read a few % ABOVE r10 mins on identical
+code (median >= min by construction); compare r12+ against r11, and
+settle any residual dispute against r10 via scripts/bench_ab.py as
+before.
 
 From r05 the registry consolidated same-grain queries into suite
 entries (COVERAGE.md merge table) so every entry fits the driver's
@@ -203,29 +219,65 @@ def main() -> None:
         floor_runs.append(time.perf_counter() - t0)
     job_floor = round(min(floor_runs), 4)
 
-    # Each query is measured three times: run 1 (cold) includes that
-    # query's whole-stage-codegen compilation; warm = min of runs 2-3,
-    # the serving-path latency — the number comparable to BASELINE.md,
-    # whose search latencies are means from a RUNNING service with
-    # resident indexes (min-of-N is the standard scheduler-noise filter
-    # on a 32-thread local box).  Both are reported; the headline total
-    # is the warm total.
-    timings: dict[str, float] = {}
+    # INTERLEAVED-MEDIAN METHODOLOGY (r11, replaces per-query min-of-2):
+    # one COLD pass over the whole set (each query's whole-stage-codegen
+    # compile), then N warm passes (default 5) that each sweep the FULL
+    # query set in order, with the job floor re-measured at the top of
+    # every pass.  Box-noise episodes on this machine are time-localized
+    # (the r9-r10 ledger: the floor itself swung 0.08->0.34 s between
+    # back-to-back identical-code runs), so consecutive per-query runs
+    # alias an episode into one query's number while every other query
+    # escapes it; interleaving spreads any episode across ALL queries
+    # and the per-query MEDIAN + IQR make it visible instead of
+    # decisive.  This folds scripts/bench_ab.py's adjudication into the
+    # primary artifact: a round-over-round mover is REAL only when its
+    # median delta clears max(its own IQR, the previous round's IQR)
+    # AND the per-pass floors of both runs agree within ~25% — anything
+    # else is the documented box noise, no separate A/B session needed.
+    import statistics
+
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
+    floors: list[float] = [job_floor]
+    warm_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     timings_cold: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = resolve(name)
-        runs = []
-        for _ in range(3):
+    rowcounts: dict[str, int] = {}
+    for p in range(n_warm + 1):
+        if p > 0:
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
+            spark.range(1).count()
+            floors.append(round(time.perf_counter() - t0, 4))
+        for name in HEADLINE:
+            fn = resolve(name)
+            t0 = time.perf_counter()
+            rowcounts[name] = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
             spark.catalog.clearCache()
-        timings_cold[name] = round(runs[0], 4)
-        timings[name] = round(min(runs[1:]), 4)
+            if p == 0:
+                timings_cold[name] = round(dt, 4)
+            else:
+                warm_runs[name].append(round(dt, 4))
         print(
-            f"# {name}: cold {timings_cold[name]:.3f}s / warm {timings[name]:.3f}s ({n} rows)",
+            f"# pass {p} ({'cold' if p == 0 else 'warm'}) done, "
+            f"floor {floors[-1]:.3f}s",
             file=sys.stderr,
         )
+    timings: dict[str, float] = {}
+    iqr: dict[str, float] = {}
+    for name in HEADLINE:
+        vals = warm_runs[name]
+        timings[name] = round(statistics.median(vals), 4)
+        if len(vals) >= 4:
+            q = statistics.quantiles(vals, n=4)
+            iqr[name] = round(q[2] - q[0], 4)
+        else:
+            iqr[name] = round(max(vals) - min(vals), 4)
+        print(
+            f"# {name}: cold {timings_cold[name]:.3f}s / warm median "
+            f"{timings[name]:.3f}s iqr {iqr[name]:.3f}s "
+            f"({rowcounts[name]} rows)",
+            file=sys.stderr,
+        )
+    floor_med = round(statistics.median(floors), 4)
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -238,19 +290,48 @@ def main() -> None:
     # (cold runs, prep) goes to stderr, and the FINAL stdout line is the
     # compact required form — short enough to always land whole inside
     # the tail window.
+    # Full-fidelity artifact (every warm run, per-query median/IQR,
+    # per-pass floors, cold pass, floor-adjusted medians for reading
+    # the floor-adjacent rows against sub-floor baseline envelopes)
+    # goes to a FILE — the stdout line must stay short enough to land
+    # whole inside the driver's tail window.
     detail = {
+        "methodology": "interleaved_median",
+        "passes_warm": n_warm,
+        "warm_runs": warm_runs,
+        "queries_median": timings,
+        "queries_iqr": iqr,
+        "queries_floor_adjusted": {
+            k: round(max(0.0, v - floor_med), 4) for k, v in timings.items()
+        },
         "queries_cold": timings_cold,
         "total_cold": round(sum(timings_cold.values()), 4),
+        "floor_per_pass": floors,
+        "floor_median_sec": floor_med,
         "index_prep_sec": index_prep,
-        "mode": "warm_2nd_run (cold run on stderr detail line)",
+        "sf": sf_value,
+        "mover_protocol": (
+            "a round-over-round mover is real only when its median delta "
+            "clears max(this round's IQR, last round's IQR) and the two "
+            "runs' per-pass floors agree within ~25%"
+        ),
     }
-    print("# detail " + json.dumps(detail), file=sys.stderr)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print("# detail written to " + detail_path, file=sys.stderr)
     result = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "job_floor_sec": job_floor,
+        "job_floor_sec": round(min(floors), 4),
+        "floor_median_sec": floor_med,
+        "passes_warm": n_warm,
+        "iqr_total_sec": round(sum(iqr.values()), 4),
+        "detail": "BENCH_DETAIL.json",
         "sf": sf_value,
     }
     print(json.dumps(result))
