@@ -267,8 +267,144 @@ ORDER BY b.source
 """
 
 
+#: sequence-packing parameters: chunk windows of 64 tokens (overlap 0 —
+#: packing wants disjoint text), 4 export shards, 256-token training
+#: rows.  Chunk max <= budget is the next-fit precondition.
+PACK_CHUNK_TOKENS = 64
+PACK_BUDGET = 256
+PACK_SHARDS = 4
+
+
+def training_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for the training exporter (segment grain, both
+    disciplines arm-tagged — ``operators/packing.py``):
+
+    - ``cut``: concat-and-cut at exact 256-token boundaries; chunks may
+      span packs, each crossing emits one segment per pack with
+      document-boundary flags (zero padding waste, the pretraining
+      shape).  Pure running-sum + bounded explode.
+    - ``nextfit``: greedy whole-chunk packing (no chunk ever splits —
+      the instruction-tuning shape); sequential per shard, so it runs
+      as one Arrow-batched ``applyInPandas`` pass per shard.
+
+    Both assignments are pure integer arithmetic over deterministic
+    (shard, order) keys, so the DuckDB twin replays ``cut`` with the
+    same window running sum and ``nextfit`` with a recursive CTE —
+    pack ids, offsets, and boundary flags exact to the hash."""
+    from car_etl_spark.operators import packing as P
+    from car_etl_spark.operators.chunking import chunk_by_tokens
+    from car_etl_spark.operators.export import order_col, shard_col
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    chunks = chunk_by_tokens(
+        docs, max_tokens=PACK_CHUNK_TOKENS, overlap=0, keep=("doc_id",)
+    ).select(
+        shard_col(F.col("doc_id"), PACK_SHARDS).alias("shard"),
+        order_col(F.col("doc_id")).alias("ord"),
+        "doc_id",
+        "chunk_index",
+        F.col("token_count").cast("long").alias("token_count"),
+    )
+    order = ("ord", "doc_id", "chunk_index")
+    cut = P.pack_cut(chunks, PACK_BUDGET, order_cols=order).withColumn(
+        "arm", F.lit("cut")
+    )
+    nf = (
+        P.pack_nextfit(chunks, PACK_BUDGET, order_cols=order)
+        .select(
+            "shard",
+            "pack_id",
+            "doc_id",
+            "chunk_index",
+            "pos_in_pack",
+            F.col("token_count").alias("seg_tokens"),
+            F.lit(1).alias("starts_item"),
+            F.lit(1).alias("ends_item"),
+        )
+        .withColumn("arm", F.lit("nextfit"))
+    )
+    cols = [
+        "arm", "shard", "pack_id", "doc_id", "chunk_index",
+        "pos_in_pack", "seg_tokens", "starts_item", "ends_item",
+    ]
+    return (
+        cut.select(*cols)
+        .unionByName(nf.select(*cols))
+        .orderBy(*cols)
+    )
+
+
+TRAINING_PACK_SQL = f"""
+WITH RECURSIVE toked AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS toks
+  FROM documents WHERE trim(text) <> ''
+), chunks AS (
+  SELECT doc_id, start // {PACK_CHUNK_TOKENS} AS chunk_index,
+         LEAST({PACK_CHUNK_TOKENS}, n - start) AS tc
+  FROM (
+    SELECT doc_id, len(toks) AS n,
+           unnest(generate_series(0, greatest(len(toks) - 1, 0), {PACK_CHUNK_TOKENS})) AS start
+    FROM toked
+  )
+), keyed AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {PACK_SHARDS} AS INT) AS shard,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|order'), 1, 15))::BIGINT AS ord,
+         doc_id, chunk_index, tc
+  FROM chunks
+), offs AS (
+  -- DuckDB SUM(BIGINT) widens to HUGEINT; pin BIGINT for // and =
+  SELECT *, CAST(COALESCE(SUM(tc) OVER (
+           PARTITION BY shard ORDER BY ord, doc_id, chunk_index
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM keyed WHERE tc > 0
+), cut AS (
+  SELECT shard, doc_id, chunk_index, off, tc,
+         unnest(generate_series(off // {PACK_BUDGET}, (off + tc - 1) // {PACK_BUDGET})) AS pack_id
+  FROM offs
+), cut_rows AS (
+  SELECT 'cut' AS arm, shard, pack_id, doc_id, chunk_index,
+         GREATEST(off, pack_id * {PACK_BUDGET}) - pack_id * {PACK_BUDGET} AS pos_in_pack,
+         LEAST(off + tc, (pack_id + 1) * {PACK_BUDGET})
+           - GREATEST(off, pack_id * {PACK_BUDGET}) AS seg_tokens,
+         CAST(GREATEST(off, pack_id * {PACK_BUDGET}) = off AS INT) AS starts_item,
+         CAST(LEAST(off + tc, (pack_id + 1) * {PACK_BUDGET}) = off + tc AS INT) AS ends_item
+  FROM cut
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id, chunk_index) AS rn
+  FROM keyed
+), rec AS (
+  -- the greedy next-fit fold replayed exactly: running fill with
+  -- reset-on-overflow, one recursion step per item within each shard
+  SELECT shard, rn, doc_id, chunk_index, tc,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pos_in_pack, tc AS fill
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT i.shard, i.rn, i.doc_id, i.chunk_index, i.tc,
+         CASE WHEN r.fill + i.tc > {PACK_BUDGET} AND r.fill > 0
+              THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.fill + i.tc > {PACK_BUDGET} AND r.fill > 0
+              THEN CAST(0 AS BIGINT) ELSE r.fill END,
+         CASE WHEN r.fill + i.tc > {PACK_BUDGET} AND r.fill > 0
+              THEN i.tc ELSE r.fill + i.tc END
+  FROM rec r JOIN ranked i ON i.shard = r.shard AND i.rn = r.rn + 1
+), nf_rows AS (
+  SELECT 'nextfit' AS arm, shard, pack_id, doc_id, chunk_index,
+         pos_in_pack, tc AS seg_tokens, 1 AS starts_item, 1 AS ends_item
+  FROM rec
+)
+SELECT * FROM cut_rows
+UNION ALL
+SELECT * FROM nf_rows
+ORDER BY arm, shard, pack_id, doc_id, chunk_index, pos_in_pack
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "training_mix_suite": QuerySpec(
         training_mix_suite, TRAINING_MIX_SUITE_SQL, ("mix", "sampling", "contamination")
+    ),
+    "training_pack": QuerySpec(
+        training_pack, TRAINING_PACK_SQL, ("mix", "packing", "export")
     ),
 }

@@ -14,7 +14,7 @@ slowly (>100x) and would be recomputed per consumer anyway.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from car_etl_spark.functions import text as T
@@ -358,7 +358,19 @@ def doc_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbed — the fingerprint-cluster and keep-first-survivor operators
     (J6 anti-join shape, reference ``020_documents.sql:31``) in one
     entry.  Same plan as round 1's two queries: map-side sha256
-    fingerprint, one groupBy(fp) shuffle, one groupBy(source) rollup."""
+    fingerprint, one groupBy(fp) shuffle, one groupBy(source) rollup.
+
+    r11 folds the former ``doc_dup_clusters`` row in at this grain
+    (registry headroom for ``training_pack``): the ``cc_*`` columns
+    come from DISTRIBUTED CONNECTED COMPONENTS over chain edges within
+    each fingerprint group (``operators/components.py`` — n-2 hops of
+    real transitive closure per n-doc group), while the oracle derives
+    the same numbers from a plain GROUP BY fp.  cc_clusters_led must
+    equal dup_clusters_led and cc_copies_to_drop must equal
+    extra_copies inside ONE hash, so a closure regression flips the
+    driver row exactly as the standalone query did."""
+    from car_etl_spark.operators.components import connected_components
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     with_fp = _fingerprinted(docs, "doc_id", "source")
     clusters = with_fp.groupBy("fp").agg(
@@ -374,8 +386,33 @@ def doc_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dup_count") - 1).cast("long").alias("extra_copies"),
         )
     )
+    # connected-components arm: chain edges (consecutive ids) within
+    # each fp group, closed transitively; the component id converges to
+    # the cluster's min doc_id (the keeper), whose source attributes it
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    edges = (
+        with_fp.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    comp_sizes = connected_components(edges).groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    cc = (
+        comp_sizes.join(
+            with_fp.select(F.col("doc_id").alias("component"), "source"),
+            "component",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cc_clusters_led"),
+            F.max("cluster_size").cast("long").alias("cc_largest_cluster"),
+            F.sum(F.col("cluster_size") - 1).cast("long").alias("cc_copies_to_drop"),
+        )
+    )
     return (
         totals.join(keepers, "source")
+        .join(cc, "source", "left")
         .select(
             "source",
             "total_docs",
@@ -383,6 +420,15 @@ def doc_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_docs") - F.col("kept_docs")).alias("dropped_docs"),
             "dup_clusters_led",
             "extra_copies",
+            F.coalesce(F.col("cc_clusters_led"), F.lit(0)).cast("long").alias(
+                "cc_clusters_led"
+            ),
+            F.coalesce(F.col("cc_largest_cluster"), F.lit(0)).cast("long").alias(
+                "cc_largest_cluster"
+            ),
+            F.coalesce(F.col("cc_copies_to_drop"), F.lit(0)).cast("long").alias(
+                "cc_copies_to_drop"
+            ),
         )
         .orderBy("source")
     )
@@ -408,11 +454,27 @@ WITH fp AS (
          CAST(SUM(c.dup_count - 1) AS BIGINT) AS extra_copies
   FROM fp f JOIN clusters c ON f.fp = c.fp AND f.doc_id = c.doc_id
   GROUP BY f.source
+), cc AS (
+  -- ground truth for the Spark side's connected-components closure:
+  -- exact clusters fall out of the fp GROUP BY directly (the closure
+  -- must rediscover them hop by hop to match this)
+  SELECT f.source,
+         CAST(COUNT(*) AS BIGINT) AS cc_clusters_led,
+         CAST(MAX(c.dup_count) AS BIGINT) AS cc_largest_cluster,
+         CAST(SUM(c.dup_count - 1) AS BIGINT) AS cc_copies_to_drop
+  FROM clusters c JOIN fp f ON f.doc_id = c.doc_id
+  WHERE c.dup_count > 1
+  GROUP BY f.source
 )
 SELECT t.source, t.total_docs, k.kept_docs,
        t.total_docs - k.kept_docs AS dropped_docs,
-       k.dup_clusters_led, k.extra_copies
-FROM totals t JOIN keepers k ON t.source = k.source
+       k.dup_clusters_led, k.extra_copies,
+       CAST(COALESCE(cc.cc_clusters_led, 0) AS BIGINT) AS cc_clusters_led,
+       CAST(COALESCE(cc.cc_largest_cluster, 0) AS BIGINT) AS cc_largest_cluster,
+       CAST(COALESCE(cc.cc_copies_to_drop, 0) AS BIGINT) AS cc_copies_to_drop
+FROM totals t
+JOIN keepers k ON t.source = k.source
+LEFT JOIN cc ON t.source = cc.source
 ORDER BY t.source
 """
 
@@ -575,9 +637,11 @@ HAVING COUNT(*) > 1
 ORDER BY cluster_id
 """
 
-QUERIES["doc_dup_clusters"] = QuerySpec(
-    doc_dup_clusters, DOC_DUP_CLUSTERS_SQL, ("dedup", "components")
-)
+# r11: the doc_dup_clusters registry slot was folded into
+# doc_exact_dedup_stats (cc_* columns — the connected-components
+# closure hash-checked against the fp-groupBy ground truth at source
+# grain), freeing the slot for training_pack.  The cluster-grain
+# function and its oracle stay exported for direct use.
 
 
 #: the substring-serving pattern — crosses a token boundary (space
