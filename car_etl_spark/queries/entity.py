@@ -425,9 +425,11 @@ def lsh_name_pairs(
     return _enrich_pairs(cand, canon)
 
 
-def scored_pairs(pairs: DataFrame) -> DataFrame:
+def scored_pairs(pairs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """F12/F13: similarity scoring + decision thresholds on a candidate
-    frame — ONE expression set shared by every candidate generator."""
+    frame — ONE expression set shared by every candidate generator.
+    ``keep`` passes extra columns through (the fused suite threads its
+    candidate-origin flag)."""
     la, lb = F.col("la"), F.col("lb")
     name_sim = (
         F.when((la == 0) & (lb == 0), F.lit(1.0))
@@ -442,19 +444,41 @@ def scored_pairs(pairs: DataFrame) -> DataFrame:
         F.col("segment"),
         N.match_decision(weighted).alias("decision"),
         weighted.alias("weighted_score"),
+        *keep,
+    )
+
+
+#: exact partial-sum type for avg_score: weighted_score is a 6dp value
+#: (rounded), so the DECIMAL cast recovers it exactly and the sum is
+#: ASSOCIATIVE — which is what lets the fused suite recombine per-arm
+#: averages from subgroup partials bit-identically (double sums are
+#: not associative; the rollup-store last-ulp lesson)
+_SCORE_DEC = "decimal(18,6)"
+
+
+def _finish_rollup(grouped: DataFrame) -> DataFrame:
+    """(segment, decision, pair_count, exact decimal sum) -> the report
+    row; the division runs once on the exact sum, identically on both
+    engines."""
+    return grouped.select(
+        "segment",
+        "decision",
+        "pair_count",
+        F.round(F.col("__s").cast("double") / F.col("pair_count"), 6).alias(
+            "avg_score"
+        ),
     )
 
 
 def score_pair_rollup(pairs: DataFrame) -> DataFrame:
-    return (
+    return _finish_rollup(
         scored_pairs(pairs)
         .groupBy("segment", "decision")
         .agg(
             F.count(F.lit(1)).alias("pair_count"),
-            F.round(F.avg("weighted_score"), 6).alias("avg_score"),
+            F.sum(F.col("weighted_score").cast(_SCORE_DEC)).alias("__s"),
         )
-        .orderBy("segment", "decision")
-    )
+    ).orderBy("segment", "decision")
 
 
 def entity_match_lsh_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,7 +570,11 @@ SELECT segment,
             WHEN weighted_score >= 0.80 THEN 'suggest_merge'
             ELSE 'different' END AS decision,
        COUNT(*) AS pair_count,
-       ROUND(AVG(weighted_score), 6) AS avg_score
+       -- exact DECIMAL partial sum, one double division at the end:
+       -- associative, so it matches the Spark side's fused/standalone
+       -- rollups bit-identically (see _SCORE_DEC)
+       ROUND(CAST(SUM(CAST(weighted_score AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_score
 FROM scored
 GROUP BY 1, 2
 ORDER BY segment, decision"""
@@ -668,14 +696,88 @@ def entity_match_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-extended recall variant share the (segment, decision) rollup
     grain, so one registry row serves both, tagged by ``arm``.  Each
     arm keeps its own full oracle twin — the merged SQL is their
-    tagged union, so the correctness surface is unchanged."""
-    affix = entity_match_blocked(spark, sf_dir).select(
-        F.lit("affix").alias("arm"), "*"
+    tagged union, so the correctness surface is unchanged.
+
+    FUSED since r11 (sf1 attribution, ARCHITECTURE.md §"entity match
+    at sf1"): the naive two-arm union scored the ~1.5M shared affix
+    pairs TWICE — Catalyst's ReuseExchange already deduped the
+    candidate JOINS across the arms, but each arm ran its own
+    levenshtein + rollup pass (the two largest plan nodes at sf1).
+    Now candidates carry a ``from_affix`` origin flag through ONE
+    dedup + ONE scoring pass into a tiny
+    (segment, decision, from_affix) partial aggregate; the affix arm
+    filters the partial, the lsh arm re-aggregates over the flag.
+    Exactness: pair counts are integers and the score sums are
+    DECIMAL(18,6) (associative — see ``_SCORE_DEC``), so both arms
+    recombine bit-identically to the standalone queries and their
+    oracles.  At 100 TB this is the difference between paying the
+    verify math once vs once per derived report."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    canon = canonical_frame(cust)
+    affix = affix_pairs(canon, hot_keys=_gated_hot_keys(canon, sf_dir)).withColumn(
+        "from_affix", F.lit(1)
     )
-    lsh = entity_match_lsh_extended(spark, sf_dir).select(
-        F.lit("lsh_extended").alias("arm"), "*"
+    lsh = portable_lsh_name_pairs(
+        canon, num_hashes=_LSH_NAME_HASHES, bands=_LSH_NAME_BANDS,
+        bucket_cap=_LSH_NAME_BUCKET_CAP,
+    ).withColumn("from_affix", F.lit(0))
+    attrs = ("segment", "na", "nb", "la", "lb", "ba", "bb")
+    cand = (
+        affix.unionByName(lsh)
+        .groupBy("ka", "kb")  # the arms' shared dedup, flag-preserving
+        .agg(
+            F.max("from_affix").alias("from_affix"),
+            *[F.max(c).alias(c) for c in attrs],
+        )
     )
-    return affix.unionByName(lsh).orderBy("arm", "segment", "decision")
+    # ONE aggregate carries both arms (conditional sums), then each
+    # group row EXPLODES into its two arm rows — a two-branch plan off
+    # a shared partial would instead push each branch's filter below
+    # the aggregate and recompute dedup+scoring per arm (measured:
+    # both scoring stages reappeared at sf1)
+    is_affix = F.col("from_affix") == 1
+    ws = F.col("weighted_score").cast(_SCORE_DEC)
+    wide = (
+        scored_pairs(cand, keep=("from_affix",))
+        .groupBy("segment", "decision")
+        .agg(
+            F.sum(F.when(is_affix, 1).otherwise(0)).alias("a_n"),
+            F.sum(F.when(is_affix, ws)).alias("a_s"),
+            F.count(F.lit(1)).alias("l_n"),
+            F.sum(ws).alias("l_s"),
+        )
+    )
+    arm = F.explode(
+        F.array(
+            F.struct(
+                F.lit("affix").alias("arm"),
+                F.col("a_n").alias("pair_count"),
+                F.col("a_s").cast(_SCORE_DEC).alias("__s"),
+            ),
+            F.struct(
+                F.lit("lsh_extended").alias("arm"),
+                F.col("l_n").alias("pair_count"),
+                F.col("l_s").cast(_SCORE_DEC).alias("__s"),
+            ),
+        )
+    )
+    return (
+        wide.select("segment", "decision", arm.alias("r"))
+        .select("r.arm", "segment", "decision", "r.pair_count", "r.__s")
+        # a (segment, decision) group with no affix pairs has no affix
+        # row (matches the standalone rollup's grain exactly)
+        .filter(F.col("pair_count") > 0)
+        .select(
+            "arm",
+            "segment",
+            "decision",
+            "pair_count",
+            F.round(F.col("__s").cast("double") / F.col("pair_count"), 6).alias(
+                "avg_score"
+            ),
+        )
+        .orderBy("arm", "segment", "decision")
+    )
 
 
 def _entity_match_modes_sql(sf_dir: str) -> str:
