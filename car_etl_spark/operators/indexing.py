@@ -980,7 +980,13 @@ def _staged_append(live_dir: str, write_fn):
     stage = os.path.join(live_dir, f"{_STAGING_PREFIX}{uuid.uuid4().hex}")
     write_fn(stage)
 
-    def promote() -> None:
+    def promote() -> list[str]:
+        # returns the promoted file paths: a caller whose COMMIT is
+        # fenced after promotion (the posting store's stats job runs
+        # between promote and its meta replace) can retract exactly
+        # these files — they are still invisible (the snapshot bound
+        # never advanced), so per-file removal is safe
+        out: list[str] = []
         for root, dirs, files in os.walk(stage):
             dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
             rel = os.path.relpath(root, stage)
@@ -992,8 +998,11 @@ def _staged_append(live_dir: str, write_fn):
                 if not made:
                     os.makedirs(dest, exist_ok=True)
                     made = True
-                os.rename(os.path.join(root, fn), os.path.join(dest, fn))
+                dst = os.path.join(dest, fn)
+                os.rename(os.path.join(root, fn), dst)
+                out.append(dst)
         shutil.rmtree(stage, ignore_errors=True)
+        return out
 
     def abort() -> None:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1757,9 +1766,24 @@ class PostingStore:
             for _promote, abort in promotes:
                 abort()
             raise
+        promoted: list[str] = []
         for promote, _abort in promotes:
-            promote()
-        self._refresh_stats(spark, applied_through=batch)
+            promoted.extend(promote())
+        # the stats job must SEE the promoted rows (as_of=batch), so it
+        # runs after promotion — and it is long enough for a steal to
+        # land, so its commit re-validates the fence.  If that check
+        # fires, retract exactly the promoted files: they are still
+        # invisible (the bound never advanced), so the fenced applier
+        # again leaves nothing in the committed range.
+        try:
+            self._refresh_stats(spark, applied_through=batch)
+        except MaintenanceFencedError:
+            for p in promoted:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            raise
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
         return True
@@ -1843,6 +1867,11 @@ class PostingStore:
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
+        # the stats recompute above is a Spark job — long enough for a
+        # TTL steal to land after the caller's fence check; re-validate
+        # at the actual commit so a stale applier cannot roll the meta
+        # (and the snapshot bound) back over the new owner's
+        _fence_check(self)
         os.replace(tmp, self.meta_path)
 
     def stats(
@@ -3704,6 +3733,42 @@ class IvfStore:
         L = lb[order[enough]]
         return [int(i) for i in ids[ub >= L - 1e-6]]
 
+    #: serving scans target ~this many rows per task.  At the bench
+    #: corpus (10^4 rows) the probed dirs are tiny files that the
+    #: default minPartitionNum floor splits into one task per core;
+    #: the ~24 ms FIXED cost of each task then IS the query's executor
+    #: demand (measured: a probed count with no scoring at all cost
+    #: 568 ms executor across 24 tasks, the cosine added ~50 ms) — and
+    #: under fair-share concurrency a request's latency converges to
+    #: its demand, which made vector P95 inflate 8.2x at 32 streams
+    #: (SERVICE_r10).  Deriving the task count from the certificate's
+    #: per-centroid counts removes the fixed cost at small probe
+    #: volumes and leaves real volumes parallel: 10^8 probed rows at
+    #: 100 TB still get hundreds of tasks.
+    SERVING_ROWS_PER_TASK = 200_000
+
+    #: small floor on the coalesced task count: a 1-task serving scan
+    #: minimizes executor DEMAND but serializes the whole read+score on
+    #: one core, visibly raising SOLO latency (measured p95 111→237 ms
+    #: at sf0.1).  Four tasks buy back the solo parallelism for ~3
+    #: extra task-fixed-costs of demand; when the probe set has fewer
+    #: than four file splits, coalesce keeps the smaller count anyway.
+    SERVING_MIN_TASKS = 4
+
+    def _serving_task_count(self, probes, m: dict) -> int:
+        """Row-estimate-derived task count for a probed serving scan
+        (base counts + batch-delta counts over the probe set; tenant
+        scans overshoot toward extra tasks, the safe direction)."""
+        ids = [int(c) for c in m.get("centroid_ids") or []]
+        by_id = dict(zip(ids, (int(n) for n in m.get("counts") or [])))
+        pset = None if probes is None else {int(p) for p in probes}
+        est = sum(n for cid, n in by_id.items() if pset is None or cid in pset)
+        for entry in (m.get("batches") or {}).values():
+            for cid_s, n in (entry.get("counts") or {}).items():
+                if pset is None or int(cid_s) in pset:
+                    est += int(n)
+        return max(self.SERVING_MIN_TASKS, -(-est // self.SERVING_ROWS_PER_TASK))
+
     def probe_topk(
         self,
         spark: SparkSession,
@@ -3758,7 +3823,7 @@ class IvfStore:
             sim = F.round(_cosine_pairs_pandas(F.col(vec_col), qlit), 6)
         scan = self.read_assignments(
             spark, probes=probes, id_col=id_col, tenant=tenant, as_of=as_of, gen=g
-        )
+        ).coalesce(self._serving_task_count(probes, m))
         if where is not None:
             col, values = where
             scan = scan.filter(F.col(col).isin(list(values)))
@@ -3845,7 +3910,7 @@ class IvfStore:
             s = self.read_assignments(
                 spark, probes=probes, id_col=id_col, tenant=tenant, as_of=as_of,
                 gen=g,
-            )
+            ).coalesce(self._serving_task_count(probes, m))
             if where is not None:
                 s = s.filter(F.col(where[0]).isin(list(where[1])))
             return s.select(*cols)
