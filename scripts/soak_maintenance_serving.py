@@ -333,16 +333,22 @@ def main() -> None:  # noqa: C901
         }
         lock = threading.Lock()
 
+        # the scheduler shape: ONE writer lease per store held across
+        # the whole apply+compact campaign (r10 lease passthrough) —
+        # the rogue-maintainer arm below must refuse on every attempt.
+        # Heartbeats keep the long campaign's leases from ever looking
+        # expired (a soak at scale outlasts the 600 s TTL, and the
+        # rogue contests every second — exactly the steal condition).
+        # Acquired HERE, before any racer thread starts: the rogue's
+        # first attempt fires immediately, and an in-thread acquire
+        # losing that race killed the maintenance thread before its
+        # finally could set maint_done (found by the r11 pin arm run —
+        # the rogue then compacted unopposed forever).
+        stores = (posting, trigram, ivf, ivfpq, rollup)
+        leases = {s.path: IX.acquire_maintenance_lease(s.path) for s in stores}
+
         def maintenance() -> None:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maintenance")
-            stores = (posting, trigram, ivf, ivfpq, rollup)
-            # the scheduler shape: ONE writer lease per store held across
-            # the whole apply+compact campaign (r10 lease passthrough) —
-            # the rogue-maintainer arm below must refuse on every attempt.
-            # Heartbeats keep the long campaign's leases from ever looking
-            # expired (a soak at scale outlasts the 600 s TTL, and the
-            # rogue contests every second — exactly the steal condition).
-            leases = {s.path: IX.acquire_maintenance_lease(s.path) for s in stores}
             beats = [IX._LeaseHeartbeat(lease) for lease in leases.values()]
             for hb in beats:
                 hb.start()
@@ -436,6 +442,78 @@ def main() -> None:  # noqa: C901
                     with lock:
                         errors.append(f"rogue: {type(e).__name__}: {e}")
                 time.sleep(1.0)
+
+        pin_counters = {
+            "pins": 0, "deferred": 0, "late_equal": 0, "swept": 0,
+            "skipped": 0, "pinned_gen": None,
+        }
+
+        def pinned_straggler() -> None:
+            """r11 pin-sweep-under-load arm: a straggler scan pins a
+            generation, outlives TWO compact cycles (the old GC grace
+            would have reclaimed its layout on the second), re-collects
+            its checksum from the SAME (gen, as_of) snapshot — must be
+            byte-stable — and releases; the first publish after release
+            must sweep the deferred layout (asserted in the epilogue).
+            """
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "pin")
+            try:
+                _pinned_straggler_body()
+            except BaseException as e:
+                with lock:
+                    errors.append(f"pin arm: {type(e).__name__}: {e}")
+
+        def _pinned_straggler_body() -> None:
+            def checksum(g: int, sid: int):
+                df = posting.read(spark, gen=g, as_of=sid)
+                row = df.select(
+                    F.count(F.lit(1)).alias("n"),
+                    # decimal accumulator: a long sum of 64-bit hashes
+                    # overflows under ANSI mode
+                    F.sum(F.xxhash64(*df.columns).cast("decimal(30,0)")).alias("h"),
+                ).collect()[0]
+                return (row.n, row.h)
+
+            # pin after the FIRST compact so the pinned gen becomes
+            # GC-eligible (<= new_gen - 2) while we still hold it
+            while not maint_done.is_set():
+                if IX._layout_gen(posting.path) >= 2:
+                    break
+                time.sleep(0.2)
+            if maint_done.is_set():
+                with lock:
+                    pin_counters["skipped"] += 1
+                return
+            with IX.pinned_generation(posting.path) as g:
+                with lock:
+                    pin_counters["pins"] += 1
+                    pin_counters["pinned_gen"] = g
+                sid = state_id_posting(posting)
+                early = checksum(g, sid)
+                while not maint_done.is_set():
+                    if IX._layout_gen(posting.path) >= g + 2:
+                        break
+                    time.sleep(0.2)
+                if IX._layout_gen(posting.path) < g + 2:
+                    with lock:
+                        pin_counters["skipped"] += 1
+                    return
+                layout = os.path.join(posting.path, f"layout-{g}")
+                with lock:
+                    if os.path.isdir(layout):
+                        pin_counters["deferred"] += 1
+                    else:
+                        errors.append(
+                            f"pinned layout-{g} reclaimed while pinned"
+                        )
+                late = checksum(g, sid)
+                with lock:
+                    if late == early:
+                        pin_counters["late_equal"] += 1
+                    else:
+                        errors.append(
+                            f"pinned snapshot drifted: {early} -> {late}"
+                        )
 
         def serve_once(kind: str) -> tuple[list | None, float, int, int, int]:
             """-> (rows, latency, sid_before, sid_after, retries)"""
@@ -533,6 +611,7 @@ def main() -> None:  # noqa: C901
         threads = [
             threading.Thread(target=maintenance),
             threading.Thread(target=rogue_maintainer),
+            threading.Thread(target=pinned_straggler),
         ]
         threads += [
             threading.Thread(target=server, args=(i,)) for i in range(SERVE_THREADS)
@@ -544,6 +623,7 @@ def main() -> None:  # noqa: C901
             t.join()
         out["race_wall_sec"] = round(time.perf_counter() - t_race, 1)
 
+
         # quiescent tail: the same serves with maintenance finished —
         # the latency-impact baseline measured in the SAME session
         for i in range(20):
@@ -553,6 +633,19 @@ def main() -> None:  # noqa: C901
             if rows != expected[kind][N_BATCHES]:
                 errors.append(f"post-race {kind}: serve != oracle at final state")
             samples[kind]["quiescent"].append(lat)
+
+        # pin-sweep epilogue: the straggler has released; the next
+        # publish (one more maintenance-interval compact) must reclaim
+        # the deferred layout — a pin is a deferral, never a leak
+        pg = pin_counters["pinned_gen"]
+        if pg is not None and pin_counters["deferred"]:
+            posting.compact(spark)
+            if os.path.isdir(os.path.join(posting.path, f"layout-{pg}")):
+                errors.append(
+                    f"released pin's layout-{pg} not swept by next publish"
+                )
+            else:
+                pin_counters["swept"] += 1
 
         def pct(xs, q):
             ys = sorted(xs)
@@ -576,6 +669,7 @@ def main() -> None:  # noqa: C901
         }
         out["retried"] = retried_excs[:20]
         out["rogue_maintainer"] = rogue_counters
+        out["pinned_straggler"] = pin_counters
         out["errors"] = errors[:20]
         out["verdict"] = (
             "PASS: every serve matched a committed snapshot; every "
