@@ -63,6 +63,15 @@ NOISE — mixed-sign medians inside 1-2 s within-session spreads;
 same verdict covers the r10 box-noise episode (job floor 0.34 s on
 one run vs 0.157 s on the rerun minutes later).
 
+r11 ROW-DEFINITION NOTE: the registry row `doc_exact_dedup_stats`
+gained the former `doc_dup_clusters` connected-components closure
+(registry consolidation — COVERAGE.md); the BENCH row of that name
+keeps timing the original plain source-grain form via
+fine_grained_queries (resolve() prefers fine names), so its series
+stays comparable.  A first r11 bench run before this split showed the
+merged row at 5.0 s vs 0.85 — that was the added closure work, not a
+regression.
+
 r11 METHODOLOGY CHANGE: warm numbers switch from per-query min-of-2
 (three consecutive runs per query) to per-query MEDIAN over 5
 interleaved full-set passes, with IQR and per-pass floors recorded in
@@ -183,7 +192,12 @@ def main() -> None:
     extra_fns = fine_grained_queries()
 
     def resolve(name):
-        return registry[name].fn if name in registry else extra_fns[name]
+        # fine-grained names FIRST: when a consolidation folds extra
+        # work into a registry row of the SAME name (r11:
+        # doc_exact_dedup_stats gained the doc_dup_clusters closure),
+        # the bench keeps timing the original form so the per-query
+        # series stays comparable round-over-round
+        return extra_fns[name] if name in extra_fns else registry[name].fn
 
     # Warm the JVM/codegen path so per-query numbers measure the engine,
     # not first-call initialization.

@@ -866,6 +866,12 @@ def fine_grained_queries() -> dict:
         # r09 consolidation: entity_match_modes (registry) = these two
         "entity_match_blocked": entity.entity_match_blocked,
         "entity_match_lsh_extended": entity.entity_match_lsh_extended,
+        # r11 consolidation: the registry row of the same name gained
+        # the doc_dup_clusters closure (cc_* columns); the BENCH row
+        # keeps the plain source-grain form so numbers stay comparable
+        # (bench.py resolves fine-grained names FIRST for this reason)
+        "doc_exact_dedup_stats": textops.doc_exact_dedup_stats_plain,
+        "doc_dup_clusters": textops.doc_dup_clusters,
         "rag_context_budget": rag.rag_context_budget,
         "hierarchy_self_join": misc.hierarchy_self_join,
         "interval_join_shipments": misc.interval_join_shipments,

@@ -373,19 +373,6 @@ def doc_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     with_fp = _fingerprinted(docs, "doc_id", "source")
-    clusters = with_fp.groupBy("fp").agg(
-        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
-    )
-    totals = with_fp.groupBy("source").agg(F.count(F.lit(1)).alias("total_docs"))
-    keepers = (
-        with_fp.join(clusters, ["fp", "doc_id"])
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("kept_docs"),
-            F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0)).cast("long").alias("dup_clusters_led"),
-            F.sum(F.col("dup_count") - 1).cast("long").alias("extra_copies"),
-        )
-    )
     # connected-components arm: chain edges (consecutive ids) within
     # each fp group, closed transitively; the component id converges to
     # the cluster's min doc_id (the keeper), whose source attributes it
@@ -411,13 +398,13 @@ def doc_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        totals.join(keepers, "source")
+        doc_exact_dedup_stats_plain(spark, sf_dir)
         .join(cc, "source", "left")
         .select(
             "source",
             "total_docs",
             "kept_docs",
-            (F.col("total_docs") - F.col("kept_docs")).alias("dropped_docs"),
+            "dropped_docs",
             "dup_clusters_led",
             "extra_copies",
             F.coalesce(F.col("cc_clusters_led"), F.lit(0)).cast("long").alias(
@@ -429,6 +416,41 @@ def doc_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cc_copies_to_drop"), F.lit(0)).cast("long").alias(
                 "cc_copies_to_drop"
             ),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_exact_dedup_stats_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r11 source-grain dedup report (no connected-components
+    arm) — kept as the BENCH row under the original name
+    (``fine_grained_queries``), so per-query numbers stay comparable
+    round-over-round while the REGISTRY row carries the merged
+    closure-checked form (the r5/r9 consolidation playbook)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_fp = _fingerprinted(docs, "doc_id", "source")
+    clusters = with_fp.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+    totals = with_fp.groupBy("source").agg(F.count(F.lit(1)).alias("total_docs"))
+    keepers = (
+        with_fp.join(clusters, ["fp", "doc_id"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0)).cast("long").alias("dup_clusters_led"),
+            F.sum(F.col("dup_count") - 1).cast("long").alias("extra_copies"),
+        )
+    )
+    return (
+        totals.join(keepers, "source")
+        .select(
+            "source",
+            "total_docs",
+            "kept_docs",
+            (F.col("total_docs") - F.col("kept_docs")).alias("dropped_docs"),
+            "dup_clusters_led",
+            "extra_copies",
         )
         .orderBy("source")
     )
