@@ -158,6 +158,9 @@ HEADLINE = (
     "pii_entity_counts",
     # training-data mixing: stratified sample + contamination screen
     "training_mix_suite",
+    # sequence packing for the training exporter (r11 — subtract when
+    # comparing r11 totals against r10)
+    "training_pack",
     # multimodal decode kernels over synthesized binaries
     "media_features_report",
     # RAG context budgeting (regex-BPE + learned-BPE arms)
@@ -250,7 +253,9 @@ def main() -> None:
     # else is the documented box noise, no separate A/B session needed.
     import statistics
 
-    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
+    # >=1: the medians below are over the warm passes — a cold-only
+    # run would finish the whole cold sweep and then die on median([])
+    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
     floors: list[float] = [job_floor]
     warm_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     timings_cold: dict[str, float] = {}

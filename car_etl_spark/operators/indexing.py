@@ -745,16 +745,51 @@ def renew_maintenance_lease(
     )
     if counter > lease.fence:
         # someone acquired after us while we were mid-renew: our replace
-        # clobbered their lease file.  Self-revert IF the file is still
-        # our clobber (they may have re-renewed over it already).
-        cur = _read_json_file(lease_path)
-        if cur.get("owner") == lease.owner and int(cur.get("fence", -1)) == lease.fence:
+        # clobbered their lease file.  Self-revert by CAPTURE (rename,
+        # then inspect) — a plain check-then-remove would repeat the
+        # TOCTOU one level down: the new owner's heartbeat can re-renew
+        # between our re-read and the remove, and we would delete THEIR
+        # fresh lease.  Captured content that is not our clobber is put
+        # back via os.link (never overwrites an even newer acquire).
+        grave = lease_path + f".unclobber-{lease.owner}"
+        try:
+            os.rename(lease_path, grave)
+        except OSError:
+            return False  # already replaced/removed: nothing to revert
+        took = _read_json_file(grave)
+        if took.get("owner") == lease.owner and int(took.get("fence", -1)) == lease.fence:
             try:
-                os.remove(lease_path)
+                os.remove(grave)  # our clobber: gone for good
             except OSError:
                 pass
+        else:
+            _restore_captured_lease(grave, lease_path)
         return False
     return True
+
+
+def _restore_captured_lease(grave: str, lease_path: str) -> None:
+    """Put a captured (renamed-away) lease back in place.  os.link
+    first — it fails EEXIST instead of overwriting, so a fresh
+    (higher-fence) acquire that landed during the capture window is
+    never clobbered.  Any OTHER link failure (hardlink-less or flaky
+    filesystem) falls back to rename: restoring with a small overwrite
+    risk beats silently DESTROYING the captured owner's lease (the
+    fence ordering still decides every publish either way)."""
+    try:
+        os.link(grave, lease_path)
+    except FileExistsError:
+        pass  # newer acquire present: keep it, drop the grave
+    except OSError:
+        try:
+            os.rename(grave, lease_path)
+        except OSError:
+            return  # grave itself gone: nothing left to restore
+        return
+    try:
+        os.remove(grave)
+    except OSError:
+        pass
 
 
 class _LeaseHeartbeat(threading.Thread):
@@ -812,14 +847,11 @@ def release_maintenance_lease(lease: MaintenanceLease) -> None:
         except OSError:
             pass
     else:
-        try:  # captured someone else's lease: put it back untouched
-            os.link(grave, lease_path)
-        except OSError:
-            pass  # a fresh (higher-fence) acquire landed meanwhile: keep it
-        try:
-            os.remove(grave)
-        except OSError:
-            pass
+        # captured someone else's lease: put it back untouched (link
+        # first so a fresh higher-fence acquire is never overwritten;
+        # rename fallback so a link-incapable filesystem restores
+        # rather than destroys — see _restore_captured_lease)
+        _restore_captured_lease(grave, lease_path)
 
 
 def _check_maintenance_lease(lease: MaintenanceLease) -> None:
@@ -1774,7 +1806,12 @@ class PostingStore:
         # land, so its commit re-validates the fence.  If that check
         # fires, retract exactly the promoted files: they are still
         # invisible (the bound never advanced), so the fenced applier
-        # again leaves nothing in the committed range.
+        # again leaves nothing in the committed range.  Residual
+        # (documented): a CRASH (kill, OOM) in this window skips the
+        # retract and leaves the promoted rows for the batch's replay —
+        # covered by the existing crash-replay contract (replays carry
+        # the same content; exact-duplicate rows drop at read), the
+        # same exposure every pre-r11 crash already had.
         try:
             self._refresh_stats(spark, applied_through=batch)
         except MaintenanceFencedError:
@@ -3278,8 +3315,15 @@ class IvfStore:
         # snapshot-layout stores and the crash-replay window.
         m["applied_through"] = batch
         # a stale (stolen-lease) applier stops HERE — with the
-        # tombstone/delta writes still staged, so it leaves nothing in
-        # the committed-visible range
+        # tombstone/delta writes still staged, so it leaves no ROW DATA
+        # in the committed-visible range.  Residual (documented, safe
+        # direction): the pessimistic batches[b] meta entry written
+        # above may linger — repairing meta while fenced risks rolling
+        # back the new owner's commits, which is strictly worse than
+        # the entry's only effect (widened radii + tombstone debt =
+        # extra probes, never lost recall); it is overwritten if the
+        # new owner applies the same batch id and cleared by the next
+        # compact in any case.
         try:
             _fence_check(self)
         except MaintenanceFencedError:

@@ -53,18 +53,20 @@ def import_registry_fns(root: str, names: tuple[str, ...]):
         import importlib
 
         reg = importlib.import_module("car_etl_spark.queries").build_registry()
-        missing = [n for n in names if n not in reg]
+        # fine-grained names WIN over registry names, mirroring
+        # bench.py's resolve(): when a consolidation folds extra work
+        # into a registry row of the same name (r11:
+        # doc_exact_dedup_stats gained the closure arm), the A/B must
+        # time the comparable plain form on BOTH trees — guarded, since
+        # old baseline trees predate queries/suites entirely
         fine = {}
-        if missing:
-            # fine-grained fallback only when needed, and guarded: old
-            # baseline trees predate queries/suites entirely
-            try:
-                fine = importlib.import_module(
-                    "car_etl_spark.queries.suites"
-                ).fine_grained_queries()
-            except ImportError:
-                pass
-        return {n: (reg[n].fn if n in reg else fine[n]) for n in names}
+        try:
+            fine = importlib.import_module(
+                "car_etl_spark.queries.suites"
+            ).fine_grained_queries()
+        except ImportError:
+            pass
+        return {n: (fine[n] if n in fine else reg[n].fn) for n in names}
     finally:
         sys.path.remove(root)
         for k in [k for k in sys.modules if k.split(".")[0] == "car_etl_spark"]:
