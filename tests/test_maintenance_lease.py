@@ -547,3 +547,44 @@ def test_staging_dirs_invisible_and_swept(tmp_path):
     os.utime(stale, (old, old))
     IX._sweep_stale_staging(live)
     assert not os.path.isdir(stale)
+
+
+def test_posting_retracts_promoted_files_when_stats_commit_fenced(
+    spark, tmp_path, monkeypatch
+):
+    """The posting store's stats job runs BETWEEN promotion and the
+    meta commit — long enough for a TTL steal.  When the commit's
+    fence check fires, the applier must retract exactly the files it
+    promoted (still invisible — the bound never advanced), leaving the
+    live tree clean for the new owner's different-content commit."""
+    store = _built_store(spark, tmp_path)
+    a = IX.acquire_maintenance_lease(store.path, ttl_sec=600)
+    real_refresh = type(store)._refresh_stats
+
+    def steal_then_refresh(self, *args, **kwargs):
+        # the steal lands while the stats job runs: force-expire and
+        # replace the lease, exactly the mid-job TTL-steal interleaving
+        lease_path = os.path.join(self.path, IX._LEASE_FILE)
+        cur = IX._read_json_file(lease_path)
+        cur["expires"] = 0.0
+        with open(lease_path, "w") as f:
+            json.dump(cur, f)
+        steal_then_refresh.b = IX.acquire_maintenance_lease(self.path)
+        return real_refresh(self, *args, **kwargs)
+
+    monkeypatch.setattr(type(store), "_refresh_stats", steal_then_refresh)
+    stale = [(2, "en", "poisonterm promoted then retracted")]
+    with pytest.raises(IX.MaintenanceFencedError):
+        store.apply_batch(spark, _docs_df(spark, stale), None, batch=1, lease=a)
+    monkeypatch.setattr(type(store), "_refresh_stats", real_refresh)
+    # the retract removed every promoted file: nothing visible anywhere
+    assert not IX._dir_has_parquet(store.delta_dir)
+    assert not IX._dir_has_parquet(store.doclen_delta)
+    assert not IX._dir_has_parquet(store.tomb_dir)
+    assert not os.path.exists(store._sentinel(1))
+    # the new owner commits different content under the same batch id
+    b = steal_then_refresh.b
+    assert store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1, lease=b)
+    terms = {r[0] for r in store.read(spark).select("raw_term").collect()}
+    assert "checkpoint" in terms and "poisonterm" not in terms
+    IX.release_maintenance_lease(b)
