@@ -89,6 +89,17 @@ entries (COVERAGE.md merge table) so every entry fits the driver's
 50-row correctness window; the bench keeps timing the FINE-GRAINED
 functions (resolved from their home modules when no longer registry
 keys), so per-query numbers stay comparable round-over-round.
+
+r12 ADJUDICATION (AB_r11.json): the six r11-vs-r10 movers
+(fts_bm25_search +73%, hybrid_rrf_search +64%, cdc_apply_tombstones,
+doc_substring_search, entity_match_blocked, doc_keyword_search) are
+ALL NOISE by interleaved A/B vs cce0389: the r10 CODE re-measured in
+the r12 session reads 0.350 s (bm25) / 0.356 s (hybrid) — 1.6-1.8x
+its own BENCH_r10 recordings and right at r11's — so the jump was a
+box-regime shift; every within-session median delta is smaller than
+the base side's own spread.  BENCH_r11 medians are the SERIES
+BASELINE from here: r12+ movers adjudicate against r11 under the IQR
+protocol above.
 """
 
 from __future__ import annotations
