@@ -145,6 +145,9 @@ HEADLINE = (
     # the shingle build no longer explodes an interpreted HOF array)
     "minhash_lsh_neardup",
     "doc_exact_dedup_stats",
+    # span-level exact substring dedup (r12, Lee et al. 2021 — subtract
+    # when comparing r12 totals against r11)
+    "span_dedup_report",
     "doc_quality_scores",
     # FTS posting-list search (suffix analyzer + full-Porter analyzer)
     "fts_posting_search",

@@ -872,6 +872,9 @@ def fine_grained_queries() -> dict:
         # (bench.py resolves fine-grained names FIRST for this reason)
         "doc_exact_dedup_stats": textops.doc_exact_dedup_stats_plain,
         "doc_dup_clusters": textops.doc_dup_clusters,
+        # r12 consolidation: the registry row doc_corpus_profile gained
+        # the span-dedup columns; the standalone report is the bench row
+        "span_dedup_report": textops.span_dedup_report,
         "rag_context_budget": rag.rag_context_budget,
         "hierarchy_self_join": misc.hierarchy_self_join,
         "interval_join_shipments": misc.interval_join_shipments,

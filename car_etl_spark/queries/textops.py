@@ -276,7 +276,14 @@ def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token statistics + stop-word/quality profile per (source, lang) —
     the consolidated corpus-curation rollup (one registry slot for the
     token-stats and stopword-profile operators; same staged-token plan,
-    finer grain covers both round-1 groupings)."""
+    finer grain covers both round-1 groupings).
+
+    r12 folds the SPAN-LEVEL EXACT SUBSTRING DEDUP arm in at this grain
+    (the cc_* playbook — no new slot): the ``span_*`` columns come from
+    :func:`_span_group_metrics` (Lee et al. 2021 fixed-width window
+    fingerprints, corpus-wide occurrence counts, flagged-coverage
+    positions), and the oracle replays the same windows/md5/counts in
+    SQL — a flagging or coverage regression flips this driver row."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     staged_in = docs.select(
         "source", "lang", "n_chars",
@@ -303,24 +310,22 @@ def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = m.select(
         "source", "lang", "n_chars", "n", "dn", "bn", sw.alias("sw"), q.alias("q")
     )
-    return (
-        staged.groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            F.sum("n").alias("total_tokens"),
-            F.sum("bn").cast("long").alias("total_bpe_tokens"),
-            F.round(F.avg("n"), 4).alias("avg_tokens"),
-            F.round(F.avg("bn"), 4).alias("avg_bpe_tokens"),
-            F.round(F.avg("dn"), 4).alias("avg_distinct_tokens"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-            F.round(F.avg("sw"), 6).alias("avg_stopword_ratio"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
-        )
-        .orderBy("source", "lang")
+    profile = staged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n").alias("total_tokens"),
+        F.sum("bn").cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg("n"), 4).alias("avg_tokens"),
+        F.round(F.avg("bn"), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg("dn"), 4).alias("avg_distinct_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("sw"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
     )
+    span = _span_group_metrics(docs).drop("n_docs", "total_tokens")
+    return profile.join(span, ["source", "lang"]).orderBy("source", "lang")
 
 
-DOC_CORPUS_PROFILE_SQL = f"""
+_DOC_CORPUS_PROFILE_BASE_SQL = f"""
 WITH tok AS (
   SELECT source, lang, n_chars,
          list_filter(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks,
@@ -349,6 +354,197 @@ SELECT source, lang, COUNT(*) AS doc_count,
        ROUND(AVG(sw), 6) AS avg_stopword_ratio,
        ROUND(AVG(q), 6) AS avg_quality
 FROM r GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+#: span-dedup shingle width (in tokens).  Lee et al. 2021
+#: ("Deduplicating Training Data Makes Language Models Better", public)
+#: remove any >= 50-token substring that repeats corpus-wide; this
+#: corpus's documents are 10-100 tokens (avg ~54), so the operator uses
+#: the same fixed-width-window discipline at K=8 — every document has
+#: at least one window, and planted exact duplicates repeat many.
+SPAN_K = 8
+
+
+def _span_group_metrics(docs: DataFrame) -> DataFrame:
+    """(source, lang)-grain span-level exact-substring dedup metrics —
+    the Lee et al. 2021 training-data operator, fixed-width form: every
+    K-token window is fingerprinted (md5 of the lowercased token
+    window, the portable-family construction), a fingerprint occurring
+    >= 2 times CORPUS-WIDE (across documents or repeated within one)
+    marks a repeated span, and the flagged occurrences roll up per
+    (source, lang) — which sources are feeding boilerplate into the
+    training mix, and what fraction of their tokens a span-level dedup
+    pass would rewrite.
+
+    Plan shape at 100 TB: tokenize + window fingerprints are map-side
+    (tokens staged once, the module staging rule; windows via one
+    bounded ``transform`` over a staged array — ~n_tokens rows out,
+    the same volume class as the MinHash shingle explode).  ONE large
+    shuffle keys fingerprints (the groupBy-count), and the flag
+    join-back's probe side is the IDENTICAL subplan, so it rides a
+    ReusedExchange rather than a second corpus pass.  Every metric the
+    unflagged majority contributes (window counts) comes from the
+    cheap doc-grain totals pass instead of the join, and ALL flagged-
+    side stats (occurrences, distinct fingerprints, flagged docs,
+    covered positions) collapse into ONE multi-countDistinct aggregate
+    over flagged occurrences x K exploded positions — bounded by
+    K x flagged count, not corpus size, and the join subtree has a
+    SINGLE consumer (a g/cov branch pair would recompute the corpus
+    scan per branch — the r11 branch-below-aggregate lesson).  No
+    driver state, no Python.
+    """
+    K = SPAN_K
+    toked = docs.select(
+        "doc_id", "source", "lang", T.tokenize(F.lower(F.col("text"))).alias("toks")
+    )
+    staged = toked.select(
+        "doc_id", "source", "lang", "toks", F.size("toks").alias("n")
+    )
+    # documents shorter than K tokens have no K-token span: empty window
+    # set (NOT the whole-doc fallback shingles_from_tokens uses — a
+    # short doc cannot contain a repeated K-token span by definition).
+    # The n >= K guard also keeps F.sequence ascending (Spark sequence
+    # DESCENDS when stop < start — an unguarded short doc would emit
+    # phantom windows).
+    fps = F.when(
+        F.col("n") >= K,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - K + 1),
+            lambda s: F.md5(F.array_join(F.slice(F.col("toks"), s, K), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = staged.select(
+        "doc_id", "source", "lang", F.posexplode(fps).alias("pos0", "fp")
+    )
+    occ_rep = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("fp")
+    )
+    # flagged occurrences x K covered positions, aggregated ONCE:
+    # (doc, pos0) identifies an occurrence (one window per start), so
+    # its distinct count is span_flagged even on the exploded grain
+    fstat = (
+        ex.join(occ_rep, "fp")
+        .select(
+            "source",
+            "lang",
+            "doc_id",
+            "fp",
+            "pos0",
+            F.explode(F.sequence(F.col("pos0") + 1, F.col("pos0") + K)).alias("p"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.countDistinct("doc_id", "pos0").cast("long").alias("span_flagged"),
+            F.countDistinct("fp").cast("long").alias("span_distinct_repeated"),
+            F.countDistinct("doc_id").cast("long").alias("span_docs_flagged"),
+            F.countDistinct("doc_id", "p").cast("long").alias("span_covered_tokens"),
+        )
+    )
+    totals = staged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.greatest(F.col("n") - K + 1, F.lit(0))).cast("long").alias(
+            "span_total"
+        ),
+    )
+    r = totals.join(fstat, ["source", "lang"], "left")
+
+    def z(c: str) -> Column:
+        return F.coalesce(F.col(c), F.lit(0)).cast("long")
+
+    st, tt = z("span_total"), F.col("total_tokens")
+    fl, cv = z("span_flagged"), z("span_covered_tokens")
+    return r.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        st.alias("span_total"),
+        fl.alias("span_flagged"),
+        F.round(
+            F.when(st > 0, fl.cast("double") / st).otherwise(0.0), 6
+        ).alias("span_flagged_frac"),
+        z("span_docs_flagged").alias("span_docs_flagged"),
+        cv.alias("span_covered_tokens"),
+        F.round(
+            F.when(tt > 0, cv.cast("double") / tt).otherwise(0.0), 6
+        ).alias("span_covered_frac"),
+        z("span_distinct_repeated").alias("span_distinct_repeated"),
+    )
+
+
+def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone span-dedup report over ``documents`` (bench surface +
+    direct API; its correctness rides the ``span_*`` columns of the
+    ``doc_corpus_profile`` registry row, hash-checked against the
+    DuckDB window-fingerprint replay)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return _span_group_metrics(docs).orderBy("source", "lang")
+
+
+SPAN_GROUP_SQL = f"""
+WITH sp_tok AS (
+  SELECT doc_id, source, lang,
+         list_filter(string_split_regex(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+  FROM documents
+), sp_st AS (
+  SELECT doc_id, source, lang, toks, len(toks) AS n FROM sp_tok
+), sp_ex AS (
+  SELECT doc_id, source, lang, s,
+         md5(array_to_string(list_slice(toks, s, s + {SPAN_K} - 1), ' ')) AS fp
+  FROM sp_st, UNNEST(generate_series(1, GREATEST(n - {SPAN_K} + 1, 0))) AS u(s)
+), sp_occ AS (
+  SELECT fp, COUNT(*) AS occ FROM sp_ex GROUP BY fp
+), sp_j AS (
+  SELECT e.doc_id, e.source, e.lang, e.s, e.fp, o.occ
+  FROM sp_ex e JOIN sp_occ o USING (fp)
+), sp_g AS (
+  SELECT source, lang, COUNT(*) AS span_total,
+         CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS span_flagged,
+         COUNT(DISTINCT CASE WHEN occ >= 2 THEN fp END) AS span_distinct_repeated,
+         COUNT(DISTINCT CASE WHEN occ >= 2 THEN doc_id END) AS span_docs_flagged
+  FROM sp_j GROUP BY source, lang
+), sp_cov AS (
+  SELECT source, lang, COUNT(*) AS span_covered_tokens FROM (
+    SELECT DISTINCT source, lang, doc_id, s + d AS p
+    FROM sp_j, UNNEST(generate_series(0, {SPAN_K} - 1)) AS v(d)
+    WHERE occ >= 2
+  ) GROUP BY source, lang
+), sp_tot AS (
+  SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+  FROM sp_st GROUP BY source, lang
+)
+SELECT t.source, t.lang, t.n_docs, t.total_tokens,
+       CAST(COALESCE(g.span_total, 0) AS BIGINT) AS span_total,
+       CAST(COALESCE(g.span_flagged, 0) AS BIGINT) AS span_flagged,
+       ROUND(CASE WHEN COALESCE(g.span_total, 0) > 0
+                  THEN CAST(COALESCE(g.span_flagged, 0) AS DOUBLE) / g.span_total
+                  ELSE 0.0 END, 6) AS span_flagged_frac,
+       CAST(COALESCE(g.span_docs_flagged, 0) AS BIGINT) AS span_docs_flagged,
+       CAST(COALESCE(c.span_covered_tokens, 0) AS BIGINT) AS span_covered_tokens,
+       ROUND(CASE WHEN t.total_tokens > 0
+                  THEN CAST(COALESCE(c.span_covered_tokens, 0) AS DOUBLE) / t.total_tokens
+                  ELSE 0.0 END, 6) AS span_covered_frac,
+       CAST(COALESCE(g.span_distinct_repeated, 0) AS BIGINT) AS span_distinct_repeated
+FROM sp_tot t
+LEFT JOIN sp_g g ON t.source = g.source AND t.lang = g.lang
+LEFT JOIN sp_cov c ON t.source = c.source AND t.lang = c.lang
+"""
+
+
+#: full doc_corpus_profile oracle: base profile + span-dedup columns
+DOC_CORPUS_PROFILE_SQL = f"""
+SELECT p.*,
+       s.span_total, s.span_flagged, s.span_flagged_frac,
+       s.span_docs_flagged, s.span_covered_tokens, s.span_covered_frac,
+       s.span_distinct_repeated
+FROM ({_DOC_CORPUS_PROFILE_BASE_SQL}) p
+JOIN ({SPAN_GROUP_SQL}) s ON p.source = s.source AND p.lang = s.lang
+ORDER BY p.source, p.lang
 """
 
 
