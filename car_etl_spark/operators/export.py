@@ -34,6 +34,60 @@ from car_etl_spark.operators.portable import h0
 #: that chose it, i.e. a constant residue class — not a shuffle).
 ORDER_SUFFIX = "|order"
 
+#: shard-count derivation (r12 — the derive_num_buckets treatment for
+#: the last caller-constant layout knob): a shard is the parallel unit
+#: of BOTH the next-fit pandas fold (its chunk METADATA must fit one
+#: Arrow batch) and the per-shard write sort, so shards grow with the
+#: token volume.  64M tokens/shard ~= 1M chunk-metadata rows at the
+#: 64-token chunk grain (tens of MB per fold task); power-of-2 keeps
+#: rehash boundaries predictable across estimate jitter.  The 4-shard
+#: floor preserves every correctness/bench-scale layout; the cap keeps
+#: an exabyte estimate from degenerating into millions of tiny files.
+TARGET_TOKENS_PER_SHARD = 64 * 1024 * 1024
+MIN_SHARDS = 4
+MAX_SHARDS = 65536
+
+#: Catalyst reports this sentinel (or larger) when a plan's size is
+#: unknown — not a real estimate, never derive a layout from it
+_UNKNOWN_PLAN_BYTES = 1 << 62
+
+
+def derive_num_shards(est_tokens: int) -> int:
+    """Shard count from an estimated token volume: next power of two
+    that keeps shards under :data:`TARGET_TOKENS_PER_SHARD`, clamped to
+    [:data:`MIN_SHARDS`, :data:`MAX_SHARDS`].  Callers must pass a
+    LARGE-reading estimate for unknown corpora (the
+    ``jaccard_block_count`` lesson); a non-positive estimate resolves
+    to the floor."""
+    if est_tokens <= 0:
+        return MIN_SHARDS
+    need = max(1, -(-est_tokens // TARGET_TOKENS_PER_SHARD))
+    ns = 1
+    while ns < need:
+        ns *= 2
+    return max(MIN_SHARDS, min(MAX_SHARDS, ns))
+
+
+def estimated_df_tokens(df: DataFrame) -> int:
+    """Token-volume estimate for an arbitrary DataFrame from CATALYST
+    PLAN STATISTICS (``optimizedPlan().stats().sizeInBytes`` — file
+    sizes for file sources, computed data size for local relations;
+    zero jobs, the logical-plan analog of the parquet-footer trick).
+    All columns' bytes count, which OVER-estimates tokens — more
+    shards, the scale-safe direction.  Returns -1 when the plan's size
+    is genuinely unknown (Catalyst's max-value sentinel): a layout
+    must not be derived from a sentinel, the caller asks for an
+    explicit ``num_shards`` instead."""
+    from car_etl_spark.operators.indexing import AVG_TOKEN_BYTES
+
+    try:
+        b = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return -1
+    if b <= 0 or b >= _UNKNOWN_PLAN_BYTES:
+        return -1
+    return max(1, b // AVG_TOKEN_BYTES)
+
 
 def shard_col(key, num_shards: int):
     """Deterministic shard id for a row key column — built on the
@@ -53,7 +107,7 @@ def order_col(key):
 def write_training_shards(
     df: DataFrame,
     path: str,
-    num_shards: int,
+    num_shards: int | None = None,
     key_col: str = "doc_id",
     mode: str = "overwrite",
     tenant_col: str | None = None,
@@ -82,6 +136,15 @@ def write_training_shards(
             f"write_training_shards would overwrite input column(s) {sorted(clash)}; "
             "rename them before exporting"
         )
+    if num_shards is None:
+        est = estimated_df_tokens(df)
+        if est < 0:
+            raise ValueError(
+                "write_training_shards: the plan's size statistics are "
+                "unknown, so a shard count cannot be derived — pass "
+                "num_shards explicitly"
+            )
+        num_shards = derive_num_shards(est)
     shard_key = (
         F.concat(F.col(tenant_col).cast("string"), F.lit("|"), F.col(key_col).cast("string"))
         if tenant_col

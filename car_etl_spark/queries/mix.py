@@ -268,11 +268,35 @@ ORDER BY b.source
 
 
 #: sequence-packing parameters: chunk windows of 64 tokens (overlap 0 —
-#: packing wants disjoint text), 4 export shards, 256-token training
-#: rows.  Chunk max <= budget is the next-fit precondition.
+#: packing wants disjoint text), 256-token training rows.  Chunk max
+#: <= budget is the next-fit precondition.  The shard count is
+#: SCALE-DERIVED (r12): :func:`pack_shard_count` resolves it from the
+#: corpus footer, with a 4-shard floor that preserves every
+#: correctness/bench-scale layout.
 PACK_CHUNK_TOKENS = 64
 PACK_BUDGET = 256
-PACK_SHARDS = 4
+
+
+def pack_shard_count(sf_dir: str) -> int:
+    """Scale-derived export-shard count for the packing pipeline —
+    parquet footer stat only, so the Spark side and the DuckDB twin
+    derive the SAME number and ``training_pack`` stays a full oracle
+    row (the ``jaccard_block_count`` discipline; unknown volume reads
+    LARGE via on-disk bytes, never small)."""
+    import os
+
+    from car_etl_spark.operators.export import derive_num_shards
+    from car_etl_spark.operators.indexing import (
+        AVG_TOKEN_BYTES,
+        _source_bytes,
+        estimate_posting_rows,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    est_tokens = estimate_posting_rows(path)
+    if est_tokens < 0:
+        est_tokens = max(1, _source_bytes(path) // AVG_TOKEN_BYTES)
+    return derive_num_shards(est_tokens)
 
 
 def training_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,7 +323,7 @@ def training_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_by_tokens(
         docs, max_tokens=PACK_CHUNK_TOKENS, overlap=0, keep=("doc_id",)
     ).select(
-        shard_col(F.col("doc_id"), PACK_SHARDS).alias("shard"),
+        shard_col(F.col("doc_id"), pack_shard_count(sf_dir)).alias("shard"),
         order_col(F.col("doc_id")).alias("ord"),
         "doc_id",
         "chunk_index",
@@ -334,7 +358,7 @@ def training_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TRAINING_PACK_SQL = f"""
+_TRAINING_PACK_SQL_T = """
 WITH RECURSIVE toked AS (
   SELECT doc_id,
          string_split(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS toks
@@ -400,11 +424,22 @@ ORDER BY arm, shard, pack_id, doc_id, chunk_index, pos_in_pack
 """
 
 
+def training_pack_sql(sf_dir: str) -> str:
+    """Oracle builder: the shard count comes from the SAME
+    :func:`pack_shard_count` call as the Spark side (both read the
+    parquet footer, so they cannot desync)."""
+    return _TRAINING_PACK_SQL_T.format(
+        PACK_CHUNK_TOKENS=PACK_CHUNK_TOKENS,
+        PACK_BUDGET=PACK_BUDGET,
+        PACK_SHARDS=pack_shard_count(sf_dir),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "training_mix_suite": QuerySpec(
         training_mix_suite, TRAINING_MIX_SUITE_SQL, ("mix", "sampling", "contamination")
     ),
     "training_pack": QuerySpec(
-        training_pack, TRAINING_PACK_SQL, ("mix", "packing", "export")
+        training_pack, training_pack_sql, ("mix", "packing", "export")
     ),
 }

@@ -192,3 +192,57 @@ def test_append_export_manifest_counts_only_this_run(spark, tmp_path):
     assert m2 == m1
     total = spark.read.parquet(path).count()
     assert total == 2 * sum(n for sh in m1.values() for n in sh.values())
+
+
+# ---------------------------------------------------------------------------
+# Scale-derived shard count (r12)
+
+
+def test_derive_num_shards_two_corpus_sizes():
+    from car_etl_spark.operators.export import (
+        MAX_SHARDS,
+        MIN_SHARDS,
+        TARGET_TOKENS_PER_SHARD,
+        derive_num_shards,
+    )
+
+    # correctness/bench scales sit on the floor (layout unchanged)
+    assert derive_num_shards(30_000) == MIN_SHARDS == 4
+    # a 10^9-token corpus needs 16 shards (ceil(1e9/64Mi)=15 -> pow2)
+    assert derive_num_shards(1_000_000_000) == 16
+    # growth is monotone power-of-two and caps for exabyte estimates
+    assert derive_num_shards(100 * TARGET_TOKENS_PER_SHARD) == 128
+    assert derive_num_shards(10**14) == MAX_SHARDS
+    # unknown/degenerate estimates resolve to the floor, never crash
+    assert derive_num_shards(0) == MIN_SHARDS
+    assert derive_num_shards(-1) == MIN_SHARDS
+
+
+def test_pack_shard_count_footer_derivation():
+    from car_etl_spark.queries.mix import pack_shard_count
+
+    # both synthetic corpora sit under one shard's token budget -> the
+    # 4-shard floor, so every recorded oracle/bench layout is unchanged
+    assert pack_shard_count("/root/testdata/sf0.001") == 4
+    assert pack_shard_count("/root/testdata/sf0.01") == 4
+
+
+def test_write_training_shards_derives_when_none(spark, tmp_path):
+    from car_etl_spark.operators.export import derive_num_shards, estimated_df_tokens
+
+    docs = _corpus(spark, n=500)
+    # persist so the plan's stats come from real file sizes (the 100 TB
+    # shape: exports read curated parquet, not local relations)
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    staged = spark.read.parquet(src)
+    est = estimated_df_tokens(staged)
+    assert est > 0 and derive_num_shards(est) == 4
+
+    p_auto = str(tmp_path / "auto")
+    p_explicit = str(tmp_path / "explicit")
+    write_training_shards(staged, p_auto, num_shards=None)
+    write_training_shards(staged, p_explicit, num_shards=4)
+    a = spark.read.parquet(p_auto).orderBy("shard", "__order", "doc_id").collect()
+    b = spark.read.parquet(p_explicit).orderBy("shard", "__order", "doc_id").collect()
+    assert a == b
