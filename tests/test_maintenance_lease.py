@@ -588,3 +588,69 @@ def test_posting_retracts_promoted_files_when_stats_commit_fenced(
     terms = {r[0] for r in store.read(spark).select("raw_term").collect()}
     assert "checkpoint" in terms and "poisonterm" not in terms
     IX.release_maintenance_lease(b)
+
+
+def test_ivf_phantom_pessimistic_meta_swept_at_compact(spark, tmp_path):
+    """The r11 documented residual, now ASSERTED: an applier fenced
+    BETWEEN its pessimistic step-1 meta write and the commit fence
+    leaves a phantom ``batches[b]`` entry (empty counts, widened radii,
+    tombstone debt).  Its only permitted effect is probe WIDENING —
+    serving must stay certified-exact while it lingers — and the next
+    compact must sweep it, restoring probe sets identical to a clean
+    store's."""
+    from pyspark.sql import functions as F
+
+    from tests.test_indexing import _clustered_emb
+
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "ivf"))
+    store.build(emb, num_centroids=4, refine_iterations=1)
+    clean = IX.IvfStore(str(tmp_path / "ivf_clean"))
+    clean.build(emb, num_centroids=4, refine_iterations=1)
+    qvec = list(emb.filter(F.col("vec_id") == 5).select("embedding").first()[0])
+
+    # steal the lease AFTER the pessimistic write lands but BEFORE the
+    # commit fence: wrap the store's first meta write to expire + steal
+    a = IX.acquire_maintenance_lease(store.path, ttl_sec=0.05)
+    real_write = store._write_meta
+    stolen = {}
+
+    def steal_after_first_write(m):
+        real_write(m)
+        if not stolen:
+            time.sleep(0.1)  # let a's TTL lapse so the steal goes through
+            stolen["b"] = IX.acquire_maintenance_lease(store.path)
+
+    store._write_meta = steal_after_first_write
+    up = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(IX.MaintenanceFencedError):
+        store.apply_batch(spark, up, None, batch=1, lease=a)
+    store._write_meta = real_write
+
+    # the phantom exists: pessimistic entry only (no counts), while the
+    # staged row data was aborted and the snapshot bound never advanced
+    m = store.meta()
+    assert "1" in (m.get("batches") or {}), "pessimistic entry missing"
+    assert m["batches"]["1"]["counts"] == {}
+    assert not IX._dir_has_parquet(store.delta_dir)
+    assert not IX._dir_has_parquet(store.tomb_dir)
+    assert int(m.get("applied_through") or 0) == 0
+
+    # safe-direction claim: serving over the phantom stays exactly the
+    # clean store's certified answer (widening only, never recall loss)
+    before = [tuple(r) for r in store.probe_topk(spark, qvec, k=10).collect()]
+    clean_res = [tuple(r) for r in clean.probe_topk(spark, qvec, k=10).collect()]
+    assert before == clean_res
+    # ...and the phantom really does widen: its pending tombstone debt /
+    # empty counts extend the certified walk vs the clean store
+    assert len(store.probe_ids_exact(qvec, k=10)) >= len(
+        clean.probe_ids_exact(qvec, k=10)
+    )
+
+    IX.release_maintenance_lease(stolen["b"])
+    store.compact(spark)
+    m2 = store.meta()
+    assert "1" not in (m2.get("batches") or {}), "compact must sweep the phantom"
+    after = [tuple(r) for r in store.probe_topk(spark, qvec, k=10).collect()]
+    assert after == clean_res
+    assert store.probe_ids_exact(qvec, k=10) == clean.probe_ids_exact(qvec, k=10)
