@@ -403,7 +403,7 @@ def tenant_hybrid_search(
 
 
 def prepare_serving(
-    spark, sf_dir: str, modes: tuple[str, ...] | None = None
+    spark, sf_dir: str, modes: tuple[str, ...] | None = None, passes: int = 2
 ) -> dict[str, float]:
     """Warm-boot hook: pay the first-request tax at service start, the
     way the reference's service warms its indexes at boot (its GIN/HNSW
@@ -412,12 +412,16 @@ def prepare_serving(
     measured 5-6x the warm latency at sf1.0 on the heaviest modes).
 
     Executes every serving mode (:data:`~car_etl_spark.queries.suites.
-    SERVING_MODE_NAMES`, or the ``modes`` subset) exactly once: this
-    builds-if-missing the resident stores (content-addressed ensure_*),
-    memoizes the prepared plans, compiles their codegen, and pulls the
-    index footers/pages into OS cache — after which the first real
-    request runs the warm path.  Returns {mode: seconds} so operators
-    see the boot cost explicitly (it is the same work the first N user
+    SERVING_MODE_NAMES`, or the ``modes`` subset) ``passes`` times
+    (default 2): the FIRST pass builds-if-missing the resident stores
+    (content-addressed ensure_*), memoizes the prepared plans, compiles
+    their codegen, and pulls the index footers/pages into OS cache; the
+    SECOND pass drives the now-compiled warm path so the JVM's JIT has
+    promoted it before the first real request (r12 — with one pass the
+    first real request was each mode's mere second execution, measured
+    up to ~1.5x warm at sf1; the steady state needs one more
+    iteration).  Returns {mode: first-pass seconds} so operators see
+    the boot cost explicitly (it is the same work the first N user
     requests would otherwise absorb)."""
     import time as _time
 
@@ -440,6 +444,11 @@ def prepare_serving(
         t0 = _time.perf_counter()
         fn(spark, sf_dir).count()
         out[name] = round(_time.perf_counter() - t0, 4)
+    for _ in range(max(0, passes - 1)):
+        for name, fn in known.items():
+            if modes is not None and name not in modes:
+                continue
+            fn(spark, sf_dir).count()
     return out
 
 

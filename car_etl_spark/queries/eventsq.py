@@ -198,6 +198,77 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
 
+#: trailing-window ingestion rate gate — the reference's email rate
+#: limiter (``src/services/email_rate_limiter.py``: count this sender's
+#: ingestions in the trailing window, refuse the request at the limit;
+#: its production parameters are 100/hour).  The batch-replay form
+#: gates every event against its user's trailing count; window/limit
+#: are scaled to this corpus's density (~3 events/user/day — 100/hour
+#: would throttle nothing and make a degenerate oracle row).
+RATE_WINDOW_SEC = 86_400
+RATE_LIMIT = 5
+_RATE_WINDOW_US = RATE_WINDOW_SEC * 1_000_000
+
+
+def events_rate_limit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rate-gate report: for each event, the trailing-window
+    event count (RANGE frame over exact integer microseconds — peers
+    at the same timestamp count together, so the decision is
+    arrival-order-free and engine-identical); an event is THROTTLED
+    when its window count exceeds the limit (i.e. more than
+    ``RATE_LIMIT`` arrivals inside one window, the reference's
+    ">= limit prior arrivals -> refuse" decision).  Rolled up per user:
+    events, throttled count/fraction, and the peak window count.
+
+    Scale shape: one hash exchange on user_id serves the RANGE window
+    and the rollup; per-user event volume is bounded by retention, the
+    same discipline as the session windows."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-(_RATE_WINDOW_US - 1), 0)
+    )
+    g = ev.select("user_id", F.count(F.lit(1)).over(w).alias("cnt_win"))
+    thr = F.sum(F.when(F.col("cnt_win") > RATE_LIMIT, 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    return (
+        g.groupBy("user_id")
+        .agg(
+            n.alias("rate_events"),
+            thr.alias("rate_throttled"),
+            F.max("cnt_win").cast("long").alias("rate_peak_window"),
+        )
+        .select(
+            "user_id",
+            "rate_events",
+            "rate_throttled",
+            F.round(
+                F.col("rate_throttled").cast("double") / F.col("rate_events"), 6
+            ).alias("rate_throttled_frac"),
+            "rate_peak_window",
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_RATE_LIMIT_SQL = f"""
+WITH c AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN {_RATE_WINDOW_US - 1} PRECEDING AND CURRENT ROW) AS cnt_win
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS rate_events,
+       CAST(SUM(CASE WHEN cnt_win > {RATE_LIMIT} THEN 1 ELSE 0 END) AS BIGINT) AS rate_throttled,
+       ROUND(CAST(SUM(CASE WHEN cnt_win > {RATE_LIMIT} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS rate_throttled_frac,
+       CAST(MAX(cnt_win) AS BIGINT) AS rate_peak_window
+FROM c GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_user_running_total": QuerySpec(events_user_running_total, EVENTS_RUNNING_TOTAL_SQL, ("events", "window")),
     # events_type_pivot + events_sessionize registry slots consolidated

@@ -557,11 +557,23 @@ def events_rollup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily cascade SERVED from the persisted rollup store alone —
     the continuous-aggregate dashboard read (bench surface; its
     correctness rides the `daily_cascade_served` arm of
-    events_window_rollups).  Reads minute partials, never raw events."""
+    events_window_rollups).  Reads minute partials, never raw events.
+
+    r12: plan memoized via ``prepared()`` like every other serving mode
+    — it was the one SERVING_MODE_NAMES entry rebuilding plan +
+    analysis + file listing per call, which is exactly the cost the
+    warm-boot hook cannot pre-pay for an unmemoized query (the r11
+    cold-boot worst mode, prepared-first 1.85x warm at sf1)."""
+    from car_etl_spark.queries import prepared
     from car_etl_spark.streaming.rollup_store import ensure_rollup_store
 
-    store = ensure_rollup_store(spark, sf_dir)
-    return store.read(spark, "day").orderBy("bucket_start", "event_type")
+    def build() -> DataFrame:
+        store = ensure_rollup_store(spark, sf_dir)
+        return store.read(spark, "day").orderBy("bucket_start", "event_type")
+
+    return prepared(
+        spark, "events_rollup_served", sf_dir, ("events.parquet",), build
+    )
 
 
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,24 +833,39 @@ def events_user_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11/A12 pivot (type-conditional aggregation + retry/DLQ stats)
     key-joined to the W-family session rollup — both user_id-grain, so
     one wide report carries both hard signals (round-6 consolidation
-    freeing a slot for training_mix_suite)."""
-    from car_etl_spark.queries.eventsq import events_sessionize, events_type_pivot
+    freeing a slot for training_mix_suite).
+
+    r12 adds the TRAILING-WINDOW RATE-GATE arm at the same grain (the
+    reference's email rate limiter, ``src/services/
+    email_rate_limiter.py`` — trailing per-sender count, refuse at the
+    limit): the ``rate_*`` columns ride this row's oracle hash, so the
+    window arithmetic and the gate decision are engine-checked."""
+    from car_etl_spark.queries.eventsq import (
+        events_rate_limit_gate,
+        events_sessionize,
+        events_type_pivot,
+    )
 
     pivot = events_type_pivot(spark, sf_dir)
     sess = events_sessionize(spark, sf_dir)
-    return pivot.join(sess, "user_id").orderBy("user_id")
+    gate = events_rate_limit_gate(spark, sf_dir)
+    return pivot.join(sess, "user_id").join(gate, "user_id").orderBy("user_id")
 
 
 def _events_user_report_sql() -> str:
     from car_etl_spark.queries.eventsq import (
+        EVENTS_RATE_LIMIT_SQL,
         EVENTS_SESSIONIZE_SQL,
         EVENTS_TYPE_PIVOT_SQL,
     )
 
     return f"""
-SELECT p.*, s.session_count, s.max_session_events, s.total_value
+SELECT p.*, s.session_count, s.max_session_events, s.total_value,
+       r.rate_events, r.rate_throttled, r.rate_throttled_frac,
+       r.rate_peak_window
 FROM ({EVENTS_TYPE_PIVOT_SQL}) p
 JOIN ({EVENTS_SESSIONIZE_SQL}) s USING (user_id)
+JOIN ({EVENTS_RATE_LIMIT_SQL}) r USING (user_id)
 ORDER BY user_id
 """
 
@@ -916,6 +943,9 @@ def fine_grained_queries() -> dict:
         "events_multires_rollup": eventsq.events_multires_rollup,
         "events_json_props": eventsq.events_json_props,
         "events_value_percentiles": eventsq.events_value_percentiles,
+        # r12: the registry row events_user_report gained the rate-gate
+        # arm (reference email rate limiter); fine-grained form here
+        "events_rate_limit_gate": eventsq.events_rate_limit_gate,
         "om_validation_report": om_validation_report,
         "om_document_confidence": misc.om_document_confidence,
         "versioned_extractions": eav.versioned_extractions,

@@ -13,11 +13,19 @@ same resident stores:
              excluded from all serving numbers, like every bench here)
   cold     — fresh session, JVM warmed on a NON-serving query, then
              each serving mode's FIRST call timed (the restart tax),
-             then its second call (warm).  Also splits the first call
-             into plan-construction (fn() -> analyzed DataFrame) vs
-             execution (codegen compile + first-touch IO).
+             then warm = median of its next 3 calls.  Also splits the
+             first call into plan-construction (fn() -> analyzed
+             DataFrame) vs execution (codegen compile + first-touch IO).
   prepared — fresh session, prepare_serving() runs first (timed, the
-             boot cost), then each mode's first REAL request timed.
+             boot cost), then each mode's first REAL request timed,
+             then warm = median of its next 3 calls.
+
+r12 METHODOLOGY: prepared_over_warm divides by the PREPARED ARM'S OWN
+warm median (within-JVM).  r11 divided one prepared-arm sample by one
+cold-arm sample — two JVMs minutes apart on a box whose sub-second
+readings swing 2-3x between runs (the warm denominator for
+doc_keyword_search read 0.334 then 0.869 on back-to-back identical-code
+runs), so the worst-mode ratio measured the box, not the boot hook.
 
 Done-criterion: prepared-first <= 2x warm for every serving mode.
 
@@ -74,6 +82,23 @@ def arm_prep() -> None:
     spark.stop()
 
 
+def _warm_medians(spark, fns: dict, passes: int = 3) -> dict:
+    """Per-mode warm = median over INTERLEAVED full-set passes (the
+    r11 bench.py methodology): a mode's steady state in a real service
+    includes the cross-mode cache pressure of other requests running
+    between its calls — back-to-back repeats of one mode measure an
+    unfairly fast locality regime that no real request ever sees."""
+    import statistics
+
+    vals: dict[str, list[float]] = {n: [] for n in fns}
+    for _ in range(passes):
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            vals[name].append(time.perf_counter() - t0)
+    return {n: round(statistics.median(v), 3) for n, v in vals.items()}
+
+
 def arm_cold() -> None:
     from car_etl_spark.queries import build_registry
     from car_etl_spark.queries.suites import serving_modes
@@ -85,20 +110,19 @@ def arm_cold() -> None:
     # generic session startup
     build_registry()["q1_pricing_summary"].fn(spark, SF_DIR).count()
     out = {}
-    for name, fn in serving_modes().items():
+    fns = serving_modes()
+    for name, fn in fns.items():
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)  # plan construction + analysis (+ probe jobs)
         t_plan = time.perf_counter() - t0
         df.count()  # codegen compile + first-touch IO + execute
         t_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        t_warm = time.perf_counter() - t0
         out[name] = {
             "cold_first": round(t_first, 3),
             "cold_plan": round(t_plan, 3),
-            "warm": round(t_warm, 3),
         }
+    for name, w in _warm_medians(spark, fns).items():
+        out[name]["warm"] = w
     print(json.dumps({"arm": "cold", "modes": out}))
     spark.stop()
 
@@ -115,10 +139,13 @@ def arm_prepared() -> None:
     boot = prepare_serving(spark, SF_DIR)
     prep_total = time.perf_counter() - t0
     out = {}
-    for name, fn in serving_modes().items():
+    fns = serving_modes()
+    for name, fn in fns.items():
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         out[name] = {"prepared_first": round(time.perf_counter() - t0, 3)}
+    for name, w in _warm_medians(spark, fns).items():
+        out[name]["prepared_warm"] = w
     print(
         json.dumps(
             {
@@ -155,9 +182,16 @@ def main() -> None:
     worst = 0.0
     for name, c in results["cold"]["modes"].items():
         p = results["prepared"]["modes"][name]["prepared_first"]
-        ratio = round(p / c["warm"], 2) if c["warm"] > 0 else None
+        pw = results["prepared"]["modes"][name]["prepared_warm"]
+        # within-JVM ratio (see the methodology note in the docstring)
+        ratio = round(p / pw, 2) if pw > 0 else None
         worst = max(worst, ratio or 0)
-        modes[name] = {**c, "prepared_first": p, "prepared_over_warm": ratio}
+        modes[name] = {
+            **c,
+            "prepared_first": p,
+            "prepared_warm": pw,
+            "prepared_over_warm": ratio,
+        }
     print(
         json.dumps(
             {

@@ -38,6 +38,19 @@ TOKENS_PER_DOC = 100
 PROBE_TERMS = ["w7", "w13", "w29"]
 VEC_SIZES = (2_000, 16_000, 128_000)
 VEC_DIM = 16
+#: chain length for the connected-components curve: every group needs
+#: length-1 closure hops, the alternating-star worst-ish case shape
+CC_CHAIN = 16
+CC_NODE_SIZES = (100_000, 400_000, 1_600_000)
+
+#: run a subset of curve sections, e.g. SCALE_CURVE_SECTIONS=pack,cc
+SECTIONS = tuple(
+    s.strip()
+    for s in os.environ.get(
+        "SCALE_CURVE_SECTIONS", "posting,substring,ivf,pack,cc"
+    ).split(",")
+    if s.strip()
+)
 
 
 def timed(fn, runs: int = 3) -> float:
@@ -145,7 +158,7 @@ def main() -> None:
     os.makedirs(ROOT, exist_ok=True)
     out: dict = {"metric": "serving_scale_curve", "unit": "sec", "posting": [], "ivf": []}
 
-    for n in DOC_SIZES:
+    for n in DOC_SIZES if "posting" in SECTIONS else ():
         src = make_docs(spark, n)
         est = IX.estimate_posting_rows(src)  # directory-aware footer sum
         nb = IX.derive_num_buckets(est)
@@ -200,7 +213,8 @@ def main() -> None:
     # lists stay tiny while the scan grows with the corpus, and a HOT
     # pattern of common grams whose serving cost honestly tracks its
     # own posting volume.
-    for n in DOC_SIZES[:3]:  # 5k/20k/80k — the 320k trigram build is ~6x rows
+    # 5k/20k/80k — the 320k trigram build is ~6x rows
+    for n in DOC_SIZES[:3] if "substring" in SECTIONS else ():
         src = make_marked_docs(spark, n)
         tstore = IX.PostingStore(
             os.path.join(ROOT, f"tristore-{n}"), analyzer="trigram"
@@ -252,7 +266,7 @@ def main() -> None:
             out.setdefault("substring", []).append(row)
             print(f"# substring {row}", file=sys.stderr)
 
-    for n in VEC_SIZES:
+    for n in VEC_SIZES if "ivf" in SECTIONS else ():
         k = IX.derive_num_centroids(n)
         ivf_path = os.path.join(ROOT, f"ivf-{n}")
         # self-heal stale cached layouts from older store versions (the
@@ -287,6 +301,84 @@ def main() -> None:
             row["build_sec"] = build_s
         out["ivf"].append(row)
         print(f"# ivf {row}", file=sys.stderr)
+
+    # sequence-packing curve (r12): both disciplines over the SAME
+    # growing corpora as the posting curve.  cut is a per-shard running
+    # sum + bounded explode (one shuffle); nextfit is an Arrow fold over
+    # chunk METADATA per shard.  Linear wall vs corpus size = the claim;
+    # the shard count comes from the production derivation (floor of 4
+    # at these sizes, so the fold's limited parallelism is ALSO in the
+    # measurement, the honest direction).
+    for n in DOC_SIZES if "pack" in SECTIONS else ():
+        from car_etl_spark.operators import packing as P
+        from car_etl_spark.operators.chunking import chunk_by_tokens
+        from car_etl_spark.operators.export import (
+            derive_num_shards,
+            order_col,
+            shard_col,
+        )
+
+        src = make_docs(spark, n)
+        shards = derive_num_shards(IX.estimate_posting_rows(src))
+        docs = spark.read.parquet(src)
+        chunks = chunk_by_tokens(
+            docs, max_tokens=64, overlap=0, keep=("doc_id",)
+        ).select(
+            shard_col(F.col("doc_id"), shards).alias("shard"),
+            order_col(F.col("doc_id")).alias("ord"),
+            "doc_id",
+            "chunk_index",
+            F.col("token_count").cast("long").alias("token_count"),
+        )
+        order = ("ord", "doc_id", "chunk_index")
+
+        def pc():
+            P.pack_cut(chunks, 256, order_cols=order).count()
+
+        def pn():
+            P.pack_nextfit(chunks, 256, order_cols=order).count()
+
+        pc()
+        pn()
+        n_chunks = chunks.count()
+        row = {
+            "docs": n,
+            "chunks": n_chunks,
+            "num_shards": shards,
+            "cut_warm_sec": timed(pc),
+            "nextfit_warm_sec": timed(pn),
+        }
+        out.setdefault("pack", []).append(row)
+        print(f"# pack {row}", file=sys.stderr)
+
+    # connected-components curve (r12): chains of CC_CHAIN nodes, so
+    # every group needs real transitive closure (CC_CHAIN-2 hops); the
+    # alternating-star rounds are O(log chain) shuffles with no driver
+    # state.  Linear wall vs node count = the claim.
+    for n in CC_NODE_SIZES if "cc" in SECTIONS else ():
+        from car_etl_spark.operators.components import connected_components
+
+        edges = (
+            spark.range(n)
+            .filter(F.pmod(F.col("id"), F.lit(CC_CHAIN)) != CC_CHAIN - 1)
+            .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        )
+
+        def cc():
+            comp = connected_components(edges)
+            # force the closure AND validate it: every chain collapses
+            # to one component of exactly CC_CHAIN nodes
+            sizes = comp.groupBy("component").count()
+            assert sizes.filter(F.col("count") != CC_CHAIN).count() == 0
+
+        row = {
+            "nodes": n,
+            "edges": n - n // CC_CHAIN,
+            "chain_len": CC_CHAIN,
+            "cc_warm_sec": timed(cc, runs=2),
+        }
+        out.setdefault("cc", []).append(row)
+        print(f"# cc {row}", file=sys.stderr)
 
     print(json.dumps(out))
     spark.stop()
