@@ -70,23 +70,38 @@ def derive_num_shards(est_tokens: int) -> int:
 
 def estimated_df_tokens(df: DataFrame) -> int:
     """Token-volume estimate for an arbitrary DataFrame from CATALYST
-    PLAN STATISTICS (``optimizedPlan().stats().sizeInBytes`` — file
-    sizes for file sources, computed data size for local relations;
+    LEAF-RELATION STATISTICS (sum of ``stats().sizeInBytes`` over
+    ``optimizedPlan().collectLeaves()`` — file sizes for file sources
+    after partition pruning, computed data size for local relations;
     zero jobs, the logical-plan analog of the parquet-footer trick).
-    All columns' bytes count, which OVER-estimates tokens — more
-    shards, the scale-safe direction.  Returns -1 when the plan's size
-    is genuinely unknown (Catalyst's max-value sentinel): a layout
-    must not be derived from a sentinel, the caller asks for an
-    explicit ``num_shards`` instead."""
+
+    Leaves are summed rather than reading the ROOT plan's stats because
+    without CBO Catalyst sets a join's ``sizeInBytes`` to the PRODUCT
+    of its children — two 1 GB inputs read as ~10^18 bytes, which is
+    below the unknown sentinel and would silently derive the 65536-shard
+    cap.  The leaf sum is the scanned payload volume: monotone in the
+    corpus, never multiplicative.  All columns' bytes count, which
+    OVER-estimates tokens — more shards, the scale-safe direction.
+    (A row-exploding join can make output exceed its scans; callers
+    with deliberate fan-out should pass ``num_shards`` explicitly.)
+    Returns -1 when any leaf's size is genuinely unknown (Catalyst's
+    max-value sentinel): a layout must not be derived from a sentinel,
+    the caller asks for an explicit ``num_shards`` instead."""
     from car_etl_spark.operators.indexing import AVG_TOKEN_BYTES
 
     try:
-        b = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            b = int(leaves.apply(i).stats().sizeInBytes())
+            if b >= _UNKNOWN_PLAN_BYTES:
+                return -1
+            total += max(0, b)
     except Exception:
         return -1
-    if b <= 0 or b >= _UNKNOWN_PLAN_BYTES:
+    if total <= 0:
         return -1
-    return max(1, b // AVG_TOKEN_BYTES)
+    return max(1, total // AVG_TOKEN_BYTES)
 
 
 def shard_col(key, num_shards: int):

@@ -322,7 +322,21 @@ def doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("q"), 6).alias("avg_quality"),
     )
     span = _span_group_metrics(docs).drop("n_docs", "total_tokens")
-    return profile.join(span, ["source", "lang"]).orderBy("source", "lang")
+    # null-safe keys: both sides group the same table, so every group
+    # matches 1:1 — but a name-list join uses EqualTo and would silently
+    # drop a NULL source/lang group (dirty real-world corpora); <=>
+    # keeps it, and the oracle joins with IS NOT DISTINCT FROM
+    j = profile.alias("p").join(
+        span.alias("s"),
+        [
+            F.col("p.source").eqNullSafe(F.col("s.source")),
+            F.col("p.lang").eqNullSafe(F.col("s.lang")),
+        ],
+    )
+    keep = [c for c in span.columns if c not in ("source", "lang")]
+    return j.select(F.col("p.*"), *[F.col(f"s.{c}") for c in keep]).orderBy(
+        "source", "lang"
+    )
 
 
 _DOC_CORPUS_PROFILE_BASE_SQL = f"""
@@ -451,7 +465,30 @@ def _span_group_metrics(docs: DataFrame) -> DataFrame:
             "span_total"
         ),
     )
-    r = totals.join(fstat, ["source", "lang"], "left")
+    # null-safe left join (see doc_corpus_profile): NULL-keyed groups
+    # exist on both sides and must pair up, not vanish
+    r = (
+        totals.alias("t")
+        .join(
+            fstat.alias("f"),
+            [
+                F.col("t.source").eqNullSafe(F.col("f.source")),
+                F.col("t.lang").eqNullSafe(F.col("f.lang")),
+            ],
+            "left",
+        )
+        .select(
+            F.col("t.source").alias("source"),
+            F.col("t.lang").alias("lang"),
+            "n_docs",
+            "total_tokens",
+            "span_total",
+            "span_flagged",
+            "span_distinct_repeated",
+            "span_docs_flagged",
+            "span_covered_tokens",
+        )
+    )
 
     def z(c: str) -> Column:
         return F.coalesce(F.col(c), F.lit(0)).cast("long")
@@ -531,8 +568,10 @@ SELECT t.source, t.lang, t.n_docs, t.total_tokens,
                   ELSE 0.0 END, 6) AS span_covered_frac,
        CAST(COALESCE(g.span_distinct_repeated, 0) AS BIGINT) AS span_distinct_repeated
 FROM sp_tot t
-LEFT JOIN sp_g g ON t.source = g.source AND t.lang = g.lang
-LEFT JOIN sp_cov c ON t.source = c.source AND t.lang = c.lang
+LEFT JOIN sp_g g ON t.source IS NOT DISTINCT FROM g.source
+                AND t.lang IS NOT DISTINCT FROM g.lang
+LEFT JOIN sp_cov c ON t.source IS NOT DISTINCT FROM c.source
+                  AND t.lang IS NOT DISTINCT FROM c.lang
 """
 
 
@@ -543,7 +582,8 @@ SELECT p.*,
        s.span_docs_flagged, s.span_covered_tokens, s.span_covered_frac,
        s.span_distinct_repeated
 FROM ({_DOC_CORPUS_PROFILE_BASE_SQL}) p
-JOIN ({SPAN_GROUP_SQL}) s ON p.source = s.source AND p.lang = s.lang
+JOIN ({SPAN_GROUP_SQL}) s ON p.source IS NOT DISTINCT FROM s.source
+                         AND p.lang IS NOT DISTINCT FROM s.lang
 ORDER BY p.source, p.lang
 """
 

@@ -44,13 +44,21 @@ CC_CHAIN = 16
 CC_NODE_SIZES = (100_000, 400_000, 1_600_000)
 
 #: run a subset of curve sections, e.g. SCALE_CURVE_SECTIONS=pack,cc
+_KNOWN_SECTIONS = ("posting", "substring", "ivf", "pack", "cc")
 SECTIONS = tuple(
     s.strip()
     for s in os.environ.get(
-        "SCALE_CURVE_SECTIONS", "posting,substring,ivf,pack,cc"
+        "SCALE_CURVE_SECTIONS", ",".join(_KNOWN_SECTIONS)
     ).split(",")
     if s.strip()
 )
+# a typo'd subset must fail LOUD, not emit an empty "measured" artifact
+_unknown = sorted(set(SECTIONS) - set(_KNOWN_SECTIONS))
+if _unknown:
+    raise SystemExit(
+        f"SCALE_CURVE_SECTIONS: unknown section(s) {_unknown}; "
+        f"known: {','.join(_KNOWN_SECTIONS)}"
+    )
 
 
 def timed(fn, runs: int = 3) -> float:

@@ -227,6 +227,27 @@ def test_pack_shard_count_footer_derivation():
     assert pack_shard_count("/root/testdata/sf0.01") == 4
 
 
+def test_estimated_df_tokens_sums_leaves_under_join(spark, tmp_path):
+    """A joined plan's estimate is the SUM of its leaf-relation sizes —
+    regression: root plan stats without CBO report a join's sizeInBytes
+    as the PRODUCT of its children (two 1 GB inputs ~ 10^18 bytes),
+    silently deriving the 65536-shard cap for a ~2 GB export."""
+    from car_etl_spark.operators.export import derive_num_shards, estimated_df_tokens
+
+    docs = _corpus(spark, n=500)
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    docs.write.parquet(a_path)
+    docs.selectExpr("doc_id", "text AS label_text").write.parquet(b_path)
+    da, db = spark.read.parquet(a_path), spark.read.parquet(b_path)
+
+    est_a, est_b = estimated_df_tokens(da), estimated_df_tokens(db)
+    assert est_a > 0 and est_b > 0
+    est_join = estimated_df_tokens(da.join(db, "doc_id"))
+    # leaf sum exactly — never multiplicative, never the unknown sentinel
+    assert est_join == est_a + est_b
+    assert derive_num_shards(est_join) == 4
+
+
 def test_write_training_shards_derives_when_none(spark, tmp_path):
     from car_etl_spark.operators.export import derive_num_shards, estimated_df_tokens
 

@@ -77,6 +77,45 @@ def test_planted_within_document_repeat_and_short_doc(planted):
     assert b["span_covered_frac"] == 0.5
 
 
+def test_null_source_lang_group_is_kept(spark, tmp_path):
+    """A NULL source/lang group must appear in the profile (groupBy keeps
+    NULL keys; the profile<->span join is null-safe on BOTH engines) —
+    regression: a name-list equi-join silently dropped the whole group."""
+    import duckdb as _duck
+
+    from car_etl_spark.queries.textops import (
+        DOC_CORPUS_PROFILE_SQL,
+        doc_corpus_profile,
+    )
+
+    rows = [
+        Row(doc_id=1, text=S1 + " " + S1, lang=None, source=None, n_chars=97),
+        Row(doc_id=2, text=S1 + " z1 z2 z3", lang="en", source="A", n_chars=57),
+        Row(doc_id=3, text=S2 + " q1 q2 q3", lang="en", source="A", n_chars=56),
+    ]
+    docs = spark.createDataFrame(rows)
+    pq = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(pq)
+
+    sdf = doc_corpus_profile(spark, str(tmp_path)).toPandas()
+    assert len(sdf) == 2
+    nullrow = sdf[sdf["source"].isna()]
+    assert len(nullrow) == 1 and nullrow["lang"].isna().all()
+    # d1 repeats S1 within itself: the group's span columns are real
+    assert int(nullrow["span_flagged"].iloc[0]) >= 2
+
+    con = _duck.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    odf = con.sql(DOC_CORPUS_PROFILE_SQL).df()
+    key = ["source", "lang"]
+    s = sdf.sort_values(key, na_position="first").reset_index(drop=True)
+    o = odf.sort_values(key, na_position="first").reset_index(drop=True)
+    o = o[s.columns.tolist()].astype(s.dtypes.to_dict())
+    assert s.equals(o)
+
+
 def test_span_report_matches_duckdb_twin(spark):
     sdf = (
         span_dedup_report(spark, SF_SMALL)
