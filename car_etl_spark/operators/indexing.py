@@ -1065,6 +1065,72 @@ def _sweep_stale_staging(
             pass
 
 
+# test seam: injected between a batch's file PROMOTION and its commit
+# point (posting: the stats/meta replace; IVF: the counts meta replace;
+# rollup: the sentinel create) so the crash-orphan window — promoted
+# files whose batch the store never committed — can be forced
+# deterministically in tests
+_test_post_promote_crash = None
+
+
+def _sweep_promoted_orphans(dirs: list, committed_bound: int) -> list:
+    """Retract promoted-but-uncommitted delta/tombstone files — the
+    r11 documented residual: an applier that CRASHED (kill, OOM)
+    between ``promote()`` and its batch's commit point skipped the
+    fence-retract and left files whose every row carries a batch id
+    ABOVE the committed snapshot bound.  Those rows are invisible
+    (readers filter ``batch <= bound``) until someone re-commits the
+    same batch id — with different content, the orphans would then
+    fall inside the committed window (exact-duplicate drop only
+    removes identical replays).
+
+    Called at ``apply_batch`` entry, under the writer lease, BEFORE the
+    new attempt stages anything: a file is an orphan iff its parquet
+    footer's min(batch) exceeds ``committed_bound`` — footer-only
+    reads, no Spark job, cost ∝ uncompacted delta file count (batch
+    cadence, never query time).  Files without usable batch statistics
+    are left in place (the safe direction: they stay invisible until
+    compact folds the committed window and GC drops the generation).
+    Remaining exposure (documented): an applier that pauses longer than
+    the lease TTL INSIDE the millisecond fence-check→promote rename
+    window and then crashes — strictly narrower than the seconds-scale
+    stats-job window this sweep closes.
+
+    Returns the removed paths (tests assert on them)."""
+    import pyarrow.parquet as _pq
+
+    removed: list = []
+    for d in dirs:
+        for root, dnames, fnames in os.walk(d):
+            dnames[:] = [x for x in dnames if not x.startswith(("_", "."))]
+            for fn in fnames:
+                if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                try:
+                    md = _pq.ParquetFile(p).metadata
+                    idx = None
+                    for i in range(md.num_columns):
+                        if md.schema.column(i).name == "batch":
+                            idx = i
+                            break
+                    if idx is None:
+                        continue
+                    mn = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            mn = None
+                            break
+                        mn = st.min if mn is None else min(mn, st.min)
+                    if mn is not None and int(mn) > int(committed_bound):
+                        os.remove(p)
+                        removed.append(p)
+                except OSError:
+                    pass
+    return removed
+
+
 # -- reader pins: pin-aware generation retention (round 10) -------------
 #
 # The one-interval GC grace is enough for sub-second serves but not for
@@ -1706,6 +1772,13 @@ class PostingStore:
         # doc ids are only unique WITHIN a tenant (the reference's
         # per-tenant id spaces), so a doc-id-only tombstone from tenant
         # A would wrongly kill tenant B's rows sharing the id
+        # retract crash orphans from a previous attempt BEFORE staging
+        # anything (promoted files whose batch never committed — see
+        # _sweep_promoted_orphans); runs under this applier's lease
+        _sweep_promoted_orphans(
+            [self.delta_dir, self.doclen_delta, self.tomb_dir],
+            int(meta.get("applied_through") or 0),
+        )
         tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
         tomb_parts = []
         # every append is STAGED (hidden per-attempt dir) and promoted
@@ -1801,17 +1874,20 @@ class PostingStore:
         promoted: list[str] = []
         for promote, _abort in promotes:
             promoted.extend(promote())
+        if _test_post_promote_crash is not None:
+            _test_post_promote_crash()
         # the stats job must SEE the promoted rows (as_of=batch), so it
         # runs after promotion — and it is long enough for a steal to
         # land, so its commit re-validates the fence.  If that check
         # fires, retract exactly the promoted files: they are still
         # invisible (the bound never advanced), so the fenced applier
-        # again leaves nothing in the committed range.  Residual
-        # (documented): a CRASH (kill, OOM) in this window skips the
-        # retract and leaves the promoted rows for the batch's replay —
-        # covered by the existing crash-replay contract (replays carry
-        # the same content; exact-duplicate rows drop at read), the
-        # same exposure every pre-r11 crash already had.
+        # again leaves nothing in the committed range.  A CRASH (kill,
+        # OOM) in this window skips the retract — the orphans stay
+        # invisible (the bound never advanced) and the NEXT apply's
+        # _sweep_promoted_orphans retracts them before anything new is
+        # staged, so a different-content recommit of this batch id can
+        # never surface them (r12; previously covered only by the
+        # same-content crash-replay contract).
         try:
             self._refresh_stats(spark, applied_through=batch)
         except MaintenanceFencedError:
@@ -3149,6 +3225,13 @@ class IvfStore:
             # rows AND inflate the certificate's per-batch counts — the
             # unsafe direction — so refuse like the sentinel does
             return False
+        # retract crash orphans from a previous attempt BEFORE staging
+        # anything (promoted files whose batch never committed — see
+        # _sweep_promoted_orphans); runs under this applier's lease
+        _sweep_promoted_orphans(
+            [self.delta_dir, self.tomb_dir],
+            int(m.get("applied_through") or 0),
+        )
         cents = sorted(zip(m["centroid_ids"], m["centroids"]))
         if self.tenant_col and self.tenant_col not in keep:
             keep = tuple(keep) + (self.tenant_col,)
@@ -3332,6 +3415,11 @@ class IvfStore:
             raise
         for promote, _abort in promotes:
             promote()
+        if _test_post_promote_crash is not None:
+            _test_post_promote_crash()
+        # a crash HERE (post-promote, pre-commit) leaves delta/tomb
+        # orphans above the committed bound — invisible, and retracted
+        # by the next apply's _sweep_promoted_orphans (r12)
         self._write_meta(m)
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")

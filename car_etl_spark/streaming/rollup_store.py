@@ -368,12 +368,19 @@ class RollupStore:
                 f.write("replayed after crashed append")
         with open(self._pending(batch), "w") as f:
             f.write("pending")
+        from car_etl_spark.operators import indexing as _IX
         from car_etl_spark.operators.indexing import (
             MaintenanceFencedError,
             _fence_check,
             _staged_append,
+            _sweep_promoted_orphans,
         )
 
+        # retract crash orphans from a previous attempt BEFORE staging
+        # anything: files promoted by an applier that crashed before its
+        # sentinel landed carry batch ids above the committed bound and
+        # would surface under a different-content recommit (r12)
+        _sweep_promoted_orphans([self.delta_dir], self._max_sentinel())
         # staged append, promoted only after the fence check: a stale
         # (stolen-lease) applier leaves nothing in the live delta tree
         # (its orphan rows would otherwise become visible if the new
@@ -394,6 +401,8 @@ class RollupStore:
             abort()
             raise
         promote()
+        if _IX._test_post_promote_crash is not None:
+            _IX._test_post_promote_crash()
         with open(self._sentinel(batch), "w") as f:
             f.write("applied")
         os.remove(self._pending(batch))

@@ -347,6 +347,59 @@ def main() -> None:  # noqa: C901
         stores = (posting, trigram, ivf, ivfpq, rollup)
         leases = {s.path: IX.acquire_maintenance_lease(s.path) for s in stores}
 
+        crash_counters = {"injected": 0, "recovered": 0, "orphan_dirs": 0}
+
+        def crash_orphan_attempt(b: int) -> None:
+            """r12 crash-orphan arm: a doomed applier PROMOTES poison
+            content for batch ``b`` and crashes before the commit point
+            (seam).  The poison is built to flip every serving oracle if
+            it ever surfaces: a cos=1 vector, a unique posting term, a
+            1e6-value rollup minute.  The real apply of ``b`` that
+            follows must sweep the orphans (_sweep_promoted_orphans) —
+            any racing serve that ever sees poison is a mismatch."""
+
+            def boom():
+                raise RuntimeError("soak: injected post-promote crash")
+
+            poison_docs = docs_df(
+                spark, {999999: "soakpoisonterm soakpoisonterm unique"}
+            )
+            vq = [float(x) for x in qvec]
+            poison_vec = spark.createDataFrame(
+                [(999999, 0, vq)],
+                "vec_id long, label int, embedding array<double>",
+            )
+            poison_ev = events_df(
+                spark, [(999_999_000 + b, "click", "2024-01-01 10:00:30", 1_000_000.0)]
+            )
+            IX._test_post_promote_crash = boom
+            try:
+                for store, args in (
+                    (posting, (poison_docs, None)),
+                    (ivf, (poison_vec, None)),
+                ):
+                    try:
+                        store.apply_batch(
+                            spark, *args, batch=b, lease=leases[store.path]
+                        )
+                        raise AssertionError("injected crash did not fire")
+                    except RuntimeError:
+                        pass
+                try:
+                    rollup.apply_batch(
+                        spark, poison_ev, b, lease=leases[rollup.path]
+                    )
+                    raise AssertionError("injected crash did not fire")
+                except RuntimeError:
+                    pass
+            finally:
+                IX._test_post_promote_crash = None
+            with lock:
+                crash_counters["injected"] += 1
+                for d in (posting.delta_dir, ivf.delta_dir, rollup.delta_dir):
+                    if IX._dir_has_parquet(d):
+                        crash_counters["orphan_dirs"] += 1
+
         def maintenance() -> None:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maintenance")
             beats = [IX._LeaseHeartbeat(lease) for lease in leases.values()]
@@ -356,6 +409,8 @@ def main() -> None:  # noqa: C901
                 for b in range(1, N_BATCHES + 1):
                     ch = batch_changes(b)
                     maint_active.set()
+                    if b % 7 == 3:
+                        crash_orphan_attempt(b)
                     posting.apply_batch(
                         spark, docs_df(spark, ch["doc_up"]), ch["doc_del"], batch=b,
                         lease=leases[posting.path],
@@ -378,6 +433,12 @@ def main() -> None:  # noqa: C901
                         spark, events_df(spark, ch["events"]), b,
                         lease=leases[rollup.path],
                     )
+                    if b % 7 == 3:
+                        # the real applies above swept the poison
+                        # orphans at entry; the racing serves prove
+                        # nothing ever surfaced
+                        with lock:
+                            crash_counters["recovered"] += 1
                     if b % COMPACT_EVERY == 0:
                         compacting.set()
                         posting.compact(spark, lease=leases[posting.path])
@@ -670,6 +731,7 @@ def main() -> None:  # noqa: C901
         out["retried"] = retried_excs[:20]
         out["rogue_maintainer"] = rogue_counters
         out["pinned_straggler"] = pin_counters
+        out["crash_orphans"] = crash_counters
         out["errors"] = errors[:20]
         out["verdict"] = (
             "PASS: every serve matched a committed snapshot; every "
@@ -677,6 +739,8 @@ def main() -> None:  # noqa: C901
             if not errors
             and counters["mismatches"] == 0
             and rogue_counters["published"] == 0
+            and crash_counters["injected"] > 0
+            and crash_counters["injected"] == crash_counters["recovered"]
             else "FAIL"
         )
         print(json.dumps(out))

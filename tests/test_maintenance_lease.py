@@ -654,3 +654,131 @@ def test_ivf_phantom_pessimistic_meta_swept_at_compact(spark, tmp_path):
     after = [tuple(r) for r in store.probe_topk(spark, qvec, k=10).collect()]
     assert after == clean_res
     assert store.probe_ids_exact(qvec, k=10) == clean.probe_ids_exact(qvec, k=10)
+
+
+# -- crash-orphan retraction (round 12) ----------------------------------
+#
+# The r11 documented residual: an applier that CRASHES (kill, OOM)
+# between promote() and its batch's commit point skips the fence-
+# retract, leaving promoted files whose batch id the store never
+# committed.  The rows stay invisible (readers filter batch <= bound),
+# but a later owner committing the SAME batch id with DIFFERENT content
+# would pull them inside the committed window (exact-duplicate drop
+# only removes identical replays).  r12 closes it: every apply_batch
+# retracts such orphans at entry (_sweep_promoted_orphans), before the
+# new attempt stages anything.
+
+
+def _crash(monkeypatch):
+    def boom():
+        raise RuntimeError("simulated crash after promote")
+
+    monkeypatch.setattr(IX, "_test_post_promote_crash", boom)
+
+
+def test_posting_crash_orphans_swept_before_different_content_commit(
+    spark, tmp_path, monkeypatch
+):
+    store = _built_store(spark, tmp_path)
+    _crash(monkeypatch)
+    stale = [(2, "en", "poisonterm promoted then crashed")]
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.apply_batch(spark, _docs_df(spark, stale), None, batch=1)
+    # the crash left promoted orphans in the live tree (batch above the
+    # committed bound -> still invisible), and no commit happened
+    assert IX._dir_has_parquet(store.delta_dir)
+    assert not os.path.exists(store._sentinel(1))
+    terms = {r[0] for r in store.read(spark).select("raw_term").collect()}
+    assert "poisonterm" not in terms
+    # a new owner commits DIFFERENT content under the SAME batch id:
+    # the entry sweep retracts the orphans first, so only its content
+    # may ever serve
+    monkeypatch.setattr(IX, "_test_post_promote_crash", None)
+    assert store.apply_batch(spark, _docs_df(spark, DOCS_B1), None, batch=1)
+    terms = {r[0] for r in store.read(spark).select("raw_term").collect()}
+    assert "checkpoint" in terms and "poisonterm" not in terms
+    # BM25 corpus stats were recomputed over the swept tree: doc 2's
+    # length reflects the committed content only (one live version)
+    dl = {
+        tuple(r)[:-1]: tuple(r)[-1]
+        for r in store.read_doclens(spark).select("doc_id", "dl").collect()
+    }
+    assert (2,) in dl
+
+
+def test_ivf_crash_orphans_swept_before_different_content_commit(
+    spark, tmp_path, monkeypatch
+):
+    from pyspark.sql import functions as F
+
+    from tests.test_indexing import _clustered_emb
+
+    emb = _clustered_emb(spark)
+    store = IX.IvfStore(str(tmp_path / "ivf"))
+    store.build(emb, num_centroids=4, refine_iterations=1)
+    clean = IX.IvfStore(str(tmp_path / "clean"))
+    clean.build(emb, num_centroids=4, refine_iterations=1)
+
+    # crashed attempt: batch 1 moves vec 0 FAR from its original spot
+    crashed_up = emb.filter(F.col("vec_id") == 0).withColumn(
+        "embedding", F.expr("transform(embedding, x -> x + 100.0D)")
+    )
+    _crash(monkeypatch)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.apply_batch(spark, crashed_up, None, batch=1)
+    assert IX._dir_has_parquet(store.delta_dir) or IX._dir_has_parquet(store.tomb_dir)
+    assert int(store.meta().get("applied_through") or 0) == 0
+
+    # committed attempt: SAME batch id, different content (vec 1 only)
+    monkeypatch.setattr(IX, "_test_post_promote_crash", None)
+    committed_up = emb.filter(F.col("vec_id") == 1)
+    assert store.apply_batch(spark, committed_up, None, batch=1)
+    assert clean.apply_batch(spark, committed_up, None, batch=1)
+    # the crashed attempt's rows/tombstones are gone: the store serves
+    # exactly what a never-crashed store serves, including vec 0 at its
+    # ORIGINAL position (the orphan tombstone would have killed it)
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    qvec = [float(x) for x in rng.normal(size=8)]
+    got = [tuple(r) for r in store.probe_topk(spark, qvec, k=10).collect()]
+    want = [tuple(r) for r in clean.probe_topk(spark, qvec, k=10).collect()]
+    assert got == want
+    assert 0 in {int(r[0]) for r in store.read_assignments(spark).select("vec_id").collect()}
+
+
+def test_rollup_crash_orphans_swept_before_different_content_commit(
+    spark, tmp_path, monkeypatch
+):
+    from car_etl_spark.streaming.rollup_store import RollupStore
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).withColumn("ts", F_to_ts("ts"))
+
+    base = ev([(f"2024-01-01 00:0{i}:00", "click", float(i)) for i in range(5)])
+    store = RollupStore(str(tmp_path / "r"))
+    store.build(base)
+    _crash(monkeypatch)
+    poison = ev([("2024-01-01 01:00:00", "click", 1000.0)])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.apply_batch(spark, poison, batch=1)
+    assert IX._dir_has_parquet(store.delta_dir)
+    assert not os.path.exists(store._sentinel(1))
+
+    monkeypatch.setattr(IX, "_test_post_promote_crash", None)
+    good = ev([("2024-01-01 01:00:00", "click", 7.0)])
+    assert store.apply_batch(spark, good, batch=1)
+    from pyspark.sql import functions as F
+
+    agg = {
+        (str(r["minute_start"]), r["event_type"]): float(r["sum_value"])
+        for r in store.partials(spark)
+        .groupBy("minute_start", "event_type")
+        .agg(F.sum("value_sum").alias("sum_value"))
+        .collect()
+    }
+    # the 01:00 minute carries ONLY the committed content — the crashed
+    # attempt's 1000.0 partial was swept, not summed alongside
+    assert agg[("2024-01-01 01:00:00", "click")] == 7.0
