@@ -1073,7 +1073,45 @@ def _sweep_stale_staging(
 _test_post_promote_crash = None
 
 
-def _sweep_promoted_orphans(dirs: list, committed_bound: int) -> list:
+def _file_min_batch(path: str):
+    """min(batch) over one parquet file, footer-first: row-group
+    statistics when complete, else a values read of JUST the batch
+    column (delta files are batch-sized — still no Spark job).  Returns
+    None for files without a batch column (not batch-tagged data).
+    Raises ``ValueError`` (pyarrow's ArrowInvalid subclasses it) on a
+    corrupt/truncated file — the caller turns that into a LOUD error,
+    because a file Spark cannot read either means serving is already
+    broken and a silent skip would reopen the recommit hole."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(path).metadata
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == "batch":
+            idx = i
+            break
+    if idx is None:
+        return None
+    mn = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            mn = None
+            break
+        mn = st.min if mn is None else min(mn, st.min)
+    if mn is not None:
+        return int(mn)
+    col = _pq.read_table(path, columns=["batch"]).column("batch")
+    if col.null_count == len(col):
+        return None
+    import pyarrow.compute as _pc
+
+    return int(_pc.min(col).as_py())
+
+
+def _sweep_promoted_orphans(
+    dirs: list, committed_bound: int, recheck=None, dry_run: bool = False
+) -> tuple:
     """Retract promoted-but-uncommitted delta/tombstone files — the
     r11 documented residual: an applier that CRASHED (kill, OOM)
     between ``promote()`` and its batch's commit point skipped the
@@ -1085,21 +1123,28 @@ def _sweep_promoted_orphans(dirs: list, committed_bound: int) -> list:
     removes identical replays).
 
     Called at ``apply_batch`` entry, under the writer lease, BEFORE the
-    new attempt stages anything: a file is an orphan iff its parquet
-    footer's min(batch) exceeds ``committed_bound`` — footer-only
-    reads, no Spark job, cost ∝ uncompacted delta file count (batch
-    cadence, never query time).  Files without usable batch statistics
-    are left in place (the safe direction: they stay invisible until
-    compact folds the committed window and GC drops the generation).
-    Remaining exposure (documented): an applier that pauses longer than
-    the lease TTL INSIDE the millisecond fence-check→promote rename
-    window and then crashes — strictly narrower than the seconds-scale
-    stats-job window this sweep closes.
+    new attempt stages anything: a file is an orphan iff its
+    min(batch) exceeds ``committed_bound`` (:func:`_file_min_batch` —
+    footer/column reads only, no Spark job, cost ∝ uncompacted delta
+    file count at batch cadence, never query time).  Two-phase:
+    CANDIDATES are collected first (the seconds-scale walk), then
+    ``recheck`` (the caller's fence check) runs immediately before any
+    removal — a sweeper that stalled past its lease TTL mid-walk must
+    not delete the new owner's in-flight promoted files off a stale
+    bound; the recheck shrinks that window to the same millisecond
+    class as fence-check→promote.  Files that vanish mid-walk
+    (OSError — e.g. a racing generation GC) are skipped and reported.
 
-    Returns the removed paths (tests assert on them)."""
-    import pyarrow.parquet as _pq
+    Removal races a serve that listed the orphan before the sweep and
+    opens it after — the same accepted class as the r11 fenced
+    retract's per-file removal (the orphan's rows were never visible;
+    the exposure is one failed scan, bounded by the crash-to-next-
+    apply interval, not a wrong answer).
 
-    removed: list = []
+    Returns ``(orphans, skipped)``; with ``dry_run`` the orphans are
+    reported, not removed (soak/test evidence probes)."""
+    orphans: list = []
+    skipped: list = []
     for d in dirs:
         for root, dnames, fnames in os.walk(d):
             dnames[:] = [x for x in dnames if not x.startswith(("_", "."))]
@@ -1108,27 +1153,30 @@ def _sweep_promoted_orphans(dirs: list, committed_bound: int) -> list:
                     continue
                 p = os.path.join(root, fn)
                 try:
-                    md = _pq.ParquetFile(p).metadata
-                    idx = None
-                    for i in range(md.num_columns):
-                        if md.schema.column(i).name == "batch":
-                            idx = i
-                            break
-                    if idx is None:
-                        continue
-                    mn = None
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            mn = None
-                            break
-                        mn = st.min if mn is None else min(mn, st.min)
-                    if mn is not None and int(mn) > int(committed_bound):
-                        os.remove(p)
-                        removed.append(p)
+                    mn = _file_min_batch(p)
                 except OSError:
-                    pass
-    return removed
+                    skipped.append(p)
+                    continue
+                except ValueError as e:
+                    raise ValueError(
+                        f"_sweep_promoted_orphans: unreadable parquet file {p} "
+                        "in the live tree (Spark serving would fail on it "
+                        "too) — restore or remove it manually"
+                    ) from e
+                if mn is not None and mn > int(committed_bound):
+                    orphans.append(p)
+    if dry_run or not orphans:
+        return orphans, skipped
+    if recheck is not None:
+        recheck()
+    removed: list = []
+    for p in orphans:
+        try:
+            os.remove(p)
+            removed.append(p)
+        except OSError:
+            skipped.append(p)
+    return removed, skipped
 
 
 # -- reader pins: pin-aware generation retention (round 10) -------------
@@ -1778,6 +1826,7 @@ class PostingStore:
         _sweep_promoted_orphans(
             [self.delta_dir, self.doclen_delta, self.tomb_dir],
             int(meta.get("applied_through") or 0),
+            recheck=lambda: _fence_check(self),
         )
         tomb_key = ([self.tenant_col] if self.tenant_col else []) + ["doc_id"]
         tomb_parts = []
@@ -3231,6 +3280,7 @@ class IvfStore:
         _sweep_promoted_orphans(
             [self.delta_dir, self.tomb_dir],
             int(m.get("applied_through") or 0),
+            recheck=lambda: _fence_check(self),
         )
         cents = sorted(zip(m["centroid_ids"], m["centroids"]))
         if self.tenant_col and self.tenant_col not in keep:

@@ -360,14 +360,6 @@ class RollupStore:
             # content already folded into base (compact cleared its
             # sentinel) — refuse like the sentinel does
             return False
-        if os.path.exists(self._pending(batch)):
-            # a previous attempt crashed mid-append: this replay may
-            # duplicate rows the crash already landed — flag the store
-            # so reads pay the duplicate-drop until the next compact
-            with open(self._dirty_path, "w") as f:
-                f.write("replayed after crashed append")
-        with open(self._pending(batch), "w") as f:
-            f.write("pending")
         from car_etl_spark.operators import indexing as _IX
         from car_etl_spark.operators.indexing import (
             MaintenanceFencedError,
@@ -380,7 +372,23 @@ class RollupStore:
         # anything: files promoted by an applier that crashed before its
         # sentinel landed carry batch ids above the committed bound and
         # would surface under a different-content recommit (r12)
-        _sweep_promoted_orphans([self.delta_dir], self._max_sentinel())
+        _orph, _skipped = _sweep_promoted_orphans(
+            [self.delta_dir], self._max_sentinel(),
+            recheck=lambda: _fence_check(self),
+        )
+        if os.path.exists(self._pending(batch)) and _skipped:
+            # a previous attempt crashed mid-append AND the sweep could
+            # not retract every orphan (file vanished/remove failed):
+            # this replay may duplicate the survivors — flag the store
+            # so reads pay the duplicate-drop until the next compact.
+            # With a clean sweep the replay CANNOT duplicate (every
+            # crashed-attempt row carried batch > the committed bound
+            # and was just removed), so the clean-ledger fast path
+            # survives crash replays (r12 — was an unconditional stamp)
+            with open(self._dirty_path, "w") as f:
+                f.write("replayed after crashed append")
+        with open(self._pending(batch), "w") as f:
+            f.write("pending")
         # staged append, promoted only after the fence check: a stale
         # (stolen-lease) applier leaves nothing in the live delta tree
         # (its orphan rows would otherwise become visible if the new

@@ -394,11 +394,28 @@ def main() -> None:  # noqa: C901
                     pass
             finally:
                 IX._test_post_promote_crash = None
+            # orphan EVIDENCE uses the sweep's own predicate in dry-run
+            # (min(batch) > committed bound), not a bare dir-has-parquet
+            # probe that ordinary committed delta files would satisfy
+            probes = (
+                (
+                    (posting.delta_dir, posting.doclen_delta, posting.tomb_dir),
+                    int(posting._meta().get("applied_through") or 0),
+                ),
+                (
+                    (ivf.delta_dir, ivf.tomb_dir),
+                    int(ivf.meta().get("applied_through") or 0),
+                ),
+                ((rollup.delta_dir,), rollup._max_sentinel()),
+            )
+            n_orph = sum(
+                1
+                for dirs, bound in probes
+                if IX._sweep_promoted_orphans(list(dirs), bound, dry_run=True)[0]
+            )
             with lock:
                 crash_counters["injected"] += 1
-                for d in (posting.delta_dir, ivf.delta_dir, rollup.delta_dir):
-                    if IX._dir_has_parquet(d):
-                        crash_counters["orphan_dirs"] += 1
+                crash_counters["orphan_dirs"] += n_orph
 
         def maintenance() -> None:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maintenance")
@@ -739,8 +756,10 @@ def main() -> None:  # noqa: C901
             if not errors
             and counters["mismatches"] == 0
             and rogue_counters["published"] == 0
-            and crash_counters["injected"] > 0
             and crash_counters["injected"] == crash_counters["recovered"]
+            # the arm fires at b % 7 == 3, so any run long enough to
+            # contain it must have injected; shorter runs skip the gate
+            and (N_BATCHES < 3 or crash_counters["injected"] > 0)
             else "FAIL"
         )
         print(json.dumps(out))

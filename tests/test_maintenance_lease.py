@@ -782,3 +782,48 @@ def test_rollup_crash_orphans_swept_before_different_content_commit(
     # the 01:00 minute carries ONLY the committed content — the crashed
     # attempt's 1000.0 partial was swept, not summed alongside
     assert agg[("2024-01-01 01:00:00", "click")] == 7.0
+
+
+def test_sweep_value_fallback_and_corrupt_file_fails_loud(tmp_path):
+    """Files without footer statistics fall back to a values read of
+    the batch column (still orphan-detected); a corrupt parquet in the
+    live tree fails LOUD — serving would fail on it too, and a silent
+    skip would reopen the different-content-recommit hole."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "delta")
+    os.makedirs(d)
+    t = pa.table({"batch": pa.array([5, 6], "int64"), "v": [1, 2]})
+    pq.write_table(t, os.path.join(d, "a.parquet"), write_statistics=False)
+    orph, skipped = IX._sweep_promoted_orphans([d], 4, dry_run=True)
+    assert [os.path.basename(p) for p in orph] == ["a.parquet"] and not skipped
+    # min(batch)=5 <= bound=5 -> committed range, never a candidate
+    assert IX._sweep_promoted_orphans([d], 5, dry_run=True) == ([], [])
+    with open(os.path.join(d, "bad.parquet"), "w") as f:
+        f.write("not a parquet file")
+    with pytest.raises(ValueError, match="unreadable parquet"):
+        IX._sweep_promoted_orphans([d], 4, dry_run=True)
+
+
+def test_sweep_rechecks_fence_before_removing_anything(tmp_path):
+    """The two-phase contract: candidates are collected first, then the
+    caller's fence recheck runs BEFORE any removal — a sweeper whose
+    lease was stolen mid-walk must not delete the new owner's files
+    off its stale bound."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "delta")
+    os.makedirs(d)
+    p = os.path.join(d, "orphan.parquet")
+    pq.write_table(pa.table({"batch": pa.array([5], "int64")}), p)
+
+    def stolen():
+        raise IX.MaintenanceFencedError("lease stolen mid-walk")
+
+    with pytest.raises(IX.MaintenanceFencedError):
+        IX._sweep_promoted_orphans([d], 4, recheck=stolen)
+    assert os.path.exists(p), "no removal may precede the recheck"
+    removed, skipped = IX._sweep_promoted_orphans([d], 4)
+    assert removed == [p] and not skipped and not os.path.exists(p)

@@ -73,13 +73,15 @@ def test_replay_and_crash_replay_are_noops(spark, tmp_path, store):
     assert store.apply_batch(spark, _df(spark, B1), batch=1) is False
     # crash-before-sentinel: the write order (pending -> delta ->
     # sentinel -> clear pending) guarantees the pending marker is still
-    # on disk in that state; the replay duplicates the delta rows,
-    # flags the store dirty, and the exact-dup drop saves the view
+    # on disk in that state; r12 — the replay's entry sweep retracts
+    # the orphaned delta rows (batch above the committed bound) and the
+    # replay lands fresh: no duplicates, ledger stays CLEAN, and the
+    # served view is unchanged
     os.remove(store._sentinel(1))
     with open(store._pending(1), "w") as f:
         f.write("pending")
     assert store.apply_batch(spark, _df(spark, B1), batch=1)
-    assert store._needs_dup_drop() is True
+    assert store._needs_dup_drop() is False
     assert _rows(store.read(spark, "minute")) == before
 
 
@@ -325,9 +327,12 @@ def test_rollup_numeric_string_tenants_not_conflated(spark, tmp_path):
 
 def test_clean_ledger_skips_duplicate_drop_but_replay_stays_exact(spark, tmp_path, store):
     """The clean-ledger fast path: no crash-replay ever happened ->
-    partials() serves WITHOUT the duplicate-drop aggregation; a replay
-    after a crashed append stamps the store dirty, the drop turns on,
-    and the served values stay exact; compact clears the flag."""
+    partials() serves WITHOUT the duplicate-drop aggregation.  r12: a
+    replay after a crashed append no longer stamps the store dirty —
+    the entry sweep retracts the crashed attempt's rows (batch above
+    the committed bound) before the replay appends, so the replay
+    CANNOT duplicate and the fast path survives; the dirty backstop
+    only fires when the sweep reports files it could not retract."""
     store.apply_batch(spark, _df(spark, B1), batch=1)
     assert store._needs_dup_drop() is False
     plan = store.partials(spark)._jdf.queryExecution().executedPlan().toString()
@@ -338,14 +343,14 @@ def test_clean_ledger_skips_duplicate_drop_but_replay_stays_exact(spark, tmp_pat
     os.remove(store._sentinel(2))
     with open(store._pending(2), "w") as f:
         f.write("pending")  # the marker a mid-append crash leaves
-    # replay duplicates batch 2's rows and must stamp the store dirty
+    # replay: the sweep retracts the orphaned rows, the replay lands
+    # fresh — ledger stays clean, no duplicate-drop aggregation
     assert store.apply_batch(spark, _df(spark, B2), batch=2) is True
-    assert store._needs_dup_drop() is True
-    plan_dirty = store.partials(spark)._jdf.queryExecution().executedPlan().toString()
-    # the dirty plan pays an extra aggregation the clean plan skipped
-    assert plan_dirty.count("HashAggregate") > plan.count("HashAggregate")
+    assert store._needs_dup_drop() is False
+    plan_replay = store.partials(spark)._jdf.queryExecution().executedPlan().toString()
+    assert plan_replay.count("HashAggregate") == plan.count("HashAggregate")
 
-    # served values equal a single-apply twin despite the double write
+    # served values equal a single-apply twin despite the crash+replay
     solo = RollupStore(str(tmp_path / "solo2"))
     solo.build(_df(spark, V0))
     solo.apply_batch(spark, _df(spark, B1), batch=1)
@@ -356,6 +361,33 @@ def test_clean_ledger_skips_duplicate_drop_but_replay_stays_exact(spark, tmp_pat
     assert store._needs_dup_drop() is False
     assert _rows(store.read(spark, "day")) == _rows(solo.read(spark, "day"))
     assert clean == [r for r in clean]  # clean snapshot untouched
+
+
+def test_replay_stamps_dirty_only_when_sweep_leaves_files(
+    spark, tmp_path, store, monkeypatch
+):
+    """The dirty backstop still exists for the one case that needs it:
+    a sweep that could not retract every orphan (vanished mid-walk /
+    remove failure) — forced here by stubbing the sweep to report a
+    skipped file."""
+    from car_etl_spark.operators import indexing as IX
+
+    store.apply_batch(spark, _df(spark, B1), batch=1)
+    store.apply_batch(spark, _df(spark, B2), batch=2)
+    os.remove(store._sentinel(2))
+    with open(store._pending(2), "w") as f:
+        f.write("pending")
+    monkeypatch.setattr(
+        IX, "_sweep_promoted_orphans", lambda *a, **k: ([], ["leftover"])
+    )
+    assert store.apply_batch(spark, _df(spark, B2), batch=2) is True
+    assert store._needs_dup_drop() is True
+    # exact-duplicate replay rows: the dirty drop keeps values exact
+    solo = RollupStore(str(tmp_path / "solo3"))
+    solo.build(_df(spark, V0))
+    solo.apply_batch(spark, _df(spark, B1), batch=1)
+    solo.apply_batch(spark, _df(spark, B2), batch=2)
+    assert _rows(store.read(spark, "day")) == _rows(solo.read(spark, "day"))
 
 
 def test_api_tenant_rollup_route(spark, tmp_path):
