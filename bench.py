@@ -100,6 +100,24 @@ box-regime shift; every within-session median delta is smaller than
 the base side's own spread.  BENCH_r11 medians are the SERIES
 BASELINE from here: r12+ movers adjudicate against r11 under the IQR
 protocol above.
+
+r12 METHODOLOGY CHANGE (sink): timings switch from ``df.count()`` to a
+noop-sink write (``df.write.format("noop")``), which forces the FULL
+result to be produced.  Under count() Catalyst legally prunes work the
+query claims to measure: aggregate expressions drop when only group
+keys are needed (q1's sums never ran — 0.75 s vs 2.96 s honest),
+provably-cardinality-preserving outer joins are eliminated outright
+(span_dedup_report's entire fingerprint subtree was skipped: 0.56 s
+fake vs 2.5 s real — caught when a null-safe join key change defeated
+the elimination rule and the row "regressed" 4x), and unused output
+columns never compute.  A count-vs-noop audit over all 50 rows found
+25 rows reading >=1.5x higher under the honest sink (worst:
+extraction_pipeline_versions 5.2x, events_asof_attribution 9.9x).
+Row counts still come from one count() per query AFTER the timed noop
+write.  THE SERIES RESETS HERE: r12 noop medians are the new baseline;
+r13+ movers adjudicate against r12 under the same IQR protocol.
+BENCH_r11 numbers are count-sink readings — comparable to r12 only
+via the A/B scripts (scripts/bench_ab.py mirrors the noop sink).
 """
 
 from __future__ import annotations
@@ -281,12 +299,18 @@ def main() -> None:
             floors.append(round(time.perf_counter() - t0, 4))
         for name in HEADLINE:
             fn = resolve(name)
+            # noop-sink write: forces the FULL result (see the r12
+            # ledger note — count() let Catalyst skip aggregate
+            # expressions, eliminable joins, and pruned columns)
             t0 = time.perf_counter()
-            rowcounts[name] = fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()
             if p == 0:
                 timings_cold[name] = round(dt, 4)
+                # row counts are reported, not timed: one count() per
+                # query on the cold pass only
+                rowcounts[name] = fn(spark, sf_dir).count()
             else:
                 warm_runs[name].append(round(dt, 4))
         print(

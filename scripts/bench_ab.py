@@ -103,8 +103,14 @@ def main() -> None:
                 if run % 2:
                     order = order[::-1]
                 for tag, fns in order:
+                    # noop sink, mirroring bench.py's r12 methodology
+                    # (count() lets Catalyst skip aggregate exprs and
+                    # eliminable joins — the A/B must time the same
+                    # work the bench times)
                     t0 = time.perf_counter()
-                    fns[name](spark, SF_DIR).count()
+                    fns[name](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
                     times.setdefault((name, tag), []).append(time.perf_counter() - t0)
                     spark.catalog.clearCache()
 

@@ -148,8 +148,12 @@ def main() -> None:
                 for tag in order:
                     tree = trees[tag]
                     with tree.active() as fns:
+                        # noop sink — mirrors bench.py r12 (count()
+                        # lets Catalyst skip work the bench now times)
                         t0 = time.perf_counter()
-                        fns[name](spark, SF_DIR).count()
+                        fns[name](spark, SF_DIR).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
                         times.setdefault((name, tag), []).append(
                             time.perf_counter() - t0
                         )

@@ -234,8 +234,13 @@ def main() -> None:
                 local: dict[str, list[float]] = {m: [] for m in mode_list}
                 for r in range(per_stream):
                     mode = mode_list[(idx + r) % len(mode_list)]
+                    # noop sink — the request must PRODUCE its result
+                    # (bench.py r12: count() lets Catalyst skip
+                    # aggregate exprs / prune output columns)
                     t0 = time.perf_counter()
-                    fns[mode](spark, SF_DIR).count()
+                    fns[mode](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
                     local[mode].append(time.perf_counter() - t0)
                 with lock:
                     for m, xs in local.items():

@@ -186,9 +186,13 @@ def main() -> None:
         try:
             runs = []
             for _ in range(2):
+                # noop sink, mirroring bench.py's r12 methodology:
+                # the timed pass must produce the FULL result (count()
+                # let Catalyst skip aggregate exprs/eliminable joins)
                 t0 = time.perf_counter()
-                n = fn(spark, DST).count()
+                fn(spark, DST).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
+            n = fn(spark, DST).count()
             cold[name] = round(runs[0], 3)
             warm[name] = round(min(runs[1:]), 3)
             rows[name] = int(n)
