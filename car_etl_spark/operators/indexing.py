@@ -809,7 +809,12 @@ class _LeaseHeartbeat(threading.Thread):
         self.stop_evt = threading.Event()
 
     def run(self) -> None:
-        period = max(1.0, self.ttl_sec / 3.0)
+        # ttl/3 keeps two missed beats of margin; the old max(1.0, ...)
+        # floor made the period LONGER than any sub-3s TTL — the lease
+        # then looked expired for most of every beat interval (burned a
+        # short-TTL test; a production 600 s TTL never hit it).  The
+        # 20 ms absolute floor only guards a pathological ~0 TTL.
+        period = max(0.02, self.ttl_sec / 3.0)
         while not self.stop_evt.wait(period):
             if not renew_maintenance_lease(self.lease, self.ttl_sec):
                 return  # stolen: stop heartbeating, fencing handles the rest

@@ -94,7 +94,9 @@ def _warm_medians(spark, fns: dict, passes: int = 3) -> dict:
     for _ in range(passes):
         for name, fn in fns.items():
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            # noop sink — bench.py r12 sink honesty, and the warm-boot
+            # hook now pre-compiles the full (noop) plan
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             vals[name].append(time.perf_counter() - t0)
     return {n: round(statistics.median(v), 3) for n, v in vals.items()}
 
@@ -115,7 +117,9 @@ def arm_cold() -> None:
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)  # plan construction + analysis (+ probe jobs)
         t_plan = time.perf_counter() - t0
-        df.count()  # codegen compile + first-touch IO + execute
+        df.write.format("noop").mode(
+            "overwrite"
+        ).save()  # codegen compile + first-touch IO + execute (full plan)
         t_first = time.perf_counter() - t0
         out[name] = {
             "cold_first": round(t_first, 3),
@@ -142,7 +146,7 @@ def arm_prepared() -> None:
     fns = serving_modes()
     for name, fn in fns.items():
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         out[name] = {"prepared_first": round(time.perf_counter() - t0, 3)}
     for name, w in _warm_medians(spark, fns).items():
         out[name]["prepared_warm"] = w

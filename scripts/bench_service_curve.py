@@ -173,8 +173,11 @@ def main() -> None:
     # discipline — the reference's latencies exclude index build too)
     t0 = time.perf_counter()
     for mode, fn in fns.items():
-        fn(spark, SF_DIR).count()
-        fn(spark, SF_DIR).count()
+        # warm with the SAME sink the timed requests use — count()
+        # compiles a pruned plan and the first timed noop request
+        # would pay the full plan's codegen inside its sample
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     print(f"# prep+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     floor_runs = []

@@ -329,15 +329,20 @@ def test_stale_applier_fenced_at_commit_point(spark, tmp_path):
 
 def test_heartbeat_keeps_live_holder_from_looking_expired(tmp_path):
     """A long build renews its lease: contenders keep refusing well
-    past the nominal TTL instead of stealing mid-build."""
+    past the nominal TTL instead of stealing mid-build.  (TTL 1.5 s /
+    beat 0.5 s: a full second of scheduling margin per beat — the old
+    0.3 s TTL flaked under full-suite CPU load, and exposed that the
+    heartbeat's 1 s minimum period exceeded sub-3 s TTLs outright.)"""
     root = str(tmp_path / "s")
-    lease = IX.acquire_maintenance_lease(root, ttl_sec=0.3)
-    hb = IX._LeaseHeartbeat(lease, ttl_sec=0.3)
+    lease = IX.acquire_maintenance_lease(root, ttl_sec=1.5)
+    hb = IX._LeaseHeartbeat(lease, ttl_sec=1.5)
     hb.start()
     try:
-        time.sleep(1.0)  # several TTLs elapse
-        with pytest.raises(IX.MaintenanceLeaseHeldError):
-            IX.acquire_maintenance_lease(root)
+        deadline = time.time() + 4.0  # several TTLs elapse
+        while time.time() < deadline:
+            with pytest.raises(IX.MaintenanceLeaseHeldError):
+                IX.acquire_maintenance_lease(root)
+            time.sleep(0.25)
     finally:
         hb.stop()
         hb.join()
