@@ -51,7 +51,14 @@ def flagship_portfolio_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-25 customers by revenue with share-of-portfolio and cumulative
     share in rank order — A1/A3 + W1/W2/W4 + O4 in one DAG.
     """
-    rev = _customer_revenue(spark, sf_dir)
+    # Materialize the customer-grain aggregate ONCE (r12): the total and
+    # top-k branches prune different columns, so their exchanges never
+    # canonicalize equal and ReusedExchange cannot fire — without this
+    # the full lineitem⋈orders⋈customer + two-level aggregate subtree
+    # executes twice (verified in plans/r12/flagship_portfolio_rollup
+    # _before.txt: two disjoint scan trees).  Customer grain is bounded
+    # (~rows = |customer|), so the checkpoint is small at any scale.
+    rev = _customer_revenue(spark, sf_dir).localCheckpoint(eager=True)
     total = rev.agg(F.sum(F.col("revenue_raw").cast(DEC)).cast("double").alias("portfolio_total"))
     topk = (
         rev.crossJoin(F.broadcast(total))
@@ -106,7 +113,9 @@ FROM topk
 def top5_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: top-5 share of total — single-row concentration metric
     (reference ``effective_rent.py:413-414,577-584``)."""
-    rev = _customer_revenue(spark, sf_dir)
+    # same ReusedExchange-defeat as flagship (r12): materialize the
+    # customer-grain aggregate once for the total and top-5 branches
+    rev = _customer_revenue(spark, sf_dir).localCheckpoint(eager=True)
     total = rev.agg(
         F.sum(F.col("revenue_raw").cast(DEC)).alias("portfolio_total"),
         F.count(F.lit(1)).alias("customer_count"),

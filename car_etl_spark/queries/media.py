@@ -109,8 +109,17 @@ def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
-    media = synthesize_media(_asset_params(docs)).withColumn(
-        "mime_type", detect_mime(F.col("content"))
+    # Materialize the synthesized assets ONCE (r12): the four decode
+    # legs + the resize leg each consume `media`, and the mapInPandas
+    # encode stage is opaque to Catalyst, so without this the Python
+    # synth ran ~5x (plans/r12/media_features_report_before.txt shows
+    # 12 parquet scans / five disjoint synth subtrees).  The asset
+    # table is a bounded sample of the corpus (1/7th of doc ids, small
+    # payloads), so the checkpoint is cheap at any scale.
+    media = (
+        synthesize_media(_asset_params(docs))
+        .withColumn("mime_type", detect_mime(F.col("content")))
+        .localCheckpoint(eager=True)
     )
     null_l = F.lit(None).cast("long")
 

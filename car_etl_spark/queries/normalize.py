@@ -18,8 +18,7 @@ from car_etl_spark.queries import QuerySpec
 from car_etl_spark.tables import load_tables
 
 
-def currency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2: ``$x`` / ``(x)`` accounting negatives / padded / null-words."""
+def _currency_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     s = F.round("o_totalprice", 2).cast("string")
     raw = (
@@ -28,14 +27,16 @@ def currency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_orderkey") % 4 == 2, F.concat(F.lit("  $ "), s, F.lit(" ")))
         .otherwise(F.lit("n/a"))
     )
-    return (
-        orders.select(
-            "o_orderkey",
-            raw.alias("raw_value"),
-            F.round(N.normalize_currency(raw), 2).alias("normalized"),
-        )
-        .orderBy("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw_value"),
+        F.round(N.normalize_currency(raw), 2).alias("normalized"),
     )
+
+
+def currency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: ``$x`` / ``(x)`` accounting negatives / padded / null-words."""
+    return _currency_core(spark, sf_dir).orderBy("o_orderkey")
 
 
 CURRENCY_ROUNDTRIP_SQL = """
@@ -63,8 +64,7 @@ ORDER BY o_orderkey
 """
 
 
-def date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: four input formats -> ISO; null-words -> NULL."""
+def _date_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     d = F.col("o_orderdate")
     raw = (
@@ -74,14 +74,16 @@ def date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_orderkey") % 5 == 3, F.date_format(d, "MM-dd-yyyy"))
         .otherwise(F.lit("none"))
     )
-    return (
-        orders.select(
-            "o_orderkey",
-            raw.alias("raw_value"),
-            N.normalize_date_str(raw).alias("normalized_date"),
-        )
-        .orderBy("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw_value"),
+        N.normalize_date_str(raw).alias("normalized_date"),
     )
+
+
+def date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: four input formats -> ISO; null-words -> NULL."""
+    return _date_core(spark, sf_dir).orderBy("o_orderkey")
 
 
 DATE_ROUNDTRIP_SQL = """
@@ -100,8 +102,7 @@ ORDER BY o_orderkey
 """
 
 
-def percent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4: ``"7%"`` == ``0.07`` == ``7``; out-of-range -> NULL."""
+def _percent_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
     pct100 = F.round(F.col("l_discount") * 100, 4).cast("string")
@@ -112,15 +113,17 @@ def percent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(key % 4 == 2, pct100)
         .otherwise(F.lit("750%"))  # 7.5 > 5 -> NULL per clamp rule
     )
-    return (
-        li.select(
-            "l_orderkey",
-            "l_linenumber",
-            raw.alias("raw_value"),
-            F.round(N.normalize_percent(raw), 6).alias("normalized_pct"),
-        )
-        .orderBy("l_orderkey", "l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        raw.alias("raw_value"),
+        F.round(N.normalize_percent(raw), 6).alias("normalized_pct"),
     )
+
+
+def percent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: ``"7%"`` == ``0.07`` == ``7``; out-of-range -> NULL."""
+    return _percent_core(spark, sf_dir).orderBy("l_orderkey", "l_linenumber")
 
 
 PERCENT_ROUNDTRIP_SQL = """
@@ -152,8 +155,7 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
-def boolean_enum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6/F7: truthy/falsy vocabulary + case-insensitive enum matching."""
+def _boolean_enum_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
     words = ["yes", "No", "TRUE", "off", "enabled", "not required", "maybe", "1", "0"]
     bool_raw = F.element_at(
@@ -165,16 +167,18 @@ def boolean_enum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_mktsegment"))
     )
     allowed = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
-    return (
-        cust.select(
-            "c_custkey",
-            bool_raw.alias("bool_raw"),
-            N.normalize_boolean(bool_raw).alias("normalized_bool"),
-            seg_raw.alias("seg_raw"),
-            N.normalize_enum(seg_raw, allowed).alias("normalized_segment"),
-        )
-        .orderBy("c_custkey")
+    return cust.select(
+        "c_custkey",
+        bool_raw.alias("bool_raw"),
+        N.normalize_boolean(bool_raw).alias("normalized_bool"),
+        seg_raw.alias("seg_raw"),
+        N.normalize_enum(seg_raw, allowed).alias("normalized_segment"),
     )
+
+
+def boolean_enum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7: truthy/falsy vocabulary + case-insensitive enum matching."""
+    return _boolean_enum_core(spark, sf_dir).orderBy("c_custkey")
 
 
 BOOLEAN_ENUM_ROUNDTRIP_SQL = """
@@ -205,10 +209,7 @@ ORDER BY c_custkey
 """
 
 
-def extract_numeric_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9: the effective-rent lenient parser — keep digits+dots, default
-    0.0 (``src/services/effective_rent.py:49-67``).  Note its documented
-    quirk: ``(1,200)`` parses positive here, unlike F2."""
+def _extract_numeric_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     s = F.round("o_totalprice", 2).cast("string")
     raw = (
@@ -216,14 +217,18 @@ def extract_numeric_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_orderkey") % 3 == 1, F.concat(F.lit("("), s, F.lit(")")))
         .otherwise(F.lit("no rent"))
     )
-    return (
-        orders.select(
-            "o_orderkey",
-            raw.alias("raw_value"),
-            F.round(N.extract_numeric(raw), 2).alias("numeric_value"),
-        )
-        .orderBy("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw_value"),
+        F.round(N.extract_numeric(raw), 2).alias("numeric_value"),
     )
+
+
+def extract_numeric_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: the effective-rent lenient parser — keep digits+dots, default
+    0.0 (``src/services/effective_rent.py:49-67``).  Note its documented
+    quirk: ``(1,200)`` parses positive here, unlike F2."""
+    return _extract_numeric_core(spark, sf_dir).orderBy("o_orderkey")
 
 
 EXTRACT_NUMERIC_SQL = """
@@ -242,8 +247,7 @@ ORDER BY o_orderkey
 """
 
 
-def integer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3: comma-separated integers, float-string truncation, null-words."""
+def _integer_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_tables(spark, sf_dir, ("part",))["part"]
     size1000 = (F.col("p_size") * 1000).cast("string")
     raw = (
@@ -252,14 +256,16 @@ def integer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("p_partkey") % 4 == 2, F.concat(size1000, F.lit(".9")))
         .otherwise(F.lit("n/a"))
     )
-    return (
-        part.select(
-            "p_partkey",
-            raw.alias("raw_value"),
-            N.normalize_integer(raw).alias("normalized_int"),
-        )
-        .orderBy("p_partkey")
+    return part.select(
+        "p_partkey",
+        raw.alias("raw_value"),
+        N.normalize_integer(raw).alias("normalized_int"),
     )
+
+
+def integer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: comma-separated integers, float-string truncation, null-words."""
+    return _integer_core(spark, sf_dir).orderBy("p_partkey")
 
 
 INTEGER_ROUNDTRIP_SQL = """
@@ -298,29 +304,34 @@ def normalize_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm.alias("normalized"),
         )
 
+    # r12: union the UNSORTED cores — each sub-query's own orderBy
+    # survived below the Union (Catalyst does not eliminate sorts under
+    # Union children: plans/r12/normalize_roundtrips_before.txt shows 7
+    # inner Sort+range-Exchange pairs), and the suite's final global
+    # orderBy makes them pure waste.  Same rows, one sort instead of 8.
     cur = tag(
-        currency_roundtrip(spark, sf_dir), "currency", F.col("o_orderkey"),
+        _currency_core(spark, sf_dir), "currency", F.col("o_orderkey"),
         F.col("raw_value"), F.col("normalized").cast("decimal(18,2)").cast("string"),
     )
     dat = tag(
-        date_roundtrip(spark, sf_dir), "date", F.col("o_orderkey"),
+        _date_core(spark, sf_dir), "date", F.col("o_orderkey"),
         F.col("raw_value"), F.col("normalized_date"),
     )
     pct = tag(
-        percent_roundtrip(spark, sf_dir), "percent",
+        _percent_core(spark, sf_dir), "percent",
         F.col("l_orderkey") * 10 + F.col("l_linenumber"),
         F.col("raw_value"), F.col("normalized_pct").cast("decimal(18,6)").cast("string"),
     )
-    be = boolean_enum_roundtrip(spark, sf_dir)
+    be = _boolean_enum_core(spark, sf_dir)
     boo = tag(be, "boolean", F.col("c_custkey"), F.col("bool_raw"),
               F.col("normalized_bool").cast("string"))
     enu = tag(be, "enum", F.col("c_custkey"), F.col("seg_raw"), F.col("normalized_segment"))
     num = tag(
-        extract_numeric_lenient(spark, sf_dir), "numeric_lenient", F.col("o_orderkey"),
+        _extract_numeric_core(spark, sf_dir), "numeric_lenient", F.col("o_orderkey"),
         F.col("raw_value"), F.col("numeric_value").cast("decimal(18,2)").cast("string"),
     )
     itg = tag(
-        integer_roundtrip(spark, sf_dir), "integer", F.col("p_partkey"),
+        _integer_core(spark, sf_dir), "integer", F.col("p_partkey"),
         F.col("raw_value"), F.col("normalized_int").cast("string"),
     )
     # F32 email extraction joined the suite in round 5 (registry

@@ -409,9 +409,18 @@ def _span_group_metrics(docs: DataFrame) -> DataFrame:
     driver state, no Python.
     """
     K = SPAN_K
+    # r12: materialize the tokenized corpus ONCE.  The before-plan
+    # (plans/r12/span_dedup_report_before.txt) showed THREE disjoint
+    # scan+tokenize subtrees: the totals branch, the fingerprint explode
+    # feeding the occurrence count, and the join-back probe — the
+    # docstring's intended ReusedExchange never fired because the
+    # occurrence aggregate came back as a BroadcastHashJoin build side
+    # (no common Exchange subtree to reuse).  Token arrays are a
+    # bounded, skinny projection of the corpus, the same class of
+    # staging similarity.prefix_frames already checkpoints.
     toked = docs.select(
         "doc_id", "source", "lang", T.tokenize(F.lower(F.col("text"))).alias("toks")
-    )
+    ).localCheckpoint(eager=True)
     staged = toked.select(
         "doc_id", "source", "lang", "toks", F.size("toks").alias("n")
     )
@@ -431,17 +440,21 @@ def _span_group_metrics(docs: DataFrame) -> DataFrame:
     ex = staged.select(
         "doc_id", "source", "lang", F.posexplode(fps).alias("pos0", "fp")
     )
-    occ_rep = (
-        ex.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") >= 2)
-        .select("fp")
-    )
+    # r12: corpus-wide occurrence count as a WINDOW over fp instead of
+    # groupBy(fp)+join-back — the fingerprint explode (the md5 pass) now
+    # runs once and shuffles once, where the join-back form computed the
+    # exploded subtree twice (broadcast probe side had no exchange to
+    # reuse).  Same one Exchange keyed on fp; the count-only window
+    # needs no ordering, so per-partition it is a sort by fp + a
+    # streaming group count — the exact work the groupBy did, minus the
+    # second corpus pass.
+    occ_w = Window.partitionBy("fp")
     # flagged occurrences x K covered positions, aggregated ONCE:
     # (doc, pos0) identifies an occurrence (one window per start), so
     # its distinct count is span_flagged even on the exploded grain
     fstat = (
-        ex.join(occ_rep, "fp")
+        ex.withColumn("occ", F.count(F.lit(1)).over(occ_w))
+        .filter(F.col("occ") >= 2)
         .select(
             "source",
             "lang",

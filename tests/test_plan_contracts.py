@@ -85,8 +85,13 @@ CONTRACTS = [
     ("hybrid_porter_ivf_search", 8,
      ["PartitionFilters: [term_bucket", "PartitionFilters: [centroid_id"],
      ["CartesianProduct"]),
-    # flagship: grand total via broadcast, top-k via TakeOrdered
-    ("flagship_portfolio_rollup", 9, ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    # flagship (r12 shape): the customer-grain aggregate is materialized
+    # once (localCheckpoint — ReusedExchange could not fire across the
+    # column-pruned total/top-k branches), so the OUTER plan is two
+    # ExistingRDD scans + the single-row total broadcast + TakeOrdered.
+    # The join strategy of the hidden subtree is pinned separately in
+    # test_customer_revenue_subtree_broadcasts.
+    ("flagship_portfolio_rollup", 3, ["TakeOrderedAndProject"],
      ["SortMergeJoin"]),
     # EAV pivot: conditional aggregation, bounded shuffles, broadcast vocab
     ("eav_pivot_effective_rent", 3, ["BroadcastHashJoin"], ["SortMergeJoin"]),
@@ -146,6 +151,21 @@ def test_plan_contract(spark, registry, name, max_ex, need, forbid):
         assert token in plan, f"{name}: expected {token!r} in plan\n{plan[:3000]}"
     for token in forbid:
         assert token not in plan, f"{name}: forbidden {token!r} in plan\n{plan[:3000]}"
+
+
+def test_customer_revenue_subtree_broadcasts(spark):
+    """The flagship/top5 shared subtree materializes behind a
+    localCheckpoint (r12), which hides its joins from the outer plan
+    contract — so pin them here directly: dimension joins broadcast,
+    no sort-merge fallback, and the two-level aggregate keeps its
+    single shuffle pair."""
+    from car_etl_spark.queries.analytics import _customer_revenue
+
+    df = _customer_revenue(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert plan.count("Exchange") <= 4, plan[:3000]
 
 
 def test_no_cartesian_products_anywhere(spark, registry):
