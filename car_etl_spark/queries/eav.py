@@ -49,7 +49,18 @@ def eav_pivot_effective_rent(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition (the reference's §3.3 persistence + §2.4 A9 read in one
     dataflow).  Pivot is conditional max() aggregation — one shuffle,
     fixed schema."""
-    fields = _tall_fields(spark, sf_dir)
+    # r12: RANGE-partition the tall frame on the pivot key.  The one
+    # range exchange then serves the whole tail: the pivot's grouping
+    # is satisfied (no agg exchange), and the final orderBy on the same
+    # key is satisfied by range-ordered partitions + the SortAggregate's
+    # in-partition order, so Catalyst drops the global Sort node — which
+    # also removes the range-sort SAMPLING pass that was re-executing
+    # the pivot + normalizer chains (plans/r12/..._before.txt: Exchange
+    # (13) + Exchange(18); after: one Exchange).  Measured 2.59 -> 2.23s
+    # interleaved (scripts/profile_eav_variants.py).  Partition count
+    # comes from spark.sql.shuffle.partitions — scale-adaptive, not a
+    # local constant.
+    fields = _tall_fields(spark, sf_dir).repartitionByRange("extraction_id")
     wide = P.pivot_eav(
         fields,
         {

@@ -345,7 +345,16 @@ def normalize_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cur
     for part in (dat, pct, boo, enu, num, itg, eml):
         out = out.unionByName(part)
-    return out.orderBy("kind", "key_id")
+    # r12: hash-shuffle below the global sort.  A range exchange SAMPLES
+    # its child to pick bounds, re-executing the child plan once before
+    # the real pass — with no shuffle boundary under it, that means
+    # every normalizer chain ran TWICE (measured: 5.22s direct vs 3.83s
+    # with this boundary vs 2.40s sortless;
+    # scripts/profile_normalize_hashpart.py).  The hash exchange
+    # materializes the union once; the sampling pass then re-reads
+    # shuffle files instead of re-normalizing.  Same rows, same final
+    # order.
+    return out.repartition("kind", "key_id").orderBy("kind", "key_id")
 
 
 def _tagged_sql(
