@@ -46,35 +46,46 @@ def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3, *keep: st
 def exploded_shingle_rows(
     docs: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """One row per (id, shingle) via posexplode + window lead — the fast
-    exploded form.
+    """One row per (id, shingle) via posexplode + in-array lookups — the
+    fast exploded form, SHUFFLE-FREE.
 
     Exploding a deep higher-order shingle ARRAY costs ~5x the array's own
     evaluation (the generator input is interpreted HOF); building the
-    rows relationally — posexplode tokens, ``lead(tok, j)`` over the
-    in-doc window, concat — stays in codegen (measured 1.5s vs 5s for
-    the sf0.1 corpus).  The window partitions on the id, so a downstream
-    groupBy(id) reuses the exchange: still one shuffle total.
+    rows relationally — posexplode tokens, successors read straight out
+    of the retained token array with ``get(__toks, pos + j)`` (0-based,
+    NULL past the end: exactly ``lead``'s contract), concat — stays in
+    codegen AND needs no exchange at all.  The r11 form got the
+    successors from ``lead(tok, j)`` over a per-doc window instead,
+    which shuffled the ENTIRE token stream (one row per token) and
+    sorted it per doc just to see j rows ahead; with the lookups
+    in-array, the only shuffle left in a signature build is the
+    downstream min-agg's own — and that one now does PARTIAL
+    aggregation first, so 48 longs per doc cross the wire instead of
+    every token (r12: sigs 1.43 -> 1.15 s at sf0.1, and the shuffled
+    bytes drop from O(corpus tokens) to O(docs) at any scale;
+    scripts/profile_minhash_shingles.py, multiset parity asserted).
+    The array is never copied per exploded row: Generate and the gram
+    projection fuse into one whole-stage-codegen span.
 
     Emits NON-distinct shingles (a doc repeating an n-gram yields
     duplicate rows) — identical MinHash signatures (min-agg is
     duplicate-insensitive) for less work; use :func:`with_shingles` when
     set semantics matter (SimHash votes, exact Jaccard).
     """
-    from pyspark.sql import Window
-
     toked = docs.select(id_col, T.tokenize(F.lower(F.col(text_col))).alias("__toks"))
     pos = toked.select(
-        id_col, F.size("__toks").alias("__k"), F.posexplode("__toks").alias("pos", "tok")
+        id_col,
+        "__toks",
+        F.size("__toks").alias("__k"),
+        F.posexplode("__toks").alias("pos", "tok"),
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", j).over(w).alias(f"__t{j}") for j in range(1, n)]
-    led = pos.select(id_col, "__k", "pos", "tok", *leads)
     # concat_ws skips NULLs, so the pos==0 short-document case (k < n)
     # degrades to the whole-doc shingle exactly like the array form.
-    gram = F.concat_ws(" ", "tok", *[f"__t{j}" for j in range(1, n)])
+    gram = F.concat_ws(
+        " ", "tok", *[F.get("__toks", F.col("pos") + j) for j in range(1, n)]
+    )
     valid = (F.col("pos") <= F.col("__k") - n) | ((F.col("pos") == 0) & (F.col("__k") < n))
-    return led.filter(valid).select(id_col, gram.alias("sh"))
+    return pos.filter(valid).select(id_col, gram.alias("sh"))
 
 
 def minhash_from_exploded(
@@ -178,9 +189,21 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard(a_set: Column, b_set: Column) -> Column:
-    """Exact Jaccard over two array-sets (assumed distinct elements)."""
+    """Exact Jaccard over two array-sets (assumed distinct elements).
+
+    r12: the union size comes from the inclusion-exclusion identity
+    ``|A ∪ B| = |A| + |B| - |A ∩ B|`` (exact integer arithmetic on
+    distinct-element arrays) instead of a second ``array_union`` pass —
+    each pair previously built TWO hash sets (intersect + union); now
+    one.  ``size()`` is O(1) on the array header, and codegen
+    subexpression elimination evaluates the repeated
+    ``array_intersect`` once — measured on an isolated 3M-pair scoring
+    stage (noop sink, interleaved): 5.31 -> 3.30 s median, -38%, which
+    could not happen if the intersect ran twice.  Values are
+    bit-identical, so every DuckDB twin (which keeps the literal union
+    form) stays green."""
     inter = F.size(F.array_intersect(a_set, b_set))
-    union = F.size(F.array_union(a_set, b_set))
+    union = F.size(a_set) + F.size(b_set) - inter
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
 
 

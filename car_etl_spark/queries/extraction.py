@@ -30,8 +30,19 @@ def build_nested_order_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus"),
         F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
     )
+    # r12: RANGE-partition on the group key (the eav §2 pattern).  The
+    # one range exchange serves the whole tail: it satisfies the
+    # groupBy's clustering (agg hash Exchange gone), and because range
+    # partitioning on the leading sort key prefix-satisfies the final
+    # orderBy("extraction_id","row_index")'s OrderedDistribution, the
+    # sort's own range Exchange (and its child-re-executing sampling
+    # pass) drops too — only a local Sort remains.  collect_list's
+    # partial aggregation packs rows without shrinking them, so the
+    # shuffled bytes are unchanged.  Partition count inherits
+    # spark.sql.shuffle.partitions — scale-adaptive, not a constant.
     return (
         orders.select("o_custkey", F.struct(F.col("o_orderkey"), cells.alias("cells")).alias("r"))
+        .repartitionByRange("o_custkey")
         .groupBy("o_custkey")
         .agg(F.sort_array(F.collect_list("r")).alias("ordered"))
         .select(

@@ -50,6 +50,23 @@ from car_etl_spark.operators import similarity as S  # noqa: E402
 from car_etl_spark.tables import load_tables  # noqa: E402
 
 
+def exploded_window(docs, text_col="text", n=3, id_col="doc_id"):
+    """The pre-r12 shipped form, inlined verbatim so this script keeps
+    measuring the same baseline after the library switched to getarr."""
+    from pyspark.sql import Window
+
+    toked = docs.select(id_col, T.tokenize(F.lower(F.col(text_col))).alias("__toks"))
+    pos = toked.select(
+        id_col, F.size("__toks").alias("__k"), F.posexplode("__toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"__t{j}") for j in range(1, n)]
+    led = pos.select(id_col, "__k", "pos", "tok", *leads)
+    gram = F.concat_ws(" ", "tok", *[f"__t{j}" for j in range(1, n)])
+    valid = (F.col("pos") <= F.col("__k") - n) | ((F.col("pos") == 0) & (F.col("__k") < n))
+    return led.filter(valid).select(id_col, gram.alias("sh"))
+
+
 def exploded_getarr(docs, text_col="text", n=3, id_col="doc_id"):
     toked = docs.select(id_col, T.tokenize(F.lower(F.col(text_col))).alias("__toks"))
     pos = toked.select(
@@ -73,7 +90,7 @@ def docs_at(sf):
 
 # ---- correctness gate: identical (id, sh) multisets at sf0.01 --------
 small = "/root/testdata/sf0.01"
-a = S.exploded_shingle_rows(docs_at(small)).groupBy("doc_id", "sh").count()
+a = exploded_window(docs_at(small)).groupBy("doc_id", "sh").count()
 b = exploded_getarr(docs_at(small)).groupBy("doc_id", "sh").count()
 diff = a.exceptAll(b).count() + b.exceptAll(a).count()
 assert diff == 0, f"shingle multisets differ: {diff} rows"
@@ -81,7 +98,7 @@ print("sf0.01 multiset parity: OK")
 
 
 def sigs_window():
-    return S.minhash_from_exploded(S.exploded_shingle_rows(docs_at(SF_DIR)))
+    return S.minhash_from_exploded(exploded_window(docs_at(SF_DIR)))
 
 
 def sigs_getarr():
