@@ -289,16 +289,28 @@ def prefix_frames(
         .localCheckpoint(eager=True)
     )
     expl = sized.select(id_col, "__sz", F.explode(set_col).alias("__tok"))
-    tok_df = expl.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     plen = (
         F.col("__sz")
         - F.expr(f"(__sz * {tau_num} + {tau_den - 1}) div {tau_den}")
         + F.lit(1)
     )
+    # r12: per-element document frequency via count().over(partitionBy
+    # (__tok)) instead of groupBy(__tok) + join-back — the same
+    # agg+self-join -> window rewrite as span-dedup's occurrence count.
+    # The join form sorted the whole token stream by the ~20-char
+    # element string on BOTH SMJ sides; the window attaches __df with
+    # one exchange + one sort.  Measured on the sf1 shingle corpus
+    # (scripts/profile_prefix_frames.py, parity asserted): pref build
+    # 2.91 -> 0.83 s (-72 %).  __df values are identical (set_col
+    # elements are distinct per id, so the per-token row count IS the
+    # document frequency), hence prefix contents and every downstream
+    # candidate/verify result are unchanged.
+    with_df = expl.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__tok"))
+    )
     w = Window.partitionBy(id_col).orderBy("__df", "__tok")
     pref = (
-        expl.join(tok_df, "__tok")
-        .withColumn("__rn", F.row_number().over(w))
+        with_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= plen)
         .select(id_col, "__sz", "__tok")
         .localCheckpoint(eager=True)
