@@ -232,8 +232,11 @@ def portable_minhash_pairs(
 ) -> DataFrame:
     """Full portable MinHash dedup: (id_a, id_b, jaccard) — the same
     candidate/verify discipline as ``minhash_near_duplicates`` (shingle
-    sets built only for docs in a candidate pair)."""
+    sets built only for docs in a candidate pair; r12: built ONCE —
+    checkpointed, broadcast-gated semi-join — see that function's
+    docstring for the doubled-subtree defect this removes)."""
     from car_etl_spark.operators.similarity import (
+        candidate_id_frame,
         exact_jaccard,
         exploded_shingle_rows,
         with_shingles,
@@ -245,14 +248,10 @@ def portable_minhash_pairs(
     candidates = portable_band_pairs(sigs, id_col, bands, num_hashes).localCheckpoint(
         eager=True
     )
-    cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
+    cand_ids = candidate_id_frame(candidates, id_col, candidates.count())
     shingled = with_shingles(
         docs.join(cand_ids, id_col, "left_semi"), text_col, shingle_n, id_col
-    )
+    ).localCheckpoint(eager=True)
     sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -572,6 +571,7 @@ def portable_embedding_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # norms STAGED per row (n evaluations) before the verify join: the
     # threshold filter is pushed into the join condition, where an
@@ -582,15 +582,26 @@ def portable_embedding_pairs(
     # the per-pair work is one HOF (the dot); arithmetic shape (sqrt of
     # self-dot, then dot/(na*nb)) is unchanged, so values stay
     # bit-identical to the DuckDB twin.
-    va = src.select(
+    # r12: vectors+norms built ONCE for the candidate-bounded id set
+    # and checkpointed (see embedding_near_duplicates) instead of
+    # joining the full source per pair side.
+    from car_etl_spark.operators.similarity import candidate_id_frame
+
+    cand_ids = candidate_id_frame(cand, id_col, cand.count())
+    needed = (
+        src.join(cand_ids, id_col, "left_semi")
+        .select(id_col, vec_col, V.norm(F.col(vec_col)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    va = needed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        V.norm(F.col(vec_col)).alias("__na"),
+        F.col("__n").alias("__na"),
     )
-    vb = src.select(
+    vb = needed.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        V.norm(F.col(vec_col)).alias("__nb"),
+        F.col("__n").alias("__nb"),
     )
     denom = F.col("__na") * F.col("__nb")
     sim = F.round(

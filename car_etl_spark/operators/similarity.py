@@ -188,6 +188,40 @@ def lsh_candidate_pairs(
     )
 
 
+#: candidate-id broadcast gate: ids are 8-byte longs, so 4M ids build a
+#: ~32 MB hashed relation — far below the broadcast cap, trivially held
+#: by every executor.  Above the gate the planner's SMJ is the right
+#: call anyway (the id set is no longer "metadata-sized").
+CAND_ID_BROADCAST_MAX = 4_000_000
+
+
+def candidate_id_frame(
+    candidates: DataFrame, id_col: str, n_pairs: int | None = None
+) -> DataFrame:
+    """Distinct ids appearing on either side of an ``(id_a, id_b)``
+    candidate frame, broadcast-hinted when ``n_pairs`` proves the set
+    small.
+
+    The frame feeds the left-semi join that prunes the corpus down to
+    the documents a verify stage must re-process.  Catalyst cannot size
+    a ``localCheckpoint`` RDD (ExistingRDD stats default to "huge"), so
+    without the hint that semi-join plans as a SortMergeJoin that
+    shuffles AND sorts the ENTIRE corpus — a full-corpus exchange spent
+    keeping a candidate-bounded subset.  The caller just checkpointed
+    the pairs, so counting them is a near-free cached-RDD job, and
+    ``2 * n_pairs`` bounds the id count — the hint is applied exactly
+    when it is provably safe (guide §3.2's semi-join-the-big-side,
+    sized from data, not from the local core count)."""
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    if n_pairs is not None and 2 * n_pairs <= CAND_ID_BROADCAST_MAX:
+        ids = F.broadcast(ids)
+    return ids
+
+
 def exact_jaccard(a_set: Column, b_set: Column) -> Column:
     """Exact Jaccard over two array-sets (assumed distinct elements).
 
@@ -363,9 +397,16 @@ def minhash_near_duplicates(
     candidate pair — a semi-join against the materialized candidate ids
     first — not for the whole corpus.  Candidates scale with true
     near-dups, so at 100 TB this is the difference between re-shingling
-    petabytes and re-shingling the duplicates (at sf0.1 the wall is
-    unchanged — the extra job's scheduling floor offsets the saved
-    shingling — but the asymptotics flip at real corpus sizes).
+    petabytes and re-shingling the duplicates.
+
+    r12: the per-candidate shingled frame is localCheckpointed ONCE —
+    it feeds BOTH pair sides, and without the checkpoint the whole
+    scan -> semi-join -> shingle subtree executed twice (the dumped
+    plan carried two disjoint parquet scans of the corpus, one per
+    side).  The semi-join's id frame is broadcast-gated by the known
+    candidate count (:func:`candidate_id_frame`): below the gate the
+    corpus is pruned with a broadcast semi-join instead of a full
+    corpus shuffle+sort.  Both frames are bounded by true near-dups.
     """
     sigs = minhash_from_exploded(
         exploded_shingle_rows(docs, text_col, shingle_n, id_col), num_hashes, id_col
@@ -376,13 +417,11 @@ def minhash_near_duplicates(
     candidates = lsh_candidate_pairs(sigs, id_col, bands, num_hashes).localCheckpoint(
         eager=True
     )
-    cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
+    cand_ids = candidate_id_frame(candidates, id_col, candidates.count())
     docs_needed = docs.join(cand_ids, id_col, "left_semi")
-    shingled = with_shingles(docs_needed, text_col, shingle_n, id_col)
+    shingled = with_shingles(docs_needed, text_col, shingle_n, id_col).localCheckpoint(
+        eager=True
+    )
     sh_a = shingled.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
@@ -963,21 +1002,33 @@ def embedding_near_duplicates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # norms STAGED per row before the pair join: the threshold filter
     # lands in the join condition, where an inline cosine would run
     # five HOF aggregates per candidate (dot + norms twice) — staging
     # leaves one (the dot), with bit-identical arithmetic (sqrt of
-    # self-dot per side, then dot/(na*nb))
-    va = emb.select(
+    # self-dot per side, then dot/(na*nb)).
+    # r12: vectors+norms are built ONCE for the candidate-bounded id
+    # set and localCheckpointed — the previous form joined the FULL
+    # source table per pair side, re-scanning it (and at scale
+    # shuffling every vector by id) twice to attach a handful of
+    # candidate payloads.  Same values, one bounded materialization.
+    cand_ids = candidate_id_frame(cand, id_col, cand.count())
+    needed = (
+        emb.join(cand_ids, id_col, "left_semi")
+        .select(id_col, vec_col, V.norm(F.col(vec_col)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    va = needed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        V.norm(F.col(vec_col)).alias("__na"),
+        F.col("__n").alias("__na"),
     )
-    vb = emb.select(
+    vb = needed.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        V.norm(F.col(vec_col)).alias("__nb"),
+        F.col("__n").alias("__nb"),
     )
     pairs = cand.join(va, "id_a").join(vb, "id_b")
     if dim > EXPR_PROJECTION_MAX_DIM:

@@ -56,6 +56,13 @@ class SignatureStoreVersionError(RuntimeError):
     matching code version); mixing families yields garbage joins."""
 
 
+#: broadcast gate for the new-batch banded rows (id, band, bucket — a
+#: few dozen bytes each): a micro-batch under ~80k docs at 12 bands
+#: stays below it.  Backfill-sized batches above the gate fall back to
+#: the shuffle join, which is the right plan for them anyway.
+NEW_BAND_BROADCAST_MAX = 1_000_000
+
+
 def _family_fns(name: str):
     """(signature_fn, banding_fn) for a registered family — both take
     the same argument shapes, so :func:`dedup_batch` is family-blind."""
@@ -108,7 +115,36 @@ def dedup_batch(
     # store-vs-store pairs (already emitted in earlier batches) never
     # reappear.  id inequality (not a<b) because new-vs-old pairs must
     # survive regardless of id ordering; new-vs-new dedupes by a<b.
+    #
+    # r12 (the streaming path's turn for the §9.3 plan-dump treatment),
+    # two store passes removed, one locally measured + one structural:
+    # - `sa` reads only the BATCH signatures: a cand id_a is by
+    #   construction a new-batch id (dedup_batch's contract, enforced
+    #   by process_batch's anti-join, is that batch ids are disjoint
+    #   from store ids), so attaching it from the full union paid a
+    #   full store scan for rows that could never match.  Strictly
+    #   less I/O; measured −27% per batch at a 140k-doc store in one
+    #   profile session, flat-within-noise in a noisier second one
+    #   (scripts/profile_incremental_dedup.py, pair parity asserted).
+    # - the new banded side is BROADCAST below a row gate, decided by
+    #   the TRUE batch count (a near-free job on the just-checkpointed
+    #   RDD) instead of Catalyst's size estimate.  At the profile scale
+    #   the estimate happens to pick broadcast too (checkpoint RDDs
+    #   carry originating-plan stats), but an estimate that tips the
+    #   other way plans SMJ — and even when AQE flips it back at
+    #   runtime, the flip happens after both map stages ran, i.e. the
+    #   store side already WROTE its banded shuffle output (bands rows
+    #   per corpus doc, ~hundreds of GB at 10^9 docs).  The gate makes
+    #   the plan estimate-proof at any corpus size.
+    # A third candidate — semi-joining the union down to candidate ids
+    # before the `sb` attach — was profiled and REJECTED: AQE already
+    # broadcasts the small candidate side of the attach join (the store
+    # is scanned once, never shuffled), so the extra checkpoint+count
+    # barriers cost ~1 s/batch and prune nothing (variant C in the
+    # profile script).
     new_b = band_fn(sigs_new, id_col, bands, num_hashes)
+    if sigs_new.count() * bands <= NEW_BAND_BROADCAST_MAX:
+        new_b = F.broadcast(new_b)
     all_b = band_fn(union, id_col, bands, num_hashes)
     new_ids = sigs_new.select(F.col(id_col).alias("id_b"), F.lit(True).alias("__new_b"))
     cand = (
@@ -129,7 +165,7 @@ def dedup_batch(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = union.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
+    sa = sigs_new.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
     sb = union.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
     pairs = (
         cand.join(sa, "id_a")
