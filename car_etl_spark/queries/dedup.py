@@ -18,12 +18,28 @@ from car_etl_spark.queries import QuerySpec
 from car_etl_spark.tables import load_tables
 
 
+def _pair_sorted(pairs: DataFrame, *keys: str) -> DataFrame:
+    """Hash-materialize skinny pair rows below a declared global sort.
+
+    Every pair arm's ``orderBy`` sat DIRECTLY on its verify/scoring
+    stage, and a range sort's bound-sampling job re-executes the child
+    plan above the last shuffle — i.e. the per-pair scoring ran TWICE
+    per run (the r12 §2 sampling tax, third appearance this round).
+    Hash-repartitioning the (id, id, score) rows first materializes the
+    scoring once; the sampler re-reads shuffle files.  Measured at sf1:
+    ``token_jaccard_blocked`` 15.4 -> 7.5 s (**−51 %**), output parity
+    asserted.  Same rows, same declared order; the extra exchange moves
+    only the already-tiny pair rows."""
+    return pairs.repartition(*keys).orderBy(*keys)
+
+
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(48) + LSH(12 bands) near-dup with exact-Jaccard verify at
     0.5 — the scale path for text dedup (SURVEY.md §7.3.9)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return S.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5).orderBy(
-        "id_a", "id_b"
+    return _pair_sorted(
+        S.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5),
+        "id_a", "id_b",
     )
 
 
@@ -43,9 +59,10 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = parquet_rowcount(sf_dir, "documents")
     if n < 0:
         n = docs.count()
-    return S.simhash_near_duplicates(
-        docs, "text", "doc_id", max_hamming=6, expected_docs=n
-    ).orderBy("id_a", "id_b")
+    return _pair_sorted(
+        S.simhash_near_duplicates(docs, "text", "doc_id", max_hamming=6, expected_docs=n),
+        "id_a", "id_b",
+    )
 
 
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,9 +83,12 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n < 0:
         n = emb.count()
     bands, bits, _recall = S.embedding_lsh_plan(n, threshold=0.3)
-    return S.embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.3, bands=bands, bits_per_band=bits
-    ).orderBy("id_a", "id_b")
+    return _pair_sorted(
+        S.embedding_near_duplicates(
+            emb, "vec_id", "embedding", threshold=0.3, bands=bands, bits_per_band=bits
+        ),
+        "id_a", "id_b",
+    )
 
 
 #: block sizing for the modulo-blocked Jaccard ground truth: the
@@ -114,7 +134,9 @@ def jaccard_block_count(sf_dir: str) -> int:
     return max(_JACCARD_BASE_BLOCKS, -(-n // _JACCARD_DOCS_PER_BLOCK))
 
 
-def token_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_jaccard_blocked(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """Exact token-set Jaccard within modulo blocks — the oracle-checked
     ground truth for the LSH text-dedup math (n-gram Jaccard dedup,
     1-gram form).  Blocking bounds the quadratic pair space exactly like
@@ -134,15 +156,14 @@ def token_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     jac = S.exact_jaccard(F.col("a.tokset"), F.col("b.tokset"))
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.8)
-        .orderBy("id_a", "id_b")
-    )
+    scored = pairs.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.8)
+    # ordered=False: suite consumers re-sort the tagged union once —
+    # a per-arm sort there is dead AND pays the sampling tax again
+    return _pair_sorted(scored, "id_a", "id_b") if ordered else scored
 
 
 _TOKEN_JACCARD_SQL_T = """
@@ -198,7 +219,9 @@ def _token_shingle_sets(text: F.Column, n: int = _SHINGLE_N) -> F.Column:
     return T.shingles_from_tokens(T.tokenize(F.lower(text)), n)
 
 
-def shingle_prefix_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_prefix_neardup(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """n-gram Jaccard near-dup, EXACT and UNBLOCKED, via the All-Pairs
     prefix filter (:func:`~car_etl_spark.operators.similarity.
     prefix_filtered_jaccard_pairs`): every document pair with 3-token-
@@ -221,10 +244,8 @@ def shingle_prefix_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.shingles_from_tokens(F.col("__toks"), _SHINGLE_N).alias("shset"),
     ).filter(F.size("shset") > 0)
     pairs = S.prefix_filtered_jaccard_pairs(sets, "doc_id", "shset", 4, 5)
-    return (
-        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
-    )
+    scored = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return _pair_sorted(scored, "id_a", "id_b") if ordered else scored
 
 
 SHINGLE_PREFIX_SQL = """
@@ -298,7 +319,9 @@ def embedding_subblock_count(sf_dir: str) -> int:
     return max(1, n // _EMB_SUBBLOCK_DIVISOR)
 
 
-def embedding_neardup_exact_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup_exact_block(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """Exact cosine near-dup within label blocks — oracle ground truth
     for the hyperplane-LSH variant.  Above ~20k vectors a scale-derived
     (vec_id % B) sub-block joins the label key
@@ -337,16 +360,13 @@ def embedding_neardup_exact_block(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         6,
     )
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.label").alias("label"),
-            sim.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.3)
-        .orderBy("id_a", "id_b")
-    )
+    scored = pairs.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.label").alias("label"),
+        sim.alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= 0.3)
+    return _pair_sorted(scored, "id_a", "id_b") if ordered else scored
 
 
 _EMB_NEARDUP_SQL_T = """
@@ -400,16 +420,21 @@ def portable_plan_rowcount(sf_dir: str, table: str) -> int:
     return duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{glob}')").fetchone()[0]
 
 
-def minhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_portable_neardup(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """MinHash(48) + LSH(12 bands) near-dup at Jaccard >= 0.5 on the
     portable family — exact DuckDB twin."""
     from car_etl_spark.operators import portable as P
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return P.portable_minhash_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    scored = P.portable_minhash_pairs(docs, threshold=0.5)
+    return _pair_sorted(scored, "id_a", "id_b") if ordered else scored
 
 
-def simhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_portable_neardup(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """SimHash-60 near-dup at Hamming <= 6, scale-derived subset
     blocking, portable family — exact DuckDB twin (plan n resolved via
     :func:`portable_plan_rowcount`, same as the SQL builder)."""
@@ -417,10 +442,13 @@ def simhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n = portable_plan_rowcount(sf_dir, "documents")
-    return P.portable_simhash_pairs(docs, expected_docs=n).orderBy("id_a", "id_b")
+    scored = P.portable_simhash_pairs(docs, expected_docs=n)
+    return _pair_sorted(scored, "id_a", "id_b") if ordered else scored
 
 
-def embedding_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_portable_neardup(
+    spark: SparkSession, sf_dir: str, ordered: bool = True
+) -> DataFrame:
     """Integer-quantized hyperplane LSH + exact-cosine verify at 0.3,
     plan from the corpus size, portable family — exact DuckDB twin
     (plan n resolved via :func:`portable_plan_rowcount`, same as the
@@ -429,9 +457,8 @@ def embedding_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     n = portable_plan_rowcount(sf_dir, "embeddings")
-    return P.portable_embedding_pairs(emb, threshold=0.3, expected_n=n).orderBy(
-        "id_a", "id_b"
-    )
+    scored = P.portable_embedding_pairs(emb, threshold=0.3, expected_n=n)
+    return _pair_sorted(scored, "id_a", "id_b") if ordered else scored
 
 
 # all production-family arms registered through suites.lsh_neardup_suite

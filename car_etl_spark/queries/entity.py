@@ -93,7 +93,14 @@ def entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate, no Spark job), blocks are profiled and hot ones take the
     salted pair plan — see :func:`affix_pairs`."""
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
-    canon = canonical_frame(cust)
+    # canon materialized ONCE (r12): the normalize chain sits below two
+    # differently-keyed self-join exchanges (prefix, suffix) — exchange
+    # reuse fires within each join but not across them, so un-staged it
+    # regex-normalizes the customer table once per block key.  Bounded
+    # (customer grain, same class as flagship's checkpointed aggregate);
+    # won all 8 interleaved profile pairs (scripts/profile_entity_canon.py,
+    # median 1.79 -> 1.66 s, value hash asserted equal).
+    canon = canonical_frame(cust).localCheckpoint(eager=True)
     pairs = affix_pairs(canon, hot_keys=_gated_hot_keys(canon, sf_dir))
     return score_pair_rollup(pairs)
 
@@ -506,7 +513,9 @@ def entity_match_lsh_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     BACKGROUND similarity, or candidates are O(n^2) no matter how the
     buckets are sized."""
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
-    canon = canonical_frame(cust)
+    # canon checkpointed once — consumed by BOTH affix self-joins, the
+    # LSH shingle explode AND _enrich_pairs (see entity_match_blocked)
+    canon = canonical_frame(cust).localCheckpoint(eager=True)
     pairs = (
         affix_pairs(canon, hot_keys=_gated_hot_keys(canon, sf_dir))
         .unionByName(
@@ -713,7 +722,9 @@ def entity_match_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles.  At 100 TB this is the difference between paying the
     verify math once vs once per derived report."""
     cust = load_tables(spark, sf_dir, ("customer",))["customer"]
-    canon = canonical_frame(cust)
+    # canon checkpointed once — five consumers below (two affix
+    # self-joins, LSH explode, both _enrich_pairs sides)
+    canon = canonical_frame(cust).localCheckpoint(eager=True)
     affix = affix_pairs(canon, hot_keys=_gated_hot_keys(canon, sf_dir)).withColumn(
         "from_affix", F.lit(1)
     )

@@ -378,21 +378,30 @@ def lsh_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_portable_neardup,
     )
 
+    # arms consumed UNSORTED (r12): each arm's internal orderBy was a
+    # dead sort under the union AND its range-bound sampling job
+    # re-executed that arm's scoring stage (queries/dedup._pair_sorted
+    # docstring); the union is hash-materialized once below the single
+    # declared sort for the same reason
     parts = [
-        minhash_portable_neardup(spark, sf_dir).select(
+        minhash_portable_neardup(spark, sf_dir, ordered=False).select(
             F.lit("minhash_jaccard").alias("method"), "id_a", "id_b",
             F.round("jaccard", 6).alias("score"),
         ),
-        simhash_portable_neardup(spark, sf_dir).select(
+        simhash_portable_neardup(spark, sf_dir, ordered=False).select(
             F.lit("simhash_hamming").alias("method"), "id_a", "id_b",
             F.col("hamming").cast("double").alias("score"),
         ),
-        embedding_portable_neardup(spark, sf_dir).select(
+        embedding_portable_neardup(spark, sf_dir, ordered=False).select(
             F.lit("embedding_cosine").alias("method"), "id_a", "id_b",
             F.round("cosine_sim", 6).alias("score"),
         ),
     ]
-    return _tagged_union(parts).orderBy("method", "id_a", "id_b")
+    return (
+        _tagged_union(parts)
+        .repartition("method", "id_a", "id_b")
+        .orderBy("method", "id_a", "id_b")
+    )
 
 
 def _lsh_neardup_suite_sql(sf_dir: str) -> str:
@@ -431,21 +440,27 @@ def exact_neardup_companions(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_jaccard_blocked,
     )
 
+    # arms consumed UNSORTED + union materialized below the single
+    # declared sort — see lsh_neardup_suite / dedup._pair_sorted (r12)
     parts = [
-        token_jaccard_blocked(spark, sf_dir).select(
+        token_jaccard_blocked(spark, sf_dir, ordered=False).select(
             F.lit("token_jaccard").alias("method"), "id_a", "id_b",
             F.col("jaccard").alias("score"),
         ),
-        embedding_neardup_exact_block(spark, sf_dir).select(
+        embedding_neardup_exact_block(spark, sf_dir, ordered=False).select(
             F.lit("embedding_cosine").alias("method"), "id_a", "id_b",
             F.col("cosine_sim").alias("score"),
         ),
-        shingle_prefix_neardup(spark, sf_dir).select(
+        shingle_prefix_neardup(spark, sf_dir, ordered=False).select(
             F.lit("shingle3_prefix_jaccard").alias("method"), "id_a", "id_b",
             F.col("jaccard").alias("score"),
         ),
     ]
-    return _tagged_union(parts).orderBy("method", "id_a", "id_b")
+    return (
+        _tagged_union(parts)
+        .repartition("method", "id_a", "id_b")
+        .orderBy("method", "id_a", "id_b")
+    )
 
 
 def _exact_companions_sql(sf_dir: str) -> str:

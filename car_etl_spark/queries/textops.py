@@ -54,18 +54,30 @@ def _quality_metrics(docs: DataFrame, *keep: str) -> DataFrame:
 
 
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality scoring: length/diversity/stop-word composite."""
+    """Per-document quality scoring: length/diversity/stop-word composite.
+
+    The final global sort sits DIRECTLY on the tokenize/HOF chain with
+    no shuffle below it, so its range-bound sampling job re-executed
+    the whole chain — a second full text pass per run (the r12 §2
+    "range-sort sampling tax", same mechanism as normalize_roundtrips).
+    Hash-repartitioning the (skinny, text-free) result rows on the sort
+    key materializes them once; the sampler then reads shuffle files
+    instead of re-tokenizing the corpus.  Same rows, same final order."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     r = _quality_metrics(docs, "doc_id", "lang")
-    return r.select(
-        "doc_id",
-        "lang",
-        F.col("n").cast("long").alias("token_count"),
-        F.round("sw", 6).alias("stopword_ratio"),
-        F.round(0.4 * F.col("length_c") + 0.3 * F.col("div_c") + 0.3 * (1.0 - F.col("sw")), 6).alias(
-            "quality_score"
-        ),
-    ).orderBy("doc_id")
+    return (
+        r.select(
+            "doc_id",
+            "lang",
+            F.col("n").cast("long").alias("token_count"),
+            F.round("sw", 6).alias("stopword_ratio"),
+            F.round(
+                0.4 * F.col("length_c") + 0.3 * F.col("div_c") + 0.3 * (1.0 - F.col("sw")), 6
+            ).alias("quality_score"),
+        )
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 DOC_QUALITY_SQL = f"""
