@@ -270,6 +270,9 @@ def effective_components_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.coalesce(F.col("l_quantity"), F.lit(0.0))
             ).alias("effective_total"),
         )
+        # hash-materialize below the sort (§2 sampling tax: the range
+        # sampler re-ran the rowwise decimal arithmetic over the scan)
+        .repartition("l_orderkey", "l_linenumber")
         .orderBy("l_orderkey", "l_linenumber")
     )
 

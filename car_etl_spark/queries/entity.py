@@ -38,6 +38,10 @@ def entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             N.canonicalize(name).alias("canonical_name"),
             N.normalize_text(name).alias("match_text"),
         )
+        # hash-materialize below the sort: the range sampler otherwise
+        # re-runs the whole canonicalize/normalize regex chain (§2
+        # sampling tax — no shuffle existed anywhere below the sort)
+        .repartition("c_custkey")
         .orderBy("c_custkey")
     )
 

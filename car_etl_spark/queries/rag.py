@@ -316,12 +316,18 @@ def rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     chunks = chunk_by_tokens(docs, max_tokens=16, overlap=4)
-    return chunks.select(
-        "doc_id",
-        "chunk_index",
-        "token_count",
-        F.sha2(F.col("content"), 256).alias("content_sha"),
-    ).orderBy("doc_id", "chunk_index")
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_index",
+            "token_count",
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+        )
+        # hash-materialize below the sort (§2 sampling tax: the range
+        # sampler re-ran the chunk explode + sha256 over the corpus)
+        .repartition("doc_id", "chunk_index")
+        .orderBy("doc_id", "chunk_index")
+    )
 
 
 RAG_CHUNK_WINDOWS_SQL = """
