@@ -2267,6 +2267,7 @@ class PostingStore:
         docs: DataFrame | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        ordered: bool = True,
     ) -> DataFrame:
         """EXACT substring (ILIKE '%pattern%') serving from a TRIGRAM
         store — grep over the corpus without scanning it.
@@ -2363,12 +2364,14 @@ class PostingStore:
                     lambda i: F.col("__t").substr(i, F.lit(m + 2)) == F.lit(pat),
                 )
             ).cast("long")
-            return (
+            out = (
                 verify.withColumn("n_matches", n)
                 .filter(F.col("n_matches") > 0)
                 .select("doc_id", "lang", "n_matches")
-                .orderBy("doc_id")
             )
+            # ordered=False: suite arms skip the declared sort (dead
+            # under their union; its range sampler re-runs the recheck)
+            return out.orderBy("doc_id") if ordered else out
         per = idx.groupBy("doc_id").agg(
             F.first("lang").alias("lang"),
             *[
@@ -2394,7 +2397,8 @@ class PostingStore:
             "n_matches",
             F.size(F.filter(F.col(f"__p{offs[0]}"), _chained)).cast("long"),
         ).filter(F.col("n_matches") > 0)
-        return scored.select("doc_id", "lang", "n_matches").orderBy("doc_id")
+        out = scored.select("doc_id", "lang", "n_matches")
+        return out.orderBy("doc_id") if ordered else out
 
     def regex_search(
         self,
@@ -2404,6 +2408,7 @@ class PostingStore:
         id_col: str = "doc_id",
         text_col: str = "text",
         tenant=None,
+        ordered: bool = True,
     ) -> DataFrame:
         """Regex search with a TRIGRAM PREFILTER — the Google Code
         Search design (Cox 2012, "Regular Expression Matching with a
@@ -2475,15 +2480,17 @@ class PostingStore:
             ]
             if len(cand_ids) <= REGEX_CANDIDATE_CAP:
                 scoped = base.filter(F.col("doc_id").isin(cand_ids))
-        return (
+        out = (
             scoped.withColumn(
                 "n_matches",
                 F.regexp_count(F.col("__t"), F.lit("(?i)" + pattern)).cast("long"),
             )
             .filter(F.col("n_matches") > 0)
             .select("doc_id", "lang", "n_matches")
-            .orderBy("doc_id")
         )
+        # ordered=False: suite arms skip the declared sort (dead under
+        # their union; its range sampler re-runs the regex verify scan)
+        return out.orderBy("doc_id") if ordered else out
 
     def bm25_search(
         self,

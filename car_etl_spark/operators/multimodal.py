@@ -1004,3 +1004,128 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.mapInPandas(frames, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fused wide feature extraction (r13, guide §4 "cross the boundary
+# once"): ONE mapInPandas pass that runs the SAME kernels the per-leg
+# stages above run — image decode (non-strict: real BMP/PNG kernels,
+# real JPEG header, stub luma), strict WAV decode, strict AVI container
+# walk + the every-Nth-frame sampler over the real 00dc chunks, and the
+# strict resize round-trip (real raster -> nearest-neighbor -> BMP
+# re-encode -> real re-decode) for PNG/BMP rows.  media_features_report
+# used to run FIVE separate Python stages over the checkpointed binary
+# asset table (image, resize+re-decode, video, frame-sample, audio) —
+# every one a JVM->Python crossing of the payload bytes, and the AVI
+# bytes decoded twice (features + sampler).  The fused stage crosses
+# the boundary once per asset and emits one skinny row per asset; the
+# aggregates become pure relational work over it.
+
+WIDE_MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("mime_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", IntegerType()),
+        StructField("r_width", IntegerType()),
+        StructField("r_height", IntegerType()),
+        StructField("r_luma", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("mean_abs_amplitude", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", LongType()),
+    ]
+)
+
+#: pandas nullable dtypes per numeric wide column — mixed int/None rows
+#: otherwise infer float64 (NaN) and the Arrow cast to int is unsafe
+_WIDE_DTYPES = {
+    "width": "Int32", "height": "Int32", "mean_luma": "Int32",
+    "r_width": "Int32", "r_height": "Int32", "r_luma": "Int32",
+    "sample_rate": "Int32", "n_channels": "Int32", "duration_ms": "Int64",
+    "mean_abs_amplitude": "Int32", "n_frames": "Int32", "n_sampled": "Int64",
+}
+
+
+def extract_media_features_wide(
+    media: DataFrame, sample_every_n_frames: int = 2
+) -> DataFrame:
+    """Fused decode pass (see the block comment above).  Input rows
+    carry (path, content, mime_type[, out_w, out_h]); ``out_w/out_h``
+    drive the resize round-trip and are only read for PNG/BMP rows.
+
+    Strictness mirrors the report's per-leg contracts exactly: WAV and
+    AVI decode strict (raise on malformed), the image family non-strict
+    (real kernels with the deterministic fake as fallback, real JPEG
+    SOF dimensions with the declared luma stub), the resize round-trip
+    strict."""
+    has_resize = "out_w" in media.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WIDE_MEDIA_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = row["content"]
+                raw = bytes(content) if content is not None else b""
+                mime = row["mime_type"]
+                out = dict.fromkeys(cols)
+                out["path"] = row["path"]
+                out["mime_type"] = mime
+                if mime == "audio/wav":
+                    # strict: a non-PCM16 or corrupt stream raises
+                    sr, ch, dur, amp = _decode_wav(raw)
+                    out.update(
+                        sample_rate=sr, n_channels=ch, duration_ms=dur,
+                        mean_abs_amplitude=amp,
+                    )
+                elif mime == "video/avi":
+                    # strict container walk; the sampler reuses the SAME
+                    # decoded 00dc chunks (the per-leg split decoded the
+                    # container twice)
+                    w, h, nf, fms, frames_ = _decode_avi(raw)
+                    out.update(
+                        width=w, height=h, n_frames=nf,
+                        duration_ms=nf * fms,
+                        n_sampled=len(range(0, len(frames_), sample_every_n_frames)),
+                    )
+                else:
+                    # image family — extract_image_features' non-strict
+                    # dispatch, verbatim
+                    kernel = None
+                    if raw[:2] == b"BM":
+                        kernel = _decode_bmp
+                    elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        kernel = _decode_png
+                    if kernel is not None:
+                        try:
+                            width, height, luma = kernel(raw)
+                        except ValueError:
+                            width, height, luma = _fake_decode(content)
+                    elif raw[:2] == b"\xff\xd8":
+                        try:
+                            width, height = _jpeg_dimensions(raw)
+                            luma = _fake_decode(content)[2]
+                        except ValueError:
+                            width, height, luma = _fake_decode(content)
+                    else:
+                        width, height, luma = _fake_decode(content)
+                    out.update(width=width, height=height, mean_luma=luma)
+                    if has_resize and mime in ("image/png", "image/bmp"):
+                        # strict resize + strict re-decode through the
+                        # real BMP kernel (the per-leg rimgs contract)
+                        data = resize_image_bytes(
+                            raw, int(row["out_w"]), int(row["out_h"])
+                        )
+                        rw, rh, rl = _decode_bmp(data)
+                        out.update(r_width=rw, r_height=rh, r_luma=rl)
+                rows.append(out)
+            pdf_out = pd.DataFrame(rows, columns=cols)
+            for c, dt in _WIDE_DTYPES.items():
+                pdf_out[c] = pdf_out[c].astype(dt)
+            yield pdf_out
+
+    return media.mapInPandas(run, WIDE_MEDIA_FEATURES_SCHEMA)

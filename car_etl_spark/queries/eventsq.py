@@ -17,22 +17,28 @@ from car_etl_spark.queries.parity import davg, dsum, sql_davg, sql_dsum
 from car_etl_spark.tables import load_tables
 
 
+def _events_hourly_rollup_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core of :func:`events_hourly_rollup` — suites consume
+    this so the declared per-arm sort (dead under their union, and
+    paying its own range-bound sampling job) never enters the plan
+    (r13; the r12 ``lsh_neardup_suite`` pattern)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        dsum(F.col("value")).alias("total_value"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window x type (T7 / streaming window
     analog): the batch equivalent of
     ``groupBy(window('ts','1 hour'), 'event_type')``."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("event_count"),
-            dsum(F.col("value")).alias("total_value"),
-            F.countDistinct("user_id").alias("active_users"),
-        )
-        .orderBy("hour_start", "event_type")
+    return _events_hourly_rollup_core(spark, sf_dir).orderBy(
+        "hour_start", "event_type"
     )
 
 
@@ -125,17 +131,21 @@ FROM events GROUP BY user_id
 """
 
 
-def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F15: JSON attribute access (``field_value->>'value'`` analog,
-    reference ``effective_rent.py:82-83``) + bucketed rollup."""
+def _events_json_props_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — see :func:`_events_hourly_rollup_core`)."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     return (
         ev.select((k % 10).alias("k_bucket"), "value")
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("n"), davg(F.col("value")).alias("avg_value"))
-        .orderBy("k_bucket")
     )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: JSON attribute access (``field_value->>'value'`` analog,
+    reference ``effective_rent.py:82-83``) + bucketed rollup."""
+    return _events_json_props_core(spark, sf_dir).orderBy("k_bucket")
 
 
 EVENTS_JSON_PROPS_SQL = """
@@ -277,11 +287,8 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
-def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7 batch form of the sliding window (1 h window, 30 min slide):
-    each event lands in two overlapping windows — explode the two
-    window starts, aggregate per (window_start, type).  Matches the
-    streaming `sliding_window_value` job expression-for-expression."""
+def _events_sliding_window_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — see :func:`_events_hourly_rollup_core`)."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     half_hour = F.date_trunc("hour", F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
     starts = F.array(
@@ -297,13 +304,19 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") >= F.col("window_start"))
         & (F.col("ts") < F.col("window_start") + F.expr("INTERVAL 1 HOUR"))
     )
-    return (
-        exploded.groupBy(
-            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
-        .orderBy("window_start", "event_type")
+    return exploded.groupBy(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 batch form of the sliding window (1 h window, 30 min slide):
+    each event lands in two overlapping windows — explode the two
+    window starts, aggregate per (window_start, type).  Matches the
+    streaming `sliding_window_value` job expression-for-expression."""
+    return _events_sliding_window_core(spark, sf_dir).orderBy(
+        "window_start", "event_type"
     )
 
 
@@ -330,13 +343,14 @@ ORDER BY window_start, event_type
 """
 
 
-def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7 in one entry: the tumbling 1-hour rollup and the sliding
-    (1 h window / 30 min slide) rollup union-tagged by window kind — both
-    streaming-window batch twins keep a driver correctness row in one
-    registry slot.  ``active_users`` (countDistinct) only applies to the
-    tumbling form; the sliding rows carry NULL."""
-    hourly = events_hourly_rollup(spark, sf_dir).select(
+def _events_time_windows_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered union of the two window arms.  r13: the arms' declared
+    per-arm sorts were dead under this union (the final sort re-orders
+    everything) and each paid its own range-bound sampling job that
+    re-executed the arm's aggregate read — the r12 suite defect, third
+    family.  ``events_window_rollups`` consumes this core so the outer
+    union is sorted exactly once."""
+    hourly = _events_hourly_rollup_core(spark, sf_dir).select(
         F.lit("tumbling_1h").alias("window_kind"),
         F.col("hour_start").alias("window_start"),
         "event_type",
@@ -344,7 +358,7 @@ def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         "active_users",
     )
-    sliding = events_sliding_window(spark, sf_dir).select(
+    sliding = _events_sliding_window_core(spark, sf_dir).select(
         F.lit("sliding_1h_30m").alias("window_kind"),
         "window_start",
         "event_type",
@@ -352,7 +366,22 @@ def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         F.lit(None).cast("long").alias("active_users"),
     )
-    return hourly.unionByName(sliding).orderBy("window_kind", "window_start", "event_type")
+    return hourly.unionByName(sliding)
+
+
+def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 in one entry: the tumbling 1-hour rollup and the sliding
+    (1 h window / 30 min slide) rollup union-tagged by window kind — both
+    streaming-window batch twins keep a driver correctness row in one
+    registry slot.  ``active_users`` (countDistinct) only applies to the
+    tumbling form; the sliding rows carry NULL.
+
+    (window_kind, window_start, event_type) is the union's unique grain,
+    so the declared sort is a total order and dropping the dead per-arm
+    sorts cannot change the returned row order."""
+    return _events_time_windows_core(spark, sf_dir).orderBy(
+        "window_kind", "window_start", "event_type"
+    )
 
 
 EVENTS_TIME_WINDOWS_SQL = f"""
@@ -390,17 +419,18 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_approx`` with a declared error budget; the exact form
     here is the oracle-checkable ground truth the approx form would be
     validated against."""
+    return _events_value_percentiles_core(spark, sf_dir).orderBy("event_type")
+
+
+def _events_value_percentiles_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — see :func:`_events_hourly_rollup_core`)."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.percentile("value", 0.5), 6).alias("p50_value"),
-            F.round(F.percentile("value", 0.9), 6).alias("p90_value"),
-            F.round(F.percentile("value", 0.99), 6).alias("p99_value"),
-            F.round(F.max("value"), 6).alias("max_value"),
-        )
-        .orderBy("event_type")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50_value"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90_value"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
     )
 
 
@@ -435,6 +465,16 @@ def events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         histogram_state,
     )
 
+    return _events_hist_quantiles_core(spark, sf_dir).orderBy("event_type")
+
+
+def _events_hist_quantiles_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — see :func:`_events_hourly_rollup_core`)."""
+    from car_etl_spark.functions.sketches import (
+        histogram_quantiles,
+        histogram_state,
+    )
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     state = histogram_state(ev, ["event_type"], F.col("value"), HIST_BINS)
     est = histogram_quantiles(state, ["event_type"], HIST_QUANTILES, HIST_BINS)
@@ -442,10 +482,8 @@ def events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__cnt").alias("n_events"),
         F.round(F.max("__hi"), 6).alias("max_value"),
     )
-    return (
-        est.join(nm, "event_type")
-        .select("event_type", "n_events", "p50_value", "p90_value", "p99_value", "max_value")
-        .orderBy("event_type")
+    return est.join(nm, "event_type").select(
+        "event_type", "n_events", "p50_value", "p90_value", "p99_value", "max_value"
     )
 
 
@@ -487,16 +525,18 @@ append-only audit events (``src/audit/logger.py``) at
     in-engine hashing); served beside the exact arm in the
     ``events_profile`` suite so portability AND real over-count on this
     corpus sit in the driver hash."""
+    return _events_user_cms_freq_core(spark, sf_dir).orderBy("user_key")
+
+
+def _events_user_cms_freq_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — see :func:`_events_hourly_rollup_core`)."""
     from car_etl_spark.functions.sketches import cms_estimate, cms_state
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     state = cms_state(ev, [], F.col("user_id").cast("string"), CMS_D, CMS_W)
-    return (
-        cms_estimate(
-            state, [], list(CMS_PROBE_USERS), CMS_D, CMS_W,
-            alias="n_events", item_alias="user_key",
-        )
-        .orderBy("user_key")
+    return cms_estimate(
+        state, [], list(CMS_PROBE_USERS), CMS_D, CMS_W,
+        alias="n_events", item_alias="user_key",
     )
 
 
@@ -504,6 +544,11 @@ def events_user_exact_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact twin of the CMS probes: true per-user event counts for
     the same probe set (absent users count 0, mirroring the sketch's
     absent-counter semantics)."""
+    return _events_user_exact_freq_core(spark, sf_dir).orderBy("user_key")
+
+
+def _events_user_exact_freq_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — see :func:`_events_hourly_rollup_core`)."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     spark_probes = spark.createDataFrame(
         [(u,) for u in CMS_PROBE_USERS], "user_key string"
@@ -514,13 +559,9 @@ def events_user_exact_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_key")
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    return (
-        spark_probes.join(counts, "user_key", "left")
-        .select(
-            "user_key",
-            F.coalesce(F.col("__cnt"), F.lit(0).cast("long")).alias("n_events"),
-        )
-        .orderBy("user_key")
+    return spark_probes.join(counts, "user_key", "left").select(
+        "user_key",
+        F.coalesce(F.col("__cnt"), F.lit(0).cast("long")).alias("n_events"),
     )
 
 
@@ -666,6 +707,11 @@ QUERIES["events_in_error_windows"] = QuerySpec(
 
 
 def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered public form of :func:`_events_multires_rollup_core`."""
+    return _events_multires_rollup_core(spark, sf_dir).orderBy("day", "event_type")
+
+
+def _events_multires_rollup_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate cascade: minute buckets
     from raw events, hour buckets RE-AGGREGATED from the minute level,
     day buckets from the hour level — each resolution is one tiny
@@ -716,7 +762,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_sum",
         "value_avg",
         "value_max",
-    ).orderBy("day", "event_type")
+    )
 
 
 EVENTS_MULTIRES_SQL = """

@@ -329,35 +329,44 @@ def fts_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from car_etl_spark.queries import prepared
 
     def build() -> DataFrame:
-        from pyspark.sql import Window
-
-        store = ensure_posting_index(spark, sf_dir)
-        pairs = sorted(
-            {(qid, T.stem_py(t)) for qid, ts in FTS_BATCH_QUERIES.items() for t in ts}
-        )
-        all_terms = sorted({t for _q, t in pairs})
-        buckets = sorted({store.bucket_of(t) for t in all_terms})
-        qterms = spark.createDataFrame(pairs, "query_id string, term string")
-        idx = store.read(spark, buckets=buckets).filter(F.col("term").isin(all_terms))
-        scored = (
-            idx.join(F.broadcast(qterms), "term")
-            .groupBy("query_id", "doc_id")
-            .agg(
-                F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
-                F.countDistinct("term").alias("terms_matched"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("rank_score"), F.asc("doc_id")
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 5)
-            .select("query_id", "doc_id", "rank_score", "terms_matched")
-            .orderBy("query_id", F.desc("rank_score"), F.asc("doc_id"))
+        return _fts_batch_search_core(spark, sf_dir).orderBy(
+            "query_id", F.desc("rank_score"), F.asc("doc_id")
         )
 
     return prepared(spark, "fts_batch_search", sf_dir, ("documents.parquet",), build)
+
+
+def _fts_batch_search_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core of :func:`fts_batch_search` — the FTS suite
+    consumes this so the arm's declared sort (dead under its union, and
+    paying a range-bound sampling job that re-executes the rank-window
+    stage) never enters the plan (r13; the r12 lsh-suite pattern)."""
+    from pyspark.sql import Window
+
+    store = ensure_posting_index(spark, sf_dir)
+    pairs = sorted(
+        {(qid, T.stem_py(t)) for qid, ts in FTS_BATCH_QUERIES.items() for t in ts}
+    )
+    all_terms = sorted({t for _q, t in pairs})
+    buckets = sorted({store.bucket_of(t) for t in all_terms})
+    qterms = spark.createDataFrame(pairs, "query_id string, term string")
+    idx = store.read(spark, buckets=buckets).filter(F.col("term").isin(all_terms))
+    scored = (
+        idx.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * F.col("weight")), 2).alias("rank_score"),
+            F.countDistinct("term").alias("terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rank_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "doc_id", "rank_score", "terms_matched")
+    )
 
 
 def _fts_batch_sql() -> str:

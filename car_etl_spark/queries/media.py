@@ -98,39 +98,52 @@ def synthesize_media(params: DataFrame) -> DataFrame:
 
 
 def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-format rollup of REAL decoded features (see module doc)."""
+    """Per-format rollup of REAL decoded features (see module doc).
+
+    r13 (guide §4): the four decode legs + the resize leg + the frame
+    sampler are FUSED into one ``mapInPandas`` pass
+    (:func:`~car_etl_spark.operators.multimodal.extract_media_features_wide`)
+    running the SAME kernels with the same per-leg strictness — the
+    payload bytes cross the JVM->Python boundary once per asset instead
+    of five times, the AVI container is decoded once instead of twice
+    (features + sampler), and the checkpoint now holds one SKINNY
+    feature row per asset instead of the binary payloads.  The four
+    per-format aggregates below are pure relational work over that
+    frame and compute exactly the values the per-leg forms computed
+    (pinned by tests/test_udfs_multimodal.py's fused-parity test and
+    this row's oracle hash)."""
     from car_etl_spark.operators.multimodal import (
         detect_mime,
-        extract_audio_features,
-        extract_image_features,
-        extract_video_features,
-        resize_images,
-        sample_frames,
+        extract_media_features_wide,
     )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
-    # Materialize the synthesized assets ONCE (r12): the four decode
-    # legs + the resize leg each consume `media`, and the mapInPandas
-    # encode stage is opaque to Catalyst, so without this the Python
-    # synth ran ~5x (plans/r12/media_features_report_before.txt shows
-    # 12 parquet scans / five disjoint synth subtrees).  The asset
-    # table is a bounded sample of the corpus (1/7th of doc ids, small
-    # payloads), so the checkpoint is cheap at any scale.
-    media = (
-        synthesize_media(_asset_params(docs))
-        .withColumn("mime_type", detect_mime(F.col("content")))
-        .localCheckpoint(eager=True)
+    media = synthesize_media(_asset_params(docs)).withColumn(
+        "mime_type", detect_mime(F.col("content"))
     )
+    # resize targets (w//2+1, h//2+1) come from the same parameter
+    # arithmetic the oracle recomputes; joined in before the fused pass
+    # so PNG/BMP rows carry their target dims
+    params = _asset_params(docs).select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.expr("w DIV 2 + 1").cast("int").alias("out_w"),
+        F.expr("h DIV 2 + 1").cast("int").alias("out_h"),
+    )
+    # one decode pass -> bounded skinny features frame, materialized
+    # once (the r12 checkpoint held the binary payloads; four disjoint
+    # aggregate branches would otherwise re-run the Python stage)
+    feats = extract_media_features_wide(
+        media.join(params, "path"), sample_every_n_frames=2
+    ).localCheckpoint(eager=True)
     null_l = F.lit(None).cast("long")
 
-    # image leg: PNG + BMP decode for real in both modes; JPEG carries
-    # real header dimensions with a stubbed luma, which the aggregate
+    # image formats: PNG + BMP decode for real; JPEG carries real
+    # header dimensions with a stubbed luma, which the aggregate
     # excludes — detect_mime is part of what the hash checks (a
     # misrouted asset lands in the wrong group)
-    imgs = extract_image_features(
-        media.filter(~F.col("mime_type").isin("audio/wav", "video/avi"))
-    )
-    img_agg = imgs.groupBy(F.col("mime_type").alias("format")).agg(
+    img_agg = feats.filter(
+        ~F.col("mime_type").isin("audio/wav", "video/avi")
+    ).groupBy(F.col("mime_type").alias("format")).agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("width").cast("long").alias("sum_width"),
         F.sum("height").cast("long").alias("sum_height"),
@@ -145,27 +158,16 @@ def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("sum_sampled"),
     )
 
-    # resize leg: the PNG/BMP assets resample to (w//2+1, h//2+1)
-    # through the REAL raster -> nearest-neighbor -> BMP re-encode
-    # pipeline, then RE-DECODE through the real kernel — constant-gray
-    # sources must come back at the target dims with luma == gray
-    # exactly, all recomputable arithmetically by the oracle.  A
-    # sampling/flip/channel bug shows in the gradient unit test; a
-    # format/round-trip regression flips this hash.
-    params = _asset_params(docs).select(
-        F.col("doc_id").cast("string").alias("path"),
-        F.expr("w DIV 2 + 1").cast("int").alias("out_w"),
-        F.expr("h DIV 2 + 1").cast("int").alias("out_h"),
-    )
-    resize_src = media.filter(
+    # resize round-trip: PNG/BMP rasters resampled to (w//2+1, h//2+1),
+    # re-encoded as BMP, RE-DECODED through the real kernel — constant-
+    # gray sources come back at the target dims with luma == gray
+    rs_agg = feats.filter(
         F.col("mime_type").isin("image/png", "image/bmp")
-    ).join(params, "path")
-    rimgs = extract_image_features(resize_images(resize_src, strict=True), strict=True)
-    rs_agg = rimgs.groupBy(F.lit("image/resized").alias("format")).agg(
+    ).groupBy(F.lit("image/resized").alias("format")).agg(
         F.count(F.lit(1)).alias("n_assets"),
-        F.sum("width").cast("long").alias("sum_width"),
-        F.sum("height").cast("long").alias("sum_height"),
-        F.sum("mean_luma").cast("long").alias("sum_luma"),
+        F.sum("r_width").cast("long").alias("sum_width"),
+        F.sum("r_height").cast("long").alias("sum_height"),
+        F.sum("r_luma").cast("long").alias("sum_luma"),
         null_l.alias("sum_sample_rate"),
         null_l.alias("sum_channels"),
         null_l.alias("sum_duration_ms"),
@@ -174,37 +176,27 @@ def media_features_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("sum_sampled"),
     )
 
-    # video leg: real RIFF/AVI container walk (strict mode), plus the
-    # frame SAMPLER as part of the hash — every-2nd-frame row counts
-    # must equal ceil(n_frames/2) recomputed in SQL
-    vids_src = media.filter(F.col("mime_type") == "video/avi")
-    vids = extract_video_features(vids_src, strict=True)
-    sampled = (
-        sample_frames(vids_src, every_n_frames=2)
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
-    )
-    vid_agg = (
-        vids.join(sampled, "path")
-        .groupBy(F.col("mime_type").alias("format"))
-        .agg(
-            F.count(F.lit(1)).alias("n_assets"),
-            F.sum("width").cast("long").alias("sum_width"),
-            F.sum("height").cast("long").alias("sum_height"),
-            null_l.alias("sum_luma"),
-            null_l.alias("sum_sample_rate"),
-            null_l.alias("sum_channels"),
-            F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
-            null_l.alias("sum_amplitude"),
-            F.sum("n_frames").cast("long").alias("sum_frames"),
-            F.sum("n_sampled").cast("long").alias("sum_sampled"),
-        )
+    # video: real RIFF/AVI container walk (strict), the every-2nd-frame
+    # sampler count over the real 00dc chunks riding the same row
+    vid_agg = feats.filter(F.col("mime_type") == "video/avi").groupBy(
+        F.col("mime_type").alias("format")
+    ).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        null_l.alias("sum_luma"),
+        null_l.alias("sum_sample_rate"),
+        null_l.alias("sum_channels"),
+        F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
+        null_l.alias("sum_amplitude"),
+        F.sum("n_frames").cast("long").alias("sum_frames"),
+        F.sum("n_sampled").cast("long").alias("sum_sampled"),
     )
 
-    # audio leg: strict mode — a non-PCM16 or corrupt stream raises
-    # instead of faking
-    aud = extract_audio_features(media.filter(F.col("mime_type") == "audio/wav"), strict=True)
-    aud_agg = aud.groupBy(F.col("mime_type").alias("format")).agg(
+    # audio: strict mode — a non-PCM16 or corrupt stream raises
+    aud_agg = feats.filter(F.col("mime_type") == "audio/wav").groupBy(
+        F.col("mime_type").alias("format")
+    ).agg(
         F.count(F.lit(1)).alias("n_assets"),
         null_l.alias("sum_width"),
         null_l.alias("sum_height"),

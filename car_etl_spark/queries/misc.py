@@ -60,10 +60,11 @@ def email_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hierarchy_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8: parent-reference self-join — each order joined to its
-    customer's first order (the version-chain ``parent_id`` shape,
-    reference ``020_documents.sql:24``, ``050_entities.sql:16``)."""
+def _hierarchy_self_join_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core of :func:`hierarchy_self_join` — the structural
+    suite consumes this so the per-arm sort (dead under its union, and
+    paying a range-bound sampling job that re-executes the self-join)
+    never enters the plan (r13; the r12 lsh-suite pattern)."""
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     parents = orders.groupBy("o_custkey").agg(F.min("o_orderkey").alias("parent_orderkey"))
     child = orders.alias("c")
@@ -80,8 +81,14 @@ def hierarchy_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "days_after_first"
             ),
         )
-        .orderBy("orderkey")
     )
+
+
+def hierarchy_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: parent-reference self-join — each order joined to its
+    customer's first order (the version-chain ``parent_id`` shape,
+    reference ``020_documents.sql:24``, ``050_entities.sql:16``)."""
+    return _hierarchy_self_join_core(spark, sf_dir).orderBy("orderkey")
 
 
 HIERARCHY_SELF_JOIN_SQL = """
@@ -105,6 +112,11 @@ def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     their order date (the relationship start/end-date shape, reference
     ``051_entity_relationships.sql:8-14``).  Equi key carries the join;
     the range predicate filters post-match, so no O(n^2) blowup."""
+    return _interval_join_shipments_core(spark, sf_dir).orderBy("o_orderpriority")
+
+
+def _interval_join_shipments_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — see :func:`_hierarchy_self_join_core`)."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     return (
         t["lineitem"]
@@ -120,7 +132,6 @@ def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 4
             ).alias("avg_lag_days"),
         )
-        .orderBy("o_orderpriority")
     )
 
 

@@ -184,17 +184,24 @@ LIMIT 50
 """
 
 
-def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (J7/P8) — the RLS EXISTS-subquery shape
-    (reference ``031_extraction_fields.sql:46-52``)."""
+def _customers_with_orders_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core of :func:`customers_with_orders` — the presence
+    suite consumes this so the per-arm sort (dead under its union, and
+    paying a range-bound sampling job that re-executes the semi-join)
+    never enters the plan (r13; the r12 lsh-suite pattern)."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         t["customer"]
         .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     )
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J7/P8) — the RLS EXISTS-subquery shape
+    (reference ``031_extraction_fields.sql:46-52``)."""
+    return _customers_with_orders_core(spark, sf_dir).orderBy("c_custkey")
 
 
 CUSTOMERS_WITH_ORDERS_SQL = """
@@ -207,16 +214,20 @@ ORDER BY c_custkey
 """
 
 
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (J6) — the ingest-dedup shape: rows whose key
-    already exists are dropped (reference ``020_documents.sql:31``)."""
+def _customers_without_orders_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — see :func:`_customers_with_orders_core`)."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     return (
         t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
-        .orderBy("c_custkey")
     )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J6) — the ingest-dedup shape: rows whose key
+    already exists are dropped (reference ``020_documents.sql:31``)."""
+    return _customers_without_orders_core(spark, sf_dir).orderBy("c_custkey")
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
@@ -231,13 +242,23 @@ def customers_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6/J7/P8 in one entry: the left-semi (RLS EXISTS) branch and the
     left-anti (ingest-dedup NOT EXISTS) branch union-tagged, so both
     join operators keep a driver correctness row in one registry slot."""
-    semi = customers_with_orders(spark, sf_dir).select(
+    semi = _customers_with_orders_core(spark, sf_dir).select(
         F.lit("has_urgent_orders").alias("presence"), "c_custkey", "c_name"
     )
-    anti = customers_without_orders(spark, sf_dir).select(
+    anti = _customers_without_orders_core(spark, sf_dir).select(
         F.lit("no_orders").alias("presence"), "c_custkey", "c_name"
     )
-    return semi.unionByName(anti).orderBy("presence", "c_custkey")
+    # r13: arms consumed UNSORTED (each per-arm sort was dead under the
+    # union AND re-ran its join in the range sampler) and the union is
+    # hash-materialized once below the single declared sort, so the
+    # final sort's sampling job reads shuffle files instead of
+    # re-executing both joins.  (presence, c_custkey) is the unique
+    # grain — the declared order is a total order, unchanged.
+    return (
+        semi.unionByName(anti)
+        .repartition("presence", "c_custkey")
+        .orderBy("presence", "c_custkey")
+    )
 
 
 CUSTOMERS_ORDER_PRESENCE_SQL = """

@@ -33,6 +33,20 @@ def _tagged_union(parts: list[DataFrame]) -> DataFrame:
     return out
 
 
+def _suite_sorted(df: DataFrame, part_cols: list[str], order_cols: list) -> DataFrame:
+    """Hash-materialize a suite union below its single declared sort.
+
+    A global ``orderBy`` directly on the union compiles to a range
+    Exchange whose bound-sampling job re-executes every arm's result
+    stage (the r12 §2/§10d sampling tax); hash-repartitioning the
+    (small, tagged) result rows first materializes the union once and
+    the sampler re-reads shuffle files.  Every suite's sort keys are
+    its unique grain, so the declared order is a total order and the
+    returned rows/order are unchanged (proven pattern:
+    ``lsh_neardup_suite`` −20 % at sf1 in r12)."""
+    return df.repartition(*part_cols).orderBy(*order_cols)
+
+
 # ---------------------------------------------------------------------------
 # FTS: five search modes, one slot
 
@@ -43,7 +57,7 @@ def fts_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     all (query_id, doc_id, rank_score, terms_matched) rows in one
     result.  serving == scan parity is part of the hash."""
     from car_etl_spark.queries.fts import (
-        fts_batch_search,
+        _fts_batch_search_core,
         fts_bm25_search,
         fts_phrase_search,
         fts_plainto_search,
@@ -52,6 +66,10 @@ def fts_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         fts_posting_search,
     )
 
+    # the six single-query arms keep their public forms: their sorts
+    # are TakeOrderedAndProject (required by the limit), not range
+    # sorts.  The batch arm's declared sort IS a dead range sort under
+    # this union — it is consumed through its unordered core (r13).
     arms = [
         ("suffix_serving", fts_posting_search),
         ("suffix_scan", fts_posting_scan),
@@ -67,12 +85,14 @@ def fts_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tag, fn in arms
     ]
     parts.append(
-        fts_batch_search(spark, sf_dir).select(
+        _fts_batch_search_core(spark, sf_dir).select(
             "query_id", "doc_id", "rank_score", "terms_matched"
         )
     )
-    return _tagged_union(parts).orderBy(
-        "query_id", F.desc("rank_score"), F.asc("doc_id")
+    return _suite_sorted(
+        _tagged_union(parts),
+        ["query_id", "rank_score", "doc_id"],
+        ["query_id", F.desc("rank_score"), F.asc("doc_id")],
     )
 
 
@@ -148,6 +168,11 @@ def vector_topk_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for tag, fn in arms
     ]
+    # r13 examined, left alone: the arms are TakeOrdered-limited serving
+    # reads whose single-partition outputs compile to a Sort with NO
+    # range exchange below (plans/r13/vector_topk_modes_before.txt) —
+    # there is no bound-sampling job to remove, and _suite_sorted would
+    # ADD two exchanges to a ~120-row result
     return _tagged_union(parts).orderBy("mode", F.desc("cosine_sim"), F.asc("vec_id"))
 
 
@@ -189,6 +214,12 @@ def vector_label_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("votes").alias("knn_votes"),
         F.col("avg_sim").alias("knn_avg_sim"),
     )
+    # r13 examined, left alone: a repartition("label") below the sort is
+    # ELIMINATED by Catalyst (the profile side's agg exchange already
+    # hash-partitions on label, so the user repartition is redundant and
+    # removed — verified, plan unchanged); the sort's sampling job only
+    # re-runs the final agg read + the broadcast probe, which the
+    # existing exchange already bounds
     return (
         prof.join(votes, "label", "left")
         .withColumn("knn_votes", F.coalesce(F.col("knn_votes"), F.lit(0)).cast("long"))
@@ -221,13 +252,16 @@ def doc_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot, one hash, both metric families (docs need >= 2 tokens for a
     bigram, matching the repetition profile's row set)."""
     from car_etl_spark.queries.textops import (
-        doc_quality_scores,
+        _doc_quality_scores_core,
         doc_repetition_profile,
     )
 
-    q = doc_quality_scores(spark, sf_dir)
+    q = _doc_quality_scores_core(spark, sf_dir)
     r = doc_repetition_profile(spark, sf_dir).drop("n_tokens")
-    return q.join(r, "doc_id").orderBy("doc_id")
+    # r13: q consumed through its core — its _pair_sorted repartition
+    # was a dead full shuffle feeding a broadcast join — and the joined
+    # doc-grain rows are hash-materialized once below the declared sort
+    return _suite_sorted(q.join(r, "doc_id"), ["doc_id"], ["doc_id"])
 
 
 def _doc_quality_repetition_sql() -> str:
@@ -251,13 +285,18 @@ def doc_keyword_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     index-side adjacency verification is hash-proved against ILIKE
     semantics."""
     from car_etl_spark.queries.textops import (
+        _doc_regex_search_core,
+        _doc_search_highlight_core,
+        _doc_substring_search_core,
         doc_keyword_scan,
         doc_keyword_search,
-        doc_search_highlight,
-        doc_regex_search,
-        doc_substring_search,
     )
 
+    # r13: the serving/scan arms keep their public forms (their sorts
+    # are TakeOrderedAndProject, required by the limit); the highlight/
+    # substring/regex arms' declared sorts were dead range sorts under
+    # this union, each re-running its verify stage in the range
+    # sampler — consumed through unordered cores instead
     null_s = F.lit(None).cast("string")
     parts = [
         doc_keyword_search(spark, sf_dir).select(
@@ -268,22 +307,26 @@ def doc_keyword_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("scan").alias("mode"), "doc_id", "lang", "score",
             null_s.alias("snippet"),
         ),
-        doc_search_highlight(spark, sf_dir).select(
+        _doc_search_highlight_core(spark, sf_dir).select(
             F.lit("highlight").alias("mode"), "doc_id", null_s.alias("lang"),
             "score", "snippet",
         ),
-        doc_substring_search(spark, sf_dir).select(
+        _doc_substring_search_core(spark, sf_dir).select(
             F.lit("substring").alias("mode"), "doc_id", "lang",
             F.col("n_matches").cast("double").alias("score"),
             null_s.alias("snippet"),
         ),
-        doc_regex_search(spark, sf_dir).select(
+        _doc_regex_search_core(spark, sf_dir).select(
             F.lit("regex").alias("mode"), "doc_id", "lang",
             F.col("n_matches").cast("double").alias("score"),
             null_s.alias("snippet"),
         ),
     ]
-    return _tagged_union(parts).orderBy("mode", F.desc("score"), F.asc("doc_id"))
+    return _suite_sorted(
+        _tagged_union(parts),
+        ["mode", "score", "doc_id"],
+        ["mode", F.desc("score"), F.asc("doc_id")],
+    )
 
 
 def _doc_keyword_modes_sql() -> str:
@@ -338,6 +381,10 @@ def hybrid_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kw_rank", "vec_rank",
         ),
     ]
+    # r13 examined, left alone: both arms are single-partition fused
+    # pages — the union's Sort carries NO range exchange
+    # (plans/r13/hybrid_search_modes_before.txt), so there is no
+    # sampling job to remove and _suite_sorted would add two exchanges
     return _tagged_union(parts).orderBy("mode", F.desc("rrf_score"), F.asc("doc_id"))
 
 
@@ -501,17 +548,21 @@ def events_window_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     minute partials, date-partitioned) — serving == scan for
     continuous aggregates, both arms against the raw->day oracle."""
     from car_etl_spark.queries.eventsq import (
-        events_multires_rollup,
-        events_time_windows,
+        _events_multires_rollup_core,
+        _events_time_windows_core,
     )
     from car_etl_spark.streaming.rollup_store import ensure_rollup_store
 
+    # r13: arms consumed UNSORTED through their cores — the nested
+    # events_time_windows union carried two per-arm sorts plus its own,
+    # all dead under this suite's final sort, each paying a range-bound
+    # sampling job (the r12 §10d defect)
     null_d = F.lit(None).cast("double")
-    tw = events_time_windows(spark, sf_dir).select(
+    tw = _events_time_windows_core(spark, sf_dir).select(
         "window_kind", "window_start", "event_type", "n", "total_value",
         "active_users", null_d.alias("value_avg"), null_d.alias("value_max"),
     )
-    mr = events_multires_rollup(spark, sf_dir).select(
+    mr = _events_multires_rollup_core(spark, sf_dir).select(
         F.lit("daily_cascade").alias("window_kind"),
         F.col("day").alias("window_start"),
         "event_type",
@@ -536,10 +587,10 @@ def events_window_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_avg"),
         F.round("value_max", 2).alias("value_max"),
     )
-    return (
-        tw.unionByName(mr)
-        .unionByName(served)
-        .orderBy("window_kind", "window_start", "event_type")
+    return _suite_sorted(
+        tw.unionByName(mr).unionByName(served),
+        ["window_kind", "window_start", "event_type"],
+        ["window_kind", "window_start", "event_type"],
     )
 
 
@@ -598,15 +649,18 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate sit one tag apart in the hashed result), harmonized on
     (kind, group_key, n, avg_value, p50/p90/p99/max)."""
     from car_etl_spark.queries.eventsq import (
-        events_hist_quantiles,
-        events_json_props,
-        events_user_cms_freq,
-        events_user_exact_freq,
-        events_value_percentiles,
+        _events_hist_quantiles_core,
+        _events_json_props_core,
+        _events_user_cms_freq_core,
+        _events_user_exact_freq_core,
+        _events_value_percentiles_core,
     )
 
+    # r13: all five arms consumed UNSORTED through their cores (each
+    # per-arm sort was dead under this union and paid its own
+    # range-bound sampling job — the r12 §10d defect)
     null_d = F.lit(None).cast("double")
-    jp = events_json_props(spark, sf_dir).select(
+    jp = _events_json_props_core(spark, sf_dir).select(
         F.lit("json_k_bucket").alias("kind"),
         F.col("k_bucket").cast("string").alias("group_key"),
         "n",
@@ -616,7 +670,7 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("p99_value"),
         null_d.alias("max_value"),
     )
-    pc = events_value_percentiles(spark, sf_dir).select(
+    pc = _events_value_percentiles_core(spark, sf_dir).select(
         F.lit("type_percentiles").alias("kind"),
         F.col("event_type").alias("group_key"),
         F.col("n_events").alias("n"),
@@ -626,7 +680,7 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99_value",
         "max_value",
     )
-    hq = events_hist_quantiles(spark, sf_dir).select(
+    hq = _events_hist_quantiles_core(spark, sf_dir).select(
         F.lit("type_hist_quantiles").alias("kind"),
         F.col("event_type").alias("group_key"),
         F.col("n_events").alias("n"),
@@ -650,14 +704,12 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_d.alias("max_value"),
         )
 
-    cm = _freq_arm("user_cms_freq", events_user_cms_freq)
-    ce = _freq_arm("user_exact_freq", events_user_exact_freq)
-    return (
-        jp.unionByName(pc)
-        .unionByName(hq)
-        .unionByName(cm)
-        .unionByName(ce)
-        .orderBy("kind", "group_key")
+    cm = _freq_arm("user_cms_freq", _events_user_cms_freq_core)
+    ce = _freq_arm("user_exact_freq", _events_user_exact_freq_core)
+    return _suite_sorted(
+        jp.unionByName(pc).unionByName(hq).unionByName(cm).unionByName(ce),
+        ["kind", "group_key"],
+        ["kind", "group_key"],
     )
 
 
@@ -725,11 +777,16 @@ def om_full_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = load_tables(spark, sf_dir, ("orders",))["orders"].select(
         F.col("o_orderkey").alias("orderkey"), "o_custkey"
     )
-    return (
+    # r13: the final sort's range sampler re-ran the orderkey-grain
+    # merge stage (both join-input shuffles are reused, but the SMJ
+    # sorts + merge re-execute); _suite_sorted materializes the joined
+    # report once.  orderkey is the unique grain — total order.
+    return _suite_sorted(
         report.join(keys, "orderkey")
         .join(doc, F.col("o_custkey") == F.col("c_custkey"))
-        .drop("o_custkey", "c_custkey")
-        .orderBy("orderkey")
+        .drop("o_custkey", "c_custkey"),
+        ["orderkey"],
+        ["orderkey"],
     )
 
 
@@ -759,12 +816,14 @@ def structural_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_lag_days) grain — sub-expressions unchanged from the r1
     fine-grained queries."""
     from car_etl_spark.queries.misc import (
-        hierarchy_self_join,
-        interval_join_shipments,
+        _hierarchy_self_join_core,
+        _interval_join_shipments_core,
     )
 
+    # r13: arms consumed UNSORTED through their cores (dead per-arm
+    # sorts + range-sampler re-runs — the r12 §10d defect)
     null_l = F.lit(None).cast("long")
-    hier = hierarchy_self_join(spark, sf_dir).select(
+    hier = _hierarchy_self_join_core(spark, sf_dir).select(
         F.lit("parent_chain").alias("kind"),
         "orderkey",
         "parent_orderkey",
@@ -773,7 +832,7 @@ def structural_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("n_rows"),
         F.lit(None).cast("double").alias("avg_lag_days"),
     )
-    ival = interval_join_shipments(spark, sf_dir).select(
+    ival = _interval_join_shipments_core(spark, sf_dir).select(
         F.lit("interval_rollup").alias("kind"),
         null_l.alias("orderkey"),
         null_l.alias("parent_orderkey"),
@@ -782,7 +841,11 @@ def structural_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shipments_within_90d").cast("long").alias("n_rows"),
         "avg_lag_days",
     )
-    return hier.unionByName(ival).orderBy("kind", "group_key", "orderkey")
+    return _suite_sorted(
+        hier.unionByName(ival),
+        ["kind", "group_key", "orderkey"],
+        ["kind", "group_key", "orderkey"],
+    )
 
 
 def _structural_join_sql() -> str:
@@ -817,14 +880,20 @@ def extraction_pipeline_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fields = field_override_merge(spark, sf_dir)
     versions = versioned_extractions(spark, sf_dir)
-    return (
-        fields.join(versions, "extraction_id")
-        .select(
+    # r13: the final sort sat directly on the two broadcast joins with
+    # no shuffle anywhere below (the arms' own sorts are eliminated
+    # under the join), so the range sampler re-ran the full fields scan
+    # + both joins — _suite_sorted materializes the joined rows once.
+    # (extraction_id, field_name) = (l_orderkey, l_linenumber), the
+    # lineitem PK: total order, rows/order unchanged.
+    return _suite_sorted(
+        fields.join(versions, "extraction_id").select(
             "document_id", "extraction_id", "version", "is_current",
             "field_name", "field_value", "confidence", "is_override",
             "overridden_by",
-        )
-        .orderBy("extraction_id", "field_name")
+        ),
+        ["extraction_id", "field_name"],
+        ["extraction_id", "field_name"],
     )
 
 
@@ -864,6 +933,10 @@ def events_user_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot = events_type_pivot(spark, sf_dir)
     sess = events_sessionize(spark, sf_dir)
     gate = events_rate_limit_gate(spark, sf_dir)
+    # r13 examined, left alone: a repartition("user_id") below the sort
+    # is ELIMINATED by Catalyst (the pivot side's agg exchange already
+    # hash-partitions on user_id — verified, plan unchanged), so the
+    # sampling tax here is already bounded by the existing exchange
     return pivot.join(sess, "user_id").join(gate, "user_id").orderBy("user_id")
 
 

@@ -63,20 +63,29 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-repartitioning the (skinny, text-free) result rows on the sort
     key materializes them once; the sampler then reads shuffle files
     instead of re-tokenizing the corpus.  Same rows, same final order."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    r = _quality_metrics(docs, "doc_id", "lang")
     return (
-        r.select(
-            "doc_id",
-            "lang",
-            F.col("n").cast("long").alias("token_count"),
-            F.round("sw", 6).alias("stopword_ratio"),
-            F.round(
-                0.4 * F.col("length_c") + 0.3 * F.col("div_c") + 0.3 * (1.0 - F.col("sw")), 6
-            ).alias("quality_score"),
-        )
+        _doc_quality_scores_core(spark, sf_dir)
         .repartition("doc_id")
         .orderBy("doc_id")
+    )
+
+
+def _doc_quality_scores_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered, un-repartitioned core — the quality+repetition suite
+    consumes this (r13): under its join the declared sort is eliminated
+    by Catalyst anyway, but the _pair_sorted repartition survived as a
+    dead full shuffle of the quality rows feeding a broadcast join that
+    needs no distribution."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    r = _quality_metrics(docs, "doc_id", "lang")
+    return r.select(
+        "doc_id",
+        "lang",
+        F.col("n").cast("long").alias("token_count"),
+        F.round("sw", 6).alias("stopword_ratio"),
+        F.round(
+            0.4 * F.col("length_c") + 0.3 * F.col("div_c") + 0.3 * (1.0 - F.col("sw")), 6
+        ).alias("quality_score"),
     )
 
 
@@ -215,35 +224,45 @@ def doc_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     default; Spark replaces all), and the snippet cut is the same
     substring/regexp_replace pair on both sides, so the marked-up
     strings hash-match exactly."""
-    from car_etl_spark.functions.text import stem_py
-    from car_etl_spark.operators.indexing import ensure_posting_index
     from car_etl_spark.queries import prepared
 
     def build() -> DataFrame:
-        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-        # SERVING leg: rank from the bucket-pruned posting store (the
-        # raw_term sum equals the scan twin's token-equality score —
-        # proven by doc_keyword_search's oracle row); only the 10
-        # winners ever touch the highlight regex or the raw text
-        store = ensure_posting_index(spark, sf_dir)
-        buckets = sorted({store.bucket_of(stem_py(t)) for t in KEYWORD_QUERY_TERMS})
-        top = (
-            store.read(spark, buckets=buckets)
-            .filter(F.col("raw_term").isin(list(KEYWORD_QUERY_TERMS)))
-            .groupBy("doc_id")
-            .agg(F.sum("tf").cast("long").alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(10)
-        )
-        marked = T.highlight(F.col("text"), list(KEYWORD_QUERY_TERMS))
-        return (
-            top.join(docs.select("doc_id", "text"), "doc_id")
-            .select("doc_id", "score", T.snippet(marked, 150).alias("snippet"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+        return _doc_search_highlight_core(spark, sf_dir).orderBy(
+            F.desc("score"), F.asc("doc_id")
         )
 
     return prepared(
         spark, "doc_search_highlight", sf_dir, ("documents.parquet",), build
+    )
+
+
+def _doc_search_highlight_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core of :func:`doc_search_highlight` — the keyword-modes
+    suite consumes this so the arm's declared sort (dead under its
+    union, and paying a range-bound sampling job that re-executes the
+    winners-side document fetch + highlight regex) never enters the
+    plan (r13; the r12 lsh-suite pattern)."""
+    from car_etl_spark.functions.text import stem_py
+    from car_etl_spark.operators.indexing import ensure_posting_index
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # SERVING leg: rank from the bucket-pruned posting store (the
+    # raw_term sum equals the scan twin's token-equality score —
+    # proven by doc_keyword_search's oracle row); only the 10
+    # winners ever touch the highlight regex or the raw text
+    store = ensure_posting_index(spark, sf_dir)
+    buckets = sorted({store.bucket_of(stem_py(t)) for t in KEYWORD_QUERY_TERMS})
+    top = (
+        store.read(spark, buckets=buckets)
+        .filter(F.col("raw_term").isin(list(KEYWORD_QUERY_TERMS)))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    marked = T.highlight(F.col("text"), list(KEYWORD_QUERY_TERMS))
+    return top.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "score", T.snippet(marked, 150).alias("snippet")
     )
 
 
@@ -965,6 +984,23 @@ def doc_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_substring_search_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — the declared per-arm sort is dead
+    under the keyword-modes union and its range sampler re-runs the
+    index verify; r13)."""
+    from car_etl_spark.operators.indexing import ensure_posting_index
+
+    store = ensure_posting_index(spark, sf_dir, analyzer="trigram")
+    docs = (
+        None
+        if store.positions
+        else load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    return store.substring_search(
+        spark, SUBSTRING_PATTERN, docs=docs, ordered=False
+    )
+
+
 _SUB_M = len(SUBSTRING_PATTERN)
 DOC_SUBSTRING_SEARCH_SQL = f"""
 WITH c AS (
@@ -1004,6 +1040,15 @@ def doc_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared(
         spark, "doc_regex_search", sf_dir, ("documents.parquet",), build
     )
+
+
+def _doc_regex_search_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — see :func:`_doc_substring_search_core`)."""
+    from car_etl_spark.operators.indexing import ensure_posting_index
+
+    store = ensure_posting_index(spark, sf_dir, analyzer="trigram")
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return store.regex_search(spark, REGEX_PATTERN, docs, ordered=False)
 
 
 DOC_REGEX_SEARCH_SQL = f"""

@@ -250,11 +250,11 @@ GROUP BY label ORDER BY label
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-query retrieval: top-5 neighbors for each of 10 query
-    vectors in ONE job — the production batch-inference shape (queries
-    broadcast, corpus scanned once, per-query rank windows).  At 100 TB
-    this replaces 10 corpus scans with one."""
+def _vector_topk_batch_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core of :func:`vector_topk_batch` — the batch-modes
+    suite consumes this so the per-arm sort (dead under its union, and
+    paying a range-bound sampling job that re-executes the rank-window
+    stage) never enters the plan (r13; the r12 lsh-suite pattern)."""
     from pyspark.sql import Window
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -272,8 +272,15 @@ def vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("query_id", "rank", "vec_id", "cosine_sim")
-        .orderBy("query_id", "rank")
     )
+
+
+def vector_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query retrieval: top-5 neighbors for each of 10 query
+    vectors in ONE job — the production batch-inference shape (queries
+    broadcast, corpus scanned once, per-query rank windows).  At 100 TB
+    this replaces 10 corpus scans with one."""
+    return _vector_topk_batch_core(spark, sf_dir).orderBy("query_id", "rank")
 
 
 VECTOR_TOPK_BATCH_SQL = """
@@ -309,51 +316,11 @@ def vector_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     below — extra candidates never change a top-k, so the brute-force
     batch SQL remains the oracle.  The N-row probe collect is the
     request batch itself (control-plane by definition)."""
-    from car_etl_spark.operators.indexing import ensure_ivf_index
     from car_etl_spark.queries import prepared
 
     def build() -> DataFrame:
-        from pyspark.sql import Window
-
-        emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-        store = ensure_ivf_index(spark, sf_dir)
-        qrows = (
-            emb.filter(F.col("vec_id") < 10)
-            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
-            .collect()
-        )
-        # one generation + meta snapshot pin every query's certificate
-        # AND the row view's dirs/batch bound (see IvfStore.probe_topk's
-        # race note)
-        gen = store._gen()
-        meta = store.meta(gen)
-        probe_union: set[int] = set()
-        for r in qrows:
-            probe_union |= set(
-                store.probe_ids_exact([float(x) for x in r.qvec], 6, meta=meta)
-            )
-        queries = spark.createDataFrame(
-            [(int(r.query_id), [float(x) for x in r.qvec]) for r in qrows],
-            "query_id long, qvec array<double>",
-        )
-        assigned = store.read_assignments(
-            spark, probes=sorted(probe_union),
-            as_of=meta.get("applied_through"), gen=gen,
-        )
-        sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
-        scored = (
-            assigned.crossJoin(F.broadcast(queries))
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", sim.alias("cosine_sim"))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cosine_sim"), F.asc("vec_id")
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 5)
-            .select("query_id", "rank", "vec_id", "cosine_sim")
-            .orderBy("query_id", "rank")
+        return _vector_ivf_topk_batch_core(spark, sf_dir).orderBy(
+            "query_id", "rank"
         )
 
     return prepared(
@@ -361,19 +328,74 @@ def vector_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vector_ivf_topk_batch_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core (suite arm — see :func:`_vector_topk_batch_core`)."""
+    from pyspark.sql import Window
+
+    from car_etl_spark.operators.indexing import ensure_ivf_index
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    store = ensure_ivf_index(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .collect()
+    )
+    # one generation + meta snapshot pin every query's certificate
+    # AND the row view's dirs/batch bound (see IvfStore.probe_topk's
+    # race note)
+    gen = store._gen()
+    meta = store.meta(gen)
+    probe_union: set[int] = set()
+    for r in qrows:
+        probe_union |= set(
+            store.probe_ids_exact([float(x) for x in r.qvec], 6, meta=meta)
+        )
+    queries = spark.createDataFrame(
+        [(int(r.query_id), [float(x) for x in r.qvec]) for r in qrows],
+        "query_id long, qvec array<double>",
+    )
+    assigned = store.read_assignments(
+        spark, probes=sorted(probe_union),
+        as_of=meta.get("applied_through"), gen=gen,
+    )
+    sim = F.round(V.cosine_similarity(F.col("embedding"), F.col("qvec")), 6)
+    scored = (
+        assigned.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
 def vector_batch_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry suite: brute-force batch and IVF-serving batch, tagged
     and unioned — like ``vector_topk_modes``, the arms must agree
     row-for-row inside one driver-hashed result."""
+    # r13: arms consumed UNSORTED (each per-arm sort was dead under the
+    # union AND re-ran its rank-window stage in the range sampler); the
+    # union is hash-materialized once below the single declared sort.
+    # (mode, query_id, rank) is the unique grain — total order unchanged.
     parts = [
-        vector_topk_batch(spark, sf_dir).select(
+        _vector_topk_batch_core(spark, sf_dir).select(
             F.lit("brute").alias("mode"), "query_id", "rank", "vec_id", "cosine_sim"
         ),
-        vector_ivf_topk_batch(spark, sf_dir).select(
+        _vector_ivf_topk_batch_core(spark, sf_dir).select(
             F.lit("ivf").alias("mode"), "query_id", "rank", "vec_id", "cosine_sim"
         ),
     ]
-    return parts[0].unionByName(parts[1]).orderBy("mode", "query_id", "rank")
+    return (
+        parts[0].unionByName(parts[1])
+        .repartition("mode", "query_id", "rank")
+        .orderBy("mode", "query_id", "rank")
+    )
 
 
 VECTOR_BATCH_MODES_SQL = f"""

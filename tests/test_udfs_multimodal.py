@@ -699,3 +699,79 @@ def test_malformed_avi_falls_back_outside_strict(spark):
     frames = sample_frames(media, every_n_bytes=64).collect()
     assert len(frames) == (len(bad) + 63) // 64
     assert [f.frame_index for f in frames] == list(range(len(frames)))
+
+
+def test_fused_wide_features_match_per_leg_stages(spark):
+    """r13 fusion parity: extract_media_features_wide must reproduce,
+    per asset, exactly what the five per-leg stages produced — image
+    dims/luma (non-strict), strict WAV fields, strict AVI fields + the
+    every-2nd-frame sampler count, and the strict resize round-trip —
+    so the fused media_features_report aggregates the same values."""
+    from car_etl_spark.queries.media import _asset_params, synthesize_media
+    from car_etl_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ].select("doc_id")
+    media = synthesize_media(_asset_params(docs)).withColumn(
+        "mime_type", M.detect_mime(F.col("content"))
+    )
+    params = _asset_params(docs).select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.expr("w DIV 2 + 1").cast("int").alias("out_w"),
+        F.expr("h DIV 2 + 1").cast("int").alias("out_h"),
+    )
+    media = media.join(params, "path").localCheckpoint(eager=True)
+    wide = {
+        r["path"]: r.asDict()
+        for r in M.extract_media_features_wide(media, sample_every_n_frames=2).collect()
+    }
+    assert wide, "no assets synthesized at sf0.001"
+
+    imgs = M.extract_image_features(
+        media.filter(~F.col("mime_type").isin("audio/wav", "video/avi"))
+    ).collect()
+    for r in imgs:
+        w = wide[r["path"]]
+        assert (w["width"], w["height"], w["mean_luma"]) == (
+            r["width"], r["height"], r["mean_luma"]
+        )
+
+    aud = M.extract_audio_features(
+        media.filter(F.col("mime_type") == "audio/wav"), strict=True
+    ).collect()
+    assert aud
+    for r in aud:
+        w = wide[r["path"]]
+        assert (
+            w["sample_rate"], w["n_channels"], w["duration_ms"],
+            w["mean_abs_amplitude"],
+        ) == (r["sample_rate"], r["n_channels"], r["duration_ms"], r["mean_abs_amplitude"])
+
+    vids_src = media.filter(F.col("mime_type") == "video/avi")
+    vids = M.extract_video_features(vids_src, strict=True).collect()
+    sampled = {
+        r["path"]: r["n"]
+        for r in M.sample_frames(vids_src, every_n_frames=2)
+        .groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert vids
+    for r in vids:
+        w = wide[r["path"]]
+        assert (w["width"], w["height"], w["n_frames"], w["duration_ms"]) == (
+            r["width"], r["height"], r["n_frames"], r["duration_ms"]
+        )
+        assert w["n_sampled"] == sampled[r["path"]]
+
+    resize_src = media.filter(
+        F.col("mime_type").isin("image/png", "image/bmp")
+    )
+    rimgs = M.extract_image_features(
+        M.resize_images(resize_src, strict=True), strict=True
+    ).collect()
+    assert rimgs
+    for r in rimgs:
+        w = wide[r["path"]]
+        assert (w["r_width"], w["r_height"], w["r_luma"]) == (
+            r["width"], r["height"], r["mean_luma"]
+        )
