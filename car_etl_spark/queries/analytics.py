@@ -18,8 +18,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from car_etl_spark.queries import QuerySpec
-from car_etl_spark.queries.parity import DEC, davg, drow, dsum, dsum_raw, sql_davg, sql_drow, sql_dsum, sql_dsum_raw
-from car_etl_spark.tables import load_tables
+from car_etl_spark.queries.parity import (
+    DEC,
+    davg,
+    drow,
+    dsum,
+    dsum_raw,
+    int64_cents_safe,
+    money_fns,
+    sql_davg,
+    sql_drow,
+    sql_dsum,
+    sql_dsum_raw,
+)
+from car_etl_spark.tables import load_tables, parquet_column_absmax, parquet_rowcount
 
 
 def _customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,12 +41,18 @@ def _customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop rows with no name or zero total.
     """
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    # r13 (decimal tail): int64-cents partials when the lineitem footer
+    # proves no overflow — see relational._lineitem_money_bound and
+    # parity.int64_cents_safe; bit-identical values, decimal fallback
+    from car_etl_spark.queries.relational import _lineitem_money_bound
+
+    _s, sr_, _a = money_fns(int64_cents_safe(*_lineitem_money_bound(sf_dir)))
     rev = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(
-            dsum_raw(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue_raw"),
+            sr_(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue_raw"),
             F.countDistinct("o_orderkey").alias("order_count"),
         )
     )
@@ -288,6 +306,23 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def _o_sum(sf_dir: str):
+    """dsum or its int64-cents twin under the orders footer proof."""
+    ok = int64_cents_safe(
+        parquet_rowcount(sf_dir, "orders"),
+        parquet_column_absmax(sf_dir, "orders", "o_totalprice"),
+    )
+    return money_fns(ok)[0]
+
+
+def _o_avg(sf_dir: str):
+    ok = int64_cents_safe(
+        parquet_rowcount(sf_dir, "orders"),
+        parquet_column_absmax(sf_dir, "orders", "o_totalprice"),
+    )
+    return money_fns(ok)[2]
+
+
 def nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A10: per-group sums + ratio-of-sums (per-SF-average analog,
     ``effective_rent.py:492-497``), dims broadcast."""
@@ -300,8 +335,8 @@ def nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("order_count"),
             F.countDistinct("c_custkey").alias("customer_count"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
-            davg(F.col("o_totalprice")).alias("avg_price_per_order"),
+            _o_sum(sf_dir)(F.col("o_totalprice")).alias("total_price"),
+            _o_avg(sf_dir)(F.col("o_totalprice")).alias("avg_price_per_order"),
         )
         .orderBy("n_name")
     )

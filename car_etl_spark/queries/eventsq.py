@@ -13,8 +13,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from car_etl_spark.queries import QuerySpec
-from car_etl_spark.queries.parity import davg, dsum, sql_davg, sql_dsum
-from car_etl_spark.tables import load_tables
+from car_etl_spark.queries.parity import (
+    cents6,
+    davg,
+    dsum,
+    int64_cents_safe,
+    money_fns,
+    sql_davg,
+    sql_dsum,
+)
+from car_etl_spark.tables import (
+    load_tables,
+    parquet_column_absmax,
+    parquet_column_min,
+    parquet_rowcount,
+)
+
+
+def _ev_money_fns(sf_dir: str):
+    """(sum, sum_raw, avg) for events.value — the int64-cents twins when
+    the events footer proves no overflow (r13 decimal tail; see
+    parity.int64_cents_safe), the DECIMAL(30,6) forms otherwise."""
+    ok = int64_cents_safe(
+        parquet_rowcount(sf_dir, "events"),
+        parquet_column_absmax(sf_dir, "events", "value"),
+    )
+    return money_fns(ok)
 
 
 def _events_hourly_rollup_core(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -23,12 +47,13 @@ def _events_hourly_rollup_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     paying its own range-bound sampling job) never enters the plan
     (r13; the r12 ``lsh_neardup_suite`` pattern)."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    vsum = _ev_money_fns(sf_dir)[0]
     return ev.groupBy(
         F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("event_count"),
-        dsum(F.col("value")).alias("total_value"),
+        vsum(F.col("value")).alias("total_value"),
         F.countDistinct("user_id").alias("active_users"),
     )
 
@@ -91,10 +116,11 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregation with a fixed column vocabulary — the
     scale-safe pivot (explicit values, no schema inference pass)."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    vsum = _ev_money_fns(sf_dir)[0]
     aggs = []
     for et in ("click", "view", "purchase", "signup", "error"):
         aggs.append(
-            dsum(
+            vsum(
                 F.when(F.col("event_type") == et, F.col("value")).otherwise(F.lit(0.0))
             ).alias(f"{et}_value")
         )
@@ -138,7 +164,7 @@ def _events_json_props_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select((k % 10).alias("k_bucket"), "value")
         .groupBy("k_bucket")
-        .agg(F.count(F.lit(1)).alias("n"), davg(F.col("value")).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _ev_money_fns(sf_dir)[2](F.col("value")).alias("avg_value"))
     )
 
 
@@ -166,6 +192,43 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_session = ev.withColumn("session_id", F.sum(new_session).over(w_cum))
+    # r13 (decimal tail): the nested dsum pair (per-session sum rounded
+    # at 2 dp, then per-user sum of the rounded values) replays in pure
+    # int64 when the events footer proves no overflow AND value >= 0
+    # (integer HALF_UP needs a sign): per-session cents6 total ->
+    # HALF_UP to cents2 via integer div (exactly DECIMAL's 2-dp round on
+    # non-negatives) -> per-user long sum -> one exact decimal finish.
+    # Bit-identical to the decimal path (never leaves integers between
+    # the levels); falls back to DECIMAL(30,6) when unprovable.
+    mn = parquet_column_min(sf_dir, "events", "value")
+    int_ok = (
+        int64_cents_safe(
+            parquet_rowcount(sf_dir, "events"),
+            parquet_column_absmax(sf_dir, "events", "value"),
+        )
+        and mn is not None
+        and mn >= 0.0
+    )
+    if int_ok:
+        lvl1 = (
+            with_session.groupBy("user_id", "session_id")
+            .agg(
+                F.count(F.lit(1)).alias("events_in_session"),
+                F.sum(cents6(F.col("value"))).alias("__c6"),
+            )
+            .withColumn("__c2", F.expr("(__c6 + 5000) div 10000"))
+        )
+        return (
+            lvl1.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("session_count"),
+                F.max("events_in_session").alias("max_session_events"),
+                F.round(
+                    F.sum("__c2").cast("decimal(38,0)") / F.lit(100), 2
+                ).cast("double").alias("total_value"),
+            )
+            .orderBy("user_id")
+        )
     return (
         with_session.groupBy("user_id", "session_id")
         .agg(
@@ -307,7 +370,7 @@ def _events_sliding_window_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
-    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+    ).agg(F.count(F.lit(1)).alias("n"), _ev_money_fns(sf_dir)[0](F.col("value")).alias("total_value"))
 
 
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,7 +741,7 @@ def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.groupBy("error_id")
         .agg(
             F.count(F.lit(1)).alias("purchases_in_window"),
-            dsum(F.col("p_value"), 2).alias("purchase_value_sum"),
+            _ev_money_fns(sf_dir)[0](F.col("p_value"), 2).alias("purchase_value_sum"),
         )
         .orderBy("error_id")
     )
@@ -724,18 +787,26 @@ def _events_multires_rollup_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: the DAY level with per-day event stats; the oracle
     aggregates raw->day directly, so the hash match PROVES the cascade
     is lossless."""
-    from car_etl_spark.queries.parity import DEC
+    from car_etl_spark.queries.parity import DEC, INT64_CENTS
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    # partial sums accumulate in exact DECIMAL so the cascade is
-    # order-independent — double addition is not associative, and the
+    # partial sums accumulate EXACTLY so the cascade is order-
+    # independent — double addition is not associative, and the
     # minute->hour->day regrouping WILL hit last-ulp drift vs the
-    # oracle's raw->day sum otherwise (bit us at sf0.01)
+    # oracle's raw->day sum otherwise (bit us at sf0.01).  r13: the
+    # exact carrier is int64 cents6 when the events footer proves no
+    # overflow (integer sums re-group losslessly just like decimals,
+    # without the BigDecimal per-row cost); DECIMAL(30,6) otherwise.
+    int_ok = int64_cents_safe(
+        parquet_rowcount(sf_dir, "events"),
+        parquet_column_absmax(sf_dir, "events", "value"),
+    )
+    vpart = cents6(F.col("value")) if int_ok else F.col("value").cast(DEC)
     minute = ev.groupBy(
         F.date_trunc("minute", F.col("ts")).alias("minute_start"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast(DEC)).alias("value_sum"),
+        F.sum(vpart).alias("value_sum"),
         F.max("value").alias("value_max"),
     )
     hour = minute.groupBy(
@@ -745,15 +816,28 @@ def _events_multires_rollup_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_sum").alias("value_sum"),
         F.max("value_max").alias("value_max"),
     )
-    day = hour.groupBy(
-        F.date_trunc("day", F.col("hour_start")).alias("day_start"), "event_type"
-    ).agg(
-        F.sum("n").alias("n_events"),
-        F.round(F.sum("value_sum"), 2).cast("double").alias("value_sum"),
-        F.round(
-            F.sum("value_sum").cast("double") / F.sum("n"), 6
-        ).alias("value_avg"),
-        F.round(F.max("value_max"), 2).alias("value_max"),
+    day_sum = (
+        F.col("__vs").cast("decimal(38,0)") / F.lit(INT64_CENTS)
+        if int_ok
+        else F.col("__vs")
+    )
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", F.col("hour_start")).alias("day_start"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("value_sum").alias("__vs"),
+            F.max("value_max").alias("__vm"),
+        )
+        .select(
+            "day_start",
+            "event_type",
+            "n_events",
+            F.round(day_sum, 2).cast("double").alias("value_sum"),
+            F.round(day_sum.cast("double") / F.col("n_events"), 6).alias("value_avg"),
+            F.round(F.col("__vm"), 2).alias("value_max"),
+        )
     )
     return day.select(
         F.date_format("day_start", "yyyy-MM-dd").alias("day"),

@@ -340,7 +340,18 @@ def _fts_batch_search_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered core of :func:`fts_batch_search` — the FTS suite
     consumes this so the arm's declared sort (dead under its union, and
     paying a range-bound sampling job that re-executes the rank-window
-    stage) never enters the plan (r13; the r12 lsh-suite pattern)."""
+    stage) never enters the plan (r13; the r12 lsh-suite pattern).
+    prepared() like the public form (plan-build stems terms and prunes
+    buckets driver-side)."""
+    from car_etl_spark.queries import prepared
+
+    return prepared(
+        spark, "fts_batch_search#core", sf_dir, ("documents.parquet",),
+        lambda: _fts_batch_search_build(spark, sf_dir),
+    )
+
+
+def _fts_batch_search_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     store = ensure_posting_index(spark, sf_dir)

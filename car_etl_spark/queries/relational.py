@@ -17,8 +17,17 @@ from car_etl_spark.functions.sketches import (
     kmv_distinct,
     kmv_sql_ctes,
 )
-from car_etl_spark.queries.parity import davg, dsum, dsum_raw, sql_davg, sql_dsum, sql_dsum_raw
-from car_etl_spark.tables import load_tables
+from car_etl_spark.queries.parity import (
+    davg,
+    dsum,
+    dsum_raw,
+    int64_cents_safe,
+    money_fns,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_raw,
+)
+from car_etl_spark.tables import load_tables, parquet_column_absmax, parquet_rowcount
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,22 +38,65 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     final HashAggregate.  The shipdate filter pushes to the parquet scan.
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    # r13 (decimal tail): the DECIMAL(30,6) partials were a measured
+    # 4.7x per-row floor (BigDecimal-backed above precision 18).  When
+    # the parquet footer PROVES the int64-cents sum cannot overflow
+    # (charge bound = maxprice * (1+maxdisc) * (1+maxtax); see
+    # parity.int64_cents_safe), the same exact values accumulate as
+    # primitive longs — bit-identical output, oracle unchanged.  At row
+    # counts/magnitudes where the proof fails, the decimal path stays.
+    s_, _sr, a_ = money_fns(_q1_int64_ok(sf_dir))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            dsum(
+            s_(F.col("l_quantity")).alias("sum_qty"),
+            s_(F.col("l_extendedprice")).alias("sum_base_price"),
+            s_(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            s_(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount"), 6).alias("avg_disc"),
+            a_(F.col("l_quantity")).alias("avg_qty"),
+            a_(F.col("l_extendedprice")).alias("avg_price"),
+            a_(F.col("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _lineitem_money_bound(sf_dir: str) -> tuple[int, float | None]:
+    """(row count, provable |value| bound over every lineitem money
+    expression the relational queries sum) from footer metadata.  The
+    bound covers l_quantity, l_extendedprice, and the disc_price/charge
+    products: |price * (1 +- disc) * (1 +- tax)| <= maxprice *
+    (1 + maxabs(disc)) * (1 + maxabs(tax))."""
+    n = parquet_rowcount(sf_dir, "lineitem")
+    mq = parquet_column_absmax(sf_dir, "lineitem", "l_quantity")
+    mp = parquet_column_absmax(sf_dir, "lineitem", "l_extendedprice")
+    md = parquet_column_absmax(sf_dir, "lineitem", "l_discount")
+    mt = parquet_column_absmax(sf_dir, "lineitem", "l_tax")
+    if any(v is None for v in (mq, mp, md, mt)):
+        return n, None
+    return n, max(mq, mp * (1.0 + md) * (1.0 + mt))
+
+
+def _q1_int64_ok(sf_dir: str) -> bool:
+    n, bound = _lineitem_money_bound(sf_dir)
+    return int64_cents_safe(n, bound)
+
+
+def _li_sum(sf_dir: str):
+    """dsum or its int64-cents twin, under the lineitem footer proof."""
+    s_, _sr, _a = money_fns(_q1_int64_ok(sf_dir))
+    return s_
+
+
+def _orders_int64_ok(sf_dir: str) -> bool:
+    """Footer proof for o_totalprice sums/averages."""
+    return int64_cents_safe(
+        parquet_rowcount(sf_dir, "orders"),
+        parquet_column_absmax(sf_dir, "orders", "o_totalprice"),
     )
 
 
@@ -82,7 +134,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_li_sum(sf_dir)(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_iso"),
@@ -133,7 +185,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_li_sum(sf_dir)(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -322,7 +374,7 @@ run on the HLL form (fixed 2^p-register
         .agg(
             F.countDistinct("o_custkey").alias("distinct_customers"),
             F.count(F.lit(1)).alias("order_count"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
+            money_fns(_orders_int64_ok(sf_dir))[0](F.col("o_totalprice")).alias("total_price"),
         )
     )
     key = F.col("o_custkey").cast("string")
@@ -367,15 +419,16 @@ def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: weighted average (sum(w*x)/sum(w)) per group — the reference's
     confidence weighting (``src/extraction/extractor.py:234-264``)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    _s, sr_, a_ = money_fns(_q1_int64_ok(sf_dir))
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.round(
-                dsum_raw(F.col("l_extendedprice") * F.col("l_discount"))
-                / dsum_raw(F.col("l_extendedprice")),
+                sr_(F.col("l_extendedprice") * F.col("l_discount"))
+                / sr_(F.col("l_extendedprice")),
                 6,
             ).alias("weighted_avg_disc"),
-            davg(F.col("l_discount"), 6).alias("plain_avg_disc"),
+            a_(F.col("l_discount"), 6).alias("plain_avg_disc"),
         )
         .orderBy("l_returnflag")
     )
@@ -402,7 +455,10 @@ def optional_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.filter(F.col("o_orderstatus").isin(statuses))
     return (
         df.groupBy("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), davg(F.col("o_totalprice"), 2).alias("avg_price"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_fns(_orders_int64_ok(sf_dir))[2](F.col("o_totalprice"), 2).alias("avg_price"),
+        )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
 

@@ -242,6 +242,15 @@ def _doc_search_highlight_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     union, and paying a range-bound sampling job that re-executes the
     winners-side document fetch + highlight regex) never enters the
     plan (r13; the r12 lsh-suite pattern)."""
+    from car_etl_spark.queries import prepared
+
+    return prepared(
+        spark, "doc_search_highlight#core", sf_dir, ("documents.parquet",),
+        lambda: _doc_search_highlight_build(spark, sf_dir),
+    )
+
+
+def _doc_search_highlight_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from car_etl_spark.functions.text import stem_py
     from car_etl_spark.operators.indexing import ensure_posting_index
 
@@ -987,17 +996,25 @@ def doc_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_substring_search_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered core (suite arm — the declared per-arm sort is dead
     under the keyword-modes union and its range sampler re-runs the
-    index verify; r13)."""
+    index verify; r13).  prepared() like the public form: the plan
+    build resolves store candidates driver-side, which must be paid
+    once per session, not per call."""
     from car_etl_spark.operators.indexing import ensure_posting_index
+    from car_etl_spark.queries import prepared
 
-    store = ensure_posting_index(spark, sf_dir, analyzer="trigram")
-    docs = (
-        None
-        if store.positions
-        else load_tables(spark, sf_dir, ("documents",))["documents"]
-    )
-    return store.substring_search(
-        spark, SUBSTRING_PATTERN, docs=docs, ordered=False
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir, analyzer="trigram")
+        docs = (
+            None
+            if store.positions
+            else load_tables(spark, sf_dir, ("documents",))["documents"]
+        )
+        return store.substring_search(
+            spark, SUBSTRING_PATTERN, docs=docs, ordered=False
+        )
+
+    return prepared(
+        spark, "doc_substring_search#core", sf_dir, ("documents.parquet",), build
     )
 
 
@@ -1043,12 +1060,20 @@ def doc_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_regex_search_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered core (suite arm — see :func:`_doc_substring_search_core`)."""
+    """Unordered core (suite arm — see :func:`_doc_substring_search_core`;
+    prepared() is load-bearing here: the trigram prefilter COLLECTS
+    candidate ids at plan-build time)."""
     from car_etl_spark.operators.indexing import ensure_posting_index
+    from car_etl_spark.queries import prepared
 
-    store = ensure_posting_index(spark, sf_dir, analyzer="trigram")
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return store.regex_search(spark, REGEX_PATTERN, docs, ordered=False)
+    def build() -> DataFrame:
+        store = ensure_posting_index(spark, sf_dir, analyzer="trigram")
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        return store.regex_search(spark, REGEX_PATTERN, docs, ordered=False)
+
+    return prepared(
+        spark, "doc_regex_search#core", sf_dir, ("documents.parquet",), build
+    )
 
 
 DOC_REGEX_SEARCH_SQL = f"""

@@ -329,7 +329,18 @@ def vector_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _vector_ivf_topk_batch_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered core (suite arm — see :func:`_vector_topk_batch_core`)."""
+    """Unordered core (suite arm — see :func:`_vector_topk_batch_core`).
+    prepared() is load-bearing: the probe-set certificate collects the
+    query vectors driver-side at plan-build time."""
+    from car_etl_spark.queries import prepared
+
+    return prepared(
+        spark, "vector_ivf_topk_batch#core", sf_dir, ("embeddings.parquet",),
+        lambda: _vector_ivf_topk_batch_build(spark, sf_dir),
+    )
+
+
+def _vector_ivf_topk_batch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from car_etl_spark.operators.indexing import ensure_ivf_index

@@ -104,3 +104,85 @@ def parquet_rowcount(sf_dir: str, name: str) -> int:
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return -1
+
+
+def parquet_column_min(sf_dir: str, name: str, column: str) -> float | None:
+    """Column minimum from footer row-group statistics (None when any
+    row group lacks stats) — proves non-negativity for integer HALF_UP
+    rounding in the int64-cents path."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            files = []
+            for root, _dirs, fns in os.walk(path):
+                files.extend(
+                    os.path.join(root, fn) for fn in fns if fn.endswith(".parquet")
+                )
+        else:
+            files = [path]
+        if not files:
+            return None
+        worst = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).name == column:
+                    idx = i
+                    break
+            if idx is None:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                v = float(st.min)
+                worst = v if worst is None else min(worst, v)
+        return worst
+    except Exception:
+        return None
+
+
+def parquet_column_absmax(sf_dir: str, name: str, column: str) -> float | None:
+    """max(|min|, |max|) of a numeric column from parquet FOOTER
+    row-group statistics — no Spark job, no scan (the pg_stats analog).
+
+    Feeds the int64-cents overflow proof
+    (:func:`car_etl_spark.queries.parity.int64_cents_safe`).  Returns
+    ``None`` when any row group lacks min/max stats (or the footer is
+    unreadable): an unprovable bound must fail the proof, never pass it,
+    so callers fall back to the always-correct decimal path."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            files = []
+            for root, _dirs, fns in os.walk(path):
+                files.extend(
+                    os.path.join(root, fn) for fn in fns if fn.endswith(".parquet")
+                )
+        else:
+            files = [path]
+        if not files:
+            return None
+        best = 0.0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).name == column:
+                    idx = i
+                    break
+            if idx is None:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                best = max(best, abs(float(st.min)), abs(float(st.max)))
+        return best
+    except Exception:
+        return None
