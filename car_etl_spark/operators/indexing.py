@@ -2372,6 +2372,16 @@ class PostingStore:
             # ordered=False: suite arms skip the declared sort (dead
             # under their union; its range sampler re-runs the recheck)
             return out.orderBy("doc_id") if ordered else out
+        # r13 (the extraction_tables_explode pattern): ONE range exchange
+        # serves both the position pivot's clustering AND the declared
+        # doc_id sort (the global Sort collapses to a local sort, and
+        # its bound-sampling job disappears with it).  collect_list
+        # packs posting rows without shrinking them, so the forfeited
+        # map-side partial aggregation saved no bytes — the before-shape
+        # shuffled the rows once for the agg and the packed position
+        # arrays again for the sort.
+        if ordered:
+            idx = idx.repartitionByRange("doc_id")
         per = idx.groupBy("doc_id").agg(
             F.first("lang").alias("lang"),
             *[
